@@ -1,0 +1,90 @@
+"""Fixture catalog: load driver parquet tables and register temp views.
+
+Scale note: on a real deployment these reads would be against
+partitioned/bucketed lakehouse tables (or JDBC/ES sources, SURVEY.md §2
+B1-B3); everything downstream is written against the view names, so the
+storage layer swaps without touching operators. Scans stay columnar and
+Catalyst pushes filters/projections into the parquet reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .views import VIEW_SQL
+
+BASE_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. The events table is stored with
+    TIMESTAMP(NANOS) which Spark's TimestampType (microseconds) rejects
+    by default; we read nanos as long and truncate to microseconds --
+    exactly what DuckDB's TIMESTAMP_NS -> TIMESTAMP read does, so both
+    engines see identical values. Integer division (`div`) is required:
+    double division of ~1e18 nanos loses the microsecond digit."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for field in df.schema.fields:
+        if name == "events" and field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in BASE_TABLES}
+
+
+# session-id -> last sf_dir whose views are registered (temp views are
+# overwrite-in-place, so only the most recent registration is live)
+_REGISTERED: dict[int, str] = {}
+
+
+def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
+    """Register base tables and reference-domain derived views as temp
+    views. Idempotent per (session, sf_dir); cheap to call per query."""
+    sf_dir = os.path.abspath(sf_dir)
+    if _REGISTERED.get(id(spark)) == sf_dir and not force:
+        return
+    # The driver runs queries in its own vanilla session: pin the confs
+    # our cross-engine determinism depends on (UTC event-time semantics)
+    # and sane local parallelism (AQE coalesces the rest).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
+    for t in BASE_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    for name, sql in VIEW_SQL.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+    _REGISTERED[id(spark)] = sf_dir
+
+
+def view(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Return a DataFrame for a base table or derived view, registering
+    the catalog for this sf_dir on the way."""
+    register_views(spark, sf_dir)
+    return spark.table(name)

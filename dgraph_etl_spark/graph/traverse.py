@@ -1,0 +1,108 @@
+"""k-hop BFS with visited-set exclusion (SURVEY.md G1-G5).
+
+The reference's one real query (cmd/query/main.go:29-43) is a 2-hop
+friend-of-friend traversal in DGraphQL:
+
+    var(func: eq(team_id, $x))        { src as has_member }      # G1
+    var(func: uid(src))   { hop1 as has_connection @filter(NOT uid(src)) }
+    var(func: uid(hop1))  { hop2 as has_connection
+                            @filter(NOT uid(hop1) AND NOT uid(src)) }
+    hop2_count(func: uid(hop2)) { person_id }                    # G4
+
+Re-expressed relationally: each hop is frontier JOIN edges, each
+@filter(NOT uid(set)) is a left-anti join against the accumulated
+visited set, and var blocks (G5) are intermediate DataFrames.
+
+Scale notes (power-law graphs, 100 TB):
+- the frontier is usually tiny vs. the edge table -> broadcast it
+  (frontier side) so each hop is a broadcast hash join with NO shuffle
+  of the edges; only fall back to shuffle joins when the frontier
+  explodes (AQE decides via runtime stats when we don't hint).
+- per-hop .distinct() keeps the frontier a set (otherwise hub fan-in
+  multiplies rows hop over hop).
+- lineage grows per hop; for large k, localCheckpoint every few hops
+  truncates the plan (checkpoint_every).
+- visited set is maintained as a growing DataFrame; anti-joins against
+  it implement the @filter(NOT uid(...)) exclusions exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def team_seed(team_member: DataFrame, team_id: str) -> DataFrame:
+    """G1: seed uid set = members of one team. Returns column `id`."""
+    return (
+        team_member.filter(F.col("team_id") == team_id)
+        .select(F.col("person_id").alias("id"))
+        .dropDuplicates(["id"])
+    )
+
+
+def expand(
+    frontier: DataFrame,
+    edges: DataFrame,
+    visited: DataFrame,
+    broadcast_frontier: bool = True,
+) -> DataFrame:
+    """G2/G3: one hop -- follow edges out of the frontier, excluding
+    anything already visited. frontier/visited have column `id`."""
+    f = F.broadcast(frontier) if broadcast_frontier else frontier
+    reached = (
+        f.join(edges, f["id"] == edges["src"], "inner")
+        .select(F.col("dst").alias("id"))
+        .dropDuplicates(["id"])
+    )
+    return reached.join(visited, "id", "left_anti")
+
+
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    checkpoint_every: int = 3,
+    broadcast_frontier: bool = True,
+) -> list[DataFrame]:
+    """G2/G3 generalized: k-hop BFS. Returns [hop1, hop2, ... hopk]
+    frontier DataFrames (each exclusive of all earlier hops and the
+    seeds, matching the reference's NOT uid(...) filters)."""
+    visited = seeds.select("id")
+    frontier = visited
+    hops: list[DataFrame] = []
+    for i in range(k):
+        frontier = expand(frontier, edges, visited, broadcast_frontier)
+        if (i + 1) % checkpoint_every == 0:
+            frontier = frontier.localCheckpoint(eager=False)
+        frontier = frontier.cache()  # reused: next hop's join + its anti-join
+        hops.append(frontier)
+        visited = visited.unionByName(frontier)
+    return hops
+
+
+def friend_of_friend(
+    edges: DataFrame,
+    team_member: DataFrame,
+    persons: DataFrame,
+    team_id: str,
+) -> DataFrame:
+    """The reference query end-to-end (G1-G4): persons exactly 2 hops
+    from the given team, with hop counts. Returns (person_id) rows of
+    the hop-2 frontier joined back to the person table."""
+    seeds = team_seed(team_member, team_id)
+    hop1, hop2 = k_hop(edges, seeds, k=2)
+    return (
+        hop2.join(persons, hop2["id"] == persons["person_id"], "inner")
+        .select("person_id")
+    )
+
+
+def hop_counts(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
+    """G4: |hop_i| for i in 1..k as one small result row."""
+    hops = k_hop(edges, seeds, k)
+    row = None
+    for i, h in enumerate(hops, start=1):
+        c = h.agg(F.count(F.lit(1)).alias(f"hop{i}_count"))
+        row = c if row is None else row.crossJoin(c)
+    return row.select(*[f"hop{i}_count" for i in range(1, k + 1)])

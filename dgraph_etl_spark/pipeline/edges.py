@@ -1,0 +1,111 @@
+"""Edge-side pipeline operators (SURVEY.md A9, A10, A12, A13, B19).
+
+Reference behavior being re-expressed (not ported):
+- A9/A10: one ElasticUserRelationship record becomes two directed
+  scored edges (reference dgraph.go:306-335). Direction convention is
+  the live path's: (from -> to) carries raw_score_in, (to -> from)
+  carries raw_score_out. NOTE the reference's bulk binary reverses
+  this (cmd/bulk/main.go:321-328) -- a quirk, the two binaries
+  disagree; we standardize on the live path and parameterize the RDF
+  writer.
+- A12: keep MAX(score) per directed (src, dst) pair. The reference
+  uses an unbounded in-RAM hashmap guarded by a mutex
+  (cmd/bulk/main.go:29-53, 178-212); here it is a hash aggregation
+  with map-side partial max, which spills and scales horizontally.
+- A13: merge-with-existing ("update only if new score beats stored",
+  reference dgraph.go:110-133) as union + re-aggregate -- the
+  algebraic form a MERGE INTO would compile to anyway.
+
+Scale notes:
+- explode(array(struct,struct)) is a narrow transform: one scan, no
+  shuffle, 2N rows out; a union-of-two-selects would scan the source
+  twice.
+- groupBy(src,dst).max is one shuffle with partial aggregation; skewed
+  hub nodes are handled by AQE skew-join/partition splitting (session
+  default) and, for pathological hubs, two-level salted aggregation
+  (aggregate_max_salted below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def explode_bidirectional(rel: DataFrame) -> DataFrame:
+    """A9+A10: relationship stream -> directed scored edge stream.
+
+    Input schema: from_person_id, to_person_id, raw_score_in,
+    raw_score_out (+ passthrough ignored). Output: src, dst, score.
+    """
+    edge = F.explode(
+        F.array(
+            F.struct(
+                F.col("from_person_id").alias("src"),
+                F.col("to_person_id").alias("dst"),
+                F.col("raw_score_in").cast("double").alias("score"),
+            ),
+            F.struct(
+                F.col("to_person_id").alias("src"),
+                F.col("from_person_id").alias("dst"),
+                F.col("raw_score_out").cast("double").alias("score"),
+            ),
+        )
+    ).alias("e")
+    return rel.select(edge).select("e.*")
+
+
+def max_score_per_edge(edges: DataFrame) -> DataFrame:
+    """A12: MAX(score) per directed (src, dst) pair.
+
+    Hash aggregation with map-side combine; replaces the reference's
+    mutex-guarded rMap (cmd/bulk/main.go:178-212) which grows
+    unboundedly in RAM -- this form spills and distributes.
+    """
+    return edges.groupBy("src", "dst").agg(F.max("score").alias("score"))
+
+
+def aggregate_max_salted(edges: DataFrame, buckets: int = 16) -> DataFrame:
+    """A12 under heavy key skew: two-level (salted) max aggregation.
+
+    Level 1 aggregates (src, dst, salt) partitions, shrinking hub keys
+    by ``buckets`` before the final shuffle. MAX is associative and
+    commutative so the re-aggregation is exact. Use when a handful of
+    graph hubs dominate (power-law degree distributions) and AQE's
+    skew handling isn't enough.
+    """
+    salted = edges.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
+    )
+    partial = salted.groupBy("src", "dst", "_salt").agg(F.max("score").alias("score"))
+    return partial.groupBy("src", "dst").agg(F.max("score").alias("score"))
+
+
+def merge_max_with_existing(new_edges: DataFrame, existing: DataFrame) -> DataFrame:
+    """A13: conditional upsert semantics ("insert if absent, update if
+    new score beats stored") as a pure-batch merge: union + re-max.
+
+    Equivalent to ``MERGE INTO ... WHEN MATCHED AND s.score > t.score
+    THEN UPDATE WHEN NOT MATCHED THEN INSERT`` against a lakehouse
+    table; semantics (max-wins) are storage-independent.
+    """
+    cols = ["src", "dst", "score"]
+    return max_score_per_edge(new_edges.select(cols).unionByName(existing.select(cols)))
+
+
+def argmax_row_per_edge(edges: DataFrame, *extra_cols: str) -> DataFrame:
+    """B19: keep the whole winning row per (src, dst), not just the max
+    value -- window row_number over score desc. Ties broken
+    deterministically by the extra columns.
+
+    Prefer max_score_per_edge when only the score is needed (hash agg
+    beats a per-key sort at scale); use this when payload columns of
+    the winning record must survive.
+    """
+    order = [F.col("score").desc()] + [F.col(c) for c in extra_cols]
+    w = Window.partitionBy("src", "dst").orderBy(*order)
+    return (
+        edges.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,44 @@
+"""Incremental extraction / watermark semantics (SURVEY.md A2, A3, A5).
+
+The reference resumes its Elasticsearch scroll from a CLI-supplied
+unix-seconds watermark, pushing ``last_update >= watermark`` into the
+source (elastic.go:50-53) and printing the advancing watermark for
+manual checkpointing (elastic.go:87-96).
+
+Batch form here: a pushed-down range predicate plus a max-timestamp
+bookmark -- Catalyst pushes the filter into the parquet scan (check
+PushedFilters in explain), so at 100 TB only the new row groups are
+read when data is laid out by time (partitioned/z-ordered by date).
+Streaming form: Structured Streaming's offset log + withWatermark
+(streaming/jobs.py) subsumes all of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def incremental_scan(
+    df: DataFrame, watermark_unix_s: int, ts_col: str = "last_update"
+) -> DataFrame:
+    """A2/A5: rows at-or-after the watermark. The predicate is a plain
+    comparison so it reaches the source scan (predicate pushdown)."""
+    return df.filter(F.col(ts_col) >= F.timestamp_seconds(F.lit(watermark_unix_s)))
+
+
+def next_watermark(df: DataFrame, ts_col: str = "last_update") -> DataFrame:
+    """A5: the bookmark for the next run -- max event time seen, as
+    unix seconds (reference prints `ur.LastUpdate.Unix()`)."""
+    return df.agg(
+        F.unix_timestamp(F.max(ts_col)).alias("next_watermark_s"),
+        F.count(F.lit(1)).alias("rows_read"),
+    )
+
+
+def ordered_by_event_time(df: DataFrame, ts_col: str = "last_update") -> DataFrame:
+    """A3: ascending event-time order (the reference sorts the scroll so
+    its watermark advances monotonically). Only needed when a consumer
+    requires ordered output -- it is a global sort (range exchange);
+    don't pay for it otherwise."""
+    return df.orderBy(ts_col)

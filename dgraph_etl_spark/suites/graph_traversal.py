@@ -1,0 +1,156 @@
+"""Graph suite: the reference's 2-hop friend-of-friend traversal
+(cmd/query/main.go:29-43) and its building blocks, oracle-checked
+against plain-SQL set algebra (SURVEY.md G1-G5).
+
+TEAM is a fixed seed team (nationkey 7's customers); present at every
+scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import register_views
+from ..graph import traverse as G
+from ..registry import register
+from ..views import oracle_with_views as V
+
+TEAM = "7"
+
+# shared oracle CTEs: seeds / hop1 / hop2 exactly as the DGraphQL var
+# blocks define them (exclusions = NOT IN earlier frontiers)
+_HOPS = f"""
+, seeds AS (
+    SELECT DISTINCT person_id AS id FROM team_member WHERE team_id = '{TEAM}'
+),
+hop1 AS (
+    SELECT DISTINCT e.dst AS id
+    FROM edges e JOIN seeds s ON e.src = s.id
+    WHERE e.dst NOT IN (SELECT id FROM seeds)
+),
+hop2 AS (
+    SELECT DISTINCT e.dst AS id
+    FROM edges e JOIN hop1 h ON e.src = h.id
+    WHERE e.dst NOT IN (SELECT id FROM hop1)
+      AND e.dst NOT IN (SELECT id FROM seeds)
+)
+"""
+
+
+def _graph_inputs(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.table("edges"), spark.table("team_member"), spark.table("person")
+
+
+@register("g01_team_seed", V(_HOPS + "SELECT id FROM seeds"))
+def g01_team_seed(spark, sf_dir):
+    """G1: seed uid set = eq(team_id, $x) -> has_member."""
+    _, team_member, _ = _graph_inputs(spark, sf_dir)
+    return G.team_seed(team_member, TEAM)
+
+
+@register("g02_hop1", V(_HOPS + "SELECT id FROM hop1"))
+def g02_hop1(spark, sf_dir):
+    """G2: 1-hop expansion excluding the seed set (broadcast frontier,
+    anti-join exclusion)."""
+    edges, team_member, _ = _graph_inputs(spark, sf_dir)
+    seeds = G.team_seed(team_member, TEAM)
+    return G.k_hop(edges, seeds, k=1)[0]
+
+
+@register("g03_hop2", V(_HOPS + "SELECT id FROM hop2"))
+def g03_hop2(spark, sf_dir):
+    """G3: 2-hop expansion excluding hop1 AND seeds."""
+    edges, team_member, _ = _graph_inputs(spark, sf_dir)
+    seeds = G.team_seed(team_member, TEAM)
+    return G.k_hop(edges, seeds, k=2)[1]
+
+
+@register(
+    "g04_hop_counts",
+    V(_HOPS + """
+      SELECT (SELECT COUNT(*) FROM hop1) AS hop1_count,
+             (SELECT COUNT(*) FROM hop2) AS hop2_count
+    """),
+)
+def g04_hop_counts(spark, sf_dir):
+    """G4: frontier cardinalities, the reference query's actual output."""
+    edges, team_member, _ = _graph_inputs(spark, sf_dir)
+    seeds = G.team_seed(team_member, TEAM)
+    return G.hop_counts(edges, seeds, k=2)
+
+
+@register(
+    "g05_fof_persons",
+    V(_HOPS + """
+      SELECT p.person_id, p.name
+      FROM hop2 h JOIN person p ON h.id = p.person_id
+    """),
+)
+def g05_fof_persons(spark, sf_dir):
+    """G5/G4: hop-2 frontier materialized back to person rows
+    (var-block threading = intermediate cached DataFrames)."""
+    edges, team_member, person = _graph_inputs(spark, sf_dir)
+    seeds = G.team_seed(team_member, TEAM)
+    hop2 = G.k_hop(edges, seeds, k=2)[1]
+    return hop2.join(person, hop2["id"] == person["person_id"]).select(
+        "person_id", "name"
+    )
+
+
+@register(
+    "g06_khop_k3",
+    V(_HOPS + """
+      , hop3 AS (
+        SELECT DISTINCT e.dst AS id
+        FROM edges e JOIN hop2 h ON e.src = h.id
+        WHERE e.dst NOT IN (SELECT id FROM hop2)
+          AND e.dst NOT IN (SELECT id FROM hop1)
+          AND e.dst NOT IN (SELECT id FROM seeds)
+      )
+      SELECT id FROM hop3
+    """),
+)
+def g06_khop_k3(spark, sf_dir):
+    """k-hop generalization (k=3): the reference hard-codes k=2; the
+    engine's BFS loop is parameterized (iterative join + anti-join +
+    distinct with lineage checkpointing)."""
+    edges, team_member, _ = _graph_inputs(spark, sf_dir)
+    seeds = G.team_seed(team_member, TEAM)
+    return G.k_hop(edges, seeds, k=3)[2]
+
+
+@register(
+    "g07_top_connections",
+    V("""
+      SELECT src AS person_id,
+             CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS total_score,
+             COUNT(*) AS degree,
+             MAX(score) AS best_score
+      FROM edges
+      WHERE src IN (SELECT person_id_user FROM trove_user)
+      GROUP BY src
+      ORDER BY total_score DESC, person_id
+      LIMIT 20
+    """),
+)
+def g07_top_connections(spark, sf_dir):
+    """Flagship analytics: strongest-connected trove users -- semi-join
+    + hash agg + top-k (TakeOrderedAndProject, no global sort)."""
+    register_views(spark, sf_dir)
+    edges, trove = spark.table("edges"), spark.table("trove_user")
+    return (
+        edges.join(
+            trove, edges["src"] == trove["person_id_user"], "left_semi"
+        )
+        .groupBy(F.col("src").alias("person_id"))
+        .agg(
+            F.sum(F.col("score").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_score"),
+            F.count(F.lit(1)).alias("degree"),
+            F.max("score").alias("best_score"),
+        )
+        .orderBy(F.desc("total_score"), "person_id")
+        .limit(20)
+    )

@@ -1,0 +1,374 @@
+"""Tier A suite: the reference pipeline's dataflow semantics as named,
+oracle-checked queries (SURVEY.md §2 Tier A, reference file:line cited
+per operator in the pipeline/ modules).
+
+Every query here runs on the reference-domain views (views.py) derived
+from the driver fixtures, and its oracle runs the *same* view SQL as
+DuckDB CTEs -- both engines see identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import register_views
+from ..pipeline import edges as E
+from ..pipeline import persons as P
+from ..pipeline import rdf as R
+from ..pipeline import watermark as W
+from ..registry import register
+from ..views import oracle_with_views as V
+
+# watermark cut: 2024-01-15 00:00:00 UTC (events span all of Jan 2024)
+WM_S = 1705276800
+
+# the exploded bidirectional edge stream as a SQL fragment (A9/A10),
+# reused by several oracles
+_EXPLODED = """
+    SELECT from_person_id AS src, to_person_id AS dst,
+           CAST(raw_score_in AS DOUBLE) AS score, last_update
+    FROM user_relationship
+    UNION ALL
+    SELECT to_person_id, from_person_id,
+           CAST(raw_score_out AS DOUBLE), last_update
+    FROM user_relationship
+"""
+
+
+def _ur(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.table("user_relationship")
+
+
+@register(
+    "a05_incremental_scan",
+    V(f"""
+      SELECT epoch_us(last_update) AS last_update_us,
+             from_person_id, to_person_id, raw_score_in, raw_score_out
+      FROM user_relationship
+      WHERE epoch(last_update) >= {WM_S}
+    """),
+)
+def a05_incremental_scan(spark, sf_dir):
+    """A2+A5: watermark-resumed scan; the range predicate is pushed into
+    the parquet scan (PushedFilters in explain)."""
+    df = W.incremental_scan(_ur(spark, sf_dir), WM_S)
+    return df.select(
+        F.unix_micros("last_update").alias("last_update_us"),
+        "from_person_id",
+        "to_person_id",
+        "raw_score_in",
+        "raw_score_out",
+    )
+
+
+@register(
+    "a05_next_watermark",
+    V("""
+      SELECT CAST(floor(epoch(MAX(last_update))) AS BIGINT) AS next_watermark_s,
+             COUNT(*) AS rows_read
+      FROM user_relationship
+    """),
+)
+def a05_next_watermark(spark, sf_dir):
+    """A5: bookmark for the next incremental run (max event time)."""
+    return W.next_watermark(_ur(spark, sf_dir))
+
+
+@register(
+    "a04_json_decode",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def a04_json_decode(spark, sf_dir):
+    """A4: JSON record decode with skip-on-malformed semantics
+    (get_json_object returns NULL on bad input, as the reference's
+    `continue` on unmarshal error, elastic.go:80-85)."""
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "a06_trove_semi_join",
+    V("""
+      SELECT DISTINCT pid AS person_id FROM (
+        SELECT from_person_id AS pid FROM user_relationship
+        UNION ALL SELECT to_person_id FROM user_relationship
+      ) u
+      WHERE pid IN (SELECT person_id_user FROM trove_user)
+    """),
+)
+def a06_trove_semi_join(spark, sf_dir):
+    """A6 as existence filter: stream persons that are trove users --
+    one left-semi join replaces N MySQL point lookups (mysql.go:17-57)."""
+    register_views(spark, sf_dir)
+    ids = P.distinct_person_ids(_ur(spark, sf_dir))
+    return P.filter_is_trove(ids, spark.table("trove_user"))
+
+
+@register(
+    "a06_trove_flag",
+    V("""
+      SELECT ids.person_id,
+             (tu.person_id_user IS NOT NULL) AS is_trove_user
+      FROM (
+        SELECT DISTINCT pid AS person_id FROM (
+          SELECT from_person_id AS pid FROM user_relationship
+          UNION ALL SELECT to_person_id FROM user_relationship
+        ) u
+      ) ids
+      LEFT JOIN trove_user tu ON ids.person_id = tu.person_id_user
+    """),
+)
+def a06_trove_flag(spark, sf_dir):
+    """A6 as enrichment column (is_trove_user boolean per person)."""
+    register_views(spark, sf_dir)
+    ids = P.distinct_person_ids(_ur(spark, sf_dir))
+    return P.enrich_is_trove(ids, spark.table("trove_user"))
+
+
+@register(
+    "a08_team_members",
+    V("""
+      SELECT team_id,
+             list_sort(list(person_id)) AS members,
+             COUNT(*) AS n_members
+      FROM team_member GROUP BY team_id
+    """),
+)
+def a08_team_members(spark, sf_dir):
+    """A8: full scan + group-into-lists (reference GetTeamMembers,
+    mysql.go:59-82). Lists are sorted: collect_list order is
+    partition-order-dependent in any distributed engine."""
+    register_views(spark, sf_dir)
+    return (
+        spark.table("team_member")
+        .groupBy("team_id")
+        .agg(
+            F.array_sort(F.collect_list("person_id")).alias("members"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+@register("a09_explode_bidirectional", V(f"SELECT src, dst, score FROM ({_EXPLODED}) e"))
+def a09_explode_bidirectional(spark, sf_dir):
+    """A9+A10: record -> two directed edges, one narrow explode pass."""
+    return E.explode_bidirectional(_ur(spark, sf_dir))
+
+
+@register(
+    "a11_distinct_persons",
+    V("""
+      SELECT DISTINCT pid AS person_id FROM (
+        SELECT from_person_id AS pid FROM user_relationship
+        UNION ALL SELECT to_person_id FROM user_relationship
+      ) u
+    """),
+)
+def a11_distinct_persons(spark, sf_dir):
+    """A11: first-sighting person dedup -- shuffle dedup replaces the
+    reference's unbounded uMap (cmd/bulk/main.go:29-53)."""
+    return P.distinct_person_ids(_ur(spark, sf_dir))
+
+
+@register("a12_max_score_per_edge", V("SELECT src, dst, score FROM edges"))
+def a12_max_score_per_edge(spark, sf_dir):
+    """A12: MAX(score) per directed pair == the edges view by
+    construction; hash agg with map-side partial max."""
+    return E.max_score_per_edge(E.explode_bidirectional(_ur(spark, sf_dir)))
+
+
+@register(
+    "a13_merge_with_existing",
+    V(f"""
+      , exploded AS ({_EXPLODED})
+      SELECT src, dst, MAX(score) AS score FROM (
+        SELECT src, dst, score FROM exploded WHERE epoch(last_update) < {WM_S}
+        UNION ALL
+        SELECT src, dst, score FROM exploded WHERE epoch(last_update) >= {WM_S}
+      ) m GROUP BY src, dst
+    """),
+)
+def a13_merge_with_existing(spark, sf_dir):
+    """A13: conditional-upsert merge (update only when the new score
+    wins) as union + re-max: 'existing' = edges aggregated before the
+    watermark, 'new' = raw edges after it."""
+    ur = _ur(spark, sf_dir)
+    old = E.max_score_per_edge(
+        E.explode_bidirectional(W.incremental_scan(ur, 0).filter(
+            F.unix_timestamp("last_update") < WM_S))
+    )
+    new = E.explode_bidirectional(W.incremental_scan(ur, WM_S))
+    return E.merge_max_with_existing(new, old)
+
+
+@register(
+    "a14_find_or_create",
+    V("""
+      SELECT person_id, name FROM person
+      UNION ALL
+      SELECT u.person_id, '' AS name FROM (
+        SELECT DISTINCT pid AS person_id FROM (
+          SELECT from_person_id AS pid FROM user_relationship
+          UNION ALL SELECT to_person_id FROM user_relationship
+        ) x
+      ) u
+      LEFT JOIN person p ON u.person_id = p.person_id
+      WHERE p.person_id IS NULL
+    """),
+)
+def a14_find_or_create(spark, sf_dir):
+    """A14: idempotent node upsert -- left-anti + union replaces
+    per-record find-or-create gRPC round-trips (etl.go:67-85)."""
+    register_views(spark, sf_dir)
+    incoming = P.distinct_person_ids(_ur(spark, sf_dir))
+    return P.find_or_create_persons(incoming, spark.table("person"))
+
+
+@register(
+    "a15_edge_lookup",
+    V("SELECT src, dst, score FROM edges WHERE src = '2' AND dst = '0'"),
+)
+def a15_edge_lookup(spark, sf_dir):
+    """A15: point edge lookup by (src, dst) with facet (score) select;
+    @cascade = the row simply doesn't exist when the edge is absent."""
+    register_views(spark, sf_dir)
+    return spark.table("edges").filter(
+        (F.col("src") == "2") & (F.col("dst") == "0")
+    )
+
+
+@register(
+    "a16_person_uid_lookup",
+    V("""
+      SELECT person_id, sha256('person:' || person_id) AS uid
+      FROM person WHERE person_id = '42'
+    """),
+)
+def a16_person_uid_lookup(spark, sf_dir):
+    """A16: point node lookup by key returning the deterministic uid
+    (content hash; see persons.with_uid)."""
+    register_views(spark, sf_dir)
+    return (
+        P.with_uid(spark.table("person"))
+        .filter(F.col("person_id") == "42")
+        .select("person_id", "uid")
+    )
+
+
+@register(
+    "a18_rdf_triples",
+    V("""
+      , persons_flagged AS (
+        SELECT ids.person_id,
+               (tu.person_id_user IS NOT NULL) AS is_trove_user
+        FROM (
+          SELECT DISTINCT pid AS person_id FROM (
+            SELECT from_person_id AS pid FROM user_relationship
+            UNION ALL SELECT to_person_id FROM user_relationship
+          ) u
+        ) ids
+        LEFT JOIN trove_user tu ON ids.person_id = tu.person_id_user
+      )
+      SELECT value FROM (
+        SELECT '_:' || team_id || ' <team_id> "' || team_id || '" .' AS value
+        FROM (SELECT DISTINCT team_id FROM team_member) t
+        UNION ALL
+        SELECT '_:' || team_id || ' <has_member> _:' || person_id || ' .'
+        FROM team_member
+        UNION ALL
+        SELECT '_:' || person_id || ' <person_id> "' || person_id || '" .'
+        FROM persons_flagged
+        UNION ALL
+        SELECT '_:' || person_id || ' <is_trove_user> "'
+               || CASE WHEN is_trove_user THEN 'true' ELSE 'false' END
+               || '"^^<xs:boolean> .'
+        FROM persons_flagged
+        UNION ALL
+        SELECT '_:' || src || ' <has_connection> _:' || dst
+               || ' (score=' || CAST(CAST(score AS BIGINT) AS STRING) || ') .'
+        FROM edges
+      ) triples
+    """),
+)
+def a18_rdf_triples(spark, sf_dir):
+    """A18+A21: the full bulk-load RDF N-Quads set (EP2's output),
+    whole-stage-codegen string concat, defined as a set of lines."""
+    register_views(spark, sf_dir)
+    flagged = P.enrich_is_trove(
+        P.distinct_person_ids(_ur(spark, sf_dir)), spark.table("trove_user")
+    )
+    return R.all_triples(
+        spark.table("team_member"), flagged, spark.table("edges")
+    )
+
+
+@register(
+    "a22_decimal_validate",
+    V("""
+      SELECT person_id,
+             CAST(CAST(person_id AS DECIMAL(38,0)) AS STRING) AS person_id_num
+      FROM (
+        SELECT person_id FROM person
+        UNION ALL SELECT '18446744073709551615'
+        UNION ALL SELECT 'not-a-number'
+      ) ids
+      WHERE TRY_CAST(person_id AS DECIMAL(38,0)) IS NOT NULL
+    """),
+)
+def a22_decimal_validate(spark, sf_dir):
+    """A22: decimal id parse-or-skip; DECIMAL(38,0) covers uint64
+    (2^64-1 included below) which would overflow LongType. Surfaced as
+    a string (pandas/arrow decimal conversions differ per engine); the
+    engine-internal type stays DECIMAL(38,0)."""
+    register_views(spark, sf_dir)
+    junk = spark.createDataFrame(
+        [("18446744073709551615",), ("not-a-number",)], ["person_id"]
+    )
+    ids = spark.table("person").select("person_id").unionByName(junk)
+    validated = P.validate_decimal_ids(ids)
+    return validated.select(
+        "person_id", F.col("person_id_num").cast("string").alias("person_id_num")
+    )
+
+
+@register(
+    "a23_edge_keys",
+    V("SELECT src || '-' || dst AS edge_key, score FROM edges"),
+)
+def a23_edge_keys(spark, sf_dir):
+    """A23: the reference's string dedup key (fmt.Sprintf "%s-%s") --
+    kept only as a scalar-function demo; grouping is by columns."""
+    register_views(spark, sf_dir)
+    return spark.table("edges").select(
+        F.concat_ws("-", "src", "dst").alias("edge_key"), "score"
+    )
+
+
+@register(
+    "a24_time_conversions",
+    """
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_s,
+           epoch_us(ts) AS unix_us,
+           CAST(strftime(ts, '%Y-%m-%d') AS STRING) AS day_str
+    FROM events
+    """,
+)
+def a24_time_conversions(spark, sf_dir):
+    """A24: unix <-> timestamp conversions (reference time.Unix /
+    .Unix(), elastic.go:50, 94)."""
+    register_views(spark, sf_dir)
+    return spark.table("events").select(
+        "event_id",
+        F.unix_timestamp("ts").alias("unix_s"),
+        F.unix_micros("ts").alias("unix_us"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+    )

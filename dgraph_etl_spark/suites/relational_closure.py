@@ -1,0 +1,895 @@
+"""Tier B suite: the engine's declared relational surface (SURVEY.md §2
+Tier B) -- the capability closure the reference delegates to its
+backends (ES range queries, MySQL lookups/scans, Dgraph filters),
+expressed over the TPC-H-ish fixtures and oracle-checked per operator.
+
+Cross-engine determinism: see registry.py module docstring. The
+``_DSUM`` pattern (decimal-exact sums surfaced as doubles) appears in
+both the Spark and DuckDB text of every double aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as Wnd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import register_views
+from ..registry import register
+from ..views import oracle_with_views as V
+
+
+def _t(spark, sf_dir, name):
+    register_views(spark, sf_dir)
+    return spark.table(name)
+
+
+def dsum(col, alias):
+    """Deterministic double sum: exact decimal accumulate, double out."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.sum(c.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+def davg(col, alias):
+    c = col if not isinstance(col, str) else F.col(col)
+    return (
+        F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+# ---------------------------------------------------------------- scans
+
+
+@register(
+    "b01_scan_projection",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+    """,
+)
+def b01_scan_projection(spark, sf_dir):
+    """B1/B5: pruned projection + pushed range filter. explain() must
+    show ReadSchema with 5 columns and PushedFilters on l_shipdate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= "1999-01-01").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+
+
+@register(
+    "b06_filter_predicates",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+      AND o_orderpriority LIKE '%URGENT'
+      AND o_totalprice BETWEEN 1000 AND 50000
+      AND o_custkey IS NOT NULL
+    """,
+)
+def b06_filter_predicates(spark, sf_dir):
+    """B6: IN / LIKE / BETWEEN / null-test predicate battery."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_orderpriority").like("%URGENT")
+        & F.col("o_totalprice").between(1000, 50000)
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+# ---------------------------------------------------------------- joins
+
+
+@register(
+    "b07_join_inner",
+    """
+    SELECT c.c_mktsegment,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def b07_join_inner(spark, sf_dir):
+    """B7: two equi-joins + hash agg (revenue per market segment).
+    customer is broadcast; lineitem<->orders is the one real shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "b08_join_broadcast",
+    """
+    SELECT n.n_name, r.r_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def b08_join_broadcast(spark, sf_dir):
+    """B8: explicit broadcast of the dimension chain (nation, region) --
+    a star-join with zero shuffles on the dims."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_bal"),
+        )
+    )
+
+
+@register(
+    "b09_join_outer",
+    """
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def b09_join_outer(spark, sf_dir):
+    """B9: left outer join preserving order-less customers (count 0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "b10_join_semi",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+    """,
+)
+def b10_join_semi(spark, sf_dir):
+    """B10: left semi (EXISTS) -- parts ever shipped in bulk."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return p.join(
+        li, p["p_partkey"] == li["l_partkey"], "left_semi"
+    ).select("p_partkey", "p_name")
+
+
+@register(
+    "b11_join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def b11_join_anti(spark, sf_dir):
+    """B11: left anti (NOT EXISTS) -- customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "b12_join_range",
+    """
+    SELECT b.bucket_name, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM part p
+    JOIN (VALUES ('low', 0.0, 925.0), ('mid', 925.0, 975.0),
+                 ('high', 975.0, 10000.0)) b(bucket_name, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.bucket_name
+    """,
+)
+def b12_join_range(spark, sf_dir):
+    """B12: theta/range join (the reference's shard routing,
+    mysql.go:22-37, is exactly this shape). Small range table ->
+    broadcast nested loop; at scale, bucketize + equi-join instead."""
+    p = _t(spark, sf_dir, "part")
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 925.0), ("mid", 925.0, 975.0), ("high", 975.0, 10000.0)],
+        schema="bucket_name string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(buckets),
+            (p["p_retailprice"] >= buckets["lo"])
+            & (p["p_retailprice"] < buckets["hi"]),
+        )
+        .groupBy("bucket_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice", "total_price"),
+        )
+    )
+
+
+@register(
+    "b13_self_join",
+    """
+    SELECT a.l_orderkey, a.l_linenumber AS line_a, b.l_linenumber AS line_b
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    """,
+)
+def b13_self_join(spark, sf_dir):
+    """B13: self-join (same-order line pairs) -- the graph-hop shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.alias("a")
+    b = li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("line_a"),
+        F.col("b.l_linenumber").alias("line_b"),
+    )
+
+
+# ----------------------------------------------------------- aggregates
+
+
+@register(
+    "b14_agg_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity)
+               AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount)
+               AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def b14_agg_tpch_q1(spark, sf_dir):
+    """B14: TPC-H Q1 shape -- the canonical partial+final hash agg.
+    Averages are exact-sum / count (engine AVG over doubles is
+    summation-order dependent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "b15_count_distinct",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def b15_count_distinct(spark, sf_dir):
+    """B15: exact distinct aggregation (expand + two-phase agg)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register("b15_approx_count_distinct", None)
+def b15_approx_count_distinct(spark, sf_dir):
+    """B15 approx: HLL sketch -- rows-only check (sketch estimates are
+    engine-specific by construction; at 100 TB this replaces exact
+    distinct wherever a ±2% answer is acceptable)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers")
+    )
+
+
+@register(
+    "b16_collect_set",
+    """
+    SELECT c_mktsegment,
+           list_sort(list(DISTINCT c_nationkey)) AS nations,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def b16_collect_set(spark, sf_dir):
+    """B16: collect_set -> sorted array (set semantics made
+    deterministic for comparison)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.array_sort(F.collect_set("c_nationkey")).alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "b17_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def b17_rollup(spark, sf_dir):
+    """B17: rollup with GROUPING markers (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        dsum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "b17_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           COUNT(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def b17_cube(spark, sf_dir):
+    """B17: cube (all grouping-set combinations)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ------------------------------------------------------- dedup & windows
+
+
+@register(
+    "b18_dedup_exact",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def b18_dedup_exact(spark, sf_dir):
+    """B18: exact distinct on a column subset."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "b19_argmax_per_key",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t WHERE rn = 1
+    """,
+)
+def b19_argmax_per_key(spark, sf_dir):
+    """B19: whole-row argmax per key (biggest order per customer),
+    deterministic tie-break on the unique key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Wnd.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "b20_ranking",
+    """
+    SELECT s_suppkey, s_name,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(3) OVER w AS INT) AS tile
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def b20_ranking(spark, sf_dir):
+    """B20: rank / dense_rank / ntile over a total order."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Wnd.orderBy(F.desc("s_acctbal"), F.col("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_name",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(3).over(w).cast("int").alias("tile"),
+    )
+
+
+@register(
+    "b21_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def b21_lag_lead(spark, sf_dir):
+    """B21: analytic lag/lead/first over each customer's order history."""
+    o = _t(spark, sf_dir, "orders")
+    w = Wnd.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+    )
+
+
+@register(
+    "b22_window_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def b22_window_frame(spark, sf_dir):
+    """B22: cumulative frame aggregate (running customer spend);
+    decimal-exact so incremental vs. segment-tree evaluation order
+    cannot flip the hash."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Wnd.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Wnd.unboundedPreceding, Wnd.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+# ------------------------------------------------------ sort / set ops
+
+
+@register(
+    "b24_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def b24_topk(spark, sf_dir):
+    """B23/B24: order-by-limit -> TakeOrderedAndProject (per-partition
+    top-k then merge; no global sort at scale)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    ).limit(25)
+
+
+@register(
+    "b25_set_ops",
+    """
+    SELECT n_nationkey, 'both' AS side FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    ) i
+    UNION ALL
+    SELECT n_nationkey, 'customer_only' AS side FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+    ) e
+    """,
+)
+def b25_set_ops(spark, sf_dir):
+    """B25/B26: intersect / except / union all over nation keys."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    )
+    both = c.intersect(s).withColumn("side", F.lit("both"))
+    only = c.subtract(s).withColumn("side", F.lit("customer_only"))
+    return both.unionByName(only)
+
+
+# -------------------------------------------------------- scalar suites
+
+
+@register(
+    "b27_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS upper_name,
+           lower(p_brand) AS lower_brand,
+           substring(p_name, 1, 4) AS prefix,
+           length(p_name) AS name_len,
+           trim(concat(' ', p_name, ' ')) AS trimmed,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           replace(p_type, 'ECONOMY', 'ECO') AS type_short,
+           split_part(p_name, ' ', 1) AS first_token
+    FROM part
+    """,
+)
+def b27_string_funcs(spark, sf_dir):
+    """B27: scalar string battery (A18's formatting machinery)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("upper_name"),
+        F.lower("p_brand").alias("lower_brand"),
+        F.substring("p_name", 1, 4).alias("prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias(
+            "type_short"
+        ),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_token"),
+    )
+
+
+@register(
+    "b28_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+               AS days_since_epoch_start,
+           CAST(strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS STRING)
+               AS due_day
+    FROM orders
+    """,
+)
+def b28_date_funcs(spark, sf_dir):
+    """B28: date/time battery (A5/A24 closure): extract, trunc, diff,
+    interval arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.unix_micros(F.date_trunc("month", "o_orderdate")).alias(
+            "month_start_us"
+        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd"
+        ).alias("due_day"),
+    )
+
+
+@register(
+    "b29_math_funcs",
+    """
+    SELECT c_custkey,
+           round(c_acctbal, 1) AS bal_round,
+           abs(c_acctbal) AS bal_abs,
+           greatest(c_acctbal, 0.0) AS bal_pos,
+           least(c_acctbal, 0.0) AS bal_neg,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+           CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+           c_acctbal * 2 + 1 AS bal_affine,
+           CAST(c_custkey % 7 AS BIGINT) AS key_mod
+    FROM customer
+    """,
+)
+def b29_math_funcs(spark, sf_dir):
+    """B29: arithmetic battery."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.round("c_acctbal", 1).alias("bal_round"),
+        F.abs("c_acctbal").alias("bal_abs"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_pos"),
+        F.least("c_acctbal", F.lit(0.0)).alias("bal_neg"),
+        F.floor("c_acctbal").cast("bigint").alias("bal_floor"),
+        F.ceil("c_acctbal").cast("bigint").alias("bal_ceil"),
+        (F.col("c_acctbal") * 2 + 1).alias("bal_affine"),
+        (F.col("c_custkey") % 7).cast("bigint").alias("key_mod"),
+    )
+
+
+@register(
+    "b30_case_coalesce",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 30000 THEN 'large'
+                WHEN o_totalprice > 10000 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm
+    FROM orders
+    """,
+)
+def b30_case_coalesce(spark, sf_dir):
+    """B30: CASE WHEN / coalesce / nullif conditional battery (A21)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 30000, "large")
+        .when(F.col("o_totalprice") > 10000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_norm"),
+    )
+
+
+@register(
+    "b31_array_funcs",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           list_sort(list_distinct(string_split(text, ' ')))[1] AS min_token
+    FROM documents
+    """,
+)
+def b31_array_funcs(spark, sf_dir):
+    """B31: array battery -- split/size/element_at/contains/sort."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.element_at(F.array_sort(F.array_distinct(toks)), 1).alias("min_token"),
+    )
+
+
+@register(
+    "b32_map_funcs",
+    V("""
+    SELECT team_id, n_members FROM (
+      SELECT team_id, COUNT(*) AS n_members FROM team_member GROUP BY team_id
+    ) t
+    """),
+)
+def b32_map_funcs(spark, sf_dir):
+    """B32: map construction + lookup (teams map, mysql.go:60). Spark
+    builds a MapType and reads it back via map_* functions; the oracle
+    checks the observable result relationally."""
+    register_views(spark, sf_dir)
+    tm = spark.table("team_member")
+    as_map = tm.groupBy("team_id").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct("person_id", F.lit(1).alias("one")))
+            )
+        ).alias("members_map")
+    )
+    return as_map.select(
+        "team_id",
+        F.size(F.map_keys("members_map")).cast("bigint").alias("n_members"),
+    )
+
+
+@register(
+    "b33_json_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           concat('{"id":', CAST(event_id AS STRING), '}') AS back_to_json
+    FROM events
+    """,
+)
+def b33_json_funcs(spark, sf_dir):
+    """B33: JSON battery -- extraction (A4) + construction (A17's
+    SetJson analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.concat(
+            F.lit('{"id":'), F.col("event_id").cast("string"), F.lit("}")
+        ).alias("back_to_json"),
+    )
+
+
+@register(
+    "b34_casts",
+    """
+    SELECT c_custkey,
+           CAST(c_custkey AS STRING) AS key_str,
+           CAST(CAST(c_custkey AS STRING) AS BIGINT) AS key_roundtrip,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor_int,
+           CAST(c_custkey % 2 = 0 AS BOOLEAN) AS is_even,
+           CAST(CAST(c_custkey % 2 = 0 AS BOOLEAN) AS STRING) AS bool_str,
+           CAST('2024-03-15 12:30:00' AS TIMESTAMP) IS NOT NULL AS ts_parsed
+    FROM customer
+    """,
+)
+def b34_casts(spark, sf_dir):
+    """B34: cast battery. Note CAST(double AS INT): Spark truncates and
+    DuckDB rounds, so the oracle-checked column uses values where both
+    agree is NOT guaranteed -- we therefore cast through floor."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_custkey").cast("string").alias("key_str"),
+        F.col("c_custkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.floor("c_acctbal").cast("bigint").alias("bal_floor_int"),
+        (F.col("c_custkey") % 2 == 0).cast("boolean").alias("is_even"),
+        (F.col("c_custkey") % 2 == 0).cast("boolean").cast("string").alias(
+            "bool_str"
+        ),
+        F.lit("2024-03-15 12:30:00").cast("timestamp").isNotNull().alias(
+            "ts_parsed"
+        ),
+    )
+
+
+@register(
+    "b29_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE)
+               AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE)
+               AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b29_pivot(spark, sf_dir):
+    """Pivot (B14 closure): linestatus columns per returnflag."""
+    li = _t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+# ------------------------------------------------------------- UDF tier
+
+
+@register(
+    "b41_pandas_udf",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * 1.0825 AS taxed_price
+    FROM lineitem
+    """,
+)
+def b41_pandas_udf(spark, sf_dir):
+    """B41: vectorized (Arrow) pandas UDF. The arithmetic is pure IEEE
+    double ops so the oracle can reproduce it exactly; the point of the
+    entry is the Arrow-batched execution path (10-100x over row UDFs).
+    """
+    def _taxed(price, discount):
+        return price * (1 - discount) * 1.0825
+
+    taxed = F.pandas_udf(_taxed, T.DoubleType())
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        taxed("l_extendedprice", "l_discount").alias("taxed_price"),
+    )
+
+
+@register(
+    "b42_apply_in_pandas",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def b42_apply_in_pandas(spark, sf_dir):
+    """B42: grouped-map pandas UDAF (applyInPandas): per-customer top-3
+    orders computed in pandas, oracle-checked against the window form.
+    Demonstrates the custom-stateful-aggregation escape hatch."""
+    import pandas as pd
+
+    def top3(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(3)
+        pdf = pdf.assign(rn=range(1, len(pdf) + 1))
+        return pdf[["o_custkey", "o_orderkey", "o_totalprice", "rn"]]
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return o.groupBy("o_custkey").applyInPandas(
+        top3, schema="o_custkey long, o_orderkey long, o_totalprice double, rn int"
+    )
+
+
+@register(
+    "b43_udtf_explode",
+    """
+    SELECT o_orderkey, CAST(gs.i AS INT) AS repeat_idx
+    FROM orders, generate_series(1, 3) gs(i)
+    WHERE o_orderstatus = 'P'
+    """,
+)
+def b43_udtf_explode(spark, sf_dir):
+    """B43: table-function row expansion (A9's generalization): each
+    input row yields N output rows via explode(sequence)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return o.select(
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("repeat_idx"),
+    ).select("o_orderkey", F.col("repeat_idx").cast("int").alias("repeat_idx"))

@@ -1,0 +1,85 @@
+"""Reference-domain derived views, single source of truth.
+
+The reference pipeline's inputs (an Elasticsearch edge stream, a person
+table, a MySQL team_member relation, and a sharded `user` existence
+table -- reference structs at elastic.go:13-23, dgraph.go:15-32,
+mysql.go:59-82, mysql.go:17-57) are modeled as deterministic SQL views
+over the driver fixtures, per FIXTURES.md §2.
+
+The SQL here is dialect-neutral: the exact same text is executed by
+Spark (CREATE TEMP VIEW, catalog.register_views) and by DuckDB (as a
+WITH prefix on every oracle query, oracle_with_views). That guarantees
+both engines see bit-identical view contents.
+
+Determinism notes (deviations from the FIXTURES.md sketch, on purpose):
+- ``CAST(ROUND(value*100, 0) AS INT)`` instead of ``CAST(value*100 AS
+  INTEGER)``: Spark's double->int cast truncates while DuckDB's rounds,
+  so a value like 106.03*100 = 10602.999999999998 would diverge
+  (10602 vs 10603). ROUND first (half-away-from-zero in both engines
+  for these values) makes the cast exact and identical.
+"""
+
+from __future__ import annotations
+
+# Order matters: later views may reference earlier ones.
+VIEW_SQL: dict[str, str] = {
+    # ES edge-stream analog (reference elastic.go:13-23): timestamped,
+    # weighted, bidirectional records with duplicate (from,to) pairs.
+    "user_relationship": """
+        SELECT
+          ts                                   AS last_update,
+          CAST(user_id AS STRING)              AS from_person_id,
+          CAST(event_id % 50 AS STRING)        AS to_person_id,
+          CAST(ROUND(value * 100, 0) AS INT)   AS raw_score_in,
+          CAST(ROUND(value * 37, 0) AS INT)    AS raw_score_out
+        FROM events
+    """,
+    # node table analog (reference dgraph.go:15-22)
+    "person": """
+        SELECT CAST(c_custkey AS STRING) AS person_id, c_name AS name
+        FROM customer
+    """,
+    # MySQL team_member analog (reference mysql.go:59-82)
+    "team_member": """
+        SELECT CAST(c_nationkey AS STRING) AS team_id,
+               CAST(c_custkey   AS STRING) AS person_id
+        FROM customer
+    """,
+    # sharded `user` existence-lookup analog (reference mysql.go:17-57)
+    "trove_user": """
+        SELECT CAST(c_custkey AS STRING) AS person_id_user
+        FROM customer WHERE c_custkey % 2 = 0
+    """,
+    # post-pipeline directed weighted edges: A9 bidirectional explode +
+    # A12 max-score dedup (reference dgraph.go:306-335,
+    # cmd/bulk/main.go:178-212); input to traversals G1-G5.
+    "edges": """
+        SELECT src, dst, MAX(score) AS score FROM (
+          SELECT from_person_id AS src, to_person_id AS dst,
+                 CAST(raw_score_in AS DOUBLE) AS score
+          FROM user_relationship
+          UNION ALL
+          SELECT to_person_id AS src, from_person_id AS dst,
+                 CAST(raw_score_out AS DOUBLE) AS score
+          FROM user_relationship
+        ) both_directions
+        GROUP BY src, dst
+    """,
+}
+
+VIEW_NAMES = list(VIEW_SQL)
+
+_CTE_PREFIX = "WITH " + ",\n".join(
+    f"{name} AS ({sql})" for name, sql in VIEW_SQL.items()
+)
+
+
+def oracle_with_views(sql: str) -> str:
+    """Prefix a DuckDB oracle query with the derived-view CTEs.
+
+    ``sql`` is normally a SELECT; it may instead start with "," to chain
+    additional CTEs onto the prefix (``", extra AS (...) SELECT ..."``).
+    """
+    body = sql.strip()
+    sep = "\n" if body.startswith(",") else "\n"
+    return _CTE_PREFIX + sep + body

@@ -1,0 +1,97 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Stricter than the driver: exact cell-by-cell equality after sorting
+columns by name and rows by value (the driver hashes order-insensitive
+values, so exact match here implies a hash match there). Dtype families
+must agree (int vs int, float vs float, ...) to protect the driver's
+schema check.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from dgraph_etl_spark.catalog import BASE_TABLES, table_path
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in BASE_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return ("f", repr(v))
+    if isinstance(v, (list, tuple)):
+        return ("arr", tuple(_canon_cell(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, _canon_cell(x)) for k, x in v.items())))
+    return (type(v).__name__ if isinstance(v, (bytes,)) else "v", str(v))
+
+
+def _dtype_family(dtype) -> str:
+    s = str(dtype)
+    if "int" in s:
+        return "int"
+    if "float" in s or "double" in s:
+        return "float"
+    if "bool" in s:
+        return "bool"
+    if "datetime" in s or "timestamp" in s:
+        return "ts"
+    if "decimal" in s.lower():
+        return "decimal"
+    return "obj"
+
+
+def _normalize(df: pd.DataFrame) -> tuple[list[str], list[tuple], dict[str, str]]:
+    cols = sorted(df.columns)
+    fams = {c: _dtype_family(df[c].dtype) for c in cols}
+    rows = []
+    for rec in df[cols].itertuples(index=False, name=None):
+        rows.append(tuple(_canon_cell(v) for v in rec))
+    rows.sort()
+    return cols, rows, fams
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions; empty list == match."""
+    problems: list[str] = []
+    s_cols, s_rows, s_fams = _normalize(spark_pdf)
+    o_cols, o_rows, o_fams = _normalize(oracle_pdf)
+    if s_cols != o_cols:
+        problems.append(f"column names differ: spark={s_cols} oracle={o_cols}")
+        return problems
+    for c in s_cols:
+        if s_fams[c] != o_fams[c]:
+            problems.append(
+                f"dtype family differs on {c}: spark={spark_pdf[c].dtype} "
+                f"oracle={oracle_pdf[c].dtype}"
+            )
+    if len(s_rows) != len(o_rows):
+        problems.append(f"row count differs: spark={len(s_rows)} oracle={len(o_rows)}")
+        return problems
+    for i, (a, b) in enumerate(zip(s_rows, o_rows)):
+        if a != b:
+            problems.append(f"first differing sorted row #{i}: spark={a} oracle={b}")
+            break
+    return problems
+
+
+def check_query(spark, sf_dir: str, name: str, fn, oracle: str) -> list[str]:
+    sdf = fn(spark, sf_dir).toPandas()
+    con = duckdb_connection(sf_dir)
+    odf = con.execute(oracle).df()
+    con.close()
+    return compare_frames(sdf, odf)
