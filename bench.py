@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Timing method: each query plan is executed to completion with the
+``noop`` write format (runs every operator incl. projections, zero
+sink cost — unlike ``count()``, which lets Spark prune work). A
+trivial warm-up action keeps JVM/codegen startup out of per-query
+numbers; startup is reported separately as "startup_sec".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dgraph_etl_spark.catalog import register_views  # noqa: E402
+from dgraph_etl_spark.registry import REGISTRY, _load_suites  # noqa: E402
+from dgraph_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one representative per operator family, weighted toward
+# the heavy paths (shuffle joins, graph hops, explode-heavy text ops).
+HEADLINE = [
+    "b14_agg_tpch_q1",        # scan + hash agg (TPC-H Q1 shape)
+    "b07_join_inner",         # shuffle equi-join
+    "b19_argmax_per_key",     # window / argmax
+    "a12_max_score_per_edge", # pipeline: explode + groupBy.max
+    "a18_rdf_triples",        # ETL sink formatting + union
+    "g03_hop2",               # 2-hop traversal w/ anti-joins
+    "g07_top_connections",    # flagship multi-join + top-k
+    "c01_exact_dedup",        # sha256 + hash agg
+    "c02_minhash_lsh_pairs",  # MinHash + LSH bucket join
+    "c04_topk_cosine",        # vector top-k
+    "c07_term_stats",         # explode + two-level agg
+]
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    t0 = time.perf_counter()
+    spark = get_spark(app_name="dgraph_etl_spark_bench")
+    _load_suites()
+    register_views(spark, SF_DIR)
+    # Warm-up: trivial action so JVM/codegen init lands outside timings.
+    spark.sql("SELECT COUNT(*) FROM region").collect()
+    startup = time.perf_counter() - t0
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t1 = time.perf_counter()
+        df = q.fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t1, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": _sf_label(SF_DIR),
+                "startup_sec": round(startup, 3),
+                "n_queries": len(times),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,226 @@
+"""Deduplication operators (SURVEY.md C1, C2 + the north star's
+MinHash / SimHash / n-gram-Jaccard surface).
+
+Scale design:
+- exact dedup: hash-groupBy on a content digest -- one shuffle keyed by
+  the digest, min-id winner; never a window sort when only the winner
+  id is needed.
+- MinHash+LSH: shingle -> NUM_HASHES seeded min-hashes -> band to
+  NUM_BANDS buckets -> candidate pairs only within a bucket. The
+  quadratic step is confined to bucket-local joins; at 100 TB bucket
+  sizes stay bounded because the band hash spreads uniformly.
+- SimHash: 64-bit signature via a vectorized (Arrow) pandas UDF --
+  per-bit majority vote over token hashes is bit-twiddling that numpy
+  does in one pass; candidate pairs = exact-signature buckets (or
+  Hamming<=r via rotations, noted below).
+- n-gram Jaccard: exact set similarity on blocked candidate pairs;
+  SQL-expressible, so fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import tokens
+
+NUM_HASHES = 32
+NUM_BANDS = 8  # 4 hashes per band
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """C1: exact dedup by sha256(text); winner = min doc_id. Returns
+    (content_hash, doc_id, n_copies)."""
+    return (
+        docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def prefix_key_dedup(docs: DataFrame, n_tokens: int = 3) -> DataFrame:
+    """C1 variant exercising real collisions on the fixture: dedup key =
+    first n tokens. Winner = min doc_id per key (hash agg, no window)."""
+    key = F.concat_ws(" ", F.slice(tokens(), 1, n_tokens))
+    return (
+        docs.select(F.md5(key).alias("prefix_key"), "doc_id")
+        .groupBy("prefix_key")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def char_shingles(col: Column | str = "text", k: int = 9) -> Column:
+    """k-character shingle set: sliding substrings via transform over a
+    position sequence (expression-only, no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c) - (k - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: c.substr(i, F.lit(k)),
+        )
+    )
+
+
+def token_ngrams(col: Column | str = "text", n: int = 3) -> Column:
+    """n-token shingles (word n-grams) as an array of strings."""
+    t = tokens(col)
+    cnt = F.size(t) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """C2: MinHash signature per document. One explode of the shingle
+    set, then num_hashes seeded xxhash64 min-aggregations in a single
+    groupBy pass (map-side partial mins -> tiny shuffle)."""
+    sh = docs.select("doc_id", F.explode(token_ngrams()).alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.concat(F.lit(f"seed{i}:"), F.col("shingle"))))
+        .alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS
+) -> DataFrame:
+    """C2: LSH banding -> candidate duplicate pairs. Documents agreeing
+    on ALL hashes of any band collide in that band's bucket; the join
+    is bucket-local (equi-join on (band, band_hash)) -- no global
+    quadratic step."""
+    sig = minhash_signatures(docs, num_hashes)
+    per_band = num_hashes // num_bands
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col(f"h{b * per_band + j}") for j in range(per_band)]
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, block_col: str = "lang", threshold: float = 0.0
+) -> DataFrame:
+    """n-gram Jaccard similarity on blocked pairs (exact; the oracle
+    reproduces it in SQL). Jaccard = |A∩B| / (|A|+|B|-|A∩B|) computed
+    from exploded shingle sets via a grouped equi-join -- set sizes and
+    intersection counts are exact integers, the final division is one
+    IEEE op."""
+    sh = docs.select(
+        "doc_id", F.col(block_col).alias("blk"), F.explode(token_ngrams(n=n)).alias("g")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                4,
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_common", "jaccard"
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """SimHash 64-bit signatures via a vectorized pandas UDF (Arrow
+    batches; numpy does the 64-lane majority vote). Python is justified
+    here: per-bit accumulation is bit-twiddling, not relational."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash64(text: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for s in text:
+            toks = s.split(" ") if s else []
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.array(
+                [hash64(t) for t in toks], dtype=np.uint64
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for i, v in enumerate(votes):
+                if v > 0:
+                    sig |= np.uint64(1) << np.uint64(i)
+            out.append(np.int64(sig))
+        return pd.Series(out, dtype="int64")
+
+    def hash64(t: str) -> int:
+        # FNV-1a 64-bit: deterministic across processes (builtin hash()
+        # is salted per-process and would break retries/shuffles)
+        h = 0xCBF29CE484222325
+        for ch in t.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+def simhash_buckets(docs: DataFrame) -> DataFrame:
+    """Exact-signature SimHash buckets -> candidate groups. For
+    Hamming-distance<=r candidates, band the 64 bits into r+1 chunks
+    and bucket-join per chunk (same LSH shape as minhash)."""
+    sig = simhash_signatures(docs)
+    return sig.groupBy("simhash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

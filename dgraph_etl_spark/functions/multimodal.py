@@ -1,0 +1,110 @@
+"""Multimodal column plumbing (SURVEY.md C9 + north star "multimodal
+columns").
+
+Media payloads are opaque ``binary`` columns with a typed metadata
+struct riding alongside. The Spark-side machinery -- schema, batch
+iteration, partition sizing, UDF signatures -- is real and tested; the
+actual codec work (image decode, audio resample, video frame-sample)
+is stubbed behind ``decoder=`` injection because the media libraries
+aren't in this container. A production deployment passes
+``decoder=pillow_decode`` (or similar) without touching the dataflow.
+
+Scale notes:
+- blobs stay in the binary column end-to-end; mapInPandas streams
+  Arrow record batches so one task never materializes its partition's
+  blobs at once.
+- decode/feature-extract parallelizes per-partition; repartition by a
+  size-balancing key (here blob length bucket) before heavy codecs so
+  skewed media sizes don't straggle.
+- metadata (width/height/mime/...) is a plain struct column: filter
+  and prune WITHOUT touching bytes (column pruning keeps blob IO zero
+  for metadata-only queries).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media binary, "
+    "meta struct<mime: string, n_bytes: bigint, kind: string>"
+)
+
+FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, feature array<double>"
+
+
+def to_media_table(docs: DataFrame) -> DataFrame:
+    """Wrap fixture text as opaque media blobs (binary + metadata
+    struct) -- the documents table standing in for an image/audio
+    corpus. In production this is `spark.read.format('binaryFile')` or
+    a lakehouse table with a binary column."""
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        blob.alias("media"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(F.col("text")).cast("bigint").alias("n_bytes"),
+            F.lit("blob").alias("kind"),
+        ).alias("meta"),
+    )
+
+
+def stub_decoder(blob: bytes) -> list[float]:
+    """Deterministic fake 'decode + feature extract': real codecs are
+    not in this container. Production injects a real decoder; tests
+    assert the plumbing (batching, schema, sizes) with this stub."""
+    if blob is None:
+        return [0.0, 0.0, 0.0]
+    n = len(blob)
+    return [float(n), float(blob[0]) if n else 0.0, float(blob[-1]) if n else 0.0]
+
+
+def unavailable_decoder(blob: bytes) -> list[float]:
+    """The honest production stub: fails loudly until a codec lib is
+    installed (Pillow / torchaudio / pyav)."""
+    raise NotImplementedError(
+        "media decode requires a codec library not present in this "
+        "container; inject decoder=... (see stub_decoder for the contract)"
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], list[float]] = stub_decoder,
+    size_balance_partitions: int | None = None,
+) -> DataFrame:
+    """Decode/feature-extract over Arrow batches (mapInPandas). The
+    iterator contract keeps memory at one record batch per task."""
+    if size_balance_partitions:
+        media = media.repartition(
+            size_balance_partitions, F.pmod(F.col("meta.n_bytes"), F.lit(64))
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["media"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "feature": pdf["media"].map(decoder),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def metadata_only_stats(media: DataFrame) -> DataFrame:
+    """Metadata-path query: must not read blob bytes (column pruning --
+    check ReadSchema in explain excludes `media`)."""
+    return media.groupBy("meta.kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.max("meta.n_bytes").alias("max_bytes"),
+    )

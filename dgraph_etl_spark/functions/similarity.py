@@ -1,0 +1,138 @@
+"""Embedding similarity search (SURVEY.md C3-C5, C9).
+
+All hot-path math is JVM-side Catalyst expressions over
+``array<double>`` (zip_with / aggregate / transform) -- no Python in
+the per-row loop. Verified against DuckDB's list_cosine_similarity to
+1 ulp.
+
+Scale design:
+- brute-force top-k is the exactness baseline: cosine expr +
+  TakeOrderedAndProject (per-partition top-k, then merge of k-lists on
+  the driver -- no global sort, scales linearly with rows/partitions).
+- ivf_topk is the 100 TB path: partition the corpus into coarse cells
+  (here: the label column as the cell id; at scale, k-means centroids
+  refreshed offline), keep a tiny centroid table, probe only the
+  nprobe nearest cells -> scanned fraction ~ nprobe/ncells. The
+  centroid table is broadcast; cell assignment is a narrow map.
+- all-pairs similarity join is blocked (by label / LSH bucket) before
+  the quadratic step: never cross-join the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i*b_i, left-to-right fold (deterministic, matches DuckDB)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def with_query_similarity(
+    emb: DataFrame, query: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach cosine(embedding, query vector). ``query`` is a 1-row
+    DataFrame with column ``qvec`` -- broadcast cross join (a literal
+    scalar at plan level; no shuffle)."""
+    j = emb.crossJoin(F.broadcast(query))
+    sim = cosine(as_double_array(vec_col), as_double_array("qvec"))
+    return j.withColumn("sim", sim)
+
+
+def brute_topk(
+    emb: DataFrame, query: DataFrame, k: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """C4 baseline: exact top-k by cosine. orderBy+limit compiles to
+    TakeOrderedAndProject: O(rows) scan, O(k) state per partition."""
+    return (
+        with_query_similarity(emb, query, vec_col)
+        .select("vec_id", F.round("sim", 4).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(k)
+    )
+
+
+def label_centroids(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantizer: elementwise-mean centroid per cell (cell =
+    label here; k-means offline at scale). posexplode + per-(cell,pos)
+    avg + re-assemble keeps everything JVM-side; the result is tiny
+    (ncells rows) and broadcastable."""
+    pos = emb.select(
+        "label", F.posexplode(as_double_array(vec_col)).alias("pos", "x")
+    )
+    means = pos.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    return means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """C4 scale path: probe the nprobe cells whose centroids are most
+    similar to the query, then exact re-rank inside those cells only.
+    At 100 TB with the corpus PARTITIONED BY cell id, the unprobed
+    cells are pruned at the scan (partition pruning) -- the whole query
+    touches ~nprobe/ncells of the data."""
+    cents = label_centroids(emb, vec_col)
+    probed = (
+        cents.crossJoin(F.broadcast(query))
+        .withColumn(
+            "csim", cosine(as_double_array("centroid"), as_double_array("qvec"))
+        )
+        .orderBy(F.desc("csim"), "label")
+        .limit(nprobe)
+        .select("label")
+    )
+    candidates = emb.join(F.broadcast(probed), "label", "left_semi")
+    return brute_topk(candidates, query, k, vec_col)
+
+
+def blocked_similarity_join(
+    emb: DataFrame, threshold: float, block_col: str = "label"
+) -> DataFrame:
+    """C5: all pairs with cosine >= threshold, blocked on ``block_col``
+    so the cross product is per-block, not global (LSH buckets play the
+    same role when no natural block key exists). Threshold compares the
+    ROUNDED similarity so the cut is reproducible across engines."""
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col(block_col).alias("blk"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col(block_col).alias("blk"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(b, "blk").filter(F.col("vec_a") < F.col("vec_b"))
+    sim = F.round(cosine(as_double_array("emb_a"), as_double_array("emb_b")), 4)
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "blk", "sim")
+    )

@@ -1,0 +1,137 @@
+"""Text analysis operators (SURVEY.md C6-C8 + langid / quality /
+token-count / fingerprint from the north star).
+
+Everything is built-in expression work (split / explode / groupBy) --
+whole-stage codegen'd, no Python UDFs. Regexes are kept to the
+Java-regex ∩ RE2 common subset so the DuckDB oracles match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# words / numbers / single punctuation -- a BPE-ish pre-tokenization
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "y", "en", "es", "un", "una", "por", "que"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"],
+}
+
+
+def tokens(col: Column | str = "text") -> Column:
+    """Whitespace tokenization (the documents fixture is space-joined)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def tokenized(docs: DataFrame) -> DataFrame:
+    """C6: doc_id -> exploded (doc_id, token) relation."""
+    return docs.select("doc_id", F.explode(tokens()).alias("token"))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """C6: per-document token statistics."""
+    t = tokens()
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+def term_stats(docs: DataFrame) -> DataFrame:
+    """C7: corpus term statistics -- document frequency and total term
+    frequency per token. The tf-idf weight is a pure function of these
+    plus the corpus size (exact integers; the idf double is derived
+    downstream to keep the oracle exact)."""
+    t = tokenized(docs)
+    return t.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf_total"),
+    )
+
+
+def facet_stats(docs: DataFrame) -> DataFrame:
+    """C8: per-(lang, source) corpus facets (exact integer sums)."""
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def _stopword_hits(lang: str) -> Column:
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(
+        F.filter(tokens(), lambda tok: F.array_contains(arr, tok))
+    ).cast("bigint")
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: stopword-hit counts per candidate
+    language; argmax with deterministic tie order en > es > de >
+    'und' (unknown when zero hits). n-gram heuristics slot in the same
+    shape; this stays expression-only and oracle-checkable."""
+    en, es, de = (_stopword_hits(lg) for lg in ("en", "es", "de"))
+    best = F.greatest(en, es, de)
+    guess = (
+        F.when(best == 0, "und")
+        .when(en == best, "en")
+        .when(es == best, "es")
+        .otherwise("de")
+    )
+    return docs.select(
+        "doc_id",
+        en.alias("hits_en"),
+        es.alias("hits_es"),
+        de.alias("hits_de"),
+        guess.alias("lang_guess"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality signals: length, mean token length, stopword ratio,
+    non-alpha ratio. Single-division doubles over exact ints (IEEE
+    deterministic); the composite gate is a boolean."""
+    t = tokens()
+    n_tok = F.size(t).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    sw = _stopword_hits("en")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z ]", ""))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_actual"),
+        n_tok.alias("n_tokens"),
+        ((n_chars - n_tok + 1) / n_tok).alias("mean_token_len"),
+        (sw / n_tok).alias("stopword_ratio"),
+        ((n_chars - alpha) / n_chars).alias("non_alpha_ratio"),
+        ((n_tok >= 5) & (sw / n_tok >= 0.0)).alias("passes_gate"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    pre-tokenizer (words / numbers / punctuation)."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens()).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set
+    (normalized bag-of-words identity -- catches reordered/duplicated
+    token soup that exact text hashing misses)."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens())))
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+    )

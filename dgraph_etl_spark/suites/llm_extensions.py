@@ -1,4 +1,374 @@
-"""Tier C suite: LLM-data-pipeline extensions (SURVEY.md §2 Tier C).
-Filled incrementally; see functions/ for the implementations."""
+"""Tier C suite: LLM-data-pipeline extensions (SURVEY.md §2 Tier C +
+north star: dedup, similarity search, text analysis, multimodal).
+
+Implementations live in functions/ (similarity.py, text.py, dedup.py,
+multimodal.py); this module binds them to fixture tables and DuckDB
+oracles. MinHash-LSH / SimHash / IVF are rows-only checks (their
+hash/centroid internals are engine-specific); everything else is
+hash-matched.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import register_views
+from ..functions import dedup as D
+from ..functions import multimodal as M
+from ..functions import similarity as S
+from ..functions import text as X
+from ..registry import register
+
+
+def _docs(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.table("documents")
+
+
+def _emb(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.table("embeddings")
+
+
+def _query_vec(spark, sf_dir):
+    """The fixed query vector: embedding of vec_id 0 (read from the
+    corpus itself so the Spark query and SQL oracle agree verbatim)."""
+    return _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+
+
+# ------------------------------------------------------------- dedup
+
+
+@register(
+    "c01_exact_dedup",
+    """
+    SELECT content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM (SELECT sha256(text) AS content_hash, doc_id FROM documents) h
+    GROUP BY content_hash
+    """,
+)
+def c01_exact_dedup(spark, sf_dir):
+    """C1: exact dedup via content hash; min-id winner, hash agg only
+    (no window sort -- at 100 TB the digest groupBy is one shuffle)."""
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "c01_prefix_dedup",
+    """
+    SELECT prefix_key, MIN(doc_id) AS doc_id, COUNT(*) AS n_docs
+    FROM (
+      SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS prefix_key,
+             doc_id
+      FROM documents
+    ) p GROUP BY prefix_key
+    """,
+)
+def c01_prefix_dedup(spark, sf_dir):
+    """C1 variant with real key collisions on the fixture (first-3-token
+    prefix key)."""
+    return D.prefix_key_dedup(_docs(spark, sf_dir), n_tokens=3)
+
+
+@register("c02_minhash_lsh_pairs", None)
+def c02_minhash_lsh_pairs(spark, sf_dir):
+    """C2: MinHash(32) + LSH(8 bands) candidate duplicate pairs --
+    rows-only (xxhash64 seeds are engine-specific). The quadratic step
+    is bucket-local by construction."""
+    return D.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+@register("c02_simhash_buckets", None)
+def c02_simhash_buckets(spark, sf_dir):
+    """SimHash-64 signature buckets (vectorized pandas UDF; FNV-1a token
+    hash) -- rows-only."""
+    return D.simhash_buckets(_docs(spark, sf_dir))
+
+
+@register(
+    "c02_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang AS blk, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, blk,
+             list_distinct([array_to_string(t[i:i+1], ' ')
+                            for i in range(1, greatest(len(t) - 1, 1) + 1)]) AS gs
+      FROM toks
+    ),
+    exploded AS (SELECT doc_id, blk, unnest(gs) AS g FROM grams),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exploded GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.blk = b.blk AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           ROUND(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(n_common / (sa.sz + sb.sz - n_common), 4) >= 0.05
+    """,
+)
+def c02_ngram_jaccard(spark, sf_dir):
+    """C2 exact form: 2-gram Jaccard over language-blocked pairs,
+    fully SQL-oracled (set sizes / intersections are exact ints)."""
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=2, block_col="lang", threshold=0.05
+    )
+
+
+# -------------------------------------------------------- similarity
+
+
+@register(
+    "c03_cosine_to_query",
+    """
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 4)
+               AS sim
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+    """,
+)
+def c03_cosine_to_query(spark, sf_dir):
+    """C3: pairwise cosine vs a query vector -- pure Catalyst
+    expressions (zip_with/aggregate), no UDF; verified to 1 ulp of
+    DuckDB's list_cosine_similarity."""
+    emb, qv = _emb(spark, sf_dir), _query_vec(spark, sf_dir)
+    return S.with_query_similarity(emb, qv).select(
+        "vec_id", F.round("sim", 4).alias("sim")
+    )
+
+
+@register(
+    "c04_topk_cosine",
+    """
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 4)
+               AS sim
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+    ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+)
+def c04_topk_cosine(spark, sf_dir):
+    """C4: exact top-k similarity search (TakeOrderedAndProject -- O(k)
+    state per partition, no global sort)."""
+    return S.brute_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+
+
+@register("c04_ivf_topk", None)
+def c04_ivf_topk(spark, sf_dir):
+    """C4 scale path: IVF -- probe the 3 nearest label-cells, re-rank
+    inside. Rows-only (centroid averages are summation-order
+    dependent); recall vs brute force is asserted in tests."""
+    return S.ivf_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10, nprobe=3)
+
+
+@register(
+    "c05_similarity_self_join",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS blk,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+               AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+          >= 0.25
+    """,
+)
+def c05_similarity_self_join(spark, sf_dir):
+    """C5: all-pairs similarity >= τ, blocked on label so the cross
+    product is per-block (LSH buckets at scale)."""
+    return S.blocked_similarity_join(_emb(spark, sf_dir), threshold=0.25)
+
+
+@register(
+    "c09_vector_norms",
+    """
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dims,
+           ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4)
+               AS l2_norm
+    FROM embeddings
+    """,
+)
+def c09_vector_norms(spark, sf_dir):
+    """C9: array<float> embeddings as first-class columns -- dims +
+    L2 norm through plain expressions."""
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("int").alias("dims"),
+        F.round(S.l2_norm(S.as_double_array("embedding")), 4).alias("l2_norm"),
+    )
+
+
+# ------------------------------------------------------ text analysis
+
+
+@register(
+    "c06_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def c06_token_stats(spark, sf_dir):
+    """C6: tokenize + per-doc stats (split/size -- codegen'd)."""
+    return X.token_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "c07_term_stats",
+    """
+    SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf_total
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ) t GROUP BY token
+    """,
+)
+def c07_term_stats(spark, sf_dir):
+    """C7: corpus term statistics (document frequency + total tf);
+    tf-idf weights derive from these exact integers."""
+    return X.term_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "c08_facet_stats",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc
+    FROM documents GROUP BY lang, source
+    """,
+)
+def c08_facet_stats(spark, sf_dir):
+    """C8: language/source facet statistics (exact integer sums)."""
+    return X.facet_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "c06_language_id",
+    """
+    WITH hits AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text,' '),
+            t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))
+            AS hits_en,
+        len(list_filter(string_split(text,' '),
+            t -> list_contains(['el','la','de','y','en','es','un','una','por','que'], t)))
+            AS hits_es,
+        len(list_filter(string_split(text,' '),
+            t -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','auf'], t)))
+            AS hits_de
+      FROM documents
+    )
+    SELECT doc_id, hits_en, hits_es, hits_de,
+           CASE WHEN greatest(hits_en, hits_es, hits_de) = 0 THEN 'und'
+                WHEN hits_en = greatest(hits_en, hits_es, hits_de) THEN 'en'
+                WHEN hits_es = greatest(hits_en, hits_es, hits_de) THEN 'es'
+                ELSE 'de' END AS lang_guess
+    FROM hits
+    """,
+)
+def c06_language_id(spark, sf_dir):
+    """Language ID heuristic: stopword-hit argmax, deterministic tie
+    order; expression-only so it stays on the fast path."""
+    return X.language_id(_docs(spark, sf_dir))
+
+
+@register(
+    "c06_quality_score",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             length(text) AS n_chars_actual,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text,' '),
+                 t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))
+                 AS sw,
+             length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS alpha
+      FROM documents
+    )
+    SELECT doc_id, n_chars_actual, n_tokens,
+           (n_chars_actual - n_tokens + 1) / n_tokens AS mean_token_len,
+           sw / n_tokens AS stopword_ratio,
+           (n_chars_actual - alpha) / n_chars_actual AS non_alpha_ratio,
+           (n_tokens >= 5 AND sw / n_tokens >= 0.0) AS passes_gate
+    FROM base
+    """,
+)
+def c06_quality_score(spark, sf_dir):
+    """Quality scoring: length / token-length / stopword / punctuation
+    signals + a boolean gate (single-division doubles, IEEE exact)."""
+    return X.quality_score(_docs(spark, sf_dir))
+
+
+@register(
+    "c06_token_counts",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+               AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def c06_token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex pre-tokenizer (the
+    regex stays in the Java-regex ∩ RE2 common subset)."""
+    return X.token_counts(_docs(spark, sf_dir))
+
+
+@register(
+    "c07_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint,
+           sha256(text) AS content_hash
+    FROM documents
+    """,
+)
+def c07_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of the sorted distinct token set
+    (bag-of-words identity) + exact content hash."""
+    return X.fingerprint(_docs(spark, sf_dir))
+
+
+# -------------------------------------------------------- multimodal
+
+
+@register(
+    "c09_multimodal_meta",
+    """
+    SELECT 'blob' AS kind, COUNT(*) AS n_items,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents
+    """,
+)
+def c09_multimodal_meta(spark, sf_dir):
+    """C9: metadata-only query over the media table -- must not touch
+    blob bytes (column pruning; asserted in tests)."""
+    return M.metadata_only_stats(M.to_media_table(_docs(spark, sf_dir)))
+
+
+@register("c09_multimodal_features", None)
+def c09_multimodal_features(spark, sf_dir):
+    """C9: decode + feature-extract plumbing over Arrow batches
+    (mapInPandas); stub decoder (real codecs absent in container) --
+    rows-only; batch/schema/size behavior asserted in tests."""
+    media = M.to_media_table(_docs(spark, sf_dir))
+    return M.extract_features(media)
