@@ -60,15 +60,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 _REGISTERED: dict[int, str] = {}
 
 
-def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
-    """Register base tables and reference-domain derived views as temp
-    views. Idempotent per (session, sf_dir); cheap to call per query."""
-    sf_dir = os.path.abspath(sf_dir)
-    if _REGISTERED.get(id(spark)) == sf_dir and not force:
-        return
-    # The driver runs queries in its own vanilla session: pin the confs
-    # our cross-engine determinism depends on (UTC event-time semantics)
-    # and sane local parallelism (AQE coalesces the rest).
+def pin_session_confs(spark: SparkSession) -> None:
+    """The driver runs queries in its own vanilla session: pin the confs
+    our cross-engine determinism depends on (UTC event-time semantics)
+    and sane local parallelism (AQE coalesces the rest)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     try:
@@ -76,6 +71,15 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
             spark.conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:
         pass
+
+
+def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
+    """Register base tables and reference-domain derived views as temp
+    views. Idempotent per (session, sf_dir); cheap to call per query."""
+    sf_dir = os.path.abspath(sf_dir)
+    if _REGISTERED.get(id(spark)) == sf_dir and not force:
+        return
+    pin_session_confs(spark)
     for t in BASE_TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     for name, sql in VIEW_SQL.items():

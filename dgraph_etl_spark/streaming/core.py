@@ -1,0 +1,144 @@
+"""Streaming source/sink plumbing for the events fixture.
+
+The reference's streaming story is a watermark-resumed Elasticsearch
+scroll (elastic.go:44-102, etl.go:19: `-watermark` flag + progress
+prints as manual checkpoints). Here that becomes a real Structured
+Streaming source: file source over the events parquet, event-time
+column ``ts``, checkpointed offsets — the engine's queries run
+identically over ``spark.read`` and ``spark.readStream`` inputs
+(same transformation functions, SURVEY.md §7 step 5).
+
+Test-harness shape: each named query runs its stream synchronously
+with ``trigger(availableNow=True)`` into a memory sink and returns the
+sink table — a bounded, deterministic result the DuckDB oracle can
+hash-match. On a cluster the same code runs unbounded with a real
+trigger and a parquet/Kafka sink; only `run_to_memory` is test-only.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import pin_session_confs, table_path
+
+_MEM_IDS = itertools.count()
+
+
+def events_schema(spark: SparkSession, sf_dir: str):
+    """Schema for the streaming reader, taken from a batch peek (file
+    streaming sources require an explicit schema — inference would scan
+    the directory on the driver every restart)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(table_path(sf_dir, "events")).schema
+
+
+def _scratch_stream_dir(sf_dir: str) -> str:
+    """File streaming sources need a *directory*; the fixture is a
+    single file. Stage a scratch dir holding a symlink to it (no data
+    copy; fixture stays read-only)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_streamsrc_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    return d
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> DataFrame:
+    """Unbounded view of the events table (B35 source side).
+
+    The fixture stores ts as TIMESTAMP(NANOS); read nanos-as-long and
+    truncate to micros exactly like the batch catalog does, so batch
+    and streaming plans see bit-identical event times.
+    """
+    pin_session_confs(spark)
+    src = path or _scratch_stream_dir(sf_dir)
+    sdf = (
+        spark.readStream.schema(events_schema(spark, sf_dir))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def late_data_source(sf_dir: str) -> str:
+    """Stage a deterministic three-micro-batch replay of events (B40).
+
+    Batches 1 and 2 (oldest mtimes): first and second third of event
+    time, minus stragglers (event_id % 97 == 0). Batch 3: the final
+    third plus those held-back stragglers — which arrive behind the
+    watermark and must be dropped by a watermarked stateful operator.
+
+    Three batches, not two, because the row-filtering watermark in
+    micro-batch N is the one computed from batches 0..N-2 (the progress
+    log's displayed watermark takes effect one batch after it is
+    computed — measured behavior, tests pin it): with only two batches
+    the filter watermark would still be the initial 1970 epoch and
+    nothing would ever be late.
+
+    Built with pyarrow (no Spark job): the fixture is small and the
+    split predicate must be bit-exact against the SQL oracle. All cuts
+    are computed in epoch MICROS — the precision both engines actually
+    see (Spark truncates the nanos column, DuckDB reads TIMESTAMP_NS as
+    TIMESTAMP); a nanos-precision cut could disagree at the boundary.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_late3_{tag}")
+    paths = [os.path.join(d, f"batch{i}.parquet") for i in (1, 2, 3)]
+    if all(os.path.exists(p) for p in paths):
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(table_path(sf_dir, "events"))
+    ts_us = pc.divide(t.column("ts").cast("int64"), 1000)
+    lo, hi = pc.min(ts_us).as_py(), pc.max(ts_us).as_py()
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
+    straggler = pc.equal(
+        pc.subtract(
+            t.column("event_id"),
+            pc.multiply(pc.divide(t.column("event_id"), 97), 97),
+        ),
+        0,
+    )  # event_id % 97 == 0 (pyarrow has no modulo kernel)
+    in1 = pc.and_(pc.less(ts_us, c1), pc.invert(straggler))
+    in2 = pc.and_(
+        pc.and_(pc.greater_equal(ts_us, c1), pc.less(ts_us, c2)),
+        pc.invert(straggler),
+    )
+    in3 = pc.invert(pc.or_(in1, in2))
+    for i, mask in enumerate([in1, in2, in3]):
+        pq.write_table(t.filter(mask), paths[i])
+        # file source replays in mtime order; pin it explicitly
+        os.utime(paths[i], ((i + 1) * 1_000_000, (i + 1) * 1_000_000))
+    return d
+
+
+def run_to_memory(
+    sdf: DataFrame, output_mode: str, name_prefix: str = "stream_result"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into
+    a memory sink; return the sink contents as a batch DataFrame."""
+    name = f"{name_prefix}_{next(_MEM_IDS)}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(ckpt, "offsets"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

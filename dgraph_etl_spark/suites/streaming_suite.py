@@ -1,5 +1,246 @@
-"""Streaming suite (SURVEY.md B35-B40): Structured Streaming jobs run
-synchronously over the events fixture. Filled incrementally; see
-streaming/ for the implementations."""
+"""Streaming suite (SURVEY.md B35-B40 + EP1-as-streaming, §3/§7 step 5).
+
+Each query builds a real Structured Streaming job over the events
+fixture (file source, event-time column ``ts``), runs it to completion
+with ``trigger(availableNow=True)`` into a memory sink, and returns the
+sink table — bounded and deterministic, so the DuckDB oracle can
+hash-match the result exactly. The reference's streaming story is a
+manually-checkpointed Elasticsearch scroll (elastic.go:44-102,
+etl.go:19 `-watermark` flag); here watermarks, state, and retries are
+the engine's (SURVEY.md A5, A11, A12 streaming forms).
+
+Determinism conventions (registry docstring): window bounds emitted as
+epoch micros, double sums via DECIMAL(18,6), counts as bigint.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..pipeline.edges import explode_bidirectional, max_score_per_edge
+from ..registry import register
+from ..streaming.core import events_stream, late_data_source, run_to_memory
+from ..views import oracle_with_views
+
+_WM = "30 minutes"
+
+
+def _dec_sum(col: str) -> Column:
+    return F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+
+
+@register(
+    "s01_tumbling_counts",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def s01_tumbling_counts(spark, sf_dir):
+    """B35+B36: watermarked tumbling-window aggregation (1h windows by
+    event_type). Complete output mode => every window is emitted, which
+    is exactly the batch GROUP BY — the oracle proves stream/batch
+    equivalence."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", _WM)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dec_sum("value").alias("total_value"),
+    )
+    out = run_to_memory(agg, "complete", "s01_tumbling")
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "s02_sliding_counts",
+    """
+    WITH w AS (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+               AS ws,
+             value
+      FROM events
+    )
+    SELECT epoch_us(ws) AS window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM w GROUP BY ws
+    """,
+)
+def s02_sliding_counts(spark, sf_dir):
+    """B36: sliding-window aggregation (1h window, 30m slide — each
+    event lands in exactly 2 windows; the oracle unnests both starts)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", _WM)
+    agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dec_sum("value").alias("total_value"),
+    )
+    out = run_to_memory(agg, "complete", "s02_sliding")
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "s03_session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 15 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    grouped AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start,
+           epoch_us(MAX(ts) + INTERVAL 15 MINUTE) AS session_end,
+           COUNT(*) AS n_events
+    FROM grouped GROUP BY user_id, sess
+    """,
+)
+def s03_session_windows(spark, sf_dir):
+    """B37: per-user session windows, 15-minute gap. Spark's
+    session_window end = last event + gap; the oracle reproduces it
+    with a gaps-and-islands window (break at lag >= gap)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", _WM)
+    agg = ev.groupBy(
+        F.session_window(F.col("ts"), "15 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = run_to_memory(agg, "complete", "s03_session")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "s04_stream_dedup",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+    FROM events
+    """,
+)
+def s04_stream_dedup(spark, sf_dir):
+    """B38/A11 streaming form: the input stream self-unioned (every
+    record delivered twice — at-least-once semantics) then
+    dropDuplicatesWithinWatermark(event_id): each record survives
+    exactly once; state for keys older than the watermark is evicted
+    (the reference's uMap never evicts — its 100 TB failure mode)."""
+    ev = events_stream(spark, sf_dir)
+    dup = ev.union(events_stream(spark, sf_dir)).withWatermark("ts", _WM)
+    dd = dup.dropDuplicatesWithinWatermark(["event_id"])
+    out = run_to_memory(dd, "append", "s04_dedup")
+    return out.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+@register(
+    "s05_streaming_max_per_key",
+    """
+    SELECT user_id, event_type, MAX(value) AS max_value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def s05_streaming_max_per_key(spark, sf_dir):
+    """B39/A12 streaming form: running MAX per key over the stream
+    (max is order-insensitive, so no decimal detour is needed)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", _WM)
+    agg = ev.groupBy("user_id", "event_type").agg(
+        F.max("value").alias("max_value")
+    )
+    return run_to_memory(agg, "complete", "s05_maxkey")
+
+
+@register(
+    "s06_late_data_drop",
+    """
+    WITH bounds AS (
+      SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events
+    ),
+    cuts AS (
+      SELECT lo + ((hi - lo) // 3) AS c1, lo + 2 * ((hi - lo) // 3) AS c2
+      FROM bounds
+    ),
+    -- replay batch 1: first third of event time, stragglers held back
+    b1 AS (
+      SELECT e.* FROM events e, cuts
+      WHERE epoch_us(ts) < c1 AND event_id % 97 <> 0
+    ),
+    -- the row-filtering watermark in effect while batch 3 processes
+    -- (computed from batch 1; takes effect one batch later)
+    wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM b1)
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+    FROM events e, cuts, wm
+    WHERE NOT (                           -- late = held-back straggler
+      event_id % 97 = 0 AND epoch_us(ts) < c2   -- replayed in batch 3
+      AND ts < wm.w                             -- behind the watermark
+    )
+    """,
+)
+def s06_late_data_drop(spark, sf_dir):
+    """B40: rows behind the watermark are dropped. The source replays
+    events in 3 micro-batches (thirds of event time; stragglers
+    event_id%97==0 from the first two thirds are held back into batch
+    3). A watermarked dropDuplicates sees the stragglers arrive behind
+    the batch-1 watermark and drops them; everything else passes.
+    The oracle replays the watermark protocol in SQL. (3 batches, not
+    2: the filter watermark for batch N is computed from batches
+    0..N-2 — see streaming/core.late_data_source.)"""
+    ev = events_stream(spark, sf_dir, path=late_data_source(sf_dir))
+    dd = ev.withWatermark("ts", _WM).dropDuplicates(["event_id", "ts"])
+    out = run_to_memory(dd, "append", "s06_late")
+    return out.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+@register(
+    "s07_streaming_pipeline_edges",
+    oracle_with_views("SELECT src, dst, score FROM edges"),
+)
+def s07_streaming_pipeline_edges(spark, sf_dir):
+    """EP1 as a streaming job (SURVEY.md §3, §7 step 5): the SAME
+    transform functions as the batch pipeline (explode_bidirectional +
+    max_score_per_edge, pipeline/edges.py) applied to the unbounded
+    edge stream — one code path for both, vs. the reference's two
+    divergent binaries (cmd/etl vs cmd/bulk). Oracle = the batch edges
+    view: stream results == batch results, record for record."""
+    ev = events_stream(spark, sf_dir)
+    rel = ev.select(
+        F.col("ts").alias("last_update"),
+        F.col("user_id").cast("string").alias("from_person_id"),
+        (F.col("event_id") % 50).cast("string").alias("to_person_id"),
+        F.expr("CAST(ROUND(value * 100, 0) AS INT)").alias("raw_score_in"),
+        F.expr("CAST(ROUND(value * 37, 0) AS INT)").alias("raw_score_out"),
+    )
+    edges = max_score_per_edge(explode_bidirectional(rel))
+    return run_to_memory(edges, "complete", "s07_pipeline")
