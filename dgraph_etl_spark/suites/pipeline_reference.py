@@ -9,6 +9,8 @@ DuckDB CTEs -- both engines see identical inputs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..catalog import register_views
@@ -307,6 +309,30 @@ def a18_rdf_triples(spark, sf_dir):
     )
     return R.all_triples(
         spark.table("team_member"), flagged, spark.table("edges")
+    )
+
+
+@register("a17_live_upsert", V("SELECT src, dst, score FROM edges"))
+def a17_live_upsert(spark, sf_dir):
+    """A17+A19+A20: the live transactional mutation sink (reference
+    dgraph.go:175-223 + retry dgraph.go:53-108 + fan-out etl.go:52-64)
+    run end-to-end: foreachPartition drives the batched, retrying
+    writer against a file-backed client with an injected transient
+    abort on every partition's first transaction; the committed
+    mutation log is read back and must equal the edges table exactly
+    (at-least-once delivery + idempotent commit == exactly-once
+    result)."""
+    import tempfile
+
+    from ..sinks.live import file_sink_factory, write_edges_live
+
+    register_views(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="live_sink_")
+    write_edges_live(
+        spark.table("edges"), file_sink_factory(out, fail_first=True)
+    )
+    return spark.read.schema("src string, dst string, score double").json(
+        os.path.join(out, "*.ndjson")
     )
 
 

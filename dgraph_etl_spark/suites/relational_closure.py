@@ -78,6 +78,77 @@ def b06_filter_predicates(spark, sf_dir):
     ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
 
 
+def _scratch(sf_dir: str, name: str) -> str:
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"dgraph_etl_io_{tag}_{name}")
+
+
+@register(
+    "b02_jsonl_scan",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def b02_jsonl_scan(spark, sf_dir):
+    """B2: JSON-lines source with explicit schema (no driver-side
+    inference scan). Round-trips documents through a json copy —
+    the ES hits the reference decodes (A4, elastic.go:81) are exactly
+    this shape."""
+    docs = _t(spark, sf_dir, "documents")
+    path = _scratch(sf_dir, "docs_jsonl")
+    docs.write.mode("overwrite").json(path)
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    return spark.read.schema(schema).json(path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "b02_csv_scan",
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def b02_csv_scan(spark, sf_dir):
+    """B2: CSV source with header + explicit schema."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = _scratch(sf_dir, "docs_csv")
+    docs.write.mode("overwrite").option("header", True).csv(path)
+    schema = "doc_id bigint, lang string, source string, n_chars bigint"
+    return (
+        spark.read.schema(schema).option("header", True).csv(path)
+    )
+
+
+@register(
+    "b04_partitioned_sink",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def b04_partitioned_sink(spark, sf_dir):
+    """B4: hive-partitioned parquet sink + partition-pruned read-back.
+    The filter on the partition column must prune at file listing
+    (PartitionFilters in explain, zero non-matching files opened) —
+    the scan-side contract that makes 100 TB tables usable."""
+    o = _t(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "orders_part")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- joins
 
 
@@ -522,6 +593,28 @@ def b24_topk(spark, sf_dir):
     return o.select("o_orderkey", "o_totalprice").orderBy(
         F.desc("o_totalprice"), "o_orderkey"
     ).limit(25)
+
+
+@register(
+    "b23_sort_pagination",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+)
+def b23_sort_pagination(spark, sf_dir):
+    """B23: global total-order sort with offset pagination (unique
+    tiebreak column makes the page deterministic). Range-partitioned
+    sort at scale; for repeated paging prefer keyset predicates over
+    growing offsets."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
 
 
 @register(
