@@ -27,6 +27,32 @@ def incremental_scan(
     return df.filter(F.col(ts_col) >= F.timestamp_seconds(F.lit(watermark_unix_s)))
 
 
+def incremental_events_scan(spark, sf_dir: str, watermark_unix_s: int) -> DataFrame:
+    """A2/A5 against the events source itself, with the predicate pushed
+    all the way into the parquet scan.
+
+    The fixture stores ts as TIMESTAMP(NANOS), which we read nanos-as-
+    long and convert via ``timestamp_micros(ts div 1000)`` — and
+    Catalyst cannot push a predicate THROUGH that conversion (the
+    filter lands post-projection and every row group gets read; caught
+    by test_plan_shapes). The conversion is strictly monotonic, so the
+    watermark predicate transfers exactly onto the raw nanos column:
+    ``last_update >= wm  ⇔  ts_nanos >= wm * 1e9``. Filter raw first,
+    convert after: explain shows GreaterThanOrEqual(ts, wm*1e9) in
+    PushedFilters, and at 100 TB a time-partitioned table prunes to
+    only the new row groups."""
+    from ..catalog import table_path
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.filter(F.col("ts") >= watermark_unix_s * 1_000_000_000)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.filter(
+        F.col("ts") >= F.timestamp_seconds(F.lit(watermark_unix_s))
+    )
+
+
 def next_watermark(df: DataFrame, ts_col: str = "last_update") -> DataFrame:
     """A5: the bookmark for the next run -- max event time seen, as
     unix seconds (reference prints `ur.LastUpdate.Unix()`)."""

@@ -53,8 +53,12 @@ def _ur(spark, sf_dir):
 )
 def a05_incremental_scan(spark, sf_dir):
     """A2+A5: watermark-resumed scan; the range predicate is pushed into
-    the parquet scan (PushedFilters in explain)."""
-    df = W.incremental_scan(_ur(spark, sf_dir), WM_S)
+    the parquet scan as a raw-nanos comparison (PushedFilters in
+    explain; see watermark.incremental_events_scan for why filtering
+    the converted timestamp would NOT push)."""
+    from ..views import derive_user_relationship
+
+    df = derive_user_relationship(W.incremental_events_scan(spark, sf_dir, WM_S))
     return df.select(
         F.unix_micros("last_update").alias("last_update_us"),
         "from_person_id",

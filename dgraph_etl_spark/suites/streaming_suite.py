@@ -234,13 +234,8 @@ def s07_streaming_pipeline_edges(spark, sf_dir):
     edge stream — one code path for both, vs. the reference's two
     divergent binaries (cmd/etl vs cmd/bulk). Oracle = the batch edges
     view: stream results == batch results, record for record."""
-    ev = events_stream(spark, sf_dir)
-    rel = ev.select(
-        F.col("ts").alias("last_update"),
-        F.col("user_id").cast("string").alias("from_person_id"),
-        (F.col("event_id") % 50).cast("string").alias("to_person_id"),
-        F.expr("CAST(ROUND(value * 100, 0) AS INT)").alias("raw_score_in"),
-        F.expr("CAST(ROUND(value * 37, 0) AS INT)").alias("raw_score_out"),
-    )
+    from ..views import derive_user_relationship
+
+    rel = derive_user_relationship(events_stream(spark, sf_dir))
     edges = max_score_per_edge(explode_bidirectional(rel))
     return run_to_memory(edges, "complete", "s07_pipeline")

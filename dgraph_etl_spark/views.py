@@ -69,6 +69,21 @@ VIEW_SQL: dict[str, str] = {
 
 VIEW_NAMES = list(VIEW_SQL)
 
+
+def derive_user_relationship(events):
+    """The user_relationship view as DataFrame ops — the exact same
+    expressions as VIEW_SQL['user_relationship'], usable on batch AND
+    streaming events frames (temp views can't serve a stream)."""
+    from pyspark.sql import functions as F
+
+    return events.select(
+        F.col("ts").alias("last_update"),
+        F.col("user_id").cast("string").alias("from_person_id"),
+        (F.col("event_id") % 50).cast("string").alias("to_person_id"),
+        F.expr("CAST(ROUND(value * 100, 0) AS INT)").alias("raw_score_in"),
+        F.expr("CAST(ROUND(value * 37, 0) AS INT)").alias("raw_score_out"),
+    )
+
 _CTE_PREFIX = "WITH " + ",\n".join(
     f"{name} AS ({sql})" for name, sql in VIEW_SQL.items()
 )

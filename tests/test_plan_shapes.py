@@ -1,0 +1,98 @@
+"""Physical-plan shape assertions (SURVEY.md §5 item 5): catch scale
+regressions that row-level correctness tests can't see. Each assertion
+is a 100 TB contract: a filter that stops reaching the parquet scan, a
+broadcast that silently becomes a shuffle join, a top-k that becomes a
+global sort — all invisible at sf0.001, all fatal at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from dgraph_etl_spark.registry import REGISTRY, _load_suites
+
+_load_suites()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+CONTRACTS = [
+    # (query, must_contain, must_not_contain, why)
+    (
+        "b01_scan_projection",
+        ["GreaterThanOrEqual(l_shipdate", "ReadSchema: struct<l_orderkey"],
+        ["l_comment"],
+        "range filter pushed to parquet; untouched columns pruned",
+    ),
+    (
+        "b08_join_broadcast",
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin"],
+        "dim-table joins broadcast, never shuffle",
+    ),
+    (
+        "b14_agg_tpch_q1",
+        ["HashAggregate", "partial_", "LessThanOrEqual(l_shipdate"],
+        ["l_comment", "Sort"],
+        "map-side partial agg + pushed filter, no sort-based agg",
+    ),
+    (
+        "b24_topk",
+        ["TakeOrderedAndProject"],
+        ["Exchange rangepartitioning"],
+        "top-k is O(k)/partition, never a global sort",
+    ),
+    (
+        "b23_sort_pagination",
+        ["TakeOrderedAndProject"],
+        ["Exchange rangepartitioning"],
+        "sorted pagination stays a per-partition heap (limit+offset), no global sort",
+    ),
+    (
+        "b04_partitioned_sink",
+        ["PartitionFilters: [isnotnull(o_orderstatus", "= F)"],
+        [],
+        "partition-column filter prunes at file listing",
+    ),
+    (
+        "c04_topk_cosine",
+        ["TakeOrderedAndProject", "EqualTo(vec_id,0)"],
+        [],
+        "vector top-k: per-partition heap + pushed query-vector lookup",
+    ),
+    (
+        "a12_max_score_per_edge",
+        ["HashAggregate", "partial_max"],
+        ["Sort"],
+        "max-per-edge is hash agg with map-side combine (replaces rMap)",
+    ),
+    (
+        "a06_trove_semi_join",
+        ["Join LeftSemi"],
+        [],
+        "existence check is one semi-join, not N point lookups",
+    ),
+    (
+        "a05_incremental_scan",
+        ["PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"],
+        [],
+        "watermark resume predicate reaches the scan",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,must,must_not,why", CONTRACTS, ids=[c[0] for c in CONTRACTS]
+)
+def test_plan_shape(spark, sf_small, name, must, must_not, why):
+    plan = plan_of(spark, sf_small, name)
+    for frag in must:
+        assert frag in plan, f"{name}: expected `{frag}` in plan ({why})"
+    for frag in must_not:
+        assert frag not in plan, f"{name}: `{frag}` must not appear ({why})"
