@@ -79,17 +79,39 @@ def token_ngrams(col: Column | str = "text", n: int = 3) -> Column:
     )
 
 
+# Mersenne prime 2^31-1: universal-hash family (a*h + b) mod P stays
+# within 62 bits for a,b,h < P, so no long overflow under ANSI mode.
+_MERSENNE31 = 2_147_483_647
+
+
+def _seeded_mixes(base: Column, num_hashes: int) -> list[Column]:
+    """num_hashes affine mixes of one base hash: (a_i*h + b_i) mod P.
+    Deterministic seeds; each mix is 2 integer ops in codegen (vs. one
+    full string hash per seed -- ~num_hashes x cheaper per shingle)."""
+    import random
+
+    rng = random.Random(0x5EED)
+    out = []
+    for i in range(num_hashes):
+        a = rng.randrange(1, _MERSENNE31)
+        b = rng.randrange(0, _MERSENNE31)
+        out.append(F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE31)))
+    return out
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """C2: MinHash signature per document. One explode of the shingle
-    set, then num_hashes seeded xxhash64 min-aggregations in a single
-    groupBy pass (map-side partial mins -> tiny shuffle)."""
-    sh = docs.select("doc_id", F.explode(token_ngrams()).alias("shingle"))
-    mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"seed{i}:"), F.col("shingle"))))
-        .alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*mins)
+    set, ONE xxhash64 per shingle, then num_hashes affine re-mixes
+    (universal hashing mod 2^31-1) min-aggregated in a single groupBy
+    pass (map-side partial mins -> tiny shuffle). At 100 TB the
+    shuffle carries one 32-long row per document, nothing per-shingle."""
+    sh = docs.select("doc_id", F.explode(token_ngrams()).alias("shingle")).select(
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31)).alias("hb")
+    )
+    mixes = _seeded_mixes(F.col("hb"), num_hashes)
+    return sh.groupBy("doc_id").agg(
+        *[F.min(m).alias(f"h{i}") for i, m in enumerate(mixes)]
+    )
 
 
 def lsh_candidate_pairs(

@@ -1,0 +1,111 @@
+"""Property-based tests (SURVEY.md §5 item 3): the engine's set-oriented
+pipeline must agree with a sequential fold of the reference's
+record-at-a-time semantics (rMap/uMap, cmd/bulk/main.go:29-53,178-212)
+on arbitrary record streams — duplicates, interleavings, redelivery.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dgraph_etl_spark.functions.similarity import brute_topk, ivf_topk
+from dgraph_etl_spark.pipeline.edges import (
+    explode_bidirectional,
+    max_score_per_edge,
+    merge_max_with_existing,
+)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# small id space => guaranteed duplicate (src,dst) pairs
+_rec = st.tuples(
+    st.integers(0, 5),  # from_person_id
+    st.integers(0, 5),  # to_person_id
+    st.integers(0, 100),  # raw_score_in
+    st.integers(0, 100),  # raw_score_out
+)
+_streams = st.lists(_rec, min_size=1, max_size=40)
+
+_COLS = ["from_person_id", "to_person_id", "raw_score_in", "raw_score_out"]
+
+
+def _df(spark, recs):
+    return spark.createDataFrame(
+        [(str(a), str(b), i, o) for a, b, i, o in recs], _COLS
+    )
+
+
+def _sequential_rmap(recs):
+    """The reference's consumer loop, verbatim semantics: two directed
+    edges per record; keep an edge only if its score beats the stored
+    one (cmd/bulk/main.go:178-212)."""
+    rmap: dict[tuple[str, str], float] = {}
+    for a, b, score_in, score_out in recs:
+        for src, dst, sc in ((a, b, score_in), (b, a, score_out)):
+            key = (str(src), str(dst))
+            if key not in rmap or sc > rmap[key]:
+                rmap[key] = float(sc)
+    return rmap
+
+
+@given(_streams)
+@_settings
+def test_a12_groupby_max_equals_sequential_rmap(spark, recs):
+    out = max_score_per_edge(explode_bidirectional(_df(spark, recs)))
+    got = {(r.src, r.dst): r.score for r in out.collect()}
+    assert got == _sequential_rmap(recs)
+
+
+@given(_streams)
+@_settings
+def test_a9_explode_yields_exactly_2n_edges(spark, recs):
+    exploded = explode_bidirectional(_df(spark, recs))
+    assert exploded.count() == 2 * len(recs)
+
+
+@given(_streams)
+@_settings
+def test_a5_redelivery_is_idempotent(spark, recs):
+    """At-least-once redelivery (the reference re-reads from the
+    watermark, elastic.go:50-51): processing the stream twice must give
+    the same edges as processing it once."""
+    once = _df(spark, recs)
+    twice = once.unionAll(once)
+    a = max_score_per_edge(explode_bidirectional(once)).collect()
+    b = max_score_per_edge(explode_bidirectional(twice)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@given(_streams, _streams)
+@_settings
+def test_a13_merge_is_associative_with_batching(spark, old, new):
+    """Merging batch-by-batch == merging everything at once (the
+    algebraic property that lets the batch pipeline replace per-record
+    conditional upserts, dgraph.go:110-133)."""
+    both = max_score_per_edge(explode_bidirectional(_df(spark, old + new)))
+    staged = merge_max_with_existing(
+        explode_bidirectional(_df(spark, new)),
+        max_score_per_edge(explode_bidirectional(_df(spark, old))),
+    )
+    assert sorted(map(tuple, both.collect())) == sorted(
+        map(tuple, staged.collect())
+    )
+
+
+def test_c04_ivf_recall_vs_brute_force(spark, sf_small):
+    """IVF probes 3 of the label cells; its top-10 must substantially
+    overlap the exact top-10 (the fixture's labels correlate with the
+    embedding clusters, so recall should be high)."""
+    from dgraph_etl_spark.catalog import register_views
+
+    register_views(spark, sf_small)
+    emb = spark.table("embeddings")
+    qv = emb.filter("vec_id = 0").selectExpr("embedding AS qvec")
+    exact = {r.vec_id for r in brute_topk(emb, qv, k=10).collect()}
+    approx = {r.vec_id for r in ivf_topk(emb, qv, k=10, nprobe=3).collect()}
+    assert len(exact & approx) >= 5
