@@ -224,6 +224,30 @@ def s06_late_data_drop(spark, sf_dir):
 
 
 @register(
+    "s08_stateful_user_profiles",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           epoch_us(MIN(ts)) AS first_ts_us,
+           epoch_us(MAX(ts)) AS last_ts_us,
+           COUNT(DISTINCT event_type) AS n_event_types
+    FROM events GROUP BY user_id
+    """,
+)
+def s08_stateful_user_profiles(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running profile in a keyed, checkpointed state store — the
+    engine's extension point for stateful semantics the built-ins
+    lack (the reference's equivalent is an unbounded in-RAM hashmap,
+    cmd/bulk/main.go:29-53). The per-key reducer is order-insensitive,
+    so the stream result hash-matches the batch GROUP BY oracle."""
+    from ..streaming.stateful import user_profiles
+
+    ev = events_stream(spark, sf_dir)
+    return run_to_memory(user_profiles(ev), "update", "s08_profiles")
+
+
+@register(
     "s07_streaming_pipeline_edges",
     oracle_with_views("SELECT src, dst, score FROM edges"),
 )
