@@ -62,6 +62,23 @@ def next_watermark(df: DataFrame, ts_col: str = "last_update") -> DataFrame:
     )
 
 
+def observed_scan(df: DataFrame, observation, ts_col: str = "last_update") -> DataFrame:
+    """A25: progress metering. The reference prints '% complete' and the
+    advancing watermark every 1000 docs (elastic.go:87-96) — a log line
+    as the checkpoint mechanism. Here metrics ride the job itself:
+    ``df.observe`` accumulates rows-read and max-event-time DURING the
+    action with zero extra pass; the caller reads them from the
+    Observation after the action (or a QueryExecutionListener in a
+    long-running service)."""
+    from pyspark.sql import functions as F
+
+    return df.observe(
+        observation,
+        F.count(F.lit(1)).alias("rows_read"),
+        F.max(ts_col).alias("max_event_time"),
+    )
+
+
 def ordered_by_event_time(df: DataFrame, ts_col: str = "last_update") -> DataFrame:
     """A3: ascending event-time order (the reference sorts the scroll so
     its watermark advances monotonically). Only needed when a consumer

@@ -1,0 +1,57 @@
+"""Unit tests for the JDBC shard-predicate generator (B3) and the
+observe-based progress metering (A25)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dgraph_etl_spark.sources.jdbc import range_predicates
+
+
+def _bounds(pred: str) -> tuple[int, int]:
+    m = re.match(r"k >= (\d+) AND k <= (\d+)$", pred)
+    assert m, pred
+    return int(m.group(1)), int(m.group(2))
+
+
+def test_range_predicates_cover_exactly_without_overlap():
+    preds = [_bounds(p) for p in range_predicates("k", 0, 1000, 7)]
+    assert preds[0][0] == 0 and preds[-1][1] == 1000
+    for (_, a_hi), (b_lo, _) in zip(preds, preds[1:]):
+        assert b_lo == a_hi + 1  # no gap, no overlap
+    assert len(preds) == 7
+
+
+def test_range_predicates_uint64_keyspace():
+    """The reference's exact shard split: [0, 2^63-1], [2^63, 2^64-1]
+    (cmd/bulk/main.go:234-249) — must not overflow 64-bit."""
+    preds = [_bounds(p) for p in range_predicates("k", 0, 2**64 - 1, 2)]
+    assert preds == [(0, 2**63 - 1), (2**63, 2**64 - 1)]
+
+
+def test_range_predicates_more_parts_than_keys():
+    preds = [_bounds(p) for p in range_predicates("k", 10, 12, 8)]
+    assert preds == [(10, 10), (11, 11), (12, 12)]
+
+
+def test_range_predicates_rejects_bad_input():
+    with pytest.raises(ValueError):
+        range_predicates("k", 5, 4, 2)
+    with pytest.raises(ValueError):
+        range_predicates("k", 0, 10, 0)
+
+
+def test_observed_scan_reports_progress_metrics(spark, sf_small):
+    from pyspark.sql import Observation
+
+    from dgraph_etl_spark.catalog import register_views
+    from dgraph_etl_spark.pipeline.watermark import observed_scan
+
+    register_views(spark, sf_small)
+    ur = spark.table("user_relationship")
+    obs = Observation("progress")
+    n = observed_scan(ur, obs).count()
+    assert obs.get["rows_read"] == n > 0
+    assert obs.get["max_event_time"] is not None
