@@ -123,6 +123,42 @@ def c02_ngram_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "c02_embedding_neardup",
+    """
+    WITH de AS (
+      SELECT d.doc_id, d.lang, e.label, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+               AS sim
+    FROM de a JOIN de b ON a.label = b.label AND a.doc_id < b.doc_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+          >= 0.3
+    """,
+)
+def c02_embedding_neardup(spark, sf_dir):
+    """C2 (semantic form): embedding-cosine near-duplicate DOCUMENT
+    pairs — documents joined to their embedding vectors (doc_id =
+    vec_id), then the blocked cosine self-join at τ=0.3. At scale the
+    block key comes from LSH over the vectors instead of the label
+    column; the join/threshold shape is identical."""
+    from ..functions.similarity import blocked_similarity_join
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    emb = _emb(spark, sf_dir)
+    de = docs.join(
+        emb, docs["doc_id"] == emb["vec_id"], "inner"
+    ).select("doc_id", "label", "embedding")
+    pairs = blocked_similarity_join(
+        de.withColumnRenamed("doc_id", "vec_id"), threshold=0.3
+    )
+    return pairs.select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), "sim"
+    )
+
+
 # -------------------------------------------------------- similarity
 
 
