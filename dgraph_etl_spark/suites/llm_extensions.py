@@ -383,6 +383,72 @@ def c07_fingerprint(spark, sf_dir):
     return X.fingerprint(_docs(spark, sf_dir))
 
 
+@register(
+    "c10_curation_pipeline",
+    """
+    WITH winners AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT sha256(text) AS h, doc_id FROM documents) x
+      GROUP BY h
+    ),
+    quality AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS alpha
+      FROM documents
+    ),
+    lang AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text,' '),
+            t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))
+            AS hits_en,
+        len(list_filter(string_split(text,' '),
+            t -> list_contains(['el','la','de','y','en','es','un','una','por','que'], t)))
+            AS hits_es,
+        len(list_filter(string_split(text,' '),
+            t -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','auf'], t)))
+            AS hits_de
+      FROM documents
+    )
+    SELECT q.doc_id, q.n_tokens,
+           CASE WHEN greatest(hits_en, hits_es, hits_de) = 0 THEN 'und'
+                WHEN hits_en = greatest(hits_en, hits_es, hits_de) THEN 'en'
+                WHEN hits_es = greatest(hits_en, hits_es, hits_de) THEN 'es'
+                ELSE 'de' END AS lang_guess
+    FROM quality q
+    JOIN lang l ON q.doc_id = l.doc_id
+    WHERE q.doc_id IN (SELECT doc_id FROM winners)
+      AND q.n_tokens >= 5
+      AND (q.n_chars - q.alpha) / q.n_chars <= 0.5
+      AND greatest(hits_en, hits_es, hits_de) > 0
+    """,
+)
+def c10_curation_pipeline(spark, sf_dir):
+    """The composed training-data curation flow, end to end in ONE
+    declarative plan: exact-dedup winners (C1) ∩ quality gate (C6:
+    length + punctuation ratio) ∩ language-identified docs (C6), with
+    token counts for budget accounting. Catalyst fuses the three
+    document passes; the only shuffles are the dedup agg and the
+    winner semi-join — the shape a 100 TB curation job wants."""
+    docs = _docs(spark, sf_dir)
+    winners = D.exact_dedup(docs).select("doc_id")
+    quality = X.quality_score(docs).select(
+        "doc_id", "n_tokens", "n_chars_actual", "non_alpha_ratio"
+    )
+    lang = X.language_id(docs)
+    return (
+        quality.join(F.broadcast(winners), "doc_id", "left_semi")
+        .join(lang.select("doc_id", "lang_guess"), "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 5)
+            & (F.col("non_alpha_ratio") <= 0.5)
+            & (F.col("lang_guess") != "und")
+        )
+        .select("doc_id", "n_tokens", "lang_guess")
+    )
+
+
 # -------------------------------------------------------- multimodal
 
 

@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..pipeline.edges import explode_bidirectional, max_score_per_edge
+from ..pipeline.edges import (
+    explode_bidirectional,
+    max_score_per_edge,
+    merge_max_with_existing,
+)
 from ..registry import register
 from ..streaming.core import events_stream, late_data_source, run_to_memory
 from ..views import oracle_with_views
@@ -221,6 +225,59 @@ def s06_late_data_drop(spark, sf_dir):
         "value",
         "props",
     )
+
+
+@register(
+    "s09_foreachbatch_merge",
+    oracle_with_views("SELECT src, dst, score FROM edges"),
+)
+def s09_foreachbatch_merge(spark, sf_dir):
+    """A13 streaming form — EP1's merge-with-the-stored-graph semantics
+    (reference dgraph.go:110-133: update the edge only if the new score
+    beats what the graph already holds). foreachBatch reuses the BATCH
+    pipeline functions verbatim: per micro-batch, aggregate the batch's
+    edges and max-merge them into a versioned parquet edge table (the
+    'stored graph'); three replay batches exercise merge-against-state
+    twice. The final stored table must equal the one-shot batch edges
+    view — EP1 (merge with sink state) and EP2 (in-run state only)
+    converge on the same result, which SURVEY.md §3 calls out as the
+    semantic difference our engine must honor both sides of."""
+    import os
+    import tempfile
+
+    from ..views import derive_user_relationship
+
+    root = tempfile.mkdtemp(prefix="s09_state_")
+    ev = events_stream(spark, sf_dir, path=late_data_source(sf_dir))
+    new_edges = explode_bidirectional(derive_user_relationship(ev))
+
+    def merge_batch(batch_df, epoch_id):
+        sp = batch_df.sparkSession
+        versions = sorted(
+            d for d in os.listdir(root) if d.startswith("v")
+        )
+        batch_edges = max_score_per_edge(batch_df)
+        if versions:
+            existing = sp.read.parquet(os.path.join(root, versions[-1]))
+            merged = merge_max_with_existing(batch_edges, existing)
+        else:
+            merged = batch_edges
+        merged.write.mode("overwrite").parquet(
+            os.path.join(root, f"v{epoch_id:05d}")
+        )
+
+    q = (
+        new_edges.writeStream.foreachBatch(merge_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="s09_ckpt_"), "offsets"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = sorted(d for d in os.listdir(root) if d.startswith("v"))[-1]
+    return spark.read.parquet(os.path.join(root, final))
 
 
 @register(
