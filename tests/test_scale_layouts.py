@@ -1,0 +1,112 @@
+"""Scale-layout demonstrations (SURVEY.md §2 100 TB notes): bucketed
+co-located joins, salted aggregation under skew, and time-partitioned
+incremental scans. These encode the storage-layout decisions a 100 TB
+deployment makes; the tests prove the plans actually change shape
+(no exchange before a bucketed join, partition pruning on time) and
+that the skew fallback is exact."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dgraph_etl_spark.catalog import register_views
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark):
+    """Point the session catalog at a scratch warehouse for bucketed
+    tables (bucketing metadata needs saveAsTable, not plain files)."""
+    return tempfile.mkdtemp(prefix="dgraph_etl_wh_")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_small, warehouse):
+    """Both sides bucketed by the join key into the same bucket count
+    => the sort-merge join reads co-located buckets directly; the plan
+    must contain NO Exchange. This is the 'pre-shuffled storage' layout
+    big fact-fact joins want at 100 TB (one-time layout cost, every
+    subsequent join shuffle-free)."""
+    register_views(spark, sf_small)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{warehouse}'")
+    for tbl, src, key in [
+        ("bkt.orders_b", "orders", "o_orderkey"),
+        ("bkt.lineitem_b", "lineitem", "l_orderkey"),
+    ]:
+        spark.table(src).write.mode("overwrite").bucketBy(8, key).sortBy(
+            key
+        ).saveAsTable(tbl)
+    # at 100 TB neither fact table broadcasts — disable it so the test
+    # exercises the path the layout exists for (bucketed SMJ)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt.orders_b").join(
+            spark.table("bkt.lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+        # and it still computes the right thing
+        expected = (
+            spark.table("orders")
+            .join(
+                spark.table("lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .count()
+        )
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_max_equals_plain_max(spark, sf_small):
+    """The two-level salted aggregation (hot-key fallback for power-law
+    graph hubs) must be exactly the plain groupBy max."""
+    from dgraph_etl_spark.pipeline.edges import (
+        aggregate_max_salted,
+        explode_bidirectional,
+        max_score_per_edge,
+    )
+
+    register_views(spark, sf_small)
+    edges = explode_bidirectional(spark.table("user_relationship"))
+    plain = {(r.src, r.dst): r.score for r in max_score_per_edge(edges).collect()}
+    salted = {
+        (r.src, r.dst): r.score
+        for r in aggregate_max_salted(edges, buckets=8).collect()
+    }
+    assert plain == salted
+
+
+def test_time_partitioned_layout_prunes_incremental_scan(spark, sf_small):
+    """Lay events out partitioned by day (the 100 TB layout for an
+    event stream) and run the watermark scan: the day predicate derived
+    from the watermark must prune partitions at file listing — explain
+    shows the partition filter and a pruned partition count."""
+    register_views(spark, sf_small)
+    out = os.path.join(tempfile.mkdtemp(prefix="ev_bydate_"), "events")
+    ev = spark.table("events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+
+    wm = "2024-01-15"
+    back = spark.read.parquet(out)
+    scan = back.filter(F.col("event_date") >= wm)  # watermark, on layout
+    plan = scan._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan and "event_date" in plan
+    n_all = back.count()
+    n_kept = scan.count()
+    assert 0 < n_kept < n_all
+    # exact: pruned result == predicate on the unpartitioned table
+    exact = spark.table("events").filter(F.to_date("ts") >= wm).count()
+    assert n_kept == exact
