@@ -68,6 +68,10 @@ def k_hop(
     """G2/G3 generalized: k-hop BFS. Returns [hop1, hop2, ... hopk]
     frontier DataFrames (each exclusive of all earlier hops and the
     seeds, matching the reference's NOT uid(...) filters)."""
+    # every hop joins against edges: materialize it once instead of
+    # recomputing the (scan -> explode -> max-agg) subtree per hop.
+    # At cluster scale this is the persisted/bucketed edge table.
+    edges = edges.cache()
     visited = seeds.select("id")
     frontier = visited
     hops: list[DataFrame] = []
