@@ -1,0 +1,76 @@
+"""Multimodal plumbing tests (SURVEY.md C9): Arrow batch iteration,
+decoder injection, and the blob-free metadata path."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dgraph_etl_spark.catalog import register_views
+from dgraph_etl_spark.functions.multimodal import (
+    extract_features,
+    metadata_only_stats,
+    stub_decoder,
+    to_media_table,
+    unavailable_decoder,
+)
+
+
+def _media(spark, sf_small):
+    register_views(spark, sf_small)
+    return to_media_table(spark.table("documents"))
+
+
+def test_feature_extraction_schema_and_values(spark, sf_small):
+    media = _media(spark, sf_small)
+    feats = extract_features(media)
+    assert [f.simpleString() for f in feats.schema.fields] == [
+        "doc_id:bigint",
+        "n_bytes:bigint",
+        "feature:array<double>",
+    ]
+    row = feats.filter(F.col("doc_id") == 0).collect()[0]
+    doc = spark.table("documents").filter("doc_id = 0").collect()[0]
+    blob = doc.text.encode("utf-8")
+    assert row.n_bytes == len(blob)
+    assert row.feature == stub_decoder(blob)
+
+
+def test_decoder_injection_surfaces_errors(spark, sf_small):
+    """The honest production stub must fail loudly through the Arrow
+    batch path, not silently produce rows."""
+    media = _media(spark, sf_small)
+    feats = extract_features(media, decoder=unavailable_decoder)
+    with pytest.raises(Exception, match="codec library"):
+        feats.collect()
+
+
+def test_size_balanced_repartition_path(spark, sf_small):
+    media = _media(spark, sf_small)
+    feats = extract_features(media, size_balance_partitions=4)
+    assert feats.count() == media.count()
+
+
+def test_metadata_query_never_reads_blob_column(spark, sf_small):
+    """Persist the media table (binary column on disk, as in a real
+    deployment), then run the metadata-only query: ReadSchema must
+    exclude the blob column entirely — metadata queries over a 100 TB
+    media corpus must do zero blob IO."""
+    media = _media(spark, sf_small)
+    path = os.path.join(tempfile.mkdtemp(prefix="media_tbl_"), "media")
+    media.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    stats = metadata_only_stats(back)
+    plan = stats._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    read_schema = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert read_schema and all("media" not in ln for ln in read_schema), plan
+    assert stats.collect()[0].n_items == media.count()
