@@ -14,10 +14,16 @@ Layout:
   views.py      single-source SQL for reference-domain derived views
   registry.py   named query registry -> __spark_entry__ contract
   pipeline/     Tier A dataflow semantics (explode, dedup, max-merge, RDF)
-  operators/    Tier B relational closure wrappers
+  suites/       the named, oracle-checked queries (Tier A/B/C, graph, streaming)
   graph/        k-hop BFS traversal (G1-G5)
   functions/    Tier C: text analysis, similarity, dedup, multimodal
-  streaming/    Structured Streaming variants (B35-B40)
+  streaming/    Structured Streaming sources/harness + stateful operators
+  sources/      JDBC scan wrapper (B3)
+  sinks/        live transactional mutation sink (A17/A19)
 """
+
+from .catalog import load_tables, register_views  # noqa: F401
+from .registry import oracle_sql, queries  # noqa: F401
+from .session import get_spark  # noqa: F401
 
 __version__ = "0.1.0"

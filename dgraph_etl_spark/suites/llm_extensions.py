@@ -384,6 +384,30 @@ def c07_fingerprint(spark, sf_dir):
 
 
 @register(
+    "c06_length_percentiles",
+    """
+    SELECT lang,
+           quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS length_pcts,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def c06_length_percentiles(spark, sf_dir):
+    """C6: corpus length distribution per language — exact percentiles
+    (p50/p90/p99). Spark's percentile and DuckDB's quantile_cont use
+    the same type-7 linear interpolation, verified bit-identical. At
+    100 TB switch to percentile_approx (t-digest sketch, mergeable,
+    one pass) and accept the documented error bound."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))").alias(
+            "length_pcts"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
     "c10_curation_pipeline",
     """
     WITH winners AS (
