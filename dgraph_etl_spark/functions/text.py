@@ -125,6 +125,104 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+# PII-shaped patterns, kept to the Java-regex ∩ RE2 common subset so
+# the DuckDB oracle can run the identical pattern text.
+EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+ID_RUN_REGEX = "[0-9]{3,}"
+
+
+def pii_scrub(
+    df: DataFrame, col: str = "name", id_col: str = "person_id"
+) -> DataFrame:
+    """Curation op: redact email addresses and long digit runs
+    (account-number-shaped tokens) and count redactions per row.
+    Pure ``regexp_replace``/``regexp_count`` expressions -- JVM-side,
+    whole-stage codegen'd, embarrassingly parallel at 100 TB (no
+    shuffle: the scrub is a map over the scan)."""
+    c = F.col(col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_REGEX, "<EMAIL>"), ID_RUN_REGEX, "<ID>"
+    )
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        F.regexp_count(c, F.lit(EMAIL_REGEX)).cast("bigint").alias("n_emails"),
+        F.regexp_count(c, F.lit(ID_RUN_REGEX)).cast("bigint").alias("n_ids"),
+    )
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of
+    duplicate 2-grams and the most-frequent-token share. The 2-gram
+    fraction is expression-only (array ops inside the row -- no
+    shuffle); the top-token share is relational (explode -> two-level
+    hash agg) so it stays linear in corpus size at scale instead of
+    quadratic in document length."""
+    t = tokens()
+    n2 = F.size(t) - 1
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+    )
+    gram_stats = docs.select(
+        "doc_id",
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
+    )
+    tok_counts = (
+        docs.select("doc_id", F.explode(t).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_cnt"), F.count(F.lit(1)).alias("n_distinct_toks")
+    )
+    n_toks = docs.select(
+        "doc_id", F.size(t).cast("bigint").alias("n_tokens")
+    )
+    return (
+        gram_stats.join(tok_stats, "doc_id")
+        .join(n_toks, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct_grams") / F.col("n_grams"), 6
+            ).alias("dup_2gram_frac"),
+            F.round(F.col("top_cnt") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+        )
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """C7: top-k characteristic terms per document by a rational tf-idf
+    weight ``tf * n_docs / df`` (exact-integer numerator, one IEEE
+    division -- bit-identical across engines, unlike log-idf whose libm
+    last-ulp differs). Ranking window is per-document (partitioned --
+    no global sort); ties broken by token so results are total-ordered
+    and oracle-checkable."""
+    from pyspark.sql import Window
+
+    tok = tokenized(docs)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    weighted = (
+        tf.join(dfreq, "token")
+        .crossJoin(n_docs)
+        .withColumn(
+            "weight", F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 6)
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("weight"), "token")
+    return (
+        weighted.withColumn("rnk", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "token", "tf", "weight", "rnk")
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set
     (normalized bag-of-words identity -- catches reordered/duplicated

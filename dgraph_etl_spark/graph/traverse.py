@@ -102,6 +102,65 @@ def friend_of_friend(
     )
 
 
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Graph analytics over the edge table: per-node in/out degree and
+    weighted degree. Two hash aggs + one full outer join keyed on the
+    node id -- both aggs shuffle on the same key, so at scale the join
+    reuses the agg's partitioning (no extra exchange). Score sums go
+    through exact decimals per the registry determinism convention."""
+    out = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg"),
+        F.sum(F.col("score").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("out_score"),
+    )
+    inn = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg"),
+        F.sum(F.col("score").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("in_score"),
+    )
+    return out.join(inn, "node", "outer").select(
+        "node",
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        F.coalesce("out_score", F.lit(0.0)).alias("out_score"),
+        F.coalesce("in_score", F.lit(0.0)).alias("in_score"),
+    )
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (a, b) with a < b, loops dropped,
+    directions merged. One distinct (= one shuffle on the pair)."""
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Triangle count on the undirected graph: with every edge oriented
+    low->high, each triangle a<b<c is found exactly once as
+    (a,b)⋈(b,c) checked against (a,c). Two equi-joins, no candidate
+    counted twice. At 100 TB: orient by degree (low-degree endpoint
+    first) instead of lexicographically to bound the wedge fan-out on
+    hub vertices, and salt the residual hot keys -- the lexicographic
+    orientation here keeps the oracle SQL identical."""
+    und = undirected_edges(edges)
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+    closed = wedges.join(
+        e3,
+        (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 def hop_counts(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
     """G4: |hop_i| for i in 1..k as one small result row."""
     hops = k_hop(edges, seeds, k)

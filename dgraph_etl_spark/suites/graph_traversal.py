@@ -121,6 +121,55 @@ def g06_khop_k3(spark, sf_dir):
 
 
 @register(
+    "g08_degree_stats",
+    V("""
+      , outd AS (
+        SELECT src AS node, COUNT(*) AS out_deg,
+               CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS out_score
+        FROM edges GROUP BY src
+      ),
+      ind AS (
+        SELECT dst AS node, COUNT(*) AS in_deg,
+               CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS in_score
+        FROM edges GROUP BY dst
+      )
+      SELECT COALESCE(o.node, i.node) AS node,
+             COALESCE(out_deg, 0) AS out_deg,
+             COALESCE(in_deg, 0)  AS in_deg,
+             COALESCE(out_score, 0.0) AS out_score,
+             COALESCE(in_score, 0.0)  AS in_score
+      FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+    """),
+)
+def g08_degree_stats(spark, sf_dir):
+    """Degree centrality: per-node in/out degree + weighted degree over
+    the post-pipeline edge table (two same-key hash aggs + outer join)."""
+    edges, _, _ = _graph_inputs(spark, sf_dir)
+    return G.degree_stats(edges)
+
+
+@register(
+    "g09_triangle_count",
+    V("""
+      , und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst
+      )
+      SELECT COUNT(*) AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """),
+)
+def g09_triangle_count(spark, sf_dir):
+    """Triangle count via low->high edge orientation: each triangle
+    found exactly once as a closed wedge (two equi-joins, no window,
+    no global sort)."""
+    edges, _, _ = _graph_inputs(spark, sf_dir)
+    return G.triangle_count(edges)
+
+
+@register(
     "g07_top_connections",
     V("""
       SELECT src AS person_id,

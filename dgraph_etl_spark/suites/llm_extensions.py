@@ -18,6 +18,7 @@ from ..functions import multimodal as M
 from ..functions import similarity as S
 from ..functions import text as X
 from ..registry import register
+from ..views import oracle_with_views as V
 
 
 def _docs(spark, sf_dir):
@@ -405,6 +406,88 @@ def c06_length_percentiles(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@register(
+    "c06_pii_scrub",
+    V("""
+      SELECT person_id,
+             regexp_replace(regexp_replace(name,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{3,}', '<ID>', 'g') AS scrubbed,
+             CAST(len(regexp_extract_all(name,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                 AS n_emails,
+             CAST(len(regexp_extract_all(name, '[0-9]{3,}')) AS BIGINT) AS n_ids
+      FROM person
+    """),
+)
+def c06_pii_scrub(spark, sf_dir):
+    """Curation: PII/identifier redaction (emails, long digit runs)
+    with per-row redaction counts. Shuffle-free map over the scan."""
+    register_views(spark, sf_dir)
+    return X.pii_scrub(spark.table("person"), col="name", id_col="person_id")
+
+
+@register(
+    "c06_repetition_score",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             [array_to_string(t[i:i+1], ' ')
+              for i in range(1, greatest(len(t) - 1, 1) + 1)] AS gs
+      FROM toks
+    ),
+    gstats AS (
+      SELECT doc_id, len(gs) AS n_grams, len(list_distinct(gs)) AS n_distinct_grams
+      FROM grams
+    ),
+    tokexp AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    tcnt AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tokexp GROUP BY doc_id, token),
+    tstats AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM tcnt GROUP BY doc_id),
+    ntoks AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+    SELECT g.doc_id,
+           ROUND(1.0 - n_distinct_grams / n_grams, 6) AS dup_2gram_frac,
+           ROUND(top_cnt / n_tokens, 6) AS top_token_frac
+    FROM gstats g JOIN tstats USING (doc_id) JOIN ntoks USING (doc_id)
+    """,
+)
+def c06_repetition_score(spark, sf_dir):
+    """Curation: Gopher-style repetition signals — duplicate-2-gram
+    fraction (expression-only, no shuffle) and top-token share
+    (relational two-level agg, linear at scale)."""
+    return X.repetition_scores(_docs(spark, sf_dir))
+
+
+@register(
+    "c07_tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tfq AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    w AS (
+      SELECT tfq.doc_id, tfq.token, tfq.tf,
+             ROUND(tfq.tf * n_docs / df, 6) AS weight
+      FROM tfq JOIN dfreq USING (token) CROSS JOIN nd
+    ),
+    r AS (
+      SELECT doc_id, token, tf, weight,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY weight DESC, token) AS rnk
+      FROM w
+    )
+    SELECT doc_id, token, tf, weight, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def c07_tfidf_top_terms(spark, sf_dir):
+    """C7: top-3 characteristic terms per doc by rational tf-idf
+    (tf * n_docs / df — exact ints + one IEEE division; log-idf would
+    diverge in the last ulp across libms). Per-doc ranking window."""
+    return X.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
 @register(
