@@ -1,0 +1,81 @@
+"""As-of (point-in-time) join — a custom operator Spark's built-ins
+lack (SURVEY.md §2 B44).
+
+Semantics: for every left row, attach the single most recent right row
+with the same key and ``right.ts <= left.ts`` (backward direction,
+ties at equal ts match — identical to DuckDB's ``ASOF LEFT JOIN``,
+which the oracle uses).
+
+Scale design: the naive formulation is a range join (|L|x|R| expansion
+then argmax) — quadratic per key and unusable on hub keys. This
+implementation is the union-and-carry-forward pattern instead: tag both
+sides, union, ONE shuffle keyed on the join key with a per-key sort by
+(ts, tag), then ``last(value, ignorenulls=True)`` over an unbounded
+preceding window carries the latest right payload into each left row.
+Cost is linear in |L| + |R|, one exchange, one sort — the same plan a
+1000-executor cluster wants at 100 TB (and skewed keys fall to AQE's
+sort-spill, never to a row explosion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TAG = "__asof_tag"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: list[str],
+    matched_ts: str = "matched_ts",
+) -> DataFrame:
+    """Backward as-of left join. ``left`` keeps all its columns;
+    ``right`` contributes ``right_cols`` plus ``matched_ts`` (the ts of
+    the matched right row; all NULL when no right row precedes).
+
+    ``on`` is the equality key, ``ts`` the ordering column (any
+    comparable type; epoch-micros longs keep oracles exact). Rows of
+    ``right`` must be unique per (on, ts) — pre-aggregate if not.
+    """
+    left_payload = [c for c in left.columns if c not in (on, ts)]
+    ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
+    l_tagged = left.select(
+        on,
+        ts,
+        F.lit(1).alias(_TAG),
+        *left_payload,
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in right_cols],
+        F.lit(None).cast(rtypes[ts]).alias(matched_ts),
+    )
+    # right side: null out the left payload, carry its own values
+    r_tagged = right.select(
+        on,
+        ts,
+        F.lit(0).alias(_TAG),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_payload],
+        *right_cols,
+        F.col(ts).alias(matched_ts),
+    )
+    combined = l_tagged.unionByName(r_tagged)
+    # right rows (tag 0) sort before left rows (tag 1) at equal ts, so
+    # an equal-timestamp right row is visible to the left row (ts >= ts)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts, _TAG)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = combined.select(
+        on,
+        ts,
+        _TAG,
+        *left_payload,
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in [*right_cols, matched_ts]
+        ],
+    )
+    return carried.filter(F.col(_TAG) == 1).drop(_TAG)

@@ -986,3 +986,57 @@ def b43_udtf_explode(spark, sf_dir):
         "o_orderkey",
         F.explode(F.sequence(F.lit(1), F.lit(3))).alias("repeat_idx"),
     ).select("o_orderkey", F.col("repeat_idx").cast("int").alias("repeat_idx"))
+
+
+@register(
+    "b44_asof_join",
+    """
+    WITH ev AS (
+      SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+      FROM events
+    ),
+    trades AS (
+      SELECT user_id, ts_us, event_id, value AS trade_value
+      FROM ev WHERE event_type = 'click'
+    ),
+    quotes AS (
+      SELECT user_id, ts_us, MAX(value) AS quote_value
+      FROM ev WHERE event_type = 'view' GROUP BY user_id, ts_us
+    )
+    SELECT t.user_id, t.ts_us, t.event_id, t.trade_value,
+           q.quote_value, q.ts_us AS quote_ts_us
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND t.ts_us >= q.ts_us
+    """,
+)
+def b44_asof_join(spark, sf_dir):
+    """B44: as-of (point-in-time) join — every 'click' event picks up
+    the most recent preceding 'view' value per user. Implemented as the
+    linear union-and-carry-forward pattern (one shuffle + per-key sort),
+    never the quadratic range-join expansion; the oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    from ..functions.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    trades = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id", F.col("value").alias("trade_value")
+    )
+    quotes = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("quote_value"))
+    )
+    return asof_join(
+        trades,
+        quotes,
+        on="user_id",
+        ts="ts_us",
+        right_cols=["quote_value"],
+        matched_ts="quote_ts_us",
+    )
