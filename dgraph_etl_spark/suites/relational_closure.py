@@ -1040,3 +1040,64 @@ def b44_asof_join(spark, sf_dir):
         right_cols=["quote_value"],
         matched_ts="quote_ts_us",
     )
+
+
+@register(
+    "b45_sessionize",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id, ts_us, event_id,
+             CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000
+                  OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts_us, event_id,
+             SUM(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def b45_sessionize(spark, sf_dir):
+    """B45: batch sessionization — the classic gap-and-island pattern
+    (lag -> session-start flag -> running sum -> per-session agg), the
+    batch twin of s03's session_window. One shuffle keyed by user; the
+    windows and the final agg reuse the same partitioning (no second
+    exchange until the session rollup). 30-minute gap."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Wnd.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    is_start = F.when(
+        F.lag("ts_us").over(w).isNull()
+        | ((F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("is_start", is_start)
+        .withColumn(
+            "session_seq",
+            F.sum("is_start")
+            .over(w.rowsBetween(Wnd.unboundedPreceding, Wnd.currentRow))
+            .cast("bigint"),
+        )
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
