@@ -87,6 +87,24 @@ CONTRACTS = [
 ]
 
 
+CONTRACTS += [
+    (
+        "b44_asof_join",
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "Join"],
+        "as-of join is union+carry-forward: NO join operator may appear "
+        "(a range-join formulation would explode |L|x|R| per key)",
+    ),
+    (
+        "g09_triangle_count",
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "triangle closure is equi-joins only; a nested-loop join means "
+        "the orientation predicate fell out of the join keys",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,must,must_not,why", CONTRACTS, ids=[c[0] for c in CONTRACTS]
 )
@@ -96,3 +114,20 @@ def test_plan_shape(spark, sf_small, name, must, must_not, why):
         assert frag in plan, f"{name}: expected `{frag}` in plan ({why})"
     for frag in must_not:
         assert frag not in plan, f"{name}: `{frag}` must not appear ({why})"
+
+
+def test_asof_join_exchange_budget(spark, sf_small):
+    """B44 scale contract: at most two exchanges -- one keying the
+    quote pre-dedup agg, one keying the carry-forward window. Any more
+    means the union stopped aligning partitioning across stages."""
+    plan = plan_of(spark, sf_small, "b44_asof_join")
+    assert plan.count(") Exchange") <= 2, plan
+
+
+def test_sessionize_single_exchange(spark, sf_small):
+    """B45 scale contract: ONE exchange total -- the lag window, the
+    running-sum window, and the per-session agg all reuse the
+    hashpartitioning(user_id) produced for the first window (the agg's
+    (user_id, session_seq) clustering is satisfied by it)."""
+    plan = plan_of(spark, sf_small, "b45_sessionize")
+    assert plan.count(") Exchange") == 1, plan
