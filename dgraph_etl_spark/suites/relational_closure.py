@@ -327,16 +327,18 @@ def b13_self_join(spark, sf_dir):
     "b14_agg_tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity)
-               AS avg_qty,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount)
-               AS avg_disc,
+           CAST(SUM(CAST(ROUND(l_quantity * 1000000, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 1000000, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0)
+               AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+               * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+           (CAST(SUM(CAST(ROUND(l_quantity * 1000000, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0) / COUNT(l_quantity) AS avg_qty,
+           (CAST(SUM(CAST(ROUND(l_discount * 1000000, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0) / COUNT(l_discount) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -345,21 +347,47 @@ def b13_self_join(spark, sf_dir):
 )
 def b14_agg_tpch_q1(spark, sf_dir):
     """B14: TPC-H Q1 shape -- the canonical partial+final hash agg.
-    Averages are exact-sum / count (engine AVG over doubles is
-    summation-order dependent)."""
+
+    Determinism + speed: measures are summed as 6-decimal FIXED-POINT
+    LONGS (exact for these 2dp-factor products; round-then-sum ==
+    sum-then-round) instead of DECIMAL(18,6) -- Spark's decimal sum
+    widens past 18 digits and falls off the codegen long fast path
+    onto java BigDecimal (~2x slower end-to-end here). Overflow head-
+    room: scaled values are ≤ ~1e11, so a long holds ~9e7 of them per
+    (group, partition) partial-agg grain; at 100 TB widen the FINAL
+    (tiny) reduce to decimal, keeping the hot partial path on longs. Averages are exact-sum / count (engine AVG
+    over doubles is summation-order dependent)."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+
+    def ssum(expr: str, alias: str):
+        return (
+            F.sum(F.expr(f"CAST(ROUND(({expr}) * 1000000, 0) AS BIGINT)"))
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias(alias)
+
+    def savg(expr: str, alias: str):
+        return (
+            (
+                F.sum(F.expr(f"CAST(ROUND(({expr}) * 1000000, 0) AS BIGINT)"))
+                .cast("double")
+                / F.lit(1000000.0)
+            )
+            / F.count(expr)
+        ).alias(alias)
+
     return (
         li.filter(F.col("l_shipdate") <= "2000-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
-            davg("l_quantity", "avg_qty"),
-            davg("l_discount", "avg_disc"),
+            ssum("l_quantity", "sum_qty"),
+            ssum("l_extendedprice", "sum_base_price"),
+            ssum("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
+            ssum(
+                "l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge"
+            ),
+            savg("l_quantity", "avg_qty"),
+            savg("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
