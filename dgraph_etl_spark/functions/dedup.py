@@ -84,6 +84,36 @@ def token_ngrams(col: Column | str = "text", n: int = 3) -> Column:
 _MERSENNE31 = 2_147_483_647
 
 
+def token_hashes(col: Column | str = "text") -> Column:
+    """Per-token hash array: one xxhash64 per token, reduced mod P."""
+    return F.transform(
+        tokens(col), lambda x: F.pmod(F.xxhash64(x), F.lit(_MERSENNE31))
+    )
+
+
+def rolled_ngram_hashes(th: Column, n: int = 3) -> Column:
+    """n-token shingle *hashes* from an already-materialized token-hash
+    array column -- no per-ngram string allocation (which dominates the
+    string-shingle path's cost). ``th`` MUST be a plain column
+    reference: embedding the token-hash transform expression here would
+    re-evaluate the whole array per position (O(tokens^2)). Out-of-range
+    positions (docs shorter than n tokens) contribute 0 via
+    try_element_at, yielding one shorter-tail shingle like the string
+    path."""
+    cnt = F.size(th) - (n - 1)
+
+    def _roll(i: Column) -> Column:
+        acc = F.coalesce(F.try_element_at(th, i), F.lit(0))
+        for j in range(1, n):
+            nxt = F.coalesce(F.try_element_at(th, i + F.lit(j)), F.lit(0))
+            acc = F.pmod(acc * F.lit(1_000_003) + nxt, F.lit(_MERSENNE31))
+        return acc
+
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))), _roll)
+    )
+
+
 def _seeded_mixes(base: Column, num_hashes: int) -> list[Column]:
     """num_hashes affine mixes of one base hash: (a_i*h + b_i) mod P.
     Deterministic seeds; each mix is 2 integer ops in codegen (vs. one
@@ -105,8 +135,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
     (universal hashing mod 2^31-1) min-aggregated in a single groupBy
     pass (map-side partial mins -> tiny shuffle). At 100 TB the
     shuffle carries one 32-long row per document, nothing per-shingle."""
-    sh = docs.select("doc_id", F.explode(token_ngrams()).alias("shingle")).select(
-        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31)).alias("hb")
+    sh = docs.select("doc_id", token_hashes().alias("th")).select(
+        "doc_id", F.explode(rolled_ngram_hashes(F.col("th"))).alias("hb")
     )
     mixes = _seeded_mixes(F.col("hb"), num_hashes)
     return sh.groupBy("doc_id").agg(
