@@ -30,6 +30,27 @@ def dsum(col, alias):
     return F.sum(c.cast("decimal(18,6)")).cast("double").alias(alias)
 
 
+def fpsum(expr: str, alias: str):
+    """Deterministic double sum on the codegen fast path: 6-decimal
+    FIXED-POINT LONG accumulate (exact for 2dp-factor products;
+    round-then-sum == sum-then-round), double out. ~2x faster than the
+    decimal(18,6) path, which falls off codegen onto java BigDecimal.
+    Overflow headroom: see b14_agg_tpch_q1 docstring."""
+    return (
+        F.sum(F.expr(f"CAST(ROUND(({expr}) * 1000000, 0) AS BIGINT)"))
+        .cast("double")
+        / F.lit(1000000.0)
+    ).alias(alias)
+
+
+def fpsum_sql(expr: str, alias: str) -> str:
+    """The DuckDB-side text of fpsum (must mirror it exactly)."""
+    return (
+        f"CAST(SUM(CAST(ROUND(({expr}) * 1000000, 0) AS BIGINT)) AS DOUBLE)"
+        f" / 1000000.0 AS {alias}"
+    )
+
+
 def davg(col, alias):
     c = col if not isinstance(col, str) else F.col(col)
     return (
@@ -154,10 +175,9 @@ def b04_partitioned_sink(spark, sf_dir):
 
 @register(
     "b07_join_inner",
-    """
+    f"""
     SELECT c.c_mktsegment,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
-                AS DOUBLE) AS revenue,
+           {fpsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -167,7 +187,10 @@ def b04_partitioned_sink(spark, sf_dir):
 )
 def b07_join_inner(spark, sf_dir):
     """B7: two equi-joins + hash agg (revenue per market segment).
-    customer is broadcast; lineitem<->orders is the one real shuffle."""
+    customer is broadcast; lineitem<->orders is the one real shuffle --
+    deliberately kept a shuffle join (both sides are fact-sized at
+    100 TB; broadcasting orders only pays at toy scale). Revenue sums
+    as 6dp fixed-point longs (fpsum) to stay on codegen."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -176,7 +199,7 @@ def b07_join_inner(spark, sf_dir):
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            fpsum("l_extendedprice * (1 - l_discount)", "revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -359,12 +382,7 @@ def b14_agg_tpch_q1(spark, sf_dir):
     over doubles is summation-order dependent)."""
     li = _t(spark, sf_dir, "lineitem")
 
-    def ssum(expr: str, alias: str):
-        return (
-            F.sum(F.expr(f"CAST(ROUND(({expr}) * 1000000, 0) AS BIGINT)"))
-            .cast("double")
-            / F.lit(1000000.0)
-        ).alias(alias)
+    ssum = fpsum
 
     def savg(expr: str, alias: str):
         return (
