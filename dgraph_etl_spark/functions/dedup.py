@@ -227,6 +227,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def neardup_components(
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """C2 final step: cluster near-duplicate pairs into connected
+    components (doc_id -> component = min doc_id reachable), so a
+    curation pipeline can keep one canonical doc per cluster.
+
+    Iterative hash-to-min label propagation: each round every node
+    takes the min label among itself and its neighbors -- converges in
+    O(graph diameter) rounds; near-dup graphs are unions of small
+    cliques, so 2-3 rounds in practice. Per round: one shuffle join
+    (labels onto edges) + one groupBy min + a left join back.
+    ``localCheckpoint`` truncates lineage each round so plans don't
+    grow; the convergence test rides the same pass (max of per-row
+    change flags), not a separate join. At 100 TB the edge list is the
+    LSH/jaccard pair output (linear in docs, not quadratic), labels are
+    2 longs per doc, and every round is shuffle-partitioned by doc_id."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["u"] == labels["doc_id"])
+            .groupBy("v")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["v"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+                (
+                    F.coalesce(F.col("nbr_component"), F.col("component"))
+                    < F.col("component")
+                ).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        labels = stepped.select("doc_id", "component")
+        if stepped.agg(F.max("changed")).first()[0] is not True:
+            break
+    return labels
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """SimHash 64-bit signatures via a vectorized pandas UDF (Arrow
     batches; numpy does the 64-lane majority vote). Python is justified

@@ -125,6 +125,58 @@ def c02_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "c02_neardup_components",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang AS blk, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, blk,
+             list_distinct([array_to_string(t[i:i+1], ' ')
+                            for i in range(1, greatest(len(t) - 1, 1) + 1)]) AS gs
+      FROM toks
+    ),
+    exploded AS (SELECT doc_id, blk, unnest(gs) AS g FROM grams),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exploded GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.blk = b.blk AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(n_common / (sa.sz + sb.sz - n_common), 4) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT d.doc_id,
+           COALESCE(LEAST(d.doc_id, MIN(r.v)), d.doc_id) AS component
+    FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def c02_neardup_components(spark, sf_dir):
+    """C2 clustering: connected components over the exact 2-gram-Jaccard
+    near-dup graph (threshold 0.5, language-blocked) via iterative
+    hash-to-min label propagation -- the canonical-doc-per-cluster step
+    of a dedup pipeline. Oracle = DuckDB recursive-CTE transitive
+    closure (exact same component = min reachable doc_id)."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, n=2, block_col="lang", threshold=0.5)
+    return D.neardup_components(docs, pairs)
+
+
+@register(
     "c02_embedding_neardup",
     """
     WITH de AS (
