@@ -8,7 +8,7 @@ Java-regex ∩ RE2 common subset so the DuckDB oracles match.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # words / numbers / single punctuation -- a BPE-ish pre-tokenization
@@ -232,4 +232,48 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(canon).alias("fingerprint"),
         F.sha2(F.col("text"), 256).alias("content_hash"),
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    key: Column | str = "doc_id",
+    test_hi: str = "0d",
+    val_hi: str = "1a",
+) -> DataFrame:
+    """Deterministic train/val/test split: bucket = first 2 hex chars of
+    md5(key) -- 256 buckets, identical in every engine that lowercases
+    md5 hex (so the split is stable across runs, re-partitions, and
+    engines; the property a training pipeline needs so holdout docs
+    never leak into train between pipeline versions). Default ranges:
+    bucket < '0d' -> test (~5%), < '1a' -> val (~5%), rest train.
+    Pure per-row expression: no shuffle, no state, scales linearly."""
+    k = F.col(key) if isinstance(key, str) else key
+    bucket = F.substring(F.md5(k.cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < test_hi, "test")
+        .when(bucket < val_hi, "val")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+def source_quota(docs: DataFrame, n_per_source: int = 50) -> DataFrame:
+    """Per-source quota balancing: keep the top-N docs per source by
+    length (ties by doc_id) so no single crawl/source dominates the
+    training mix. One shuffle keyed by source; rank via row_number.
+    At 100 TB, skewed sources are exactly the AQE-skew / salting case
+    -- but the window must see each source whole, so the partition key
+    stays `source` and executor memory is bounded by truncating with
+    rank early (filter directly on the row_number, no full sort of the
+    table)."""
+    win = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rnk", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rnk") <= n_per_source)
     )

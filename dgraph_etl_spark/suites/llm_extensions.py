@@ -543,6 +543,43 @@ def c07_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "c11_hash_split",
+    """
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def c11_hash_split(spark, sf_dir):
+    """C10: deterministic train/val/test split via md5-prefix buckets --
+    stable across runs, partitionings, and engines (the oracle computes
+    the identical assignment), so holdout docs never leak into train
+    between pipeline versions. Zero-shuffle per-row expression."""
+    return X.hash_split(_docs(spark, sf_dir))
+
+
+@register(
+    "c12_source_quota",
+    """
+    SELECT doc_id, source, n_chars, rnk FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents
+    ) WHERE rnk <= 10
+    """,
+)
+def c12_source_quota(spark, sf_dir):
+    """C11: per-source quota balancing (top-10 docs per source by
+    length, deterministic ties) so no crawl dominates the training mix.
+    One shuffle keyed by source; row_number truncates early."""
+    return X.source_quota(_docs(spark, sf_dir), n_per_source=10)
+
+
+@register(
     "c10_curation_pipeline",
     """
     WITH winners AS (
