@@ -109,3 +109,52 @@ def test_c04_ivf_recall_vs_brute_force(spark, sf_small):
     exact = {r.vec_id for r in brute_topk(emb, qv, k=10).collect()}
     approx = {r.vec_id for r in ivf_topk(emb, qv, k=10, nprobe=3).collect()}
     assert len(exact & approx) >= 5
+
+
+# ---------------------------------------------------------------- C12
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+        lambda p: p[0] != p[1]
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+def _sequential_components(n_nodes, pairs):
+    """Union-find ground truth: component = min node id reachable."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@given(_edges)
+@_settings
+def test_c12_components_equal_union_find(spark, pairs):
+    from dgraph_etl_spark.functions.dedup import neardup_components
+
+    n = 12
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pdf = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs] or [(0, 0)],
+        ["doc_a", "doc_b"],
+    )
+    if not pairs:
+        pdf = pdf.filter("doc_a <> doc_b")  # empty edge set
+    got = {
+        r.doc_id: r.component
+        for r in neardup_components(docs, pdf).collect()
+    }
+    want = _sequential_components(n, pairs)
+    assert got == want
