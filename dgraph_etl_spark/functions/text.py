@@ -277,3 +277,41 @@ def source_quota(docs: DataFrame, n_per_source: int = 50) -> DataFrame:
         .withColumn("rnk", F.row_number().over(win).cast("bigint"))
         .filter(F.col("rnk") <= n_per_source)
     )
+
+
+def token_budget_pack(docs: DataFrame, budget: int) -> DataFrame:
+    """Token-budget packing: walk docs in priority order (longest first,
+    doc_id ties) and keep those that fit a cumulative token budget --
+    "fill a 1M-token training mix with the best documents first".
+
+    The running sum is a DISTRIBUTED prefix sum, not a single-partition
+    global window (which serializes the whole table through one task at
+    100 TB): docs are bucketed by coarse length band; within a bucket
+    the cumsum is a window partitioned BY the bucket (parallel across
+    buckets); cross-bucket offsets come from a tiny per-bucket-totals
+    aggregate (B rows) window-summed and broadcast-joined back. The
+    only global ordering pass touches B bucket totals, never the docs."""
+    nt = F.size(tokens()).cast("bigint")
+    base = docs.select(
+        "doc_id", nt.alias("n_tokens"), F.col("n_chars").alias("len")
+    ).withColumn("bkt", F.floor(F.col("len") / F.lit(64)))
+
+    within = Window.partitionBy("bkt").orderBy(
+        F.desc("len"), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_in = base.withColumn("cum_within", F.sum("n_tokens").over(within))
+
+    totals = base.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_total"))
+    off_w = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.withColumn(
+        "offset", F.sum("bkt_total").over(off_w) - F.col("bkt_total")
+    ).select("bkt", "offset")
+
+    packed = (
+        cum_in.join(F.broadcast(offsets), "bkt")
+        .withColumn("cum_tokens", F.col("offset") + F.col("cum_within"))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+    return packed.select("doc_id", "n_tokens", "cum_tokens")

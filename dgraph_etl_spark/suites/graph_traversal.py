@@ -203,3 +203,14 @@ def g07_top_connections(spark, sf_dir):
         .orderBy(F.desc("total_score"), "person_id")
         .limit(20)
     )
+
+
+@register("g10_pagerank", None)
+def g10_pagerank(spark, sf_dir):
+    """Graph analytics beyond the reference: 10-iteration PageRank over
+    the directed edge graph (damping 0.85, dangling mass redistributed;
+    ranks sum to 1). Rows-only: float accumulation order is
+    engine-specific; exactness is covered by unit tests on closed-form
+    graphs (cycle = uniform, star = known split)."""
+    edges, _, _ = _graph_inputs(spark, sf_dir)
+    return G.pagerank(edges, n_iter=10)

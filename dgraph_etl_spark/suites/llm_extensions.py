@@ -580,6 +580,30 @@ def c12_source_quota(spark, sf_dir):
 
 
 @register(
+    "c13_token_budget_pack",
+    """
+    SELECT doc_id, n_tokens, cum_tokens FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(SUM(len(string_split(text, ' ')))
+               OVER (ORDER BY n_chars DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM documents
+    ) WHERE cum_tokens <= 15000
+    """,
+)
+def c13_token_budget_pack(spark, sf_dir):
+    """C13: token-budget packing -- fill a 15k-token training budget
+    with the longest documents first (deterministic doc_id ties). The
+    running sum is a DISTRIBUTED prefix sum (per-length-band windows +
+    a tiny broadcast offset table), never a single-partition global
+    window; the oracle's naive OVER (ORDER BY ...) is the semantic
+    spec, not the physical plan."""
+    return X.token_budget_pack(_docs(spark, sf_dir), budget=15000)
+
+
+@register(
     "c10_curation_pipeline",
     """
     WITH winners AS (

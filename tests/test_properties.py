@@ -158,3 +158,26 @@ def test_c12_components_equal_union_find(spark, pairs):
     }
     want = _sequential_components(n, pairs)
     assert got == want
+
+
+def test_g10_pagerank_closed_forms(spark):
+    from dgraph_etl_spark.graph.traverse import pagerank
+
+    # cycle: symmetric => uniform 1/n
+    cyc = spark.createDataFrame(
+        [(str(i), str((i + 1) % 5), 1.0) for i in range(5)],
+        ["src", "dst", "score"],
+    )
+    ranks = {r.node: r.rank for r in pagerank(cyc, n_iter=8).collect()}
+    assert all(abs(v - 0.2) < 1e-9 for v in ranks.values()), ranks
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+    # star (leaves -> center): center absorbs damped mass; leaves equal
+    star = spark.createDataFrame(
+        [(f"l{i}", "c", 1.0) for i in range(4)], ["src", "dst", "score"]
+    )
+    ranks = {r.node: r.rank for r in pagerank(star, n_iter=12).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    leaves = [v for k, v in ranks.items() if k != "c"]
+    assert max(leaves) - min(leaves) < 1e-12
+    assert ranks["c"] > 4 * max(leaves)
