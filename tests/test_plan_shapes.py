@@ -131,3 +131,27 @@ def test_sessionize_single_exchange(spark, sf_small):
     (user_id, session_seq) clustering is satisfied by it)."""
     plan = plan_of(spark, sf_small, "b45_sessionize")
     assert plan.count(") Exchange") == 1, plan
+
+
+def test_hash_split_zero_exchange(spark, sf_small):
+    """C10 scale contract: the train/val/test split is a pure per-row
+    expression -- ZERO exchanges; anything else means the split started
+    shuffling 100 TB to assign labels."""
+    plan = plan_of(spark, sf_small, "c11_hash_split")
+    assert ") Exchange" not in plan, plan
+
+
+def test_token_budget_pack_no_global_window_over_docs(spark, sf_small):
+    """C13 scale contract: the doc-side cumsum window is partitioned by
+    the length band (hashpartitioning(bkt)); the only single-partition
+    stage is the B-row bucket-totals window, which must sit under the
+    broadcast side of the offsets join -- never a full-table sort."""
+    plan = plan_of(spark, sf_small, "c13_token_budget_pack")
+    assert "hashpartitioning(bkt" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the doc-side window must not be the single-partition one: the
+    # SinglePartition exchange may only feed the tiny totals aggregate
+    docs_side = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange SinglePartition" not in docs_side.split(
+        "HashAggregate"
+    )[0], plan
