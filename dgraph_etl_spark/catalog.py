@@ -36,6 +36,58 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Tables worth re-laying-out for parallel scans. The driver fixtures
+# are written as ONE parquet row group per table, and a row group is
+# the atomic split unit -- so every scan STAGE (including the map-side
+# work fused into it: filters, partial aggs, shingle hashing) runs as
+# a single task no matter how many cores exist. Re-layout is the
+# standard table-service fix (row-group sizing / small-file compaction
+# -- what OPTIMIZE does in lakehouse formats); at 100 TB it's the
+# ingest layer's job, here it's a one-time session-scoped rewrite into
+# scratch. `events` is excluded: it carries the TIMESTAMP(NANOS)
+# special case and its queries are watermark-pruned scans anyway.
+_COMPACT_TABLES = {"lineitem", "orders", "documents", "embeddings"}
+_COMPACT_MIN_ROWS = 20_000
+_LAYOUT_ROOT = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "dgraph_etl_layout"
+)
+
+
+def _compacted_source(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    """Return the path of a parallel-layout copy of the table, creating
+    it on first use (keyed by source identity + target file count, so
+    stale copies are never reused and concurrent sf_dirs don't mix)."""
+    if name not in _COMPACT_TABLES:
+        return None
+    src = table_path(sf_dir, name)
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(src).metadata
+        n_cores = spark.sparkContext.defaultParallelism
+        # documents/embeddings carry heavy PER-ROW map work (shingle
+        # hashing, vector math), so they are worth splitting far below
+        # the generic row threshold
+        min_rows = 500 if name in ("documents", "embeddings") else _COMPACT_MIN_ROWS
+        if meta.num_rows < min_rows:
+            return None
+        if meta.num_row_groups >= max(2, n_cores // 2):
+            return None  # already split-friendly
+        st = os.stat(src)
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        dest = os.path.join(
+            _LAYOUT_ROOT,
+            f"{tag}_{name}_{st.st_mtime_ns}_{st.st_size}_{n_cores}",
+        )
+        if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+            spark.read.parquet(src).repartition(n_cores).write.mode(
+                "overwrite"
+            ).parquet(dest)
+        return dest
+    except Exception:
+        return None  # any surprise -> fall back to the raw source
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. The events table is stored with
     TIMESTAMP(NANOS) which Spark's TimestampType (microseconds) rejects
@@ -44,7 +96,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     engines see identical values. Integer division (`div`) is required:
     double division of ~1e18 nanos loses the microsecond digit."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = _compacted_source(spark, sf_dir, name) or table_path(sf_dir, name)
+    df = spark.read.parquet(path)
     for field in df.schema.fields:
         if name == "events" and field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -27,6 +27,12 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(v):
+    import numpy as np
+
+    if isinstance(v, np.ndarray):  # duckdb .df() / arrow toPandas lists
+        v = v.tolist()
+    elif isinstance(v, np.generic):
+        v = v.item()
     if v is None:
         return ("null",)
     if isinstance(v, float):
