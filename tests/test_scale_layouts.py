@@ -110,3 +110,27 @@ def test_time_partitioned_layout_prunes_incremental_scan(spark, sf_small):
     # exact: pruned result == predicate on the unpartitioned table
     exact = spark.table("events").filter(F.to_date("ts") >= wm).count()
     assert n_kept == exact
+
+
+def test_layout_compaction_parallelizes_scan_and_preserves_content(spark):
+    """Single-row-group fixtures must be re-laid-out so scan stages get
+    real parallelism (a row group is the atomic split unit: 1 row group
+    == 1 task for the whole fused map side), and the compacted copy must
+    be byte-for-byte the same multiset of rows as the source."""
+    from dgraph_etl_spark.catalog import load_table, table_path
+
+    sf = "/root/testdata/sf0.01"
+    li = load_table(spark, sf, "lineitem")  # 60k rows -> compacted
+    assert li.rdd.getNumPartitions() >= 4, "compaction did not split scan"
+    raw = spark.read.parquet(table_path(sf, "lineitem"))
+    assert li.count() == raw.count()
+    def _digest(df):
+        return df.agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("s"),
+            F.sum(
+                F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+
+    a, b = _digest(li), _digest(raw)
+    assert (a.s, a.h) == (b.s, b.h), "compacted copy diverged from source"
