@@ -150,7 +150,11 @@ def lsh_candidate_pairs(
     """C2: LSH banding -> candidate duplicate pairs. Documents agreeing
     on ALL hashes of any band collide in that band's bucket; the join
     is bucket-local (equi-join on (band, band_hash)) -- no global
-    quadratic step."""
+    quadratic step. The band table feeds BOTH sides of the self-join
+    and broadcast exchanges are never reused across sides, so it is
+    materialized once (localCheckpoint) -- otherwise the whole
+    signature pipeline (scan + shingle hashing + 32 mins) runs twice,
+    a 2x waste that only grows with corpus size."""
     sig = minhash_signatures(docs, num_hashes)
     per_band = num_hashes // num_bands
     bands = sig.select(
@@ -165,7 +169,7 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("band", "band_hash"),
-    )
+    ).localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
