@@ -642,6 +642,42 @@ def b24_topk(spark, sf_dir):
 
 
 @register(
+    "b22_time_range_frame",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(18,6))
+                AS DOUBLE) AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def b22_time_range_frame(spark, sf_dir):
+    """B22 (time form): rolling 1-hour per-user metrics via a RANGE
+    frame over event time -- the frame every rolling-rate/limit job at
+    scale needs (ROWS frames count rows, RANGE frames honor the clock).
+    Ordered by epoch micros on both engines so frame boundaries and
+    equal-timestamp peer groups are bit-identical."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Wnd.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("sum_last_hour"),
+    )
+
+
+@register(
     "b23_sort_pagination",
     """
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders
