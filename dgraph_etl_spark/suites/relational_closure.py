@@ -678,6 +678,82 @@ def b22_time_range_frame(spark, sf_dir):
 
 
 @register(
+    "b46_funnel_steps",
+    """
+    SELECT user_id,
+           epoch_us(t_view) AS t_view_us,
+           epoch_us(t_click) AS t_click_us,
+           epoch_us(t_purchase) AS t_purchase_us,
+           (t_click IS NOT NULL AND t_click > t_view) AS reached_click,
+           (t_click IS NOT NULL AND t_click > t_view
+            AND t_purchase IS NOT NULL AND t_purchase > t_click)
+               AS reached_purchase
+    FROM (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' AND ts > (
+                   SELECT MIN(e2.ts) FROM events e2
+                   WHERE e2.user_id = e.user_id AND e2.event_type = 'view')
+                 THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events e GROUP BY user_id
+    ) WHERE t_view IS NOT NULL
+    """,
+)
+def b46_funnel_steps(spark, sf_dir):
+    """B46: ordered funnel (view -> click -> purchase) per user in ONE
+    hash agg -- earliest view, earliest click AFTER that view, earliest
+    purchase, plus step-reached flags. The correlated-looking "click
+    after first view" is a conditional MIN over a per-user window
+    column, so the whole funnel is a single shuffle keyed by user (no
+    self-joins, no per-step passes -- the shape sequence analytics
+    needs at 100 TB event volumes).
+
+    NOTE on t_purchase semantics: the FLAG demands the full ordering,
+    while t_purchase itself is the user's earliest purchase overall."""
+    ev = _t(spark, sf_dir, "events")
+    w = Wnd.partitionBy("user_id")
+    first_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    agg = (
+        ev.withColumn("first_view", first_view)
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("t_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("t_purchase"),
+        )
+        .filter(F.col("t_view").isNotNull())
+    )
+    reached_click = F.col("t_click").isNotNull() & (
+        F.col("t_click") > F.col("t_view")
+    )
+    return agg.select(
+        "user_id",
+        F.unix_micros("t_view").alias("t_view_us"),
+        F.unix_micros("t_click").alias("t_click_us"),
+        F.unix_micros("t_purchase").alias("t_purchase_us"),
+        reached_click.alias("reached_click"),
+        (
+            reached_click
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_purchase") > F.col("t_click"))
+        ).alias("reached_purchase"),
+    )
+
+
+@register(
     "b23_sort_pagination",
     """
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders
