@@ -155,3 +155,12 @@ def test_token_budget_pack_no_global_window_over_docs(spark, sf_small):
     assert "Exchange SinglePartition" not in docs_side.split(
         "HashAggregate"
     )[0], plan
+
+
+def test_funnel_single_exchange(spark, sf_small):
+    """B46 scale contract: ONE exchange total -- the per-user window
+    (first_view) and the funnel hash agg share hashpartitioning
+    (user_id). A second exchange would mean the agg re-shuffled what
+    the window already clustered."""
+    plan = plan_of(spark, sf_small, "b46_funnel_steps")
+    assert plan.count(") Exchange") == 1, plan
