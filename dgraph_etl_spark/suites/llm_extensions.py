@@ -604,6 +604,47 @@ def c13_token_budget_pack(spark, sf_dir):
 
 
 @register(
+    "c14_length_outliers",
+    """
+    SELECT doc_id, source, n_chars,
+           (n * n_chars - s) * (n * n_chars - s) > 4 * (n * ss - s * s)
+               AS is_outlier
+    FROM (
+      SELECT doc_id, source, n_chars,
+             COUNT(*) OVER w AS n,
+             SUM(n_chars) OVER w AS s,
+             SUM(n_chars * n_chars) OVER w AS ss
+      FROM documents
+      WINDOW w AS (PARTITION BY source)
+    )
+    """,
+)
+def c14_length_outliers(spark, sf_dir):
+    """C14: per-source length anomaly flag (|z| > 2) in EXACT integer
+    arithmetic: (n*x - sum)^2 > 4*(n*sumsq - sum^2) is the z-score test
+    with both sides scaled by n^2 -- no float mean/stddev, so the flag
+    is bit-identical across engines and never flips on borderline rows.
+    One shuffle keyed by source (unbounded window = per-key stats)."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source")
+    x = F.col("n_chars")
+    n, s, ss = (
+        F.count(F.lit(1)).over(w),
+        F.sum(x).over(w),
+        F.sum(x * x).over(w),
+    )
+    d = n * x - s
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (d * d > 4 * (n * ss - s * s)).alias("is_outlier"),
+    )
+
+
+@register(
     "c10_curation_pipeline",
     """
     WITH winners AS (
