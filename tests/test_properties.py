@@ -181,3 +181,26 @@ def test_g10_pagerank_closed_forms(spark):
     leaves = [v for k, v in ranks.items() if k != "c"]
     assert max(leaves) - min(leaves) < 1e-12
     assert ranks["c"] > 4 * max(leaves)
+
+
+def test_c02_lsh_recall_of_true_neardups(spark):
+    """LSH candidate pairs must contain every true near-duplicate
+    (2-gram Jaccard >= 0.8) on the sf0.01 fixture -- the recall
+    contract that makes the banding parameters (32 hashes / 8 bands)
+    trustworthy. Precision is allowed to be < 1 (candidates get
+    re-ranked); recall is not."""
+    from dgraph_etl_spark.catalog import load_table
+    from dgraph_etl_spark.functions import dedup as D
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(
+            docs, n=2, block_col="lang", threshold=0.8
+        ).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b) for r in D.lsh_candidate_pairs(docs).collect()
+    }
+    assert truth, "fixture lost its planted near-duplicates"
+    assert truth <= lsh, f"LSH missed true pairs: {sorted(truth - lsh)}"
