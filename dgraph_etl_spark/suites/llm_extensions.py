@@ -604,6 +604,98 @@ def c13_token_budget_pack(spark, sf_dir):
 
 
 @register(
+    "c15_incremental_dedup",
+    """
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
+    incoming AS (SELECT * FROM documents WHERE doc_id >= 400),
+    exact_dup AS (
+      SELECT DISTINCT i.doc_id
+      FROM incoming i JOIN corpus c ON sha256(i.text) = sha256(c.text)
+    ),
+    itoks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM incoming),
+    ctoks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM corpus),
+    igrams AS (
+      SELECT doc_id, lang, unnest(list_distinct([array_to_string(t[i:i+1], ' ')
+        for i in range(1, greatest(len(t) - 1, 1) + 1)])) AS g FROM itoks
+    ),
+    cgrams AS (
+      SELECT doc_id, lang, unnest(list_distinct([array_to_string(t[i:i+1], ' ')
+        for i in range(1, greatest(len(t) - 1, 1) + 1)])) AS g FROM ctoks
+    ),
+    isizes AS (SELECT doc_id, COUNT(*) AS sz FROM igrams GROUP BY doc_id),
+    csizes AS (SELECT doc_id, COUNT(*) AS sz FROM cgrams GROUP BY doc_id),
+    inter AS (
+      SELECT i.doc_id AS i_id, c.doc_id AS c_id, COUNT(*) AS n_common
+      FROM igrams i JOIN cgrams c ON i.lang = c.lang AND i.g = c.g
+      GROUP BY 1, 2
+    ),
+    near_dup AS (
+      SELECT DISTINCT i_id AS doc_id FROM inter
+      JOIN isizes si ON si.doc_id = i_id
+      JOIN csizes sc ON sc.doc_id = c_id
+      WHERE ROUND(n_common / (si.sz + sc.sz - n_common), 4) >= 0.5
+    )
+    SELECT doc_id, lang, source FROM incoming
+    WHERE doc_id NOT IN (SELECT doc_id FROM exact_dup)
+      AND doc_id NOT IN (SELECT doc_id FROM near_dup)
+    """,
+)
+def c15_incremental_dedup(spark, sf_dir):
+    """C15: the operational dedup flow -- an INCOMING batch screened
+    against the EXISTING corpus (the incremental form every continuous
+    ingestion pipeline runs; batch split stands in for the A5
+    watermark boundary). Accept an incoming doc only if it is neither
+    an exact copy (content-hash anti-join) nor a near-dup (2-gram
+    Jaccard >= 0.5, language-blocked) of any corpus doc. Both screens
+    are anti-joins against CORPUS-size state, linear in batch size --
+    never batch x batch or corpus x corpus."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < 400)
+    incoming = docs.filter(F.col("doc_id") >= 400)
+
+    ih = incoming.select("doc_id", F.sha2("text", 256).alias("h"))
+    ch = corpus.select(F.sha2("text", 256).alias("h")).dropDuplicates(["h"])
+    exact_ok = ih.join(ch, "h", "left_anti").select("doc_id")
+
+    def grams(df):
+        return df.select(
+            "doc_id", "lang", F.explode(D.token_ngrams(n=2)).alias("g")
+        )
+
+    ig, cg = grams(incoming), grams(corpus)
+    isz = ig.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    csz = cg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        ig.alias("i")
+        .join(
+            cg.alias("c"),
+            (F.col("i.lang") == F.col("c.lang")) & (F.col("i.g") == F.col("c.g")),
+        )
+        .groupBy(
+            F.col("i.doc_id").alias("i_id"), F.col("c.doc_id").alias("c_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    near = (
+        inter.join(isz.select(F.col("doc_id").alias("i_id"), F.col("sz").alias("si")), "i_id")
+        .join(csz.select(F.col("doc_id").alias("c_id"), F.col("sz").alias("sc")), "c_id")
+        .filter(
+            F.round(
+                F.col("n_common") / (F.col("si") + F.col("sc") - F.col("n_common")), 4
+            )
+            >= 0.5
+        )
+        .select(F.col("i_id").alias("doc_id"))
+        .dropDuplicates(["doc_id"])
+    )
+    return (
+        incoming.join(exact_ok, "doc_id", "left_semi")
+        .join(near, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
     "c14_length_outliers",
     """
     SELECT doc_id, source, n_chars,
