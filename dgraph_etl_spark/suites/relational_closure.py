@@ -753,6 +753,35 @@ def b46_funnel_steps(spark, sf_dir):
     )
 
 
+# ONE SQL text, executed VERBATIM by both engines (Spark spark.sql and
+# DuckDB): the ANSI-only subset both dialects share -- joins, agg,
+# HAVING, CASE, decimal casts, timestamp literal, ORDER BY + LIMIT.
+_ANSI_ROUNDTRIP_SQL = """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_price,
+           COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS n_returned
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o.o_orderpriority
+    HAVING COUNT(*) > 10
+    ORDER BY o.o_orderpriority
+    LIMIT 5
+"""
+
+
+@register("b47_ansi_sql_roundtrip", _ANSI_ROUNDTRIP_SQL)
+def b47_ansi_sql_roundtrip(spark, sf_dir):
+    """B47: the SQL front-end is first-class -- this query is the SAME
+    string the oracle runs, submitted through spark.sql() against the
+    registered views (the engine's declared ANSI surface, not a
+    DataFrame translation of it)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_ANSI_ROUNDTRIP_SQL)
+
+
 @register(
     "b23_sort_pagination",
     """
