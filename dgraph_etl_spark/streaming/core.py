@@ -142,3 +142,32 @@ def run_to_memory(
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def docs_batched_source(sf_dir: str, n_batches: int = 3) -> tuple[str, str]:
+    """Stage the documents table as an n-file streaming source split by
+    doc_id range (deterministic batch = arrival order), mtimes pinned so
+    the file source replays batches in id order. Returns (dir, schema
+    ddl is read by the caller via a batch peek)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_docs{n_batches}_{tag}")
+    paths = [os.path.join(d, f"batch{i}.parquet") for i in range(n_batches)]
+    if not all(os.path.exists(p) for p in paths):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(table_path(sf_dir, "documents"))
+        lo = pc.min(t.column("doc_id")).as_py()
+        hi = pc.max(t.column("doc_id")).as_py() + 1
+        step = max(1, (hi - lo) // n_batches)
+        for i in range(n_batches):
+            a = lo + i * step
+            b = hi if i == n_batches - 1 else lo + (i + 1) * step
+            mask = pc.and_(
+                pc.greater_equal(t.column("doc_id"), a),
+                pc.less(t.column("doc_id"), b),
+            )
+            pq.write_table(t.filter(mask), paths[i])
+            os.utime(paths[i], ((i + 1) * 1_000_000, (i + 1) * 1_000_000))
+    return d

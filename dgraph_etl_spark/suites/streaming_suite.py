@@ -320,3 +320,64 @@ def s07_streaming_pipeline_edges(spark, sf_dir):
     rel = derive_user_relationship(events_stream(spark, sf_dir))
     edges = max_score_per_edge(explode_bidirectional(rel))
     return run_to_memory(edges, "complete", "s07_pipeline")
+
+
+@register(
+    "s10_stream_incremental_dedup",
+    """
+    SELECT MIN(doc_id) AS doc_id, content_hash
+    FROM (SELECT doc_id, sha256(text) AS content_hash FROM documents) h
+    GROUP BY content_hash
+    """,
+)
+def s10_stream_incremental_dedup(spark, sf_dir):
+    """C15's streaming form: documents arrive in doc_id-ordered
+    micro-batches; each batch is exact-deduped within itself (min
+    doc_id per content hash) and screened against the STORED corpus of
+    already-accepted hashes (anti-join), then accepted rows append to
+    the store -- the continuous-ingestion dedup loop. Because arrival
+    order is doc_id order, the accumulated store must equal the batch
+    C1 winners exactly (stream == batch, the same equivalence s07/s09
+    pin for the edge pipeline). At 100 TB the store is a content-hash-
+    bucketed table and the screen is a per-batch anti-join against it,
+    linear in batch size."""
+    import os
+    import tempfile
+
+    from ..streaming.core import docs_batched_source
+
+    src = docs_batched_source(sf_dir)
+    store = os.path.join(tempfile.mkdtemp(prefix="s10_store_"), "accepted")
+    schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def screen_batch(batch_df, epoch_id):
+        sp = batch_df.sparkSession
+        hashed = batch_df.select(
+            "doc_id", F.sha2(F.col("text"), 256).alias("content_hash")
+        )
+        batch_min = hashed.groupBy("content_hash").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        if os.path.exists(store):
+            seen = sp.read.parquet(store).select("content_hash")
+            batch_min = batch_min.join(seen, "content_hash", "left_anti")
+        batch_min.select("doc_id", "content_hash").write.mode(
+            "append"
+        ).parquet(store)
+
+    q = (
+        docs.writeStream.foreachBatch(screen_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="s10_ckpt_"), "offsets"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store).select("doc_id", "content_hash")
