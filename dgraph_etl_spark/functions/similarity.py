@@ -136,3 +136,47 @@ def blocked_similarity_join(
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "blk", "sim")
     )
+
+
+def build_ivf_index(emb: DataFrame, path: str) -> None:
+    """C4 index build: persist the corpus PARTITIONED BY cell id (here
+    the label column; k-means cell assignment slots in identically).
+    Probing then prunes unprobed cells at the file listing -- the scan
+    never opens them. Build once, probe many: the index is a plain
+    partitioned table, no sidecar format."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb.write.mode("overwrite").partitionBy("label").parquet(path)
+
+
+def ivf_persisted_topk(
+    spark,
+    emb: DataFrame,
+    query: DataFrame,
+    k: int,
+    path: str,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """C4 scale path against the PERSISTED index: pick the nprobe most
+    query-similar cells from the (tiny, collected) centroid table --
+    index metadata, like any ANN library's -- then scan ONLY those
+    partitions (`isin` over the partition column = partition pruning,
+    asserted in tests/test_plan_shapes.py) and exact re-rank inside."""
+    build_ivf_index(emb, path)
+    index = spark.read.parquet(path)
+    cents = label_centroids(index, vec_col)
+    probed = [
+        r["label"]
+        for r in cents.crossJoin(F.broadcast(query))
+        .withColumn(
+            "csim", cosine(as_double_array("centroid"), as_double_array("qvec"))
+        )
+        .orderBy(F.desc("csim"), "label")
+        .limit(nprobe)
+        .select("label")
+        .collect()
+    ]
+    candidates = index.filter(F.col("label").isin(probed))
+    return brute_topk(candidates, query, k, vec_col)

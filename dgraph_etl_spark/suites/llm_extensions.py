@@ -260,6 +260,22 @@ def c04_ivf_topk(spark, sf_dir):
     return S.ivf_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10, nprobe=3)
 
 
+@register("c04_ivf_persisted", None)
+def c04_ivf_persisted(spark, sf_dir):
+    """C4 index lifecycle: build the partitioned-by-cell index table
+    once, probe many -- unprobed cells are pruned at the file listing
+    (PartitionFilters, pinned in tests/test_plan_shapes.py). Rows-only;
+    result equivalence with the in-memory IVF is pinned in tests."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"dgraph_etl_ivf_{tag}")
+    return S.ivf_persisted_topk(
+        spark, _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10, path=path
+    )
+
+
 @register(
     "c05_similarity_self_join",
     """

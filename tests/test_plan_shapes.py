@@ -164,3 +164,21 @@ def test_funnel_single_exchange(spark, sf_small):
     the window already clustered."""
     plan = plan_of(spark, sf_small, "b46_funnel_steps")
     assert plan.count(") Exchange") == 1, plan
+
+
+def test_ivf_persisted_probe_prunes_partitions(spark, sf_small):
+    """C4 index contract: the probe scan must prune unprobed cells at
+    the file listing (PartitionFilters over the cell column) -- at
+    scale this is what makes IVF touch ~nprobe/ncells of the corpus."""
+    plan = plan_of(spark, sf_small, "c04_ivf_persisted")
+    assert "PartitionFilters: [label" in plan, plan
+
+
+def test_ivf_persisted_equals_in_memory_ivf(spark, sf_small):
+    """The persisted-index probe must return exactly the in-memory IVF
+    result (same cells probed, same re-rank)."""
+    from dgraph_etl_spark.registry import REGISTRY
+
+    a = REGISTRY["c04_ivf_persisted"].fn(spark, sf_small).collect()
+    b = REGISTRY["c04_ivf_topk"].fn(spark, sf_small).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
