@@ -40,6 +40,8 @@ HEADLINE = [
     "c02_minhash_lsh_pairs",  # MinHash + LSH bucket join
     "c04_topk_cosine",        # vector top-k
     "c07_term_stats",         # explode + two-level agg
+    "b46_funnel_steps",       # event-sequence funnel, one exchange
+    "c13_token_budget_pack",  # distributed prefix sum
 ]
 
 
