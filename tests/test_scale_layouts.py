@@ -134,3 +134,71 @@ def test_layout_compaction_parallelizes_scan_and_preserves_content(spark):
 
     a, b = _digest(li), _digest(raw)
     assert (a.s, a.h) == (b.s, b.h), "compacted copy diverged from source"
+
+
+def test_streaming_dedup_resumes_from_checkpoint(spark, sf_small, tmp_path):
+    """Exactly-once across restarts: run the incremental-dedup stream
+    over the first two micro-batch files, STOP, then reveal the third
+    file and re-run with the SAME checkpoint -- the store must equal
+    the batch C1 winners with no re-screened (duplicated) rows. This is
+    the resume semantics the reference only approximates with its
+    manual watermark flag (elastic.go:50, etl.go:19)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dgraph_etl_spark.catalog import load_table
+    from dgraph_etl_spark.streaming.core import docs_batched_source
+
+    staged = docs_batched_source(sf_small)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "accepted")
+    schema = spark.read.parquet(os.path.join(staged, "batch0.parquet")).schema
+
+    def screen_batch(batch_df, epoch_id):
+        sp = batch_df.sparkSession
+        hashed = batch_df.select(
+            "doc_id", F.sha2(F.col("text"), 256).alias("content_hash")
+        )
+        batch_min = hashed.groupBy("content_hash").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        if os.path.exists(store):
+            seen = sp.read.parquet(store).select("content_hash")
+            batch_min = batch_min.join(seen, "content_hash", "left_anti")
+        batch_min.select("doc_id", "content_hash").write.mode("append").parquet(store)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(screen_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for i in (0, 1):
+        shutil.copy(os.path.join(staged, f"batch{i}.parquet"), src)
+    run_once()
+    n_after_first = spark.read.parquet(store).count()
+
+    shutil.copy(os.path.join(staged, "batch2.parquet"), src)
+    run_once()  # resumes from checkpoint: only batch2 is processed
+
+    final = spark.read.parquet(store)
+    docs = load_table(spark, sf_small, "documents")
+    want = (
+        docs.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id"))
+        .count()
+    )
+    assert n_after_first < final.count() == want
+    # no hash screened twice (re-processing would duplicate rows)
+    assert final.groupBy("content_hash").count().filter("count > 1").count() == 0
