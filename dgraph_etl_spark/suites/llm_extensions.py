@@ -620,6 +620,45 @@ def c13_token_budget_pack(spark, sf_dir):
 
 
 @register(
+    "c16_table_profile",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(doc_id) AS doc_id_nulls,
+           COUNT(DISTINCT doc_id) AS doc_id_distinct,
+           COUNT(*) - COUNT(text) AS text_nulls,
+           MIN(n_chars) AS n_chars_min,
+           MAX(n_chars) AS n_chars_max,
+           COUNT(DISTINCT lang) AS lang_distinct,
+           COUNT(DISTINCT source) AS source_distinct,
+           MIN(lang) AS lang_min,
+           MAX(source) AS source_max
+    FROM documents
+    """,
+)
+def c16_table_profile(spark, sf_dir):
+    """C16: one-pass table profile (row count, per-column nulls,
+    distincts, min/max) -- the ANALYZE-style health check a pipeline
+    runs before training on a new drop. All stats ride ONE hash agg
+    (count-distincts expand to partial aggs Spark plans itself); at
+    100 TB swap exact distincts for approx_count_distinct, same
+    shape."""
+    d = _docs(spark, sf_dir)
+    c = F.count(F.lit(1))
+    return d.agg(
+        c.alias("n_rows"),
+        (c - F.count("doc_id")).alias("doc_id_nulls"),
+        F.countDistinct("doc_id").alias("doc_id_distinct"),
+        (c - F.count("text")).alias("text_nulls"),
+        F.min("n_chars").alias("n_chars_min"),
+        F.max("n_chars").alias("n_chars_max"),
+        F.countDistinct("lang").alias("lang_distinct"),
+        F.countDistinct("source").alias("source_distinct"),
+        F.min("lang").alias("lang_min"),
+        F.max("source").alias("source_max"),
+    )
+
+
+@register(
     "c15_incremental_dedup",
     """
     WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
