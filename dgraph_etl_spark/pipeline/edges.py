@@ -109,3 +109,31 @@ def argmax_row_per_edge(edges: DataFrame, *extra_cols: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    key: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the SKEWED side's key with a random
+    bucket and replicate the other side once per bucket (explode of a
+    literal salt range), then join on (key, salt) -- a hub key's rows
+    spread over ``buckets`` tasks instead of hot-spotting one. Exact
+    for any join type that doesn't need the dim side's multiplicity
+    preserved (each dim row appears once per salt, and each skewed row
+    carries exactly one salt). Use when AQE's skew splitting can't help
+    -- e.g. the skew is on the BUILD side of a shuffle join, or the
+    join feeds a window that pins partitioning. Cost: dim side scans
+    ``buckets`` x (bounded, broadcast-sized replication)."""
+    s = skewed.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)),
+    )
+    d = dim.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>")),
+    )
+    return s.join(d, on=[key, "_salt"], how=how).drop("_salt")

@@ -202,3 +202,31 @@ def test_streaming_dedup_resumes_from_checkpoint(spark, sf_small, tmp_path):
     assert n_after_first < final.count() == want
     # no hash screened twice (re-processing would duplicate rows)
     assert final.groupBy("content_hash").count().filter("count > 1").count() == 0
+
+
+def test_salted_join_equals_plain_join(spark, sf_small):
+    """The salted (replicate-dim) join must return exactly the plain
+    equi-join's multiset of rows -- salting redistributes work, never
+    changes semantics."""
+    from dgraph_etl_spark.pipeline.edges import salted_join
+
+    register_views(spark, sf_small)
+    li = spark.table("lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_linenumber"
+    )
+    o = spark.table("orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    plain = (
+        li.join(o, "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    salted = (
+        salted_join(li, o, "k", buckets=8)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
