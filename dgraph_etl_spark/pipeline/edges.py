@@ -32,23 +32,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def explode_bidirectional(rel: DataFrame) -> DataFrame:
+def explode_bidirectional(
+    rel: DataFrame, bulk_convention: bool = False
+) -> DataFrame:
     """A9+A10: relationship stream -> directed scored edge stream.
 
     Input schema: from_person_id, to_person_id, raw_score_in,
     raw_score_out (+ passthrough ignored). Output: src, dst, score.
+
+    ``bulk_convention=True`` reproduces the bulk binary's REVERSED
+    facet assignment ((from->to) carries raw_score_out,
+    cmd/bulk/main.go:321-328) -- the two reference binaries genuinely
+    disagree; default is the live path (dgraph.go:306-335).
     """
+    in_score = F.col("raw_score_in").cast("double")
+    out_score = F.col("raw_score_out").cast("double")
+    fwd, bwd = (
+        (out_score, in_score) if bulk_convention else (in_score, out_score)
+    )
     edge = F.explode(
         F.array(
             F.struct(
                 F.col("from_person_id").alias("src"),
                 F.col("to_person_id").alias("dst"),
-                F.col("raw_score_in").cast("double").alias("score"),
+                fwd.alias("score"),
             ),
             F.struct(
                 F.col("to_person_id").alias("src"),
                 F.col("from_person_id").alias("dst"),
-                F.col("raw_score_out").cast("double").alias("score"),
+                bwd.alias("score"),
             ),
         )
     ).alias("e")

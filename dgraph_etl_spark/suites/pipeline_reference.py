@@ -163,6 +163,29 @@ def a08_team_members(spark, sf_dir):
     )
 
 
+_EXPLODED_BULK = """
+    SELECT from_person_id AS src, to_person_id AS dst,
+           CAST(raw_score_out AS DOUBLE) AS score, last_update
+    FROM user_relationship
+    UNION ALL
+    SELECT to_person_id, from_person_id,
+           CAST(raw_score_in AS DOUBLE), last_update
+    FROM user_relationship
+"""
+
+
+@register(
+    "a09_explode_bulkdir",
+    V(f"SELECT src, dst, score FROM ({_EXPLODED_BULK}) e"),
+)
+def a09_explode_bulkdir(spark, sf_dir):
+    """A9 under the BULK binary's reversed facet convention
+    ((from->to) carries raw_score_out, cmd/bulk/main.go:321-328). The
+    reference's two binaries disagree on edge direction; the engine
+    supports both, each pinned by its own oracle."""
+    return E.explode_bidirectional(_ur(spark, sf_dir), bulk_convention=True)
+
+
 @register("a09_explode_bidirectional", V(f"SELECT src, dst, score FROM ({_EXPLODED}) e"))
 def a09_explode_bidirectional(spark, sf_dir):
     """A9+A10: record -> two directed edges, one narrow explode pass."""
