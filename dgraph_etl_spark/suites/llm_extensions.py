@@ -620,6 +620,118 @@ def c13_token_budget_pack(spark, sf_dir):
 
 
 @register(
+    "c17_full_curation",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang AS blk, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, blk,
+             list_distinct([array_to_string(t[i:i+1], ' ')
+                            for i in range(1, greatest(len(t) - 1, 1) + 1)]) AS gs
+      FROM toks
+    ),
+    exploded AS (SELECT doc_id, blk, unnest(gs) AS g FROM grams),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exploded GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.blk = b.blk AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(n_common / (sa.sz + sb.sz - n_common), 4) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             COALESCE(LEAST(d.doc_id, MIN(r.v)), d.doc_id) AS component
+      FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    quality AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars_a,
+             length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS alpha
+      FROM documents
+    ),
+    lang AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text,' '),
+            t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))
+            AS h_en,
+        len(list_filter(string_split(text,' '),
+            t -> list_contains(['el','la','de','y','en','es','un','una','por','que'], t)))
+            AS h_es,
+        len(list_filter(string_split(text,' '),
+            t -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','auf'], t)))
+            AS h_de
+      FROM documents
+    )
+    SELECT q.doc_id, q.n_tokens,
+           CASE WHEN greatest(h_en, h_es, h_de) = 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_es, h_de) THEN 'en'
+                WHEN h_es = greatest(h_en, h_es, h_de) THEN 'es'
+                ELSE 'de' END AS lang_guess,
+           CASE WHEN substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 2) < '0d'
+                    THEN 'test'
+                WHEN substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 2) < '1a'
+                    THEN 'val'
+                ELSE 'train' END AS split
+    FROM quality q
+    JOIN comp ON comp.doc_id = q.doc_id
+    JOIN lang l ON l.doc_id = q.doc_id
+    WHERE comp.component = q.doc_id
+      AND q.n_tokens >= 5
+      AND (q.n_chars_a - q.alpha) / q.n_chars_a <= 0.5
+      AND greatest(h_en, h_es, h_de) > 0
+    """,
+)
+def c17_full_curation(spark, sf_dir):
+    """The capstone curation flow, every stage previously verified on
+    its own: keep a document iff it is the CANONICAL of its near-dup
+    cluster (component id == own id; exact dups collapse too, since
+    identical texts are jaccard-1 pairs), passes the quality gate,
+    is language-identifiable, and gets its deterministic split label.
+    Plan shape at scale: the pair graph + label propagation dominate;
+    the gates are per-row expressions fused into one pass; the final
+    join set is broadcast-size (cluster canonicals)."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, n=2, block_col="lang", threshold=0.5)
+    comp = D.neardup_components(docs, pairs)
+    canonical = comp.filter(F.col("component") == F.col("doc_id")).select(
+        "doc_id"
+    )
+    quality = X.quality_score(docs).select(
+        "doc_id", "n_tokens", "non_alpha_ratio"
+    )
+    lang = X.language_id(docs).select("doc_id", "lang_guess")
+    split = X.hash_split(docs).select("doc_id", "split")
+    return (
+        quality.join(F.broadcast(canonical), "doc_id", "left_semi")
+        .join(lang, "doc_id")
+        .join(split, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 5)
+            & (F.col("non_alpha_ratio") <= 0.5)
+            & (F.col("lang_guess") != "und")
+        )
+        .select("doc_id", "n_tokens", "lang_guess", "split")
+    )
+
+
+@register(
     "c16_table_profile",
     """
     SELECT COUNT(*) AS n_rows,
