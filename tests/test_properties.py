@@ -204,3 +204,43 @@ def test_c02_lsh_recall_of_true_neardups(spark):
     }
     assert truth, "fixture lost its planted near-duplicates"
     assert truth <= lsh, f"LSH missed true pairs: {sorted(truth - lsh)}"
+
+
+_doclens = st.lists(st.integers(1, 500), min_size=1, max_size=60)
+
+
+@given(_doclens, st.integers(1, 5000))
+@_settings
+def test_c13_banded_pack_equals_naive_global_window(spark, lens, budget):
+    """token_budget_pack's banded distributed prefix sum must equal the
+    naive single-partition global running sum for ANY length profile
+    and budget (ties, empty bands, budget beyond the corpus, ...)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dgraph_etl_spark.functions.text import token_budget_pack
+
+    rows = [
+        (i, " ".join(["w"] * max(1, ln // 2)), ln)
+        for i, ln in enumerate(lens)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    got = {
+        r.doc_id: (r.n_tokens, r.cum_tokens)
+        for r in token_budget_pack(docs, budget).collect()
+    }
+    naive_w = W.orderBy(F.desc("n_chars"), "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    naive = {
+        r.doc_id: (r.n_tokens, r.cum)
+        for r in docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            "n_chars",
+        )
+        .withColumn("cum", F.sum("n_tokens").over(naive_w))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    assert got == naive
