@@ -182,3 +182,13 @@ def test_ivf_persisted_equals_in_memory_ivf(spark, sf_small):
     a = REGISTRY["c04_ivf_persisted"].fn(spark, sf_small).collect()
     b = REGISTRY["c04_ivf_topk"].fn(spark, sf_small).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_incremental_dedup_screens_are_joins_not_products(spark, sf_small):
+    """C15 scale contract: both screens (exact hash, fuzzy jaccard)
+    must be equi-joins/anti-joins -- a nested-loop or cartesian product
+    means a screen degenerated to batch x corpus pairwise work."""
+    plan = plan_of(spark, sf_small, "c15_incremental_dedup")
+    assert "Join LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
