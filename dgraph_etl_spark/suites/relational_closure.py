@@ -568,6 +568,31 @@ def b20_ranking(spark, sf_dir):
 
 
 @register(
+    "b20_distribution_ranks",
+    """
+    SELECT s_suppkey, s_nationkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def b20_distribution_ranks(spark, sf_dir):
+    """B20 (distribution form): percent_rank / cume_dist per nation --
+    exact integer rank and count with ONE IEEE division each, so the
+    doubles hash-match cross-engine. Partitioned window (parallel per
+    nation), not a global order."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Wnd.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
     "b21_lag_lead",
     """
     SELECT o_custkey, o_orderkey,
