@@ -1094,6 +1094,33 @@ def b34_casts(spark, sf_dir):
 
 
 @register(
+    "b29_unpivot",
+    """
+    SELECT o_orderkey, 'o_totalprice' AS measure, o_totalprice AS value
+    FROM orders WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS DOUBLE)
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def b29_unpivot(spark, sf_dir):
+    """Unpivot/melt (pivot's dual): wide measures -> long (measure,
+    value) rows via the native unpivot operator -- a narrow transform
+    (no shuffle), vs. the oracle's UNION-of-selects which scans twice."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "o_custkey"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@register(
     "b29_pivot",
     """
     SELECT l_returnflag,
