@@ -244,3 +244,55 @@ def test_c13_banded_pack_equals_naive_global_window(spark, lens, budget):
         .collect()
     }
     assert got == naive
+
+
+_groups = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(1, 400)),  # (source, n_chars)
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(_groups)
+@_settings
+def test_c14_integer_ztest_equals_reference(spark, rows):
+    """The integer-exact z-test (n*x - s)^2 > 4*(n*ss - s^2) must equal
+    the |z| > 2 outlier flag computed in exact arithmetic per group --
+    including sigma=0 groups (all-equal values are never outliers)."""
+    docs = spark.createDataFrame(
+        [(i, f"src{g}", ln) for i, (g, ln) in enumerate(rows)],
+        ["doc_id", "source", "n_chars"],
+    )
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("source")
+    x = F.col("n_chars")
+    n, s, ss = (
+        F.count(F.lit(1)).over(w),
+        F.sum(x).over(w),
+        F.sum(x * x).over(w),
+    )
+    d = n * x - s
+    got = {
+        r.doc_id: r.is_outlier
+        for r in docs.select(
+            "doc_id", (d * d > 4 * (n * ss - s * s)).alias("is_outlier")
+        ).collect()
+    }
+
+    # exact-fraction reference: |x - mean| > 2*sigma  <=>
+    # (x - S/N)^2 > 4*(SS/N - (S/N)^2), scaled by N^2 to stay integral
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for i, (g, ln) in enumerate(rows):
+        by_src[g].append((i, ln))
+    want = {}
+    for g, members in by_src.items():
+        N = len(members)
+        S = sum(ln for _, ln in members)
+        SS = sum(ln * ln for _, ln in members)
+        for i, ln in members:
+            want[i] = (N * ln - S) ** 2 > 4 * (N * SS - S * S)
+    assert got == want
