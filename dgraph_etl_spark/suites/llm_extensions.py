@@ -732,6 +732,54 @@ def c17_full_curation(spark, sf_dir):
 
 
 @register(
+    "c18_stopword_ratio_by_lang",
+    """
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text, ' '), t -> list_contains(
+             CASE lang
+               WHEN 'en' THEN ['the','a','of','and','to','in','is','it','for','on']
+               WHEN 'es' THEN ['el','la','de','y','en','es','un','una','por','que']
+               WHEN 'de' THEN ['der','die','das','und','ist','ein','zu','mit','von','auf']
+               ELSE []
+             END, t))) AS BIGINT) AS sw_hits,
+           ROUND(len(list_filter(string_split(text, ' '), t -> list_contains(
+             CASE lang
+               WHEN 'en' THEN ['the','a','of','and','to','in','is','it','for','on']
+               WHEN 'es' THEN ['el','la','de','y','en','es','un','una','por','que']
+               WHEN 'de' THEN ['der','die','das','und','ist','ein','zu','mit','von','auf']
+               ELSE []
+             END, t))) / len(string_split(text, ' ')), 6) AS sw_ratio
+    FROM documents
+    """,
+)
+def c18_stopword_ratio_by_lang(spark, sf_dir):
+    """C18: language-AWARE stopword ratio -- each document scored
+    against ITS OWN language's stopword list (an English-only list
+    penalizes every non-English doc; this is the fluency signal a
+    multilingual quality gate actually needs). Pure per-row array
+    expressions dispatched by the lang column; no shuffle."""
+    docs = _docs(spark, sf_dir)
+    from ..functions.text import STOPWORDS, tokens
+
+    def hits_for(lang: str):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(tokens(), lambda t: F.array_contains(arr, t)))
+
+    sw = (
+        F.when(F.col("lang") == "en", hits_for("en"))
+        .when(F.col("lang") == "es", hits_for("es"))
+        .when(F.col("lang") == "de", hits_for("de"))
+        .otherwise(F.lit(0))
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "lang",
+        sw.alias("sw_hits"),
+        F.round(sw / F.size(tokens()), 6).alias("sw_ratio"),
+    )
+
+
+@register(
     "c16_table_profile",
     """
     SELECT COUNT(*) AS n_rows,
