@@ -26,9 +26,10 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strongest-connected
     trove users (scan -> derived edge stream -> explode -> max-agg ->
     semi-join -> hash agg -> top-k). Driver checks rows > 0."""
-    from dgraph_etl_spark.suites.graph_traversal import g07_top_connections
-
-    return g07_top_connections(spark, "/root/testdata/sf0.001")
+    # Resolve through the registry (NOT a direct suite import) so suite
+    # registration happens in registry._load_suites' canonical order even
+    # when entry() runs before queries().
+    return registry.queries()["g07_top_connections"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

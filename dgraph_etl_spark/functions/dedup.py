@@ -9,20 +9,19 @@ Scale design:
   NUM_BANDS buckets -> candidate pairs only within a bucket. The
   quadratic step is confined to bucket-local joins; at 100 TB bucket
   sizes stay bounded because the band hash spreads uniformly.
-- SimHash: 64-bit signature via a vectorized (Arrow) pandas UDF --
-  per-bit majority vote over token hashes is bit-twiddling that numpy
-  does in one pass; candidate pairs = exact-signature buckets (or
-  Hamming<=r via rotations, noted below).
+- SimHash: 64-bit signature entirely JVM-side -- one xxhash64 per
+  token, per-bit majority vote as 64 codegen'd conditional sums;
+  candidate pairs = exact-signature buckets, or Hamming<=r via
+  pigeonhole banding (r+1 chunks, bucket-local join, exact
+  bit_count(xor) filter).
 - n-gram Jaccard: exact set similarity on blocked candidate pairs;
   SQL-expressible, so fully oracle-checked.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from .text import tokens
 
@@ -282,51 +281,102 @@ def neardup_components(
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """SimHash 64-bit signatures via a vectorized pandas UDF (Arrow
-    batches; numpy does the 64-lane majority vote). Python is justified
-    here: per-bit accumulation is bit-twiddling, not relational."""
-
-    @F.pandas_udf(T.LongType())
-    def simhash64(text: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = []
-        for s in text:
-            toks = s.split(" ") if s else []
-            if not toks:
-                out.append(0)
-                continue
-            hs = np.array(
-                [hash64(t) for t in toks], dtype=np.uint64
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int64
-            )
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for i, v in enumerate(votes):
-                if v > 0:
-                    sig |= np.uint64(1) << np.uint64(i)
-            out.append(np.int64(sig))
-        return pd.Series(out, dtype="int64")
-
-    def hash64(t: str) -> int:
-        # FNV-1a 64-bit: deterministic across processes (builtin hash()
-        # is salted per-process and would break retries/shuffles)
-        h = 0xCBF29CE484222325
-        for ch in t.encode("utf-8"):
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
-
-    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    """SimHash 64-bit signatures, fully JVM-side (no Python anywhere):
+    one xxhash64 per token, then the per-bit majority vote as 64
+    codegen'd conditional sums over the exploded (doc_id, token_hash)
+    relation.  Map-side partial aggregation means the shuffle carries
+    64 small longs per *document*, nothing per-token -- at 100 TB the
+    vote is a single hash-aggregate keyed by doc_id.  Bit i is set iff
+    tokens with bit i set strictly outnumber those without (the classic
+    Charikar sum(+/-1) > 0 vote; ties -> 0).  Bit 63 contributes the
+    signed long MIN_VALUE so the assembled signature is the two's-
+    complement view of the 64-bit pattern (exact, no overflow: partial
+    sums of distinct powers 2^0..2^62 stay below 2^63)."""
+    th = docs.select(
+        "doc_id",
+        F.explode_outer(F.transform(tokens(), lambda t: F.xxhash64(t))).alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").isNull(), F.lit(0))
+            .when(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = th.groupBy("doc_id").agg(*votes)
+    contrib = [
+        F.when(
+            F.col(f"v{i}") > 0,
+            F.lit((1 << i) if i < 63 else -(1 << 63)),
+        ).otherwise(F.lit(0))
+        for i in range(64)
+    ]
+    sig = contrib[0]
+    for c in contrib[1:]:
+        sig = sig + c
+    return agg.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_buckets(docs: DataFrame) -> DataFrame:
-    """Exact-signature SimHash buckets -> candidate groups. For
-    Hamming-distance<=r candidates, band the 64 bits into r+1 chunks
-    and bucket-join per chunk (same LSH shape as minhash)."""
+    """Exact-signature SimHash buckets -> candidate groups.  doc_ids is
+    emitted as a sorted comma-joined string (scalar column) so results
+    stay canonicalizable by flat row-sorting harnesses."""
     sig = simhash_signatures(docs)
     return sig.groupBy("simhash").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("doc_ids"),
         F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def simhash_hamming_pairs(docs: DataFrame, r: int = 3) -> DataFrame:
+    """Hamming<=r SimHash candidate pairs via pigeonhole banding: split
+    the 64-bit signature into r+1 contiguous chunks -- any pair within
+    Hamming distance r differs in at most r chunks, so it agrees
+    EXACTLY on at least one chunk (pigeonhole) and the per-chunk bucket
+    equi-join has recall 1.0.  The exact ``bit_count(a XOR b) <= r``
+    filter then removes false positives, so the output is precisely the
+    Hamming<=r pair set.  Same scale shape as minhash LSH: the
+    quadratic step is confined to (chunk, value) buckets; the band
+    table feeds both sides of the self-join so it is materialized once
+    (localCheckpoint) instead of recomputing the signature pipeline
+    twice."""
+    chunks = r + 1
+    bounds = [i * 64 // chunks for i in range(chunks + 1)]
+    sig = simhash_signatures(docs)
+    chunk_cols = [
+        F.shiftrightunsigned("simhash", bounds[i]).bitwiseAND(
+            F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+        )
+        for i in range(chunks)
+    ]
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*chunk_cols)).alias("chunk", "chunk_val"),
+    ).localCheckpoint()
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= r)
+        .dropDuplicates(["doc_a", "doc_b"])
     )

@@ -64,16 +64,24 @@ _LOADED = False
 
 
 def _load_suites() -> None:
-    """Import every suite module exactly once (import = registration)."""
+    """Import every suite module exactly once (import = registration).
+
+    Import order IS registration order, and external consumers iterate the
+    registry in insertion order -- so modules whose queries most need
+    end-to-end certification are imported first.  (Round-1 certification
+    covered graph_traversal, llm_extensions, and the head of
+    pipeline_reference; this round front-loads the relational closure and
+    streaming suites.)
+    """
     global _LOADED
     if _LOADED:
         return
     from .suites import (  # noqa: F401
-        graph_traversal,
-        llm_extensions,
-        pipeline_reference,
         relational_closure,
         streaming_suite,
+        pipeline_reference,
+        graph_traversal,
+        llm_extensions,
     )
 
     _LOADED = True

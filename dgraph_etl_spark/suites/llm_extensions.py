@@ -83,9 +83,20 @@ def c02_minhash_lsh_pairs(spark, sf_dir):
 
 @register("c02_simhash_buckets", None)
 def c02_simhash_buckets(spark, sf_dir):
-    """SimHash-64 signature buckets (vectorized pandas UDF; FNV-1a token
-    hash) -- rows-only."""
+    """SimHash-64 signature buckets (JVM xxhash64 token hashes + 64
+    codegen'd bit-vote sums; no Python) -- rows-only (the xxhash64 seed
+    is engine-specific). doc_ids is a sorted comma-joined string."""
     return D.simhash_buckets(_docs(spark, sf_dir))
+
+
+@register("c02_simhash_hamming_pairs", None)
+def c02_simhash_hamming_pairs(spark, sf_dir):
+    """SimHash Hamming<=3 near-dup pairs: pigeonhole banding (4 16-bit
+    chunks -> bucket-local join) + exact bit_count(xor) filter, so the
+    output is exactly the Hamming<=3 pair set -- rows-only (signature
+    depends on xxhash64); exactness vs brute-force is property-tested
+    (tests/test_properties.py)."""
+    return D.simhash_hamming_pairs(_docs(spark, sf_dir), r=3)
 
 
 @register(
@@ -456,22 +467,26 @@ def c07_fingerprint(spark, sf_dir):
     "c06_length_percentiles",
     """
     SELECT lang,
-           quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS length_pcts,
+           ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
+           ROUND(quantile_cont(n_chars, 0.90), 4) AS p90,
+           ROUND(quantile_cont(n_chars, 0.99), 4) AS p99,
            COUNT(*) AS n_docs
     FROM documents GROUP BY lang
     """,
 )
 def c06_length_percentiles(spark, sf_dir):
     """C6: corpus length distribution per language — exact percentiles
-    (p50/p90/p99). Spark's percentile and DuckDB's quantile_cont use
-    the same type-7 linear interpolation, verified bit-identical. At
-    100 TB switch to percentile_approx (t-digest sketch, mergeable,
-    one pass) and accept the documented error bound."""
+    emitted as SCALAR columns p50/p90/p99 (array outputs break flat
+    row-sorting canonicalizers). Spark's percentile and DuckDB's
+    quantile_cont use the same type-7 linear interpolation; a 4-dp
+    round on both sides absorbs any last-ulp difference. At 100 TB
+    switch to percentile_approx (t-digest sketch, mergeable, one pass)
+    and accept the documented error bound."""
     docs = _docs(spark, sf_dir)
     return docs.groupBy("lang").agg(
-        F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))").alias(
-            "length_pcts"
-        ),
+        F.round(F.expr("percentile(n_chars, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.90)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 
@@ -1035,10 +1050,30 @@ def c09_multimodal_meta(spark, sf_dir):
     return M.metadata_only_stats(M.to_media_table(_docs(spark, sf_dir)))
 
 
-@register("c09_multimodal_features", None)
+@register(
+    "c09_multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS DOUBLE) AS f0,
+           CAST(ascii(left(text, 1)) AS DOUBLE) AS f1,
+           CAST(ascii(right(text, 1)) AS DOUBLE) AS f2
+    FROM documents
+    """,
+)
 def c09_multimodal_features(spark, sf_dir):
     """C9: decode + feature-extract plumbing over Arrow batches
-    (mapInPandas); stub decoder (real codecs absent in container) --
-    rows-only; batch/schema/size behavior asserted in tests."""
+    (mapInPandas); stub decoder (real codecs absent in container).
+    Features are flattened to scalar columns f0/f1/f2, which makes the
+    stub decoder fully oracle-checkable: f0 = blob length, f1/f2 =
+    first/last byte (the fixture text is pure ASCII, so DuckDB's
+    ascii(left/right(text,1)) reproduces them exactly)."""
     media = M.to_media_table(_docs(spark, sf_dir))
-    return M.extract_features(media)
+    feats = M.extract_features(media)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.col("feature")[0].alias("f0"),
+        F.col("feature")[1].alias("f1"),
+        F.col("feature")[2].alias("f2"),
+    )

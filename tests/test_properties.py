@@ -206,6 +206,49 @@ def test_c02_lsh_recall_of_true_neardups(spark):
     assert truth <= lsh, f"LSH missed true pairs: {sorted(truth - lsh)}"
 
 
+def test_c02_simhash_hamming_pairs_exact(spark):
+    """simhash_hamming_pairs must equal EXACTLY the brute-force
+    Hamming<=r pair set over the signatures: pigeonhole banding
+    guarantees recall 1.0 (a pair differing in <=r bits agrees on one
+    of the r+1 chunks), and the bit_count(xor)<=r filter guarantees
+    precision 1.0."""
+    from dgraph_etl_spark.catalog import load_table
+    from dgraph_etl_spark.functions import dedup as D
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sigs = {r.doc_id: r.simhash for r in D.simhash_signatures(docs).collect()}
+    ids = sorted(sigs)
+    r = 3
+    mask = 0xFFFFFFFFFFFFFFFF
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & mask).count("1") <= r
+    }
+    got = {
+        (p.doc_a, p.doc_b)
+        for p in D.simhash_hamming_pairs(docs, r=r).collect()
+    }
+    assert truth, "fixture has no Hamming<=3 pairs -- test is vacuous"
+    assert got == truth, (
+        f"missing={sorted(truth - got)[:5]} extra={sorted(got - truth)[:5]}"
+    )
+
+
+def test_c02_simhash_is_python_free(spark):
+    """The SimHash vote must stay entirely JVM-side: no
+    BatchEvalPython / ArrowEvalPython node may appear in the plan
+    (the round-1 pandas-UDF FNV loop was the repo's only
+    row-at-a-time Python hot path)."""
+    from dgraph_etl_spark.catalog import load_table
+    from dgraph_etl_spark.functions import dedup as D
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = D.simhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+
+
 _doclens = st.lists(st.integers(1, 500), min_size=1, max_size=60)
 
 
