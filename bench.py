@@ -42,6 +42,8 @@ HEADLINE = [
     "c07_term_stats",         # explode + two-level agg
     "b46_funnel_steps",       # event-sequence funnel, one exchange
     "c13_token_budget_pack",  # distributed prefix sum
+    "b44_asof_join",          # as-of join (union carry-forward)
+    "b45_sessionize",         # gap-based sessionization, one exchange
 ]
 
 

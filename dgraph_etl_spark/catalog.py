@@ -80,9 +80,24 @@ def _compacted_source(spark: SparkSession, sf_dir: str, name: str) -> str | None
             f"{tag}_{name}_{st.st_mtime_ns}_{st.st_size}_{n_cores}",
         )
         if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+            # Concurrent sessions (bench + pytest, pytest-xdist) may race
+            # here: write to a unique temp dir and atomically rename into
+            # dest -- first rename wins, losers discard their copy. A
+            # check-then-write into dest directly could interleave one
+            # job's delete with another's write and leave a mixed file set.
+            import shutil
+            import uuid
+
+            tmp = f"{dest}.tmp.{uuid.uuid4().hex[:8]}"
             spark.read.parquet(src).repartition(n_cores).write.mode(
                 "overwrite"
-            ).parquet(dest)
+            ).parquet(tmp)
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+                    return None  # losing racer + unusable dest -> raw source
         return dest
     except Exception:
         return None  # any surprise -> fall back to the raw source

@@ -277,6 +277,17 @@ def neardup_components(
         labels = stepped.select("doc_id", "component")
         if stepped.agg(F.max("changed")).first()[0] is not True:
             break
+    else:
+        # Exhausting max_iter with changes still flowing means some
+        # component's diameter exceeds max_iter: the stale labels would
+        # silently under-dedup downstream (canonical-doc filters keep
+        # extra near-duplicates with no signal). Fail loudly instead.
+        raise RuntimeError(
+            f"neardup_components did not converge within {max_iter} "
+            f"iterations -- a component's diameter exceeds max_iter; "
+            f"raise max_iter (propagation moves the min label one hop "
+            f"per round)"
+        )
     return labels
 
 

@@ -1,0 +1,69 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB curation job can't use ``df.sample`` for holdouts or ablation
+subsets: Spark's sampler is seeded per-partition, so the kept set
+changes under repartitioning, task retries, or an input re-layout.
+These operators sample by CONTENT HASH (md5 of a stable key), which
+makes the sample a pure function of the data: stable across runs,
+engines, partitionings, and cluster sizes -- and reproducible in any
+SQL engine, so every query here is oracle-checked (the same guarantee
+`hash_split` gives train/val/test assignment; see text.hash_split).
+
+Mechanism: keep a row iff the first 8 hex chars of
+``md5(seed || key)`` -- a uniform 32-bit integer in hex -- fall below
+``rate * 16^8``. The threshold is computed once in Python and compared
+LEXICOGRAPHICALLY on the fixed-width hex prefix, so no engine-specific
+integer parsing is involved. Changing ``seed`` yields an independent
+sample; the same seed always yields the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_WIDTH = 8  # 32 bits of the md5 -> rate granularity 1/2^32
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """The 8-hex-char cut for a keep-rate in [0, 1]."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(int(rate * (16**_HEX_WIDTH)), f"0{_HEX_WIDTH}x")
+
+
+def _bucket(key: Column, seed: str) -> Column:
+    return F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, _HEX_WIDTH)
+
+
+def hash_sample(
+    df: DataFrame, key: str = "doc_id", rate: float = 0.25, seed: str = "s0"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep ~rate of rows, selected by
+    content hash of ``key``. Pure per-row expression -- no shuffle, no
+    state, no RNG; the kept set is identical on any engine and any
+    partitioning (oracle: the same md5 prefix comparison in SQL)."""
+    thr = rate_threshold_hex(rate)
+    return df.filter(_bucket(F.col(key), seed) < thr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    key: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling -- downsample over-represented
+    sources/languages to target rates in one narrow pass (the mixing
+    knob of a training-data pipeline; pair with source_quota for hard
+    caps). Each stratum gets its own threshold on the SAME hash, so
+    nested rates are consistent: a 10% sample is a subset of the 20%
+    sample of the same seed."""
+    thr = F.lit(rate_threshold_hex(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(rate_threshold_hex(rate))
+        ).otherwise(thr)
+    return df.filter(_bucket(F.col(key), seed) < thr)

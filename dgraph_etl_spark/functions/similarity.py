@@ -138,16 +138,120 @@ def blocked_similarity_join(
     )
 
 
+def srp_signatures(
+    emb: DataFrame,
+    n_planes: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection (SRP / random hyperplane) LSH signature:
+    bit p = sign(<v, r_p>) for n_planes Gaussian hyperplanes, the
+    classic cosine-LSH family (collision probability 1 - theta/pi).
+    The hyperplanes are generated ONCE on the driver from a fixed seed
+    and embedded as literal arrays, so the per-row work is n_planes
+    JVM-side dot products -- no Python, no shuffle, and the signature
+    is deterministic across runs/engines for a given seed. This is the
+    blocking key for near-dup search when NO natural block column
+    exists (blocked_similarity_join's `label` at 100 TB is exactly
+    this signature)."""
+    import numpy as np
+
+    first = emb.select(vec_col).first()
+    dim = len(first[0])
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    base = emb.select("vec_id", vec_col, as_double_array(vec_col).alias("_v"))
+    bits = []
+    for p in range(n_planes):
+        lits = F.array(*[F.lit(float(x)) for x in planes[p]])
+        bits.append(
+            F.when(dot(F.col("_v"), lits) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return base.select("vec_id", vec_col, sig.alias("srp_sig"))
+
+
+def srp_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_bands: int = 2,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via SRP-LSH banding + exact
+    re-rank: band the n_planes signature bits into n_bands chunks,
+    bucket-join per (band, value), then keep candidates whose EXACT
+    cosine clears the threshold. Precision is 1.0 by construction (the
+    final filter is exact); recall is the LSH trade-off (1 - (1 -
+    p^bits_per_band)^n_bands, p = 1 - theta/pi) -- tested empirically
+    on the fixture. The quadratic step is confined to signature
+    buckets: at 100 TB this replaces blocked_similarity_join's natural
+    block key, and the band table feeds both join sides so it is
+    materialized once (localCheckpoint)."""
+    bits_per_band = n_planes // n_bands
+    mask = (1 << bits_per_band) - 1
+    sig = srp_signatures(emb, n_planes, seed, vec_col)
+    bands = sig.select(
+        "vec_id",
+        vec_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("srp_sig", b * bits_per_band).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    ).localCheckpoint()
+    a = bands.alias("a")
+    b = bands.alias("b")
+    sim = F.round(
+        cosine(as_double_array("a." + vec_col), as_double_array("b." + vec_col)), 4
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 def build_ivf_index(emb: DataFrame, path: str) -> None:
     """C4 index build: persist the corpus PARTITIONED BY cell id (here
     the label column; k-means cell assignment slots in identically).
     Probing then prunes unprobed cells at the file listing -- the scan
     never opens them. Build once, probe many: the index is a plain
-    partitioned table, no sidecar format."""
+    partitioned table, no sidecar format.
+
+    Concurrent builders race-safely: each writes a unique temp dir and
+    atomically renames into ``path`` (first rename wins; losers discard),
+    so a reader never observes a half-written index with _SUCCESS."""
     import os
+    import shutil
+    import uuid
 
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        emb.write.mode("overwrite").partitionBy("label").parquet(path)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        emb.write.mode("overwrite").partitionBy("label").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
 
 
 def ivf_persisted_topk(

@@ -250,8 +250,13 @@ def hash_split(
     Pure per-row expression: no shuffle, no state, scales linearly."""
     k = F.col(key) if isinstance(key, str) else key
     bucket = F.substring(F.md5(k.cast("string")), 1, 2)
+    # emit the split keyed by the ACTUAL key column (aliased to its own
+    # name), not a hardcoded doc_id -- a non-default key on a DataFrame
+    # without doc_id must still work and must pair the split with the
+    # right id
+    id_col = k.alias(key) if isinstance(key, str) else k
     return docs.select(
-        "doc_id",
+        id_col,
         bucket.alias("bucket"),
         F.when(bucket < test_hi, "test")
         .when(bucket < val_hi, "val")

@@ -85,9 +85,16 @@ def aggregate_max_salted(edges: DataFrame, buckets: int = 16) -> DataFrame:
     commutative so the re-aggregation is exact. Use when a handful of
     graph hubs dominate (power-law degree distributions) and AQE's
     skew handling isn't enough.
+
+    The salt is a hash of the PAYLOAD columns (not
+    monotonically_increasing_id, which is nondeterministic across stage
+    retries): a recomputed task reproduces the same salt for every row,
+    so shuffle partitioning is stable under speculative execution and
+    fetch-failure recomputes.
     """
     salted = edges.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in edges.columns]), F.lit(buckets)),
     )
     partial = salted.groupBy("src", "dst", "_salt").agg(F.max("score").alias("score"))
     return partial.groupBy("src", "dst").agg(F.max("score").alias("score"))
@@ -123,6 +130,23 @@ def argmax_row_per_edge(edges: DataFrame, *extra_cols: str) -> DataFrame:
     )
 
 
+# Join types for which salting is exact: the skewed row carries exactly
+# one salt (so skewed-side multiplicity and unmatched-left semantics are
+# preserved) and the dim side's multiplicity never reaches the output.
+# right/full outer are WRONG here: an unmatched dim row would surface
+# once per salt, i.e. `buckets` null-padded copies.
+_SALTED_JOIN_SAFE = {
+    "inner",
+    "left",
+    "left_outer",
+    "leftouter",
+    "left_semi",
+    "leftsemi",
+    "left_anti",
+    "leftanti",
+}
+
+
 def salted_join(
     skewed: DataFrame,
     dim: DataFrame,
@@ -130,19 +154,32 @@ def salted_join(
     buckets: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-proof equi-join: salt the SKEWED side's key with a random
-    bucket and replicate the other side once per bucket (explode of a
-    literal salt range), then join on (key, salt) -- a hub key's rows
-    spread over ``buckets`` tasks instead of hot-spotting one. Exact
-    for any join type that doesn't need the dim side's multiplicity
-    preserved (each dim row appears once per salt, and each skewed row
-    carries exactly one salt). Use when AQE's skew splitting can't help
-    -- e.g. the skew is on the BUILD side of a shuffle join, or the
-    join feeds a window that pins partitioning. Cost: dim side scans
-    ``buckets`` x (bounded, broadcast-sized replication)."""
+    """Skew-proof equi-join: salt the SKEWED side's key with a
+    deterministic bucket and replicate the other side once per bucket
+    (explode of a literal salt range), then join on (key, salt) -- a
+    hub key's rows spread over ``buckets`` tasks instead of
+    hot-spotting one. The salt is a hash of the skewed row's columns
+    (deterministic under stage retries, unlike
+    monotonically_increasing_id). Only left-preserving join types are
+    accepted (see _SALTED_JOIN_SAFE): a right/full outer join would
+    emit ``buckets`` null-padded copies of every unmatched dim row.
+    Use when AQE's skew splitting can't help -- e.g. the skew is on the
+    BUILD side of a shuffle join, or the join feeds a window that pins
+    partitioning. Cost: dim side scans ``buckets`` x (bounded,
+    broadcast-sized replication)."""
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SALTED_JOIN_SAFE
+    }:
+        raise ValueError(
+            f"salted_join is only exact for left-preserving joins "
+            f"{sorted(_SALTED_JOIN_SAFE)}; got how={how!r}"
+        )
+    for side, df in (("skewed", skewed), ("dim", dim)):
+        if "_salt" in df.columns:
+            raise ValueError(f"{side} input already has a _salt column")
     s = skewed.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)),
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(buckets)),
     )
     d = dim.withColumn(
         "_salt",

@@ -9,10 +9,14 @@ parallelism comes from partition predicates — ``predicates=[...]``
 gives one JDBC connection per partition, each shipping its own WHERE
 clause, so the scan is distributed without any router code.
 
-No database ships in this container, so ``read_jdbc`` is exercised for
-construction only; ``range_predicates`` (the part that replaces the
-reference's shard router) is pure and fully unit-tested, including the
-uint64 key space (2^63 splits exactly like bulk/main.go:234-249).
+``read_jdbc`` is exercised END-TO-END against Apache Derby (the
+embedded database bundled with Spark): tests write a table over JDBC,
+read it back through ``range_predicates`` partitions, and assert exact
+row recovery + one connection-partition per predicate
+(tests/test_sources_and_metrics.py). ``range_predicates`` (the part
+that replaces the reference's shard router) is additionally
+unit-tested pure, including the uint64 key space (2^63 splits exactly
+like bulk/main.go:234-249).
 """
 
 from __future__ import annotations

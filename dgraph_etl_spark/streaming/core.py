@@ -29,6 +29,16 @@ from ..catalog import pin_session_confs, table_path
 _MEM_IDS = itertools.count()
 
 
+def _source_tag(sf_dir: str, table: str) -> str:
+    """Scratch-dir key carrying SOURCE IDENTITY (mtime_ns + size), same
+    convention as catalog._compacted_source: a regenerated fixture under
+    the same directory name must never silently reuse stale staged
+    batches."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    st = os.stat(table_path(sf_dir, table))
+    return f"{tag}_{st.st_mtime_ns}_{st.st_size}"
+
+
 def events_schema(spark: SparkSession, sf_dir: str):
     """Schema for the streaming reader, taken from a batch peek (file
     streaming sources require an explicit schema — inference would scan
@@ -95,7 +105,7 @@ def late_data_source(sf_dir: str) -> str:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _source_tag(sf_dir, "events")
     d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_late3_{tag}")
     paths = [os.path.join(d, f"batch{i}.parquet") for i in (1, 2, 3)]
     if all(os.path.exists(p) for p in paths):
@@ -152,7 +162,7 @@ def docs_batched_source(sf_dir: str, n_batches: int = 3) -> tuple[str, str]:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _source_tag(sf_dir, "documents")
     d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_docs{n_batches}_{tag}")
     paths = [os.path.join(d, f"batch{i}.parquet") for i in range(n_batches)]
     if not all(os.path.exists(p) for p in paths):

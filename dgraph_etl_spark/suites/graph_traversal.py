@@ -170,6 +170,27 @@ def g09_triangle_count(spark, sf_dir):
 
 
 @register(
+    "g11_triangle_degree_oriented",
+    V("""
+      , und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst
+      )
+      SELECT COUNT(*) AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """),
+)
+def g11_triangle_degree_oriented(spark, sf_dir):
+    """Triangle count with degree-based orientation (hub-safe wedge
+    fan-out, O(sqrt(m)) oriented out-degree) -- same count as g09 by
+    construction, so it shares g09's lexicographic SQL oracle."""
+    edges, _, _ = _graph_inputs(spark, sf_dir)
+    return G.triangle_count_degree_oriented(edges)
+
+
+@register(
     "g07_top_connections",
     V("""
       SELECT src AS person_id,
@@ -205,12 +226,55 @@ def g07_top_connections(spark, sf_dir):
     )
 
 
-@register("g10_pagerank", None)
+def _pagerank_oracle_sql(n_iter: int = 10, d: float = 0.85) -> str:
+    """Fixed-iteration PageRank as UNROLLED chained CTEs (r1..rN) --
+    no recursion, so any ANSI engine runs it. Mirrors traverse.pagerank
+    term-for-term in the SAME association order ((base + dangling) +
+    in_share, (d*mass)/n, rank/od) so the only cross-engine difference
+    is SUM accumulation order; a 6-dp final round absorbs it."""
+    # AS MATERIALIZED is load-bearing: each r_i references r_{i-1} twice
+    # (dangling-mass subquery + in-share join); DuckDB inlines plain CTEs,
+    # which would expand the chain to 2^n copies of the base scan.
+    parts = [
+        """
+, nodes AS MATERIALIZED (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+ncnt AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS od FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM ncnt) AS rank FROM nodes)
+"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+, r{i} AS MATERIALIZED (
+    SELECT n.node,
+           (1.0 - {d}) / (SELECT n FROM ncnt)
+           + {d} * (SELECT COALESCE(SUM(r.rank), 0.0)
+                    FROM r{i - 1} r LEFT JOIN outdeg o ON r.node = o.node
+                    WHERE o.node IS NULL) / CAST((SELECT n FROM ncnt) AS DOUBLE)
+           + {d} * COALESCE(c.in_share, 0.0) AS rank
+    FROM nodes n
+    LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank / o.od) AS in_share
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN outdeg o ON e.src = o.node
+        GROUP BY e.dst
+    ) c ON n.node = c.node
+)
+""")
+    parts.append(f"SELECT node, ROUND(rank, 6) AS rank FROM r{n_iter}")
+    return V("".join(parts))
+
+
+@register("g10_pagerank", _pagerank_oracle_sql())
 def g10_pagerank(spark, sf_dir):
     """Graph analytics beyond the reference: 10-iteration PageRank over
     the directed edge graph (damping 0.85, dangling mass redistributed;
-    ranks sum to 1). Rows-only: float accumulation order is
-    engine-specific; exactness is covered by unit tests on closed-form
-    graphs (cycle = uniform, star = known split)."""
+    ranks sum to 1). Oracle: the same fixed power iteration unrolled as
+    chained SQL CTEs, both sides rounded to 6 dp (absorbs SUM
+    accumulation-order ulps); closed-form unit tests (cycle = uniform,
+    star = known split) pin the semantics independently."""
     edges, _, _ = _graph_inputs(spark, sf_dir)
-    return G.pagerank(edges, n_iter=10)
+    return G.pagerank(edges, n_iter=10, round_dp=6)

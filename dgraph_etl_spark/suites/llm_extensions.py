@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..catalog import register_views
 from ..functions import dedup as D
 from ..functions import multimodal as M
+from ..functions import sampling as SP
 from ..functions import similarity as S
 from ..functions import text as X
 from ..registry import register
@@ -280,8 +281,15 @@ def c04_ivf_persisted(spark, sf_dir):
     import os
     import tempfile
 
+    # Key the index path by source identity (mtime_ns + size), matching
+    # catalog._compacted_source: a regenerated fixture under the same dir
+    # name must NOT silently reuse a stale index.
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"dgraph_etl_ivf_{tag}")
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dgraph_etl_ivf_{tag}_{st.st_mtime_ns}_{st.st_size}",
+    )
     return S.ivf_persisted_topk(
         spark, _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10, path=path
     )
@@ -632,6 +640,72 @@ def c13_token_budget_pack(spark, sf_dir):
     window; the oracle's naive OVER (ORDER BY ...) is the semantic
     spec, not the physical plan."""
     return X.token_budget_pack(_docs(spark, sf_dir), budget=15000)
+
+
+_SAMPLE_THR_25 = SP.rate_threshold_hex(0.25)
+_STRAT_RATES = {"en": 0.5, "es": 0.25}
+_STRAT_DEFAULT = 0.1
+
+
+@register(
+    "c19_hash_sample",
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < '{_SAMPLE_THR_25}'
+    """,
+)
+def c19_hash_sample(spark, sf_dir):
+    """C19: deterministic Bernoulli sample (keep ~25%) by content hash
+    of doc_id -- the sample is a pure function of the data, stable
+    under repartitioning/retries/engines (df.sample is none of these:
+    its RNG is seeded per-partition). Pure per-row filter: no shuffle,
+    no state; oracle = the same md5-prefix cut in SQL."""
+    return SP.hash_sample(
+        _docs(spark, sf_dir), key="doc_id", rate=0.25, seed="s0"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "c19_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE WHEN lang = 'es' THEN '{SP.rate_threshold_hex(0.25)}'
+               WHEN lang = 'en' THEN '{SP.rate_threshold_hex(0.5)}'
+               ELSE '{SP.rate_threshold_hex(0.1)}' END
+    """,
+)
+def c19_stratified_sample(spark, sf_dir):
+    """C19: per-stratum deterministic downsampling (en 50%, es 25%,
+    rest 10%) -- the training-mix rebalancing knob. Same hash as
+    c19_hash_sample, so samples at different rates are NESTED (a 25%
+    sample is a subset of the 50% one): ablation subsets stay
+    comparable."""
+    return SP.stratified_hash_sample(
+        _docs(spark, sf_dir),
+        strata_col="lang",
+        rates=_STRAT_RATES,
+        default_rate=_STRAT_DEFAULT,
+        key="doc_id",
+        seed="s0",
+    ).select("doc_id", "lang")
+
+
+@register("c20_srp_neardup", None)
+def c20_srp_neardup(spark, sf_dir):
+    """C20: embedding near-dup pairs via signed-random-projection LSH
+    (cosine LSH family) + exact re-rank -- the scale path when no
+    natural block column exists. Precision 1.0 by construction (exact
+    cosine filter); recall is the banding trade-off, measured >=0.97 on
+    the fixture in tests/test_properties.py. Banding is tuned to the
+    similarity regime: the fixture's planted pairs sit near tau=0.4
+    (collision prob ~0.63/bit), so 8 bands x 2 bits; a production
+    near-dup screen at tau>=0.9 (~0.86/bit) wants fewer, wider bands
+    (e.g. 2 x 8). Rows-only: hyperplane signs aren't SQL-expressible."""
+    return S.srp_neardup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, n_planes=16, n_bands=8, seed=7
+    )
 
 
 @register(

@@ -141,6 +141,18 @@ def test_hash_split_zero_exchange(spark, sf_small):
     assert ") Exchange" not in plan, plan
 
 
+def test_hash_split_respects_custom_key(spark):
+    """A non-default key on a DataFrame WITHOUT doc_id must work and
+    pair the split with that key's values (regression: the output
+    select once hardcoded doc_id)."""
+    from dgraph_etl_spark.functions.text import hash_split
+
+    df = spark.range(10).withColumnRenamed("id", "vec_id")
+    out = hash_split(df, key="vec_id")
+    assert out.columns == ["vec_id", "bucket", "split"]
+    assert {r.vec_id for r in out.collect()} == set(range(10))
+
+
 def test_token_budget_pack_no_global_window_over_docs(spark, sf_small):
     """C13 scale contract: the doc-side cumsum window is partitioned by
     the length band (hashpartitioning(bkt)); the only single-partition

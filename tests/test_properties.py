@@ -236,6 +236,107 @@ def test_c02_simhash_hamming_pairs_exact(spark):
     )
 
 
+def test_c12_components_raise_on_nonconvergence(spark):
+    """A path graph's diameter exceeds a tiny max_iter: the propagation
+    must FAIL LOUDLY, never return stale (under-deduped) labels."""
+    import pytest
+
+    from dgraph_etl_spark.functions.dedup import neardup_components
+
+    n = 8
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(docs, chain, max_iter=2)
+    labels = neardup_components(docs, chain, max_iter=n).collect()
+    assert {r.component for r in labels} == {0}
+
+
+_tri_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=80
+)
+
+
+@given(_tri_edges)
+@_settings
+def test_g09_degree_oriented_triangles_equal_lexicographic(spark, pairs):
+    """Degree-based orientation must count exactly the triangles the
+    lexicographic orientation counts, on arbitrary multigraphs with
+    loops and duplicate/reversed edges."""
+    from dgraph_etl_spark.graph.traverse import (
+        triangle_count,
+        triangle_count_degree_oriented,
+    )
+
+    edges = spark.createDataFrame(
+        [(str(a), str(b), 1.0) for a, b in pairs], ["src", "dst", "score"]
+    )
+    lex = triangle_count(edges).first()["n_triangles"]
+    deg = triangle_count_degree_oriented(edges).first()["n_triangles"]
+    assert lex == deg
+
+
+def test_c20_srp_lsh_precision_and_recall(spark):
+    """SRP-LSH near-dup pairs: precision must be exactly 1.0 (the
+    final cosine filter is exact), and recall vs the brute-force
+    cosine>=0.9 pair set must clear a floor on the deterministic
+    fixture (hyperplanes are seeded, so this is a fixed number, not a
+    flaky sample)."""
+    import numpy as np
+
+    from dgraph_etl_spark.catalog import load_table
+    from dgraph_etl_spark.functions.similarity import srp_neardup_pairs
+
+    # sf0.01: the smallest fixture with planted embedding near-dups
+    # (sf0.001's max off-diagonal cosine is 0.48)
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    iu = np.triu_indices(len(ids), k=1)
+    truth = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b, s in zip(ids[iu[0]], ids[iu[1]], sims[iu])
+        if round(s, 4) >= 0.4
+    }
+    got = {
+        (p.vec_a, p.vec_b)
+        for p in srp_neardup_pairs(
+            emb, threshold=0.4, n_planes=16, n_bands=8, seed=7
+        ).collect()
+    }
+    assert truth, "fixture has no cosine>=0.4 pairs -- test is vacuous"
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.3f} below floor"
+
+
+def test_c19_hash_samples_are_nested_and_partition_invariant(spark):
+    """Hash sampling contracts: (a) the 25% sample is a SUBSET of the
+    50% sample at the same seed (nested ablations), (b) the kept set is
+    invariant under repartitioning (df.sample is not)."""
+    from dgraph_etl_spark.catalog import load_table
+    from dgraph_etl_spark.functions.sampling import hash_sample
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    s25 = {r.doc_id for r in hash_sample(docs, rate=0.25).select("doc_id").collect()}
+    s50 = {r.doc_id for r in hash_sample(docs, rate=0.5).select("doc_id").collect()}
+    assert s25 <= s50
+    n = docs.count()
+    assert abs(len(s25) / n - 0.25) < 0.08 and abs(len(s50) / n - 0.5) < 0.08
+    rep = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(17), rate=0.25)
+        .select("doc_id")
+        .collect()
+    }
+    assert rep == s25
+
+
 def test_c02_simhash_is_python_free(spark):
     """The SimHash vote must stay entirely JVM-side: no
     BatchEvalPython / ArrowEvalPython node may appear in the plan

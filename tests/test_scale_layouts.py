@@ -230,3 +230,35 @@ def test_salted_join_equals_plain_join(spark, sf_small):
         .collect()
     )
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_salted_join_rejects_outer_and_salt_collisions(spark):
+    """right/full outer would emit `buckets` null-padded copies of each
+    unmatched dim row -- salted_join must refuse; it must also refuse
+    inputs that already carry a _salt column."""
+    import pytest
+
+    from dgraph_etl_spark.pipeline.edges import salted_join
+
+    a = spark.range(4).withColumnRenamed("id", "k")
+    b = spark.range(4).withColumnRenamed("id", "k")
+    for bad in ("right", "full", "right_outer", "fullouter"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(a, b, "k", how=bad)
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(a.withColumn("_salt", F.lit(0)), b, "k")
+
+
+def test_salted_salts_are_deterministic(spark):
+    """The salt must be a pure function of row payload (stage retries /
+    speculative tasks must reproduce identical partitioning) -- two
+    independent evaluations of the salted plan agree row-for-row."""
+    from dgraph_etl_spark.pipeline.edges import aggregate_max_salted
+
+    edges = spark.createDataFrame(
+        [(str(i % 3), str(i % 5), float(i)) for i in range(100)],
+        ["src", "dst", "score"],
+    )
+    one = sorted(map(tuple, aggregate_max_salted(edges, buckets=8).collect()))
+    two = sorted(map(tuple, aggregate_max_salted(edges, buckets=8).collect()))
+    assert one == two

@@ -43,6 +43,40 @@ def test_range_predicates_rejects_bad_input():
         range_predicates("k", 0, 10, 0)
 
 
+def test_read_jdbc_end_to_end_against_embedded_derby(spark, tmp_path):
+    """B3 against a REAL database: Spark ships Apache Derby (embedded),
+    so the JDBC path runs end-to-end -- write a table over JDBC, read
+    it back with range_predicates, and check (a) the row multiset is
+    exactly reproduced (ranges cover without gap/overlap against live
+    data, not just arithmetic), (b) one scan partition per predicate
+    (the distribution contract that replaces the reference's two-shard
+    router, cmd/bulk/main.go:222-269)."""
+    from dgraph_etl_spark.sources.jdbc import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/shardeddb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = spark.range(0, 1000).selectExpr(
+        "id AS k", "CAST(id % 7 AS INT) AS grp", "CAST(id * 2 AS DOUBLE) AS v"
+    )
+    src.write.jdbc(url, "sharded", mode="overwrite", properties=props)
+
+    # Spark's JDBC writer creates QUOTED lowercase columns; Derby
+    # uppercases unquoted identifiers, so the predicate column must be
+    # quoted too (range_predicates treats the name as opaque SQL).
+    preds = range_predicates('"k"', 0, 999, 4)
+    df = read_jdbc(spark, url, "sharded", predicates=preds, properties=props)
+    assert df.rdd.getNumPartitions() == len(preds) == 4
+    got = sorted((r.k, r.grp, r.v) for r in df.collect())
+    want = sorted((r.k, r.grp, r.v) for r in src.collect())
+    assert got == want
+
+    # predicate pushdown: a narrow range must reach the remote query,
+    # not filter post-hoc -- partition-local counts prove each JDBC
+    # connection shipped its own WHERE clause
+    per_part = df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    assert per_part == [250, 250, 250, 250]
+
+
 def test_observed_scan_reports_progress_metrics(spark, sf_small):
     from pyspark.sql import Observation
 
