@@ -291,6 +291,32 @@ def neardup_components(
     return labels
 
 
+def contamination_screen(
+    train: DataFrame, eval_set: DataFrame, n: int = 5
+) -> DataFrame:
+    """Benchmark-contamination screen: flag training documents sharing
+    at least one n-token shingle with any eval/benchmark document --
+    the decontamination step every LLM training pipeline runs before
+    a data release. Exact (set intersection on shingles), so fully
+    oracle-checkable.
+
+    Scale shape: the eval side is tiny relative to the corpus (benchmarks
+    are thousands of docs, the corpus is billions), so its distinct
+    shingle set is BROADCAST; the train side streams through one
+    broadcast hash join + one doc_id-keyed count-distinct agg -- no
+    all-pairs step, no shuffle of the corpus by shingle."""
+    t = train.select("doc_id", F.explode(token_ngrams(n=n)).alias("g"))
+    e = (
+        eval_set.select(F.explode(token_ngrams(n=n)).alias("g"))
+        .dropDuplicates(["g"])
+    )
+    return (
+        t.join(F.broadcast(e), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared_grams"))
+    )
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """SimHash 64-bit signatures, fully JVM-side (no Python anywhere):
     one xxhash64 per token, then the per-bit majority vote as 64

@@ -50,14 +50,57 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-def queries() -> dict[str, QueryFn]:
+def _certified_names() -> set[str]:
+    """Query names already end-to-end certified by a previous external
+    correctness run (CORRECTNESS_r*.json in the repo root): a green
+    hash match, or a completed rows-only run for queries that declare
+    no oracle. Everything else -- never-run, errored, or mismatched --
+    counts as uncertified."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                seen.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                # a completed rows-only run only counts if the query
+                # STILL has no oracle -- one registered since (e.g.
+                # pagerank's unrolled-CTE oracle) deserves a re-run
+                q = REGISTRY.get(name)
+                if q is not None and q.oracle is None:
+                    seen.add(name)
+    return seen
+
+
+def _ordered() -> list[Query]:
+    """Registry in certification-priority order: queries with no green
+    row in any prior external run come FIRST (registration order within
+    each group). External runs cap how many queries they check per
+    round, so front-loading the unchecked ones converges every query to
+    certified across rounds without manual reordering."""
     _load_suites()
-    return {q.name: q.fn for q in REGISTRY.values()}
+    done = _certified_names()
+    qs = list(REGISTRY.values())
+    return [q for q in qs if q.name not in done] + [q for q in qs if q.name in done]
+
+
+def queries() -> dict[str, QueryFn]:
+    return {q.name: q.fn for q in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    _load_suites()
-    return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
 
 
 _LOADED = False

@@ -692,6 +692,40 @@ def c19_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+@register(
+    "c21_contamination_screen",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS gs
+      FROM toks
+    ),
+    exploded AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    eval_grams AS (
+      SELECT DISTINCT g FROM exploded WHERE doc_id % 50 = 0
+    )
+    SELECT e.doc_id, COUNT(DISTINCT e.g) AS n_shared_grams
+    FROM exploded e JOIN eval_grams v ON e.g = v.g
+    WHERE e.doc_id % 50 <> 0
+    GROUP BY e.doc_id
+    """,
+)
+def c21_contamination_screen(spark, sf_dir):
+    """C21: benchmark-contamination screen -- training docs sharing a
+    3-token shingle with the eval slice (doc_id % 50 == 0 stands in for
+    a benchmark set; production screens use wider shingles, the plan is
+    identical). Eval shingles broadcast; corpus streams through one
+    broadcast join + per-doc count-distinct. Exact, oracle-checked."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    return D.contamination_screen(train, eval_set, n=3)
+
+
 @register("c20_srp_neardup", None)
 def c20_srp_neardup(spark, sf_dir):
     """C20: embedding near-dup pairs via signed-random-projection LSH

@@ -141,6 +141,16 @@ def test_hash_split_zero_exchange(spark, sf_small):
     assert ") Exchange" not in plan, plan
 
 
+def test_contamination_screen_broadcasts_eval_side(spark, sf_small):
+    """C21 scale contract: the eval/benchmark shingle set is the tiny
+    side and must BROADCAST; the corpus must never be sort-merge
+    shuffled by shingle (that would shuffle ~100 TB of exploded
+    grams)."""
+    plan = plan_of(spark, sf_small, "c21_contamination_screen")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_hash_split_respects_custom_key(spark):
     """A non-default key on a DataFrame WITHOUT doc_id must work and
     pair the split with that key's values (regression: the output
