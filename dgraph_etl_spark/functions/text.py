@@ -235,6 +235,55 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprint selection (the MOSS algorithm): hash every
+    k-token shingle, slide a w-position window over the hash sequence,
+    keep each window's MINIMUM hash; the distinct kept hashes are the
+    document's fingerprints. Guarantees every shared substring of at
+    least w+k-1 tokens between two documents yields a shared
+    fingerprint, while storing only ~2/(w+1) of the shingles -- the
+    position-robust overlap detector (plagiarism / quote / boilerplate)
+    that whole-document hashing misses.
+
+    Fully relational: posexplode(shingles) -> md5 per shingle -> a
+    per-document ROWS window MIN -> distinct. The window partitions by
+    doc_id (never global), so at 100 TB it is one shuffle keyed by
+    document with bounded per-task state; md5-as-hex keeps the hash
+    (and its lexicographic MIN) engine-portable, so the whole operator
+    oracle-checks against plain SQL window functions."""
+    t = tokens()
+    cnt = F.size(t) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    )
+    pos = docs.select(
+        "doc_id",
+        F.greatest(cnt, F.lit(1)).alias("n_grams"),
+        F.posexplode(grams).alias("pos", "g"),
+    )
+    h = pos.select("doc_id", "n_grams", "pos", F.md5(F.col("g")).alias("h"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    # classic winnowing selects from FULL windows only (pos+w <= n);
+    # docs with fewer than w shingles keep one whole-doc window so every
+    # document gets at least one fingerprint
+    full = (F.col("pos") <= F.col("n_grams") - w) | (
+        (F.col("n_grams") < w) & (F.col("pos") == 0)
+    )
+    return (
+        h.select("doc_id", F.min("h").over(win).alias("fp"), "pos", "n_grams")
+        .filter(full)
+        .select("doc_id", "fp")
+        .dropDuplicates(["doc_id", "fp"])
+    )
+
+
 def hash_split(
     docs: DataFrame,
     key: Column | str = "doc_id",

@@ -726,6 +726,42 @@ def c21_contamination_screen(spark, sf_dir):
     return D.contamination_screen(train, eval_set, n=3)
 
 
+@register(
+    "c22_winnowing_fingerprints",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, greatest(len(t) - 2, 1) AS n_grams,
+             unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i, t
+      FROM toks
+    ),
+    hashes AS (
+      SELECT doc_id, n_grams, i - 1 AS pos,
+             md5(array_to_string(t[i:i+2], ' ')) AS h
+      FROM g
+    ),
+    mins AS (
+      SELECT doc_id, n_grams, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM hashes
+    )
+    SELECT DISTINCT doc_id, fp FROM mins
+    WHERE pos <= n_grams - 4 OR (n_grams < 4 AND pos = 0)
+    """,
+)
+def c22_winnowing_fingerprints(spark, sf_dir):
+    """C22: winnowing (MOSS) fingerprint selection -- min md5 of each
+    4-window of 3-token shingle hashes, distinct per doc. Any shared
+    run of >= 6 tokens between two documents is guaranteed a shared
+    fingerprint while only ~2/(w+1) of shingles are stored. Per-doc
+    window (one shuffle keyed by doc_id, never global); md5-as-hex
+    makes the selection engine-portable, so it is fully oracle-checked."""
+    return X.winnowing_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+
+
 @register("c20_srp_neardup", None)
 def c20_srp_neardup(spark, sf_dir):
     """C20: embedding near-dup pairs via signed-random-projection LSH

@@ -278,6 +278,29 @@ def test_g09_degree_oriented_triangles_equal_lexicographic(spark, pairs):
     assert lex == deg
 
 
+_winnow_tok = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=2), min_size=0, max_size=12
+)
+
+
+@given(_winnow_tok, _winnow_tok, _winnow_tok, _winnow_tok)
+@_settings
+def test_c22_winnowing_guarantee_on_shared_runs(spark, pre_a, post_a, pre_b, post_b):
+    """Winnowing's core guarantee (k=3, w=4): two documents sharing a
+    token run of length >= w+k-1 = 6 MUST share at least one
+    fingerprint, whatever surrounds the run."""
+    from dgraph_etl_spark.functions.text import winnowing_fingerprints
+
+    shared = ["s1", "s2", "s3", "s4", "s5", "s6"]
+    doc_a = " ".join(pre_a + shared + post_a)
+    doc_b = " ".join(pre_b + shared + post_b)
+    docs = spark.createDataFrame([(0, doc_a), (1, doc_b)], ["doc_id", "text"])
+    fps = winnowing_fingerprints(docs, k=3, w=4).collect()
+    a = {r.fp for r in fps if r.doc_id == 0}
+    b = {r.fp for r in fps if r.doc_id == 1}
+    assert a & b, f"no shared fingerprint:\nA={doc_a!r}\nB={doc_b!r}"
+
+
 def test_c20_srp_lsh_precision_and_recall(spark):
     """SRP-LSH near-dup pairs: precision must be exactly 1.0 (the
     final cosine filter is exact), and recall vs the brute-force
