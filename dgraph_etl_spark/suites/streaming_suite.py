@@ -381,3 +381,60 @@ def s10_stream_incremental_dedup(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(store).select("doc_id", "content_hash")
+
+
+@register(
+    "s11_stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+    """,
+)
+def s11_stream_stream_join(spark, sf_dir):
+    """B39+: STREAM-STREAM inner join -- clicks joined to the purchases
+    that follow them within 4 hours, per user. Both sides are
+    watermarked and the join carries an event-time range condition, so
+    Spark bounds each side's state buffer (clicks older than watermark
+    + 4 h are evicted); this is the attribution-join shape every
+    event pipeline runs unbounded. The fixture source is a single file
+    => one availableNow batch => no cross-batch eviction, so the
+    streaming result equals the batch join and the DuckDB oracle
+    hash-checks it (stream/batch equivalence, same as s01).
+    """
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", _WM)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", _WM)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 4 HOURS")),
+    )
+    out = run_to_memory(joined, "append", "s11_ssjoin")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))).alias(
+            "gap_us"
+        ),
+    )
