@@ -642,6 +642,58 @@ def c13_token_budget_pack(spark, sf_dir):
     return X.token_budget_pack(_docs(spark, sf_dir), budget=15000)
 
 
+@register(
+    "c23_quality_topfrac",
+    """
+    WITH base AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars_actual,
+             length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS alpha
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             (n_chars_actual - alpha) / n_chars_actual AS non_alpha_ratio
+      FROM base
+    ),
+    ranked AS (
+      SELECT doc_id, lang, non_alpha_ratio,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY non_alpha_ratio, doc_id) AS pr
+      FROM scored
+    )
+    SELECT doc_id, lang, non_alpha_ratio, ROUND(pr, 6) AS q_rank
+    FROM ranked WHERE pr <= 0.25
+    """,
+)
+def c23_quality_topfrac(spark, sf_dir):
+    """C23: dynamic quality threshold -- keep the cleanest 25% of
+    documents PER LANGUAGE (percent_rank over non-alpha ratio), the
+    distribution-relative gate curation pipelines use instead of a
+    fixed cutoff (which over-prunes some languages and under-prunes
+    others). One shuffle keyed by lang; ordering key is a single IEEE
+    division over exact ints + doc_id tiebreak, so the rank -- and the
+    kept set -- is engine-identical."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    n_chars = F.length("text").cast("bigint")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z ]", ""))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        ((n_chars - alpha) / n_chars).alias("non_alpha_ratio"),
+    )
+    w = Window.partitionBy("lang").orderBy("non_alpha_ratio", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.25)
+        .select(
+            "doc_id", "lang", "non_alpha_ratio", F.round("pr", 6).alias("q_rank")
+        )
+    )
+
+
 _SAMPLE_THR_25 = SP.rate_threshold_hex(0.25)
 _STRAT_RATES = {"en": 0.5, "es": 0.25}
 _STRAT_DEFAULT = 0.1
