@@ -1340,3 +1340,40 @@ def b45_sessionize(spark, sf_dir):
         F.max("ts_us").alias("session_end_us"),
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
     )
+
+
+@register(
+    "b48_scd2_intervals",
+    """
+    SELECT user_id,
+           value,
+           epoch_us(ts) AS eff_from_us,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS eff_to_us,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+    """,
+)
+def b48_scd2_intervals(spark, sf_dir):
+    """B48: slowly-changing-dimension (SCD type 2) history build --
+    each per-user change event becomes a validity interval
+    [eff_from, eff_to), closed by the NEXT change (LEAD) and open
+    (is_current) on the last. This is the warehouse-side twin of A13's
+    merge-with-existing: instead of keeping only the winning row, keep
+    every version with its validity window. One shuffle keyed by
+    user_id; LEAD and the projection share the same window, so a
+    100 TB dimension builds in a single exchange + sort, no self-join
+    (the naive formulation joins the table to itself on 'next change')."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "value", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Wnd.partitionBy("user_id").orderBy("ts_us", "event_id")
+    nxt = F.lead("ts_us").over(w)
+    return ev.select(
+        "user_id",
+        "value",
+        F.col("ts_us").alias("eff_from_us"),
+        nxt.alias("eff_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
