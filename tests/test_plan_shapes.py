@@ -141,6 +141,28 @@ def test_hash_split_zero_exchange(spark, sf_small):
     assert ") Exchange" not in plan, plan
 
 
+def test_scd2_intervals_single_exchange(spark, sf_small):
+    """B48 scale contract: the SCD2 history build is ONE exchange
+    (hashpartitioning on user_id) feeding LEAD + projection -- never a
+    self-join on 'next change'."""
+    plan = plan_of(spark, sf_small, "b48_scd2_intervals")
+    assert plan.count(") Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_stream_source_stays_single_batch(sf_small):
+    """s11's stream/batch equivalence rests on the events stream source
+    being ONE file => one availableNow micro-batch (no cross-batch
+    state eviction). Pin that staging invariant."""
+    import os
+
+    from dgraph_etl_spark.streaming.core import _scratch_stream_dir
+
+    d = _scratch_stream_dir(sf_small)
+    files = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+    assert files == ["events.parquet"], files
+
+
 def test_contamination_screen_broadcasts_eval_side(spark, sf_small):
     """C21 scale contract: the eval/benchmark shingle set is the tiny
     side and must BROADCAST; the corpus must never be sort-merge
