@@ -205,6 +205,29 @@ def triangle_count_degree_oriented(edges: DataFrame) -> DataFrame:
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def weakly_connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Weakly-connected components over the directed edge table:
+    component(v) = MIN node id reachable ignoring direction. Reuses the
+    dedup module's iterative hash-to-min label propagation (the two
+    problems are identical once near-dup pairs are read as edges):
+    O(diameter) rounds, one join + one min-agg per round, lineage
+    truncated per round. Raises if max_iter rounds don't converge."""
+    from ..functions.dedup import neardup_components
+
+    nodes = (
+        edges.select(F.col("src").alias("doc_id"))
+        .union(edges.select(F.col("dst").alias("doc_id")))
+        .dropDuplicates(["doc_id"])
+    )
+    pairs = undirected_edges(edges).select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
+    )
+    labels = neardup_components(nodes, pairs, max_iter=max_iter)
+    return labels.select(
+        F.col("doc_id").alias("node"), F.col("component")
+    )
+
+
 def hop_counts(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
     """G4: |hop_i| for i in 1..k as one small result row."""
     hops = k_hop(edges, seeds, k)

@@ -191,6 +191,46 @@ def g11_triangle_degree_oriented(spark, sf_dir):
 
 
 @register(
+    "g12_weakly_connected",
+    V(
+        """
+      , und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst
+      ),
+      gnodes AS (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+        ) t
+      ),
+      ed AS (
+        SELECT DISTINCT u, v FROM (
+          SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+        ) t
+      ),
+      reach(u, v) AS (
+        SELECT u, v FROM ed
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u
+      )
+      SELECT n.node,
+             COALESCE(LEAST(n.node, MIN(r.v)), n.node) AS component
+      FROM gnodes n LEFT JOIN reach r ON r.u = n.node
+      GROUP BY n.node
+    """,
+        recursive=True,
+    ),
+)
+def g12_weakly_connected(spark, sf_dir):
+    """Weakly-connected components (component = min reachable node id,
+    direction ignored) via iterative hash-to-min label propagation --
+    the same propagation the near-dup clusterer uses. Oracle = DuckDB
+    recursive-CTE transitive closure."""
+    edges, _, _ = _graph_inputs(spark, sf_dir)
+    return G.weakly_connected_components(edges)
+
+
+@register(
     "g07_top_connections",
     V("""
       SELECT src AS person_id,

@@ -143,6 +143,24 @@ def b02_csv_scan(spark, sf_dir):
 
 
 @register(
+    "b02_orc_scan",
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def b02_orc_scan(spark, sf_dir):
+    """B2: ORC source -- the other columnar format Spark bundles a
+    vectorized reader for. Round-trips documents through an ORC copy
+    and reads it back (column pruning and predicate pushdown behave as
+    with parquet); the oracle reads the identical rows from the parquet
+    fixture."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = _scratch(sf_dir, "docs_orc")
+    docs.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
     "b04_partitioned_sink",
     """
     SELECT o_orderpriority, COUNT(*) AS n_orders,

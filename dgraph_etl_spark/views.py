@@ -84,17 +84,22 @@ def derive_user_relationship(events):
         F.expr("CAST(ROUND(value * 37, 0) AS INT)").alias("raw_score_out"),
     )
 
-_CTE_PREFIX = "WITH " + ",\n".join(
-    f"{name} AS ({sql})" for name, sql in VIEW_SQL.items()
-)
+_CTE_BODY = ",\n".join(f"{name} AS ({sql})" for name, sql in VIEW_SQL.items())
 
 
-def oracle_with_views(sql: str) -> str:
+def oracle_with_views(sql: str, recursive: bool = False) -> str:
     """Prefix a DuckDB oracle query with the derived-view CTEs.
 
     ``sql`` is normally a SELECT; it may instead start with "," to chain
     additional CTEs onto the prefix (``", extra AS (...) SELECT ..."``).
-    """
+
+    ``recursive=True`` emits WITH RECURSIVE for oracles whose appended
+    CTEs recurse (transitive closures). It is OPT-IN because DuckDB
+    gives every UNION-topped CTE under WITH RECURSIVE initial/recursive
+    -term treatment -- even with no self-reference -- which silently
+    turns the UNION's dedup into concat semantics; a recursive oracle
+    must therefore never rely on plain UNION dedup in its non-recursive
+    CTEs (wrap in SELECT DISTINCT or aggregate downstream)."""
     body = sql.strip()
-    sep = "\n" if body.startswith(",") else "\n"
-    return _CTE_PREFIX + sep + body
+    head = "WITH RECURSIVE " if recursive else "WITH "
+    return head + _CTE_BODY + "\n" + body
