@@ -814,6 +814,84 @@ def c22_winnowing_fingerprints(spark, sf_dir):
     return X.winnowing_fingerprints(_docs(spark, sf_dir), k=3, w=4)
 
 
+@register(
+    "c24_release_gate",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             (length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')))
+               / length(text) AS non_alpha_ratio
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, non_alpha_ratio,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY non_alpha_ratio, doc_id) AS pr
+      FROM scored
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS gs
+      FROM toks
+    ),
+    exploded AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    eval_grams AS (SELECT DISTINCT g FROM exploded WHERE doc_id % 50 = 0),
+    contaminated AS (
+      SELECT DISTINCT e.doc_id FROM exploded e
+      JOIN eval_grams v ON e.g = v.g
+      WHERE e.doc_id % 50 <> 0
+    )
+    SELECT r.doc_id, r.lang,
+           CASE WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 2) < '0d'
+                  THEN 'test'
+                WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 2) < '1a'
+                  THEN 'val'
+                ELSE 'train' END AS split
+    FROM ranked r
+    WHERE r.pr <= 0.5
+      AND r.doc_id % 50 <> 0
+      AND r.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND substr(md5('s0' || CAST(r.doc_id AS VARCHAR)), 1, 8)
+          < '{SP.rate_threshold_hex(0.5)}'
+    """,
+)
+def c24_release_gate(spark, sf_dir):
+    """C24 capstone: the data-release gate as ONE Catalyst plan --
+    cleanest 50% per language (distribution-relative quality), minus
+    the benchmark slice and every document contaminated by it (shared
+    3-gram), thinned by a deterministic 50% content-hash sample, with
+    train/val/test labels attached. Composes c23 + c21 + c19 + c11:
+    one lang-keyed window, one broadcast anti-join against the
+    contaminated id set, and per-row hash expressions -- nothing in the
+    gate shuffles the corpus more than the quality window already
+    does."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    n_chars = F.length("text").cast("bigint")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z ]", ""))
+    w = Window.partitionBy("lang").orderBy("non_alpha_ratio", "doc_id")
+    ranked = (
+        docs.select(
+            "doc_id", "lang", ((n_chars - alpha) / n_chars).alias("non_alpha_ratio")
+        )
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.5)
+    )
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    contaminated = D.contamination_screen(train, eval_set, n=3).select("doc_id")
+    kept = (
+        ranked.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+    )
+    sampled = SP.hash_sample(kept, key="doc_id", rate=0.5, seed="s0")
+    split = X.hash_split(sampled, key="doc_id").select("doc_id", "split")
+    return sampled.select("doc_id", "lang").join(split, "doc_id")
+
+
 @register("c20_srp_neardup", None)
 def c20_srp_neardup(spark, sf_dir):
     """C20: embedding near-dup pairs via signed-random-projection LSH
