@@ -163,6 +163,17 @@ def test_stream_source_stays_single_batch(sf_small):
     assert files == ["events.parquet"], files
 
 
+def test_release_gate_single_corpus_shuffle_and_broadcast_anti(spark, sf_small):
+    """C24 scale contract: the contaminated-id screen must ride a
+    BROADCAST LeftAnti join (never a shuffled anti-join of the corpus),
+    and the shingle side must also broadcast -- the only corpus
+    exchanges allowed are the quality window's lang partitioning and
+    AQE artifacts, not gram-keyed shuffles."""
+    plan = plan_of(spark, sf_small, "c24_release_gate")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_contamination_screen_broadcasts_eval_side(spark, sf_small):
     """C21 scale contract: the eval/benchmark shingle set is the tiny
     side and must BROADCAST; the corpus must never be sort-merge
