@@ -47,6 +47,55 @@ def hash_sample(
     return df.filter(_bucket(F.col(key), seed) < thr)
 
 
+def mixture_epochs(
+    df: DataFrame,
+    strata_col: str = "source",
+    weights: dict[str, float] | None = None,
+    default_weight: float = 1.0,
+    key: str = "doc_id",
+    seed: str = "ep0",
+) -> DataFrame:
+    """Deterministic mixture upsampling: emit each row ``w`` times,
+    where ``w`` is the (possibly fractional) epoch weight of its
+    stratum -- the standard training-mixture knob ("2.5 epochs of
+    Wikipedia, 0.5 epochs of CommonCrawl"). Every row gets
+    ``floor(w)`` full copies plus one extra copy iff its content hash
+    falls below ``frac(w)`` -- the SAME hash family as hash_sample, so
+    the fractional epoch is a deterministic subset (stable across
+    runs, partitionings, and engines) and nested across weights: the
+    rows kept at w=1.25 are a subset of those kept at w=1.5.
+
+    Narrow per-row explode of a tiny sequence -- no shuffle, no RNG,
+    no state; output carries an ``epoch`` index (1-based) so a
+    downstream packer can interleave epochs. At 100 TB the expansion
+    is the intended output size; nothing materializes per-row beyond
+    the emitted copies."""
+    weights = weights or {}
+
+    def parts(w: float) -> tuple[int, str]:
+        if w < 0:
+            raise ValueError(f"weight must be >= 0, got {w}")
+        return int(w), rate_threshold_hex(w - int(w))
+
+    d_full, d_thr = parts(default_weight)
+    full_col, thr_col = F.lit(d_full), F.lit(d_thr)
+    for value, w in sorted(weights.items()):
+        fw, thr = parts(w)
+        cond = F.col(strata_col) == value
+        full_col = F.when(cond, F.lit(fw)).otherwise(full_col)
+        thr_col = F.when(cond, F.lit(thr)).otherwise(thr_col)
+    extra = F.when(_bucket(F.col(key), seed) < thr_col, 1).otherwise(0)
+    n_copies = (full_col + extra).cast("int")
+    copies = F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.select(
+        F.col(key),
+        F.col(strata_col),
+        F.explode(copies).alias("epoch"),
+    ).withColumn("epoch", F.col("epoch").cast("bigint"))
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata_col: str,

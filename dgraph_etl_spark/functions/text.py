@@ -284,6 +284,77 @@ def winnowing_fingerprints(
     )
 
 
+def sequence_chunks(
+    docs: DataFrame, seq_len: int = 64, stride: int = 48
+) -> DataFrame:
+    """Context-window preparation: cut each document's token stream
+    into fixed-length training sequences of ``seq_len`` tokens with a
+    ``stride``-token hop (so consecutive chunks overlap by
+    ``seq_len - stride`` tokens -- the standard sliding-window LM
+    chunking). Every document yields at least one chunk; the last
+    chunk is short iff the document doesn't fill it.
+
+    Narrow op: tokens are materialized ONCE per row (never rebuilt
+    per chunk -- a transform/slice over a re-evaluated split would be
+    O(n^2) per doc), then a tiny chunk-index sequence explodes and
+    each chunk slices the shared array. No shuffle; output size is
+    the intended training-set size. Oracle: identical arithmetic over
+    DuckDB list_slice/generate_series."""
+    base = docs.select("doc_id", tokens().alias("toks")).withColumn(
+        "n_tokens", F.size("toks").cast("bigint")
+    )
+    n_chunks = 1 + F.floor(
+        (F.greatest(F.col("n_tokens") - seq_len, F.lit(0)) + (stride - 1))
+        / stride
+    )
+    exploded = base.withColumn("n_chunks", n_chunks.cast("int")).select(
+        "doc_id",
+        "toks",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    start = F.col("chunk_id").cast("bigint") * stride
+    end = F.least(start + seq_len, F.col("n_tokens"))
+    chunk_text = F.array_join(
+        F.slice(F.col("toks"), (F.col("chunk_id") * stride + 1), seq_len), " "
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        start.alias("start_tok"),
+        end.alias("end_tok"),
+        (end - start).alias("n_chunk_tokens"),
+        chunk_text.alias("chunk_text"),
+    )
+
+
+def top_bigrams(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus-wide frequent-phrase detection: exact counts of every
+    token bigram, top-k by count (ties broken by bigram text so the
+    result is total-ordered). The workhorse behind boilerplate-phrase
+    discovery ("click here to subscribe") in web-scale curation.
+
+    Shape at 100 TB: explode is map-side; the count is a partial-agg
+    shuffle keyed by bigram; the top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Exact, not sketched -- the count-min/``freqItems`` variant slots
+    into the same shape when the bigram vocabulary stops fitting."""
+    base = docs.select(tokens().alias("toks")).filter(F.size("toks") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+    )
+    return (
+        base.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(k)
+    )
+
+
 def hash_split(
     docs: DataFrame,
     key: Column | str = "doc_id",

@@ -744,6 +744,107 @@ def c19_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+_EPOCH_W = {"src0": 2.5, "src1": 2.0, "src2": 0.5, "src3": 0.25}
+
+
+def _epoch_case(expr: str) -> str:
+    full = " ".join(
+        f"WHEN '{s}' THEN {int(w)}" for s, w in sorted(_EPOCH_W.items())
+    )
+    frac = " ".join(
+        f"WHEN '{s}' THEN '{SP.rate_threshold_hex(w - int(w))}'"
+        for s, w in sorted(_EPOCH_W.items())
+    )
+    zero = SP.rate_threshold_hex(0.0)
+    return {
+        "full": f"CASE source {full} ELSE 1 END",
+        "frac": f"CASE source {frac} ELSE '{zero}' END",
+    }[expr]
+
+
+@register(
+    "c25_mixture_epochs",
+    f"""
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM (
+      SELECT doc_id, source,
+             unnest(generate_series(1, n_copies)) AS epoch FROM (
+        SELECT doc_id, source,
+               ({_epoch_case("full")}
+                + CASE WHEN substr(md5('ep0' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < {_epoch_case("frac")}
+                  THEN 1 ELSE 0 END) AS n_copies
+        FROM documents))
+    """,
+)
+def c25_mixture_epochs(spark, sf_dir):
+    """C25: deterministic mixture upsampling -- emit each doc w times
+    per its source's epoch weight (src0 2.5x, src1 2x, src2 0.5x,
+    src3 0.25x, rest 1x). floor(w) full copies + one extra iff the
+    doc's content hash < frac(w): the fractional epoch is a stable,
+    engine-portable subset (same hash family as c19, so subsets nest
+    across weights). Narrow explode of a per-row sequence -- no
+    shuffle, no RNG."""
+    return SP.mixture_epochs(
+        _docs(spark, sf_dir),
+        strata_col="source",
+        weights=_EPOCH_W,
+        default_weight=1.0,
+        key="doc_id",
+        seed="ep0",
+    )
+
+
+@register(
+    "c26_sequence_chunks",
+    """
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+           CAST(least(chunk_id * 48 + 64, n_tokens) AS BIGINT) AS end_tok,
+           CAST(least(chunk_id * 48 + 64, n_tokens) - chunk_id * 48
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(
+             list_slice(toks, chunk_id * 48 + 1,
+                        least(chunk_id * 48 + 64, n_tokens)),
+             ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, toks, n_tokens,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM (
+        SELECT doc_id, toks, n_tokens,
+               1 + (greatest(n_tokens - 64, 0) + 47) // 48 AS n_chunks
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                     len(string_split(text, ' ')) AS n_tokens
+              FROM documents)))
+    """,
+)
+def c26_sequence_chunks(spark, sf_dir):
+    """C26: sliding-window LM chunking -- cut each doc's token stream
+    into 64-token training sequences with a 48-token hop (16-token
+    overlap); every doc yields >= 1 chunk, the last may be short.
+    Tokens materialize once per row, then a tiny chunk-index explode
+    slices the shared array -- narrow, no shuffle, output size = the
+    training-set size."""
+    return X.sequence_chunks(_docs(spark, sf_dir), seq_len=64, stride=48)
+
+
+@register(
+    "c07_top_bigrams",
+    """
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram FROM (
+        SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM (
+          SELECT string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 2)
+    ) GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50
+    """,
+)
+def c07_top_bigrams(spark, sf_dir):
+    """C7+: corpus-wide frequent-phrase mining -- exact top-50 token
+    bigrams (boilerplate-phrase discovery). Map-side explode, one
+    partial-agg shuffle keyed by bigram, TakeOrderedAndProject top-k
+    (per-partition heaps, never a global sort)."""
+    return X.top_bigrams(_docs(spark, sf_dir), k=50)
+
+
 @register(
     "c21_contamination_screen",
     """

@@ -360,6 +360,64 @@ def test_c19_hash_samples_are_nested_and_partition_invariant(spark):
     assert rep == s25
 
 
+def test_c25_mixture_epochs_copy_counts_and_nesting(spark):
+    """Mixture-upsampling contracts: (a) every row gets floor(w) or
+    floor(w)+1 copies of its stratum weight and epoch indices are
+    exactly 1..n, (b) the extra-copy set of a SMALLER fractional
+    weight is a subset of a larger one at the same seed (fractional
+    epochs nest like the samples they are built from)."""
+    from collections import Counter
+
+    from dgraph_etl_spark.catalog import load_table
+    from dgraph_etl_spark.functions.sampling import mixture_epochs
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    w = {"src0": 2.5, "src1": 0.25}
+    out = mixture_epochs(docs, weights=w, default_weight=1.0).collect()
+    per_doc = Counter(r.doc_id for r in out)
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    for doc_id, n in per_doc.items():
+        base = int(w.get(src[doc_id], 1.0))
+        assert n in (base, base + 1), (doc_id, n)
+    epochs = {}
+    for r in out:
+        epochs.setdefault(r.doc_id, set()).add(r.epoch)
+    assert all(e == set(range(1, len(e) + 1)) for e in epochs.values())
+    # src1 rows absent at w=0.25 must also be absent at w=0.75
+    kept_25 = {d for d, n in per_doc.items() if src[d] == "src1" and n >= 1}
+    out75 = mixture_epochs(docs, weights={"src1": 0.75}).collect()
+    kept_75 = {r.doc_id for r in out75 if src[r.doc_id] == "src1"}
+    assert kept_25 <= kept_75
+
+
+def test_c26_sequence_chunks_tile_every_document(spark):
+    """Chunking contracts per document: chunk 0 starts at token 0,
+    starts advance by exactly the stride, the final chunk ends at
+    n_tokens, every chunk holds 1..seq_len tokens, and the chunk text
+    re-slices the source tokens verbatim."""
+    from dgraph_etl_spark.catalog import load_table
+    from dgraph_etl_spark.functions.text import sequence_chunks
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    L, S = 64, 48
+    rows = sequence_chunks(docs, seq_len=L, stride=S).collect()
+    toks = {r.doc_id: r.text.split(" ") for r in docs.select("doc_id", "text").collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(toks)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        t = toks[doc_id]
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        assert chunks[0].start_tok == 0
+        assert all(c.start_tok == i * S for i, c in enumerate(chunks))
+        assert chunks[-1].end_tok == len(t)
+        for c in chunks:
+            assert 1 <= c.n_chunk_tokens <= L
+            assert c.chunk_text == " ".join(t[c.start_tok : c.end_tok])
+
+
 def test_c02_simhash_is_python_free(spark):
     """The SimHash vote must stay entirely JVM-side: no
     BatchEvalPython / ArrowEvalPython node may appear in the plan
