@@ -143,21 +143,29 @@ def a06_trove_flag(spark, sf_dir):
     "a08_team_members",
     V("""
       SELECT team_id,
-             list_sort(list(person_id)) AS members,
+             array_to_string(list_sort(list(person_id)), ',') AS members,
              COUNT(*) AS n_members
       FROM team_member GROUP BY team_id
     """),
 )
 def a08_team_members(spark, sf_dir):
     """A8: full scan + group-into-lists (reference GetTeamMembers,
-    mysql.go:59-82). Lists are sorted: collect_list order is
-    partition-order-dependent in any distributed engine."""
+    mysql.go:59-82). Lists are sorted (collect_list order is
+    partition-order-dependent in any distributed engine), then
+    rendered as one comma-joined string: the external comparator
+    row-sorts with pandas and cannot hash array cells."""
     register_views(spark, sf_dir)
     return (
         spark.table("team_member")
         .groupBy("team_id")
         .agg(
-            F.array_sort(F.collect_list("person_id")).alias("members"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("person_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
             F.count(F.lit(1)).alias("n_members"),
         )
     )

@@ -466,17 +466,26 @@ def b15_approx_count_distinct(spark, sf_dir):
     "b16_collect_set",
     """
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT c_nationkey)) AS nations,
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ',')
+             AS nations,
            COUNT(*) AS n
     FROM customer GROUP BY c_mktsegment
     """,
 )
 def b16_collect_set(spark, sf_dir):
-    """B16: collect_set -> sorted array (set semantics made
-    deterministic for comparison)."""
+    """B16: collect_set -> sorted list (set semantics made
+    deterministic for comparison). Sorted NUMERICALLY, then rendered
+    as one comma-joined string: the external comparator row-sorts
+    with pandas and cannot hash array cells."""
     c = _t(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
-        F.array_sort(F.collect_set("c_nationkey")).alias("nations"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("c_nationkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("nations"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -84,6 +84,24 @@ CONTRACTS = [
         [],
         "watermark resume predicate reaches the scan",
     ),
+    (
+        "c25_mixture_epochs",
+        ["Generate"],
+        ["Exchange"],
+        "mixture upsampling is a narrow per-row explode -- zero shuffles",
+    ),
+    (
+        "c26_sequence_chunks",
+        ["Generate"],
+        ["Exchange"],
+        "sequence chunking is a narrow per-row explode -- zero shuffles",
+    ),
+    (
+        "c07_top_bigrams",
+        ["TakeOrderedAndProject", "partial_count"],
+        ["Sort "],
+        "bigram top-k is partial-agg + per-partition heaps, no global sort",
+    ),
 ]
 
 
