@@ -103,20 +103,33 @@ def _compacted_source(spark: SparkSession, sf_dir: str, name: str) -> str | None
         return None  # any surprise -> fall back to the raw source
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Fixture timestamps arrive in whatever physical form the
+    generator chose that round -- TIMESTAMP(NANOS) (read nanos-as-long,
+    truncate to micros: exactly DuckDB's TIMESTAMP_NS -> TIMESTAMP
+    read) or naive TIMESTAMP(MICROS) (`isAdjustedToUTC=false`, which
+    Spark 4 surfaces as TIMESTAMP_NTZ). Normalize both to TimestampType
+    under the pinned-UTC session so `unix_micros`/watermarks work and
+    both engines see identical instants: DuckDB reads naive micros
+    verbatim as TIMESTAMP, and an NTZ->LTZ cast in a UTC session is
+    that same identity on the stored value. Integer division (`div`) is
+    required on the nanos path: double division of ~1e18 nanos loses
+    the microsecond digit."""
+    for field in df.schema.fields:
+        kind = field.dataType.simpleString()
+        if field.name == "ts" and kind == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif kind == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. The events table is stored with
-    TIMESTAMP(NANOS) which Spark's TimestampType (microseconds) rejects
-    by default; we read nanos as long and truncate to microseconds --
-    exactly what DuckDB's TIMESTAMP_NS -> TIMESTAMP read does, so both
-    engines see identical values. Integer division (`div`) is required:
-    double division of ~1e18 nanos loses the microsecond digit."""
+    """Read one fixture table with normalized (UTC-instant) timestamps."""
+    pin_session_confs(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = _compacted_source(spark, sf_dir, name) or table_path(sf_dir, name)
-    df = spark.read.parquet(path)
-    for field in df.schema.fields:
-        if name == "events" and field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_timestamps(spark.read.parquet(path))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

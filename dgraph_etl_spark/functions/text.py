@@ -440,3 +440,74 @@ def token_budget_pack(docs: DataFrame, budget: int) -> DataFrame:
         .filter(F.col("cum_tokens") <= budget)
     )
     return packed.select("doc_id", "n_tokens", "cum_tokens")
+
+
+def span_dup_stats(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Passage-level duplication audit (the RefinedWeb/CCNet-style
+    sub-document screen exact dedup misses): cut each document into
+    consecutive non-overlapping ``k``-token spans, hash every span, and
+    flag spans whose hash occurs in >= 2 DISTINCT documents; report the
+    per-document duplicated-span fraction. A doc that shares half its
+    passages with the corpus scores 0.5 even when no whole-doc copy
+    exists.
+
+    Scale shape: span construction is narrow (one materialized token
+    array per row, sliced per span -- no per-span re-tokenization);
+    the corpus-wide screen is ONE shuffle keyed by span hash
+    (count-distinct-docs per hash) plus one join back on the same key.
+    md5-as-hex keeps span identity engine-portable, so the whole
+    operator hash-checks against plain SQL."""
+    t = tokens()
+    n_spans = F.greatest(
+        F.ceil(F.size(t) / F.lit(float(k))).cast("int"), F.lit(1)
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(t, i * k + 1, k), " "),
+    )
+    pos = docs.select("doc_id", F.posexplode(spans).alias("span_id", "span"))
+    h = pos.select("doc_id", "span_id", F.md5("span").alias("h"))
+    counts = h.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
+    return (
+        h.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_span_frac",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+        )
+    )
+
+
+def token_commonness(docs: DataFrame) -> DataFrame:
+    """Unigram-LM fluency proxy without libm: a document built from
+    frequent corpus tokens has HIGH mean corpus frequency; rare-token
+    gibberish scores low (the integer-exact stand-in for the CCNet
+    perplexity screen -- avg corpus count replaces avg -log p, keeping
+    every aggregate an exact int sum so the score is bit-identical
+    across engines; one IEEE division at the end).
+
+    Two shuffles at scale: token -> corpus count (map-side combinable
+    hash agg), then tokens re-keyed by doc for the per-doc mean; the
+    count table joins by token (no broadcast assumption -- vocabulary
+    can be huge)."""
+    tok = tokenized(docs)
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tok.join(counts, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_freq"),
+            F.min("cnt").alias("rarest_freq"),
+        )
+        .withColumn(
+            "mean_token_freq",
+            F.round(F.col("sum_freq") / F.col("n_tokens"), 6),
+        )
+    )

@@ -31,26 +31,33 @@ def incremental_events_scan(spark, sf_dir: str, watermark_unix_s: int) -> DataFr
     """A2/A5 against the events source itself, with the predicate pushed
     all the way into the parquet scan.
 
-    The fixture stores ts as TIMESTAMP(NANOS), which we read nanos-as-
-    long and convert via ``timestamp_micros(ts div 1000)`` — and
-    Catalyst cannot push a predicate THROUGH that conversion (the
-    filter lands post-projection and every row group gets read; caught
-    by test_plan_shapes). The conversion is strictly monotonic, so the
-    watermark predicate transfers exactly onto the raw nanos column:
-    ``last_update >= wm  ⇔  ts_nanos >= wm * 1e9``. Filter raw first,
-    convert after: explain shows GreaterThanOrEqual(ts, wm*1e9) in
-    PushedFilters, and at 100 TB a time-partitioned table prunes to
-    only the new row groups."""
-    from ..catalog import table_path
+    The fixture's physical ts type varies by generator round (see
+    catalog.normalize_timestamps), and Catalyst cannot push a predicate
+    THROUGH a type conversion (the filter would land post-projection
+    and every row group gets read; caught by test_plan_shapes). So the
+    watermark predicate is applied to the RAW column in its native
+    type -- the conversions are strictly monotonic, so it transfers
+    exactly: nanos-as-long compares against ``wm * 1e9``; TIMESTAMP_NTZ
+    compares against a constant-folded NTZ literal (UTC session pinned,
+    so NTZ wall time == the instant). Filter raw first, normalize
+    after: explain shows the comparison in PushedFilters, and at 100 TB
+    a time-partitioned table prunes to only the new row groups."""
+    from ..catalog import normalize_timestamps, pin_session_confs, table_path
 
+    pin_session_confs(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(raw.dtypes).get("ts") == "bigint":
+    kind = dict(raw.dtypes).get("ts")
+    if kind == "bigint":
         raw = raw.filter(F.col("ts") >= watermark_unix_s * 1_000_000_000)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.filter(
-        F.col("ts") >= F.timestamp_seconds(F.lit(watermark_unix_s))
-    )
+    elif kind == "timestamp_ntz":
+        raw = raw.filter(
+            F.col("ts")
+            >= F.timestamp_seconds(F.lit(watermark_unix_s)).cast("timestamp_ntz")
+        )
+    else:
+        raw = raw.filter(F.col("ts") >= F.timestamp_seconds(F.lit(watermark_unix_s)))
+    return normalize_timestamps(raw)
 
 
 def next_watermark(df: DataFrame, ts_col: str = "last_update") -> DataFrame:

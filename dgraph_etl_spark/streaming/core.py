@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import pin_session_confs, table_path
+from ..catalog import normalize_timestamps, pin_session_confs, table_path
 
 _MEM_IDS = itertools.count()
 
@@ -65,9 +65,9 @@ def events_stream(
 ) -> DataFrame:
     """Unbounded view of the events table (B35 source side).
 
-    The fixture stores ts as TIMESTAMP(NANOS); read nanos-as-long and
-    truncate to micros exactly like the batch catalog does, so batch
-    and streaming plans see bit-identical event times.
+    Event-time normalization (nanos-as-long truncation / naive-micros
+    NTZ cast) is shared with the batch catalog, so batch and streaming
+    plans see bit-identical event times.
     """
     pin_session_confs(spark)
     src = path or _scratch_stream_dir(sf_dir)
@@ -76,9 +76,7 @@ def events_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    if dict(sdf.dtypes).get("ts") == "bigint":
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return sdf
+    return normalize_timestamps(sdf)
 
 
 def late_data_source(sf_dir: str) -> str:
@@ -112,7 +110,10 @@ def late_data_source(sf_dir: str) -> str:
         return d
     os.makedirs(d, exist_ok=True)
     t = pq.read_table(table_path(sf_dir, "events"))
-    ts_us = pc.divide(t.column("ts").cast("int64"), 1000)
+    ts_unit = getattr(t.column("ts").type, "unit", "us")
+    ts_us = t.column("ts").cast("int64")
+    if ts_unit == "ns":
+        ts_us = pc.divide(ts_us, 1000)
     lo, hi = pc.min(ts_us).as_py(), pc.max(ts_us).as_py()
     c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
     straggler = pc.equal(

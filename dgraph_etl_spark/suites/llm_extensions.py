@@ -1452,3 +1452,62 @@ def c09_multimodal_features(spark, sf_dir):
         F.col("feature")[1].alias("f1"),
         F.col("feature")[2].alias("f2"),
     )
+
+
+@register(
+    "c27_span_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             [md5(array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' '))
+              for i in range(1,
+                GREATEST(CAST(ceil(len(t)/8.0) AS BIGINT), 1) + 1)] AS hs
+      FROM toks
+    ),
+    exploded AS (SELECT doc_id, unnest(hs) AS h FROM spans),
+    counts AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM exploded GROUP BY h
+    )
+    SELECT e.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           ROUND(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS dup_span_frac
+    FROM exploded e JOIN counts c ON e.h = c.h
+    GROUP BY e.doc_id
+    """,
+)
+def c27_span_dedup(spark, sf_dir):
+    """Sub-document (passage-level) duplication screen: fraction of
+    each doc's 8-token spans that also occur in another document --
+    the dedup signal whole-doc hashing misses (boilerplate, quoted
+    passages). One shuffle keyed by span hash + one keyed by doc."""
+    return X.span_dup_stats(_docs(spark, sf_dir), k=8)
+
+
+@register(
+    "c28_token_commonness",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(c.cnt) AS BIGINT) AS sum_freq,
+           MIN(c.cnt) AS rarest_freq,
+           ROUND(SUM(c.cnt) / COUNT(*), 6) AS mean_token_freq
+    FROM tok t JOIN counts c ON t.token = c.token
+    GROUP BY t.doc_id
+    """,
+)
+def c28_token_commonness(spark, sf_dir):
+    """Unigram-LM fluency proxy (integer-exact perplexity stand-in):
+    per-doc mean corpus frequency of its tokens + rarest-token count.
+    All aggregates are exact int sums; one IEEE division at the end."""
+    return X.token_commonness(_docs(spark, sf_dir))
