@@ -302,3 +302,22 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", F.round("rank", round_dp).alias("rank"))
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """Single-source(-set) shortest-path hop distances, bounded at
+    ``max_hops``: (id, hop) where hop is the MINIMUM number of edges
+    from any seed. Because each k_hop frontier already excludes every
+    earlier frontier and the seeds (the reference's NOT uid(...)
+    filters), tagging frontier i with hop i+1 and unioning IS the
+    min-distance relation -- no per-vertex min-aggregation pass is
+    needed. Same scale shape as k_hop: per-hop broadcast frontier
+    joins against the cached edge table."""
+    dist = seeds.select("id").withColumn("hop", F.lit(0))
+    for i, frontier in enumerate(k_hop(edges, seeds, k=max_hops)):
+        dist = dist.unionByName(
+            frontier.select("id").withColumn("hop", F.lit(i + 1))
+        )
+    return dist

@@ -1,0 +1,56 @@
+"""Bucketed-table layout: the co-located join path (SURVEY.md §4,
+100 TB notes).
+
+A shuffle join moves BOTH fact tables across the network every query.
+Writing the join inputs bucketed (hash-partitioned into a fixed number
+of files per table) and sorted by the join key moves that exchange to
+INGEST TIME: every later equi-join on the bucket key is planned as a
+zero-exchange (and with sortBy, zero-sort) sort-merge join -- the
+standard warehouse answer for a join that runs hourly against 100 TB.
+The reference gets the same effect operationally by range-sharding
+users across MySQL servers at 2^63 (cmd/bulk/main.go:234-249); here
+the engine owns the layout.
+
+Spark bucketing needs a catalog table (``saveAsTable``); with the
+default in-memory catalog the metadata is session-scoped and the data
+is an ordinary parquet directory at ``path``, so nothing persists
+outside scratch space. Bucket counts must match on both sides for the
+exchange to be elided.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    key: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Materialize ``df`` as a bucketed+sorted catalog table (idempotent
+    per session) and return it. The table name is reused if it already
+    exists in this session's catalog; the backing files live in scratch
+    keyed by pid so concurrent sessions never clobber each other."""
+    if not spark.catalog.tableExists(name):
+        path = os.path.join(
+            tempfile.gettempdir(), f"dgraph_etl_bucketed_{os.getpid()}", name
+        )
+        (
+            # repartition by the bucket key first: each bucket's rows land
+            # in ONE task -> one file per bucket, which is what lets the
+            # reader trust the per-bucket sort order and skip the Sort
+            # before a sort-merge join (multi-file buckets are re-sorted)
+            df.repartition(n_buckets, key)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return spark.table(name)

@@ -318,3 +318,29 @@ def g10_pagerank(spark, sf_dir):
     star = known split) pin the semantics independently."""
     edges, _, _ = _graph_inputs(spark, sf_dir)
     return G.pagerank(edges, n_iter=10, round_dp=6)
+
+
+@register(
+    "g13_bfs_distance",
+    V(_HOPS + """
+      , hop3 AS (
+        SELECT DISTINCT e.dst AS id
+        FROM edges e JOIN hop2 h ON e.src = h.id
+        WHERE e.dst NOT IN (SELECT id FROM hop2)
+          AND e.dst NOT IN (SELECT id FROM hop1)
+          AND e.dst NOT IN (SELECT id FROM seeds)
+      )
+      SELECT id, 0 AS hop FROM seeds
+      UNION ALL SELECT id, 1 FROM hop1
+      UNION ALL SELECT id, 2 FROM hop2
+      UNION ALL SELECT id, 3 FROM hop3
+    """),
+)
+def g13_bfs_distance(spark, sf_dir):
+    """Bounded single-source-set shortest paths: minimum hop count from
+    the seed team to every vertex within 3 hops. The exclusive-frontier
+    BFS makes hop tagging itself the min-distance relation (no
+    per-vertex min pass); oracle = the same frontier set algebra."""
+    edges, team_member, _ = _graph_inputs(spark, sf_dir)
+    seeds = G.team_seed(team_member, TEAM)
+    return G.bfs_distances(edges, seeds, max_hops=3)

@@ -1404,3 +1404,122 @@ def b48_scd2_intervals(spark, sf_dir):
         nxt.alias("eff_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "b49_merge_upsert",
+    """
+    WITH base AS (
+      SELECT c_custkey AS k, c_name AS name, c_acctbal AS acctbal
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey AS k, concat('upd_', c_name) AS name,
+             c_acctbal + 100.0 AS acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000 AS k, concat('new_', c_name) AS name,
+             0.0 AS acctbal
+      FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT COALESCE(u.k, b.k) AS k,
+           COALESCE(u.name, b.name) AS name,
+           COALESCE(u.acctbal, b.acctbal) AS acctbal,
+           CASE WHEN b.k IS NULL THEN 'insert'
+                WHEN u.k IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM base b FULL OUTER JOIN upd u ON b.k = u.k
+    """,
+)
+def b49_merge_upsert(spark, sf_dir):
+    """B49: SCD type-1 MERGE (upsert) as one full outer join --
+    matched rows take the update's values, unmatched updates insert,
+    unmatched base rows pass through, with the MERGE action tagged.
+    This is the batch form of the reference's find-or-create +
+    conditional-update live path (cmd/etl/etl.go:67-111) and the
+    engine-owned equivalent of lakehouse MERGE INTO: ONE shuffle keyed
+    by the merge key at any scale (never per-row lookups). The update
+    set is derived from the same fixture so the query is self-contained
+    and oracle-checkable."""
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    upd = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.concat(F.lit("upd_"), F.col("c_name")).alias("name"),
+            (F.col("c_acctbal") + 100.0).alias("acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("k"),
+                F.concat(F.lit("new_"), F.col("c_name")).alias("name"),
+                F.lit(0.0).alias("acctbal"),
+            )
+        )
+    )
+    b, u = base.alias("b"), upd.alias("u")
+    merged = b.join(u, F.col("b.k") == F.col("u.k"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("u.k"), F.col("b.k")).alias("k"),
+        F.coalesce(F.col("u.name"), F.col("b.name")).alias("name"),
+        F.coalesce(F.col("u.acctbal"), F.col("b.acctbal")).alias("acctbal"),
+        F.when(F.col("b.k").isNull(), F.lit("insert"))
+        .when(F.col("u.k").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+
+
+def _bucketed_join_inputs(spark, sf_dir):
+    """Shared by the b50 query and its plan contract: orders and
+    customer bucketed+sorted by custkey into matching bucket counts."""
+    import os
+    import re
+
+    from ..sources.bucketed import bucketed_table
+
+    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+    orders = bucketed_table(
+        spark,
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        f"bkt_orders_{tag}",
+        "o_custkey",
+    )
+    cust = bucketed_table(
+        spark,
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        f"bkt_customer_{tag}",
+        "c_custkey",
+    )
+    return orders, cust
+
+
+@register(
+    "b50_bucketed_join",
+    """
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def b50_bucketed_join(spark, sf_dir):
+    """B50: co-located (bucketed) join -- both sides pre-hashed and
+    sorted by the join key at write time, so the equi-join runs with
+    ZERO exchange and zero sort (contract-tested in test_plan_shapes):
+    the layout answer for a recurring 100 TB fact-fact join. Values are
+    identical to the plain shuffle join, which is what the oracle
+    checks."""
+    orders, cust = _bucketed_join_inputs(spark, sf_dir)
+    joined = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )

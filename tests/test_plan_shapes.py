@@ -265,3 +265,43 @@ def test_incremental_dedup_screens_are_joins_not_products(spark, sf_small):
     assert "Join LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bucketed_join_zero_exchange_zero_sort(spark, sf_small):
+    """B50 scale contract: with both sides bucketed+sorted by the join
+    key into matching bucket counts, the equi-join itself needs NO
+    exchange and NO sort -- the only exchange in the whole query is the
+    final small per-nation aggregate. A regression here means the
+    recurring fact-fact join went back to shuffling 100 TB per run."""
+    from dgraph_etl_spark.suites.relational_closure import (
+        _bucketed_join_inputs,
+    )
+
+    orders, cust = _bucketed_join_inputs(spark, sf_small)
+    joined = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    # at fixture scale the small side would broadcast (also exchange-free
+    # but proves nothing about bucketing); force the 100 TB fact-fact
+    # planning where neither side fits an executor
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # one file per bucket is written sorted, but since 3.0 Spark only
+    # TRUSTS that order under the opt-in conf; without it the join is
+    # still exchange-free, just re-sorted per bucket
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
+    import re
+
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert ") Exchange" not in plan, plan
+    assert not re.search(r"\) Sort\b(?!MergeJoin)", plan), plan
