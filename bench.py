@@ -44,6 +44,9 @@ HEADLINE = [
     "c13_token_budget_pack",  # distributed prefix sum
     "b44_asof_join",          # as-of join (union carry-forward)
     "b45_sessionize",         # gap-based sessionization, one exchange
+    "b51_tpch_q3",            # 3-table join + agg + top-k (TPC-H Q3)
+    "b52_tpch_q5",            # 6-table join w/ broadcast dims (TPC-H Q5)
+    "c27_span_dedup",         # passage-level dedup (span hash screen)
 ]
 
 

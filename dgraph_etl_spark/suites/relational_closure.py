@@ -1523,3 +1523,105 @@ def b50_bucketed_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", "total_price"),
     )
+
+
+@register(
+    "b51_tpch_q3",
+    f"""
+    SELECT l.l_orderkey,
+           {fpsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           epoch_us(o.o_orderdate) AS o_orderdate_us,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY 2 DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def b51_tpch_q3(spark, sf_dir):
+    """B51: TPC-H Q3 shape (shipping-priority top-N) -- the classic
+    3-table join + agg + top-k. Scale plan: both joins shuffle on
+    their keys with the segment/date filters pushed into the scans,
+    revenue is a map-side-combinable fixed-point sum, and the final
+    ORDER BY ... LIMIT compiles to TakeOrderedAndProject (per-partition
+    heaps, never a global sort). l_orderkey breaks revenue ties so the
+    top-10 is deterministic across engines."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(fpsum("l_extendedprice * (1 - l_discount)", "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "b52_tpch_q5",
+    f"""
+    SELECT n.n_name,
+           {fpsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def b52_tpch_q5(spark, sf_dir):
+    """B52: TPC-H Q5 shape (local-supplier volume) -- the 6-table join
+    with the region/nation dimension chain. Scale plan: nation/region
+    (and supplier at this cardinality) broadcast; the fact-side
+    customer-orders-lineitem chain shuffles on its keys; the
+    c_nationkey = s_nationkey condition rides the supplier join as a
+    non-equi residual. Catalyst reorders the dimension filters ahead
+    of the fact joins (r_name prunes nations before any fact row
+    moves)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == s["s_suppkey"])
+            & (F.col("c_nationkey") == s["s_nationkey"]),
+        )
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(fpsum("l_extendedprice * (1 - l_discount)", "revenue"))
+    )

@@ -120,6 +120,20 @@ CONTRACTS += [
         "triangle closure is equi-joins only; a nested-loop join means "
         "the orientation predicate fell out of the join keys",
     ),
+    (
+        "b51_tpch_q3",
+        ["TakeOrderedAndProject", "EqualTo(c_mktsegment,BUILDING)"],
+        ["Exchange rangepartitioning", "CartesianProduct"],
+        "Q3 top-10 is per-partition heaps; segment filter reaches the scan",
+    ),
+    (
+        "b52_tpch_q5",
+        ["BroadcastHashJoin", "EqualTo(r_name,ASIA)"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "Q5 dimension chain broadcasts; region filter reaches the scan; "
+        "the c=s nationkey condition stays an equi/residual, never a "
+        "nested loop",
+    ),
 ]
 
 
