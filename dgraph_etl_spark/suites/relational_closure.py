@@ -1625,3 +1625,82 @@ def b52_tpch_q5(spark, sf_dir):
         .groupBy("n_name")
         .agg(fpsum("l_extendedprice * (1 - l_discount)", "revenue"))
     )
+
+
+@register(
+    "b53_stat_aggs",
+    """
+    WITH ps AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sq2,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(28,6))) AS DOUBLE) AS sp2,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sqp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sq2 - sq * sq) / (n * (n - 1)), 6) AS var_qty,
+           ROUND(sqrt((n * sq2 - sq * sq) / (n * (n - 1))), 6)
+             AS stddev_qty,
+           ROUND((n * sqp - sq * sp)
+                 / (sqrt(n * sq2 - sq * sq) * sqrt(n * sp2 - sp * sp)),
+                 6) AS corr_qty_price
+    FROM ps
+    """,
+)
+def b53_stat_aggs(spark, sf_dir):
+    """B53: statistical aggregates (sample variance / stddev /
+    Pearson correlation) computed from EXACT power sums -- the
+    deterministic form of Spark's var_samp/stddev/corr built-ins,
+    whose float accumulation is partition-order-dependent. The five
+    power sums are decimal-exact (2dp inputs -> 4dp products), so
+    both engines feed bit-identical doubles into the same closed-form
+    expression; sqrt is IEEE-correctly-rounded, so the results match
+    to the bit before the defensive 6dp round. One map-side-combinable
+    hash agg at any scale -- the same single-pass shape the built-ins
+    use, with none of their nondeterminism."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sq"),
+        dsum("l_extendedprice", "sp"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("sq2"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("double")
+        .alias("sp2"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_extendedprice")).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("double")
+        .alias("sqp"),
+    )
+    n, sq, sp = F.col("n"), F.col("sq"), F.col("sp")
+    sq2, sp2, sqp = F.col("sq2"), F.col("sp2"), F.col("sqp")
+    return ps.select(
+        "l_returnflag",
+        "n",
+        F.round((n * sq2 - sq * sq) / (n * (n - 1)), 6).alias("var_qty"),
+        F.round(F.sqrt((n * sq2 - sq * sq) / (n * (n - 1))), 6).alias(
+            "stddev_qty"
+        ),
+        F.round(
+            (n * sqp - sq * sp)
+            / (F.sqrt(n * sq2 - sq * sq) * F.sqrt(n * sp2 - sp * sp)),
+            6,
+        ).alias("corr_qty_price"),
+    )
