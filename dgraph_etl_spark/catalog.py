@@ -121,6 +121,11 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif kind == "timestamp_ntz":
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+        elif kind == "date" and field.name.endswith("date"):
+            # a generator round that emits DATE32 for the *date columns
+            # must still feed unix_micros: midnight-UTC instant in both
+            # engines (DuckDB epoch_us(DATE) agrees)
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -442,6 +442,22 @@ def token_budget_pack(docs: DataFrame, budget: int) -> DataFrame:
     return packed.select("doc_id", "n_tokens", "cum_tokens")
 
 
+def doc_span_hashes(docs: DataFrame, k: int = 8) -> DataFrame:
+    """(doc_id, span_id, h): md5 of each consecutive non-overlapping
+    ``k``-token span. Narrow op -- one materialized token array per
+    row, sliced per span index."""
+    t = tokens()
+    n_spans = F.greatest(
+        F.ceil(F.size(t) / F.lit(float(k))).cast("int"), F.lit(1)
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(t, i * k + 1, k), " "),
+    )
+    pos = docs.select("doc_id", F.posexplode(spans).alias("span_id", "span"))
+    return pos.select("doc_id", "span_id", F.md5("span").alias("h"))
+
+
 def span_dup_stats(docs: DataFrame, k: int = 8) -> DataFrame:
     """Passage-level duplication audit (the RefinedWeb/CCNet-style
     sub-document screen exact dedup misses): cut each document into
@@ -457,16 +473,7 @@ def span_dup_stats(docs: DataFrame, k: int = 8) -> DataFrame:
     (count-distinct-docs per hash) plus one join back on the same key.
     md5-as-hex keeps span identity engine-portable, so the whole
     operator hash-checks against plain SQL."""
-    t = tokens()
-    n_spans = F.greatest(
-        F.ceil(F.size(t) / F.lit(float(k))).cast("int"), F.lit(1)
-    )
-    spans = F.transform(
-        F.sequence(F.lit(0), n_spans - 1),
-        lambda i: F.array_join(F.slice(t, i * k + 1, k), " "),
-    )
-    pos = docs.select("doc_id", F.posexplode(spans).alias("span_id", "span"))
-    h = pos.select("doc_id", "span_id", F.md5("span").alias("h"))
+    h = doc_span_hashes(docs, k)
     counts = h.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
     return (
         h.join(counts, "h")

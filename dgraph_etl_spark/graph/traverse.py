@@ -321,3 +321,38 @@ def bfs_distances(
             frontier.select("id").withColumn("hop", F.lit(i + 1))
         )
     return dist
+
+
+def k_core(edges: DataFrame, k: int = 3, n_rounds: int = 10) -> DataFrame:
+    """Fixed-round k-core peel: symmetrize the undirected edge set,
+    then ``n_rounds`` times drop every vertex with degree < k (and the
+    edges touching it). Returns (id, core_degree) over the surviving
+    subgraph -- the k-core when the peel has converged (extra rounds
+    are no-ops, so FIXED rounds keep the operator deterministic and
+    lets the oracle unroll the identical iterations as chained CTEs,
+    same device as the pagerank oracle).
+
+    Scale shape per round: one degree hash agg + two semi-joins keyed
+    by vertex; lineage cut every round (localCheckpoint) so the plan
+    doesn't deepen 3 ops * n_rounds. 100 TB note: real deployments
+    peel until a round removes nothing (driver checks a count per
+    round); the per-round work is identical."""
+    und = undirected_edges(edges)
+    # symmetric adjacency: one row per (vertex, neighbor) direction
+    sym = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    alive = sym.localCheckpoint(eager=False)
+    for _ in range(n_rounds):
+        deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        alive = (
+            alive.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+    return alive.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )

@@ -344,3 +344,48 @@ def g13_bfs_distance(spark, sf_dir):
     edges, team_member, _ = _graph_inputs(spark, sf_dir)
     seeds = G.team_seed(team_member, TEAM)
     return G.bfs_distances(edges, seeds, max_hops=3)
+
+
+def _kcore_oracle_sql(k: int = 3, n_rounds: int = 10) -> str:
+    """Fixed-round k-core peel unrolled as chained CTEs (same device as
+    the pagerank oracle; MATERIALIZED so DuckDB doesn't inline the
+    chain into 2^n base scans)."""
+    parts = [
+        """
+, e0 AS MATERIALIZED (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+    GROUP BY 1, 2
+),
+s0 AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM e0
+    UNION ALL
+    SELECT b AS src, a AS dst FROM e0
+)
+"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(f"""
+, k{i} AS MATERIALIZED (
+    SELECT src FROM s{i - 1} GROUP BY src HAVING COUNT(*) >= {k}
+),
+s{i} AS MATERIALIZED (
+    SELECT s.src, s.dst FROM s{i - 1} s
+    JOIN k{i} x ON s.src = x.src
+    JOIN k{i} y ON s.dst = y.src
+)
+""")
+    parts.append(
+        f"SELECT src AS id, COUNT(*) AS core_degree FROM s{n_rounds} GROUP BY src"
+    )
+    return V("".join(parts))
+
+
+@register("g14_kcore", _kcore_oracle_sql())
+def g14_kcore(spark, sf_dir):
+    """Graph analytics beyond the reference: 3-core of the undirected
+    graph via a 10-round degree peel (fixed rounds keep it
+    deterministic and oracle-checkable; converged rounds are no-ops).
+    Returns surviving vertices with their in-core degree."""
+    edges, _, _ = _graph_inputs(spark, sf_dir)
+    return G.k_core(edges, k=3, n_rounds=10)

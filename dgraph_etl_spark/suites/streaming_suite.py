@@ -438,3 +438,102 @@ def s11_stream_stream_join(spark, sf_dir):
             "gap_us"
         ),
     )
+
+
+@register(
+    "s12_stream_span_dedup",
+    """
+    WITH bounds AS (
+      SELECT MIN(doc_id) AS lo, MAX(doc_id) + 1 AS hi FROM documents
+    ),
+    st AS (
+      SELECT lo, GREATEST(1, (hi - lo) // 3) AS s FROM bounds
+    ),
+    docs AS (
+      SELECT d.doc_id,
+             LEAST((d.doc_id - st.lo) // st.s, 2) AS b,
+             string_split(d.text, ' ') AS t
+      FROM documents d, st
+    ),
+    spans AS (
+      SELECT doc_id, b,
+             [md5(array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' '))
+              for i in range(1,
+                GREATEST(CAST(ceil(len(t)/8.0) AS BIGINT), 1) + 1)] AS hs
+      FROM docs
+    ),
+    exploded AS (SELECT doc_id, b, unnest(hs) AS h FROM spans),
+    first_batch AS (SELECT h, MIN(b) AS fb FROM exploded GROUP BY h)
+    SELECT e.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN e.b = f.fb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel_spans
+    FROM exploded e JOIN first_batch f ON e.h = f.h
+    GROUP BY e.doc_id
+    """,
+)
+def s12_stream_span_dedup(spark, sf_dir):
+    """C27's streaming form: documents arrive in doc_id-ordered
+    micro-batches; each batch's 8-token span hashes are screened
+    against the STORED set of spans from all earlier batches (novel =
+    hash unseen before this batch; within-batch repeats of a new span
+    all count novel), then the batch's hashes append to the store --
+    continuous passage-level contamination tracking over an ingest
+    stream. Oracle recomputes the same batch assignment (doc_id range
+    thirds, matching docs_batched_source) and takes each hash's
+    first-containing batch. At 100 TB the store is a hash-bucketed
+    table; each screen is one anti-ish equi-join per batch, linear in
+    batch size."""
+    import os
+    import tempfile
+
+    from ..functions.text import doc_span_hashes
+    from ..streaming.core import docs_batched_source
+
+    src = docs_batched_source(sf_dir)
+    root = tempfile.mkdtemp(prefix="s12_spans_")
+    store = os.path.join(root, "seen")
+    result = os.path.join(root, "result")
+    schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def screen_batch(batch_df, epoch_id):
+        sp = batch_df.sparkSession
+        spans = doc_span_hashes(batch_df.select("doc_id", "text"))
+        if os.path.exists(store):
+            seen = sp.read.parquet(store).select(
+                F.col("h").alias("seen_h")
+            )
+            flagged = spans.join(
+                seen, spans["h"] == seen["seen_h"], "left"
+            ).withColumn("novel", F.col("seen_h").isNull())
+        else:
+            flagged = spans.withColumn("novel", F.lit(True))
+        per_doc = flagged.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("novel"), 1).otherwise(0)).alias(
+                "n_novel_spans"
+            ),
+        )
+        per_doc.write.mode("append").parquet(result)
+        # append only the batch's NOVEL hashes: keeps the store a SET
+        # (a re-appended hash would fan out the next batch's left join)
+        flagged.filter(F.col("novel")).select("h").dropDuplicates(
+            ["h"]
+        ).write.mode("append").parquet(store)
+
+    q = (
+        docs.writeStream.foreachBatch(screen_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="s12_ckpt_"), "offsets"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(result)

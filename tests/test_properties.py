@@ -521,3 +521,31 @@ def test_c14_integer_ztest_equals_reference(spark, rows):
         for i, ln in members:
             want[i] = (N * ln - S) ** 2 > 4 * (N * SS - S * S)
     assert got == want
+
+
+def test_kcore_clique_survives_pendant_peels(spark):
+    """Closed form: K4 + a pendant vertex hanging off it. The 3-core is
+    exactly the K4 (every clique vertex keeps degree 3 after the
+    pendant is peeled); the pendant (degree 1) and its effect on its
+    anchor's degree vanish."""
+    from dgraph_etl_spark.graph.traverse import k_core
+
+    k4 = [(a, b) for a in "1234" for b in "1234" if a < b]
+    edges = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in k4] + [("4", "9", 1.0)],
+        ["src", "dst", "score"],
+    )
+    got = {
+        (r["id"], r["core_degree"])
+        for r in k_core(edges, k=3, n_rounds=10).collect()
+    }
+    assert got == {("1", 3), ("2", 3), ("3", 3), ("4", 3)}
+
+
+def test_kcore_cycle_below_k_empties(spark):
+    """A plain cycle is 2-regular: a 3-core peel removes everything."""
+    from dgraph_etl_spark.graph.traverse import k_core
+
+    cyc = [(str(i), str((i + 1) % 6), 1.0) for i in range(6)]
+    edges = spark.createDataFrame(cyc, ["src", "dst", "score"])
+    assert k_core(edges, k=3, n_rounds=10).count() == 0
