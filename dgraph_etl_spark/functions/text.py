@@ -474,14 +474,19 @@ def span_dup_stats(docs: DataFrame, k: int = 8) -> DataFrame:
     md5-as-hex keeps span identity engine-portable, so the whole
     operator hash-checks against plain SQL."""
     h = doc_span_hashes(docs, k)
-    counts = h.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
+    # "occurs in >= 2 distinct docs" needs no count-distinct (which
+    # would expand to a two-phase dedup agg): min(doc_id) != max(doc_id)
+    # is the same predicate in ONE plain map-side-combinable hash agg
+    counts = h.groupBy("h").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("is_dup")
+    )
     return (
         h.join(counts, "h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.sum(
-                F.when(F.col("n_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+                F.when(F.col("is_dup"), F.lit(1)).otherwise(F.lit(0))
             ).alias("n_dup_spans"),
         )
         .withColumn(
@@ -499,18 +504,23 @@ def token_commonness(docs: DataFrame) -> DataFrame:
     every aggregate an exact int sum so the score is bit-identical
     across engines; one IEEE division at the end).
 
-    Two shuffles at scale: token -> corpus count (map-side combinable
-    hash agg), then tokens re-keyed by doc for the per-doc mean; the
-    count table joins by token (no broadcast assumption -- vocabulary
-    can be huge)."""
-    tok = tokenized(docs)
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    Scale shape: per-(doc, token) term frequencies FIRST (keyed by
+    doc+token -- spreads evenly), so the token-keyed stages move one
+    row per distinct term per doc instead of one per instance. The
+    corpus count is then a map-side-combinable sum over tf, and the
+    tf-to-count join is the only token-keyed stage; stopword-grade hot
+    tokens skew it, which AQE's skew-join splitting absorbs (the rows
+    per key are already collapsed to one per doc)."""
+    tf = tokenized(docs).groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    counts = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
     return (
-        tok.join(counts, "token")
+        tf.join(counts, "token")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("cnt").alias("sum_freq"),
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("cnt")).alias("sum_freq"),
             F.min("cnt").alias("rarest_freq"),
         )
         .withColumn(

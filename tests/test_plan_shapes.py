@@ -134,6 +134,20 @@ CONTRACTS += [
         "the c=s nationkey condition stays an equi/residual, never a "
         "nested loop",
     ),
+    (
+        "c27_span_dedup",
+        ["HashAggregate", "partial_min"],
+        ["Expand", "Window"],
+        "span duplication screen is min!=max in one plain hash agg -- "
+        "never a count-distinct Expand or a per-hash window",
+    ),
+    (
+        "c28_token_commonness",
+        ["HashAggregate", "partial_sum"],
+        ["Expand", "Window"],
+        "token commonness pre-aggregates (doc,token) tf before the "
+        "token-keyed join; plain partial-sum aggs only",
+    ),
 ]
 
 
