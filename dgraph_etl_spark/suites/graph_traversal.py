@@ -389,3 +389,45 @@ def g14_kcore(spark, sf_dir):
     Returns surviving vertices with their in-core degree."""
     edges, _, _ = _graph_inputs(spark, sf_dir)
     return G.k_core(edges, k=3, n_rounds=10)
+
+
+@register(
+    "g15_link_prediction",
+    V("""
+      , und AS MATERIALIZED (
+          SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM edges WHERE src <> dst
+          GROUP BY 1, 2
+      ),
+      sym AS MATERIALIZED (
+          SELECT a AS u, b AS v FROM und
+          UNION ALL
+          SELECT b AS u, a AS v FROM und
+      ),
+      deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+      common AS MATERIALIZED (
+          SELECT l.v AS x, r.v AS y, COUNT(*) AS n_common
+          FROM sym l JOIN sym r ON l.u = r.u AND l.v < r.v
+          GROUP BY l.v, r.v
+      ),
+      cand AS (
+          SELECT c.x, c.y, c.n_common
+          FROM common c
+          LEFT JOIN und e ON c.x = e.a AND c.y = e.b
+          WHERE e.a IS NULL
+      )
+      SELECT c.x, c.y, c.n_common,
+             ROUND(c.n_common / (dx.deg + dy.deg - c.n_common), 6) AS jaccard
+      FROM cand c
+      JOIN deg dx ON c.x = dx.node
+      JOIN deg dy ON c.y = dy.node
+      WHERE ROUND(c.n_common / (dx.deg + dy.deg - c.n_common), 6) >= 0.3
+    """),
+)
+def g15_link_prediction(spark, sf_dir):
+    """Graph analytics beyond the reference: common-neighbor link
+    prediction -- non-adjacent vertex pairs ranked by Jaccard overlap
+    of their neighbor sets (wedge join -> anti-join off existing edges
+    -> degree join). Exact set-size arithmetic; fully oracle-checked."""
+    edges, _, _ = _graph_inputs(spark, sf_dir)
+    return G.jaccard_link_prediction(edges, threshold=0.3)
