@@ -549,3 +549,48 @@ def test_kcore_cycle_below_k_empties(spark):
     cyc = [(str(i), str((i + 1) % 6), 1.0) for i in range(6)]
     edges = spark.createDataFrame(cyc, ["src", "dst", "score"])
     assert k_core(edges, k=3, n_rounds=10).count() == 0
+
+
+def test_span_dup_whole_doc_copy_scores_one(spark):
+    """Closed form for the passage screen: two identical docs have
+    EVERY span duplicated (frac 1.0); a doc sharing nothing scores 0;
+    a doc sharing exactly its first 8-token span with another doc
+    scores 1/ceil(n_spans)."""
+    from dgraph_etl_spark.functions.text import span_dup_stats
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    uniq_a = " ".join(f"a{i}" for i in range(8))
+    uniq_b = " ".join(f"b{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " " + uniq_a),   # 2 spans, 1 shared
+            (2, shared),                  # 1 span, shared
+            (3, uniq_b),                  # 2 spans, none shared
+            (4, uniq_b),                  # exact copy of 3
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_span_frac"])
+        for r in span_dup_stats(docs, k=8).collect()
+    }
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (1, 1, 1.0)
+    assert got[3] == (2, 2, 1.0)
+    assert got[4] == (2, 2, 1.0)
+
+
+def test_catalog_sf_dir_switch_mid_session(spark):
+    """Harness probe (verify-skill gotcha): registering sf0.001 then
+    sf0.01 in the SAME session must re-point every view -- the catalog
+    caches the last registered dir per session and must invalidate on
+    switch, never serve stale views."""
+    from dgraph_etl_spark.catalog import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", force=True)
+    n_small = spark.table("lineitem").count()
+    register_views(spark, "/root/testdata/sf0.01")
+    n_big = spark.table("lineitem").count()
+    assert n_big > n_small
+    register_views(spark, "/root/testdata/sf0.001")
+    assert spark.table("lineitem").count() == n_small
