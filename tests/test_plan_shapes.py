@@ -148,6 +148,13 @@ CONTRACTS += [
         "token commonness pre-aggregates (doc,token) tf before the "
         "token-keyed join; plain partial-sum aggs only",
     ),
+    (
+        "g15_link_prediction",
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "link-prediction wedge/anti/degree joins are all equi-joins; a "
+        "nested loop means the x<y predicate displaced the join keys",
+    ),
 ]
 
 
