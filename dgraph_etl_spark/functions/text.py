@@ -528,3 +528,33 @@ def token_commonness(docs: DataFrame) -> DataFrame:
             F.round(F.col("sum_freq") / F.col("n_tokens"), 6),
         )
     )
+
+
+def length_bucketed_batches(
+    docs: DataFrame, batch_size: int = 32, band_width: int = 64
+) -> DataFrame:
+    """Padding-efficient training batch assembly: band documents by
+    token length, order each band longest-first (doc_id tiebreak), cut
+    into fixed-size batches WITHIN the band, and report each batch's
+    padding waste (docs * batch-max-length - total tokens -- the dead
+    compute a naive random batching pays). Length-sorted bucketing is
+    the standard dataloader trick; banding makes it distributed: the
+    only window is per-band (parallel across bands), never a global
+    sort, and the per-batch summary is one hash agg on (band, batch).
+    All arithmetic is integer-exact."""
+    base = docs.select(
+        "doc_id", F.size(tokens()).cast("bigint").alias("n_tokens")
+    ).withColumn("band", F.floor(F.col("n_tokens") / band_width))
+    w = Window.partitionBy("band").orderBy(F.desc("n_tokens"), "doc_id")
+    assigned = base.withColumn(
+        "batch_in_band",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("bigint"),
+    )
+    return assigned.groupBy("band", "batch_in_band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (
+            F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+        ).alias("padding_waste"),
+    )

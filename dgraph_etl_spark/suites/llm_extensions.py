@@ -1511,3 +1511,38 @@ def c28_token_commonness(spark, sf_dir):
     per-doc mean corpus frequency of its tokens + rarest-token count.
     All aggregates are exact int sums; one IEEE division at the end."""
     return X.token_commonness(_docs(spark, sf_dir))
+
+
+@register(
+    "c29_length_bucketed_batches",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(string_split(text, ' ')) // 64 AS band
+      FROM documents
+    ),
+    assigned AS (
+      SELECT band, n_tokens,
+             (ROW_NUMBER() OVER (PARTITION BY band
+                                 ORDER BY n_tokens DESC, doc_id) - 1) // 32
+               AS batch_in_band
+      FROM base
+    )
+    SELECT band, batch_in_band,
+           COUNT(*) AS n_docs,
+           MAX(n_tokens) AS max_len,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+             AS padding_waste
+    FROM assigned
+    GROUP BY band, batch_in_band
+    """,
+)
+def c29_length_bucketed_batches(spark, sf_dir):
+    """Padding-efficient batch assembly: length-banded, longest-first,
+    fixed-size batches with per-batch padding-waste accounting. The
+    only window partitions by length band (parallel), never a global
+    sort -- the distributed form of the dataloader's length-sorted
+    bucketing."""
+    return X.length_bucketed_batches(_docs(spark, sf_dir))

@@ -1704,3 +1704,105 @@ def b53_stat_aggs(spark, sf_dir):
             6,
         ).alias("corr_qty_price"),
     )
+
+
+_EXISTS_SQL = """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+          AND o.o_totalprice < 1000
+    )
+"""
+
+
+@register("b54_exists_subquery", _EXISTS_SQL)
+def b54_exists_subquery(spark, sf_dir):
+    """B54: correlated EXISTS / NOT EXISTS, submitted as verbatim ANSI
+    SQL (same string both engines). Catalyst decorrelates both
+    predicates into one left-semi and one left-anti join keyed on
+    o_custkey -- point-lookup semantics executed as two set joins, the
+    same plan shape a hand-written a06/b11 pair produces. At 100 TB
+    both subqueries shuffle once on the correlation key; no per-row
+    re-execution ever happens."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+_SCALAR_SUBQ_SQL = """
+    SELECT n.n_name,
+           (SELECT COUNT(*) FROM supplier s
+            WHERE s.s_nationkey = n.n_nationkey) AS n_suppliers,
+           (SELECT COUNT(*) FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+              AND c.c_acctbal > 0) AS n_positive_customers
+    FROM nation n
+"""
+
+
+@register("b55_scalar_subquery", _SCALAR_SUBQ_SQL)
+def b55_scalar_subquery(spark, sf_dir):
+    """B55: correlated SCALAR subqueries in the projection, verbatim
+    ANSI SQL. Catalyst rewrites each into a grouped aggregate joined
+    back on the correlation key (RewriteCorrelatedScalarSubquery) --
+    per-row COUNT(*) lookups become two hash aggs + left joins, the
+    reference's MySQL COUNT endpoint (mysql.go:18) as set algebra."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+_FILTERED_AGG_SQL = """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           COUNT(*) FILTER (WHERE l_quantity >= 30) AS n_bulk,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                FILTER (WHERE l_quantity >= 30) AS DOUBLE) AS bulk_price
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@register("b56_filtered_agg", _FILTERED_AGG_SQL)
+def b56_filtered_agg(spark, sf_dir):
+    """B56: FILTER-clause aggregates, verbatim ANSI SQL -- several
+    differently-conditioned aggregates in ONE pass over the fact table
+    (the alternative is one scan per condition or a pivot). Still a
+    plain map-side-combinable hash agg; the filters are per-row
+    predicates fused into the aggregate update."""
+    register_views(spark, sf_dir)
+    return spark.sql(_FILTERED_AGG_SQL)
+
+
+@register(
+    "b57_string_agg",
+    """
+    SELECT n.n_name,
+           array_to_string(list_sort(list(DISTINCT c.c_mktsegment)), ',')
+             AS segments
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def b57_string_agg(spark, sf_dir):
+    """B57: deterministic string aggregation (LISTAGG/STRING_AGG
+    surface): collect_set -> sort -> join, so the emitted string is
+    independent of partitioning and arrival order -- the only safe
+    listagg form in ANY distributed engine (an unordered STRING_AGG
+    hash-compares only by luck). One hash agg keyed by nation."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ","
+            ).alias("segments")
+        )
+    )
