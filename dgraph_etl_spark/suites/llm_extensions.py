@@ -1546,3 +1546,58 @@ def c29_length_bucketed_batches(spark, sf_dir):
     sort -- the distributed form of the dataloader's length-sorted
     bucketing."""
     return X.length_bucketed_batches(_docs(spark, sf_dir))
+
+
+@register(
+    "c30_source_overlap",
+    """
+    WITH toks AS (
+      SELECT d.doc_id, d.source, string_split(d.text, ' ') AS t
+      FROM documents d
+    ),
+    spans AS (
+      SELECT doc_id, source,
+             [md5(array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' '))
+              for i in range(1,
+                GREATEST(CAST(ceil(len(t)/8.0) AS BIGINT), 1) + 1)] AS hs
+      FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT source, unnest(hs) AS h FROM spans
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_spans
+    FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def c30_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct 8-token passages they share -- the who-copied-whom /
+    mirror-detection audit run before mixing sources into a training
+    corpus. Distinct (source, span-hash) first (collapses each
+    source's repeats), then one equi-join on the hash; the quadratic
+    step is per-span-hash across sources (bounded by the number of
+    sources, not documents)."""
+    docs = _docs(spark, sf_dir)
+    from ..functions.text import doc_span_hashes
+
+    spans = doc_span_hashes(docs.select("doc_id", "text"))
+    sh = (
+        spans.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "h")
+        .dropDuplicates(["source", "h"])
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )

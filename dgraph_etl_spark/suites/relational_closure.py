@@ -1806,3 +1806,58 @@ def b57_string_agg(spark, sf_dir):
             ).alias("segments")
         )
     )
+
+
+@register(
+    "b58_binned_range_join",
+    """
+    SELECT b.bucket_name, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM part p
+    JOIN (VALUES ('low', 0.0, 925.0), ('mid', 925.0, 975.0),
+                 ('high', 975.0, 10000.0)) b(bucket_name, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.bucket_name
+    """,
+)
+def b58_binned_range_join(spark, sf_dir):
+    """B12's 100 TB form: the interval join rewritten as an EQUI-join.
+    Each interval explodes to the fixed-width bins it overlaps; each
+    probe row computes its bin; the join key is the bin and the
+    original range predicate survives as a residual filter. Result is
+    identical to b12 (same oracle text), but the plan is a hash join --
+    a nested-loop range join compares every row against every interval
+    (broadcast saves it only while the interval table is tiny), while
+    the binned form scales to millions of intervals: work is
+    |probe| + sum(interval spans / bin width), all hash-partitioned.
+    The plan contract pins no-nested-loop."""
+    W = 100
+    p = _t(spark, sf_dir, "part")
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 925.0), ("mid", 925.0, 975.0), ("high", 975.0, 10000.0)],
+        schema="bucket_name string, lo double, hi double",
+    )
+    bins = buckets.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / W).cast("int"),
+                (F.ceil(F.col("hi") / W) - 1).cast("int"),
+            )
+        ),
+    )
+    probe = p.withColumn(
+        "bin", F.floor(F.col("p_retailprice") / W).cast("int")
+    )
+    return (
+        probe.join(F.broadcast(bins), "bin")
+        .filter(
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi"))
+        )
+        .groupBy("bucket_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice", "total_price"),
+        )
+    )

@@ -155,6 +155,20 @@ CONTRACTS += [
         "link-prediction wedge/anti/degree joins are all equi-joins; a "
         "nested loop means the x<y predicate displaced the join keys",
     ),
+    (
+        "b54_exists_subquery",
+        ["Join LeftSemi", "Join LeftAnti"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "correlated EXISTS/NOT EXISTS decorrelate to one semi + one "
+        "anti join -- never per-row subquery re-execution",
+    ),
+    (
+        "b58_binned_range_join",
+        ["BroadcastHashJoin"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "binned interval join is a hash join on the bin key; the range "
+        "predicate is a residual, not the join itself",
+    ),
 ]
 
 
