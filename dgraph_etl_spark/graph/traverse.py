@@ -414,3 +414,38 @@ def jaccard_link_prediction(
         )
     )
     return scored.filter(F.col("jaccard") >= threshold)
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """Per-vertex mean degree of its (undirected) neighbors -- the
+    local assortativity signal (hubs-connected-to-hubs vs
+    hubs-to-leaves). Degree table joins back onto the symmetric
+    adjacency keyed by the neighbor, then one sum/count per vertex:
+    two hash aggs + one equi-join, exact integer sums with a single
+    IEEE division at the end."""
+    und = undirected_edges(edges)
+    sym = und.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ndeg = sym.join(
+        deg.select(F.col("node").alias("v"), F.col("deg").alias("v_deg")),
+        "v",
+    )
+    return (
+        ndeg.groupBy(F.col("u").alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("degree"),
+            F.sum("v_deg").alias("sum_neighbor_deg"),
+        )
+        .select(
+            "id",
+            "degree",
+            "sum_neighbor_deg",
+            F.round(
+                F.col("sum_neighbor_deg") / F.col("degree"), 6
+            ).alias("avg_neighbor_degree"),
+        )
+    )

@@ -431,3 +431,32 @@ def g15_link_prediction(spark, sf_dir):
     -> degree join). Exact set-size arithmetic; fully oracle-checked."""
     edges, _, _ = _graph_inputs(spark, sf_dir)
     return G.jaccard_link_prediction(edges, threshold=0.3)
+
+
+@register(
+    "g16_avg_neighbor_degree",
+    V("""
+      , und AS MATERIALIZED (
+          SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM edges WHERE src <> dst
+          GROUP BY 1, 2
+      ),
+      sym AS MATERIALIZED (
+          SELECT a AS u, b AS v FROM und
+          UNION ALL
+          SELECT b AS u, a AS v FROM und
+      ),
+      deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u)
+      SELECT s.u AS id,
+             COUNT(*) AS degree,
+             CAST(SUM(d.deg) AS BIGINT) AS sum_neighbor_deg,
+             ROUND(SUM(d.deg) / COUNT(*), 6) AS avg_neighbor_degree
+      FROM sym s JOIN deg d ON s.v = d.node
+      GROUP BY s.u
+    """),
+)
+def g16_avg_neighbor_degree(spark, sf_dir):
+    """Graph analytics beyond the reference: mean neighbor degree per
+    vertex (local assortativity). Exact integer sums; one division."""
+    edges, _, _ = _graph_inputs(spark, sf_dir)
+    return G.avg_neighbor_degree(edges)
