@@ -1861,3 +1861,20 @@ def b58_binned_range_join(spark, sf_dir):
             dsum("p_retailprice", "total_price"),
         )
     )
+
+
+@register("b59_approx_quantiles", None)
+def b59_approx_quantiles(spark, sf_dir):
+    """B59: approximate percentiles (Greenwald-Khanna sketch via
+    percentile_approx, accuracy 10000) -- the quantile member of the
+    sketch family next to b15's HLL. Rows-only like every sketch
+    (internals are engine-specific); accuracy vs the exact percentile
+    is property-tested (tests/test_properties.py). At 100 TB the
+    sketch merges map-side -- one pass, bounded memory, no sort --
+    which is the whole point vs the exact form's full shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -594,3 +594,43 @@ def test_catalog_sf_dir_switch_mid_session(spark):
     assert n_big > n_small
     register_views(spark, "/root/testdata/sf0.001")
     assert spark.table("lineitem").count() == n_small
+
+
+def test_approx_quantiles_within_rank_tolerance(spark, sf_small):
+    """b59's sketch answers must sit within rank-error tolerance of the
+    exact percentiles: GK with accuracy A guarantees rank error
+    <= n/A, so with A=10000 and per-group n in the low thousands the
+    approx answer must land between the exact neighbors of the target
+    rank -- here we allow the value band [exact_p(q-eps), exact_p(q+eps)]
+    with eps = 1% of rank: orders of magnitude wider than the sketch's
+    n/A guarantee but tight enough to catch a broken sketch, and wide
+    enough to absorb percentile()'s interpolation between rows (the
+    sketch returns actual data values)."""
+    from pyspark.sql import functions as F
+
+    from dgraph_etl_spark.registry import REGISTRY, _load_suites
+
+    _load_suites()
+    approx = {
+        r["l_returnflag"]: (r["p50"], r["p95"], r["n"])
+        for r in REGISTRY["b59_approx_quantiles"].fn(spark, sf_small).collect()
+    }
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    eps = 0.01
+    for q, idx in ((0.5, 0), (0.95, 1)):
+        exact_lo = {
+            r["l_returnflag"]: r["v"]
+            for r in li.groupBy("l_returnflag")
+            .agg(F.expr(f"percentile(l_extendedprice, {max(q - eps, 0)})").alias("v"))
+            .collect()
+        }
+        exact_hi = {
+            r["l_returnflag"]: r["v"]
+            for r in li.groupBy("l_returnflag")
+            .agg(F.expr(f"percentile(l_extendedprice, {min(q + eps, 1)})").alias("v"))
+            .collect()
+        }
+        for flag, vals in approx.items():
+            assert exact_lo[flag] <= vals[idx] <= exact_hi[flag], (
+                q, flag, vals[idx], exact_lo[flag], exact_hi[flag],
+            )
