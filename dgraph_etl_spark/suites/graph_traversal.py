@@ -460,3 +460,38 @@ def g16_avg_neighbor_degree(spark, sf_dir):
     vertex (local assortativity). Exact integer sums; one division."""
     edges, _, _ = _graph_inputs(spark, sf_dir)
     return G.avg_neighbor_degree(edges)
+
+
+@register(
+    "g17_team_comembership",
+    V("""
+      SELECT a.person_id AS person_a, b.person_id AS person_b,
+             COUNT(*) AS shared_teams
+      FROM team_member a
+      JOIN team_member b
+        ON a.team_id = b.team_id AND a.person_id < b.person_id
+      GROUP BY a.person_id, b.person_id
+    """),
+)
+def g17_team_comembership(spark, sf_dir):
+    """Bipartite projection of the reference's team_member relation
+    (mysql.go:59-82): person-person edges weighted by shared-team
+    count -- the co-membership graph the reference's team queries
+    imply but never materialize. One self-equi-join through the team
+    key; the quadratic step is per-team (the classic fan-out bound --
+    at 100 TB, cap or salt mega-teams exactly like hub vertices in
+    triangle counting)."""
+    _, team_member, _ = _graph_inputs(spark, sf_dir)
+    a, b = team_member.alias("a"), team_member.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.team_id") == F.col("b.team_id"))
+            & (F.col("a.person_id") < F.col("b.person_id")),
+        )
+        .groupBy(
+            F.col("a.person_id").alias("person_a"),
+            F.col("b.person_id").alias("person_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_teams"))
+    )

@@ -1601,3 +1601,68 @@ def c30_source_overlap(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
     )
+
+
+@register(
+    "c31_snapshot_diff",
+    """
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    v2 AS (
+      SELECT doc_id, md5(concat(text, ' [rev]')) AS h
+      FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id, md5(text) AS h
+      FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, md5(concat('new ', text)) AS h
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT COALESCE(v2.doc_id, v1.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    """,
+)
+def c31_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (change-data-capture over dataset
+    versions): content-hash comparison of two corpus versions via one
+    full outer join on doc_id -> added / removed / changed / unchanged
+    per document -- the audit that tells a retraining pipeline what
+    actually moved between crawls. The v2 snapshot is derived
+    deterministically from the fixture (every 7th doc revised, every
+    13th dropped, every 11th cloned as new) so the query is
+    self-contained and oracle-checkable. One shuffle on doc_id at any
+    scale; hashes compare without moving text."""
+    docs = _docs(spark, sf_dir)
+    v1 = docs.select("doc_id", F.md5("text").alias("h"))
+    v2 = (
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0))
+        .select(
+            "doc_id", F.md5(F.concat(F.col("text"), F.lit(" [rev]"))).alias("h")
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 13 != 0)
+            ).select("doc_id", F.md5("text").alias("h"))
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5(F.concat(F.lit("new "), F.col("text"))).alias("h"),
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("b.doc_id"), F.col("a.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
