@@ -433,3 +433,44 @@ def a24_time_conversions(spark, sf_dir):
         F.unix_micros("ts").alias("unix_us"),
         F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
     )
+
+
+@register(
+    "a26_dead_letter_split",
+    V("""
+      SELECT person_id,
+             CASE WHEN TRY_CAST(person_id AS DECIMAL(38,0)) IS NOT NULL
+                  THEN 'ok' ELSE 'dead_letter' END AS route,
+             CASE WHEN TRY_CAST(person_id AS DECIMAL(38,0)) IS NOT NULL
+                  THEN NULL ELSE 'not_decimal' END AS reason
+      FROM (
+        SELECT person_id FROM person
+        UNION ALL SELECT person_id || 'x' FROM person
+        WHERE CAST(person_id AS BIGINT) % 9 = 0
+      ) ids
+    """),
+)
+def a26_dead_letter_split(spark, sf_dir):
+    """Dead-letter routing (the production form of A22's parse-or-skip:
+    the reference silently drops records its Atoi fails on,
+    etl.go:60-63 -- a real pipeline routes them to a quarantine sink
+    with a reason instead of losing them). One pass, per-row
+    expressions only: every record is tagged ok/dead_letter + reason;
+    the ok stream feeds the pipeline and the dead letters feed a side
+    sink for replay after a fix. Corrupted ids are derived
+    deterministically from the fixture (every 9th id gets a trailing
+    'x') so the query is self-contained and oracle-checkable."""
+    register_views(spark, sf_dir)
+    person = spark.table("person").select("person_id")
+    corrupted = person.filter(
+        F.col("person_id").cast("bigint") % 9 == 0
+    ).select(F.concat(F.col("person_id"), F.lit("x")).alias("person_id"))
+    ids = person.unionByName(corrupted)
+    ok = F.expr("TRY_CAST(person_id AS DECIMAL(38,0))").isNotNull()
+    return ids.select(
+        "person_id",
+        F.when(ok, F.lit("ok")).otherwise(F.lit("dead_letter")).alias("route"),
+        F.when(ok, F.lit(None).cast("string"))
+        .otherwise(F.lit("not_decimal"))
+        .alias("reason"),
+    )

@@ -537,3 +537,48 @@ def s12_stream_span_dedup(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(result)
+
+
+@register(
+    "s13_stream_trending",
+    """
+    WITH w AS (
+      SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, rnk FROM (
+      SELECT w.*, ROW_NUMBER() OVER (
+               PARTITION BY window_start
+               ORDER BY n_events DESC, event_type) AS rnk
+      FROM w
+    ) r WHERE rnk <= 2
+    """,
+)
+def s13_stream_trending(spark, sf_dir):
+    """Trending detection over the stream: watermarked 1-hour tumbling
+    counts per event_type (the streaming stateful part), then top-2
+    types per window by a deterministic rank (count desc, type) over
+    the emitted windows -- the rank epilogue runs on the sink because
+    ranking across an unbounded stream's windows is only defined once
+    a window is final (watermark-closed); per-window state stays
+    bounded either way. Same two-shuffle shape at any scale: window
+    agg keyed by (window, type), rank keyed by window."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", _WM)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = run_to_memory(agg, "complete", "s13_trending")
+    from pyspark.sql import Window as Wnd
+
+    flat = out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+    w = Wnd.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return flat.withColumn(
+        "rnk", F.row_number().over(w)
+    ).filter(F.col("rnk") <= 2)
