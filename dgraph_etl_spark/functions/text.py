@@ -443,9 +443,9 @@ def token_budget_pack(docs: DataFrame, budget: int) -> DataFrame:
 
 
 def doc_span_hashes(docs: DataFrame, k: int = 8) -> DataFrame:
-    """(doc_id, span_id, h): md5 of each consecutive non-overlapping
-    ``k``-token span. Narrow op -- one materialized token array per
-    row, sliced per span index."""
+    """(doc_id, span_id, span, h): each consecutive non-overlapping
+    ``k``-token span with its md5. Narrow op -- one materialized token
+    array per row, sliced per span index."""
     t = tokens()
     n_spans = F.greatest(
         F.ceil(F.size(t) / F.lit(float(k))).cast("int"), F.lit(1)
@@ -455,7 +455,59 @@ def doc_span_hashes(docs: DataFrame, k: int = 8) -> DataFrame:
         lambda i: F.array_join(F.slice(t, i * k + 1, k), " "),
     )
     pos = docs.select("doc_id", F.posexplode(spans).alias("span_id", "span"))
-    return pos.select("doc_id", "span_id", F.md5("span").alias("h"))
+    return pos.select("doc_id", "span_id", "span", F.md5("span").alias("h"))
+
+
+def boilerplate_removal(
+    docs: DataFrame, k: int = 8, min_docs: int = 3
+) -> DataFrame:
+    """The cleaning TRANSFORM on top of the span screen: drop every
+    k-token span that occurs in >= ``min_docs`` distinct documents
+    (site chrome, license headers, navigation text -- content repeated
+    verbatim across many docs) and reassemble the surviving spans in
+    position order. Returns (doc_id, n_kept, n_removed, cleaned_text);
+    docs whose every span is boilerplate disappear (fully-boilerplate
+    docs ARE the removal target).
+
+    Scale shape: boilerplate detection is distinct (doc, hash) -> one
+    count per hash (two plain hash aggs, no count-distinct Expand);
+    the reassembly collects each doc's kept spans and sorts WITHIN the
+    row (array_sort over (span_id, span) structs -- per-doc data,
+    never a global sort)."""
+    spans = doc_span_hashes(docs, k)
+    per_hash = (
+        spans.select("doc_id", "h")
+        .dropDuplicates(["doc_id", "h"])
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    flagged = spans.join(per_hash, "h").withColumn(
+        "is_boiler", F.col("n_docs") >= min_docs
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(~F.col("is_boiler"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_boiler"),
+                                F.struct("span_id", "span"),
+                            )
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .filter(F.col("n_kept") > 0)
+    )
 
 
 def span_dup_stats(docs: DataFrame, k: int = 8) -> DataFrame:

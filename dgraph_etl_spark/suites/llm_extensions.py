@@ -1666,3 +1666,46 @@ def c31_snapshot_diff(spark, sf_dir):
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+@register(
+    "c32_boilerplate_removal",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i - 1 AS span_id,
+             array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' ') AS span
+      FROM toks, LATERAL (
+        SELECT unnest(range(1,
+          GREATEST(CAST(ceil(len(t)/8.0) AS BIGINT), 1) + 1)) AS i
+      )
+    ),
+    per_hash AS (
+      SELECT md5(span) AS h, COUNT(DISTINCT doc_id) AS n_docs
+      FROM spans GROUP BY 1
+    ),
+    flagged AS (
+      SELECT s.doc_id, s.span_id, s.span, p.n_docs >= 3 AS is_boiler
+      FROM spans s JOIN per_hash p ON md5(s.span) = p.h
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN NOT is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           COALESCE(string_agg(CASE WHEN NOT is_boiler THEN span END, ' '
+                               ORDER BY span_id), '') AS cleaned_text
+    FROM flagged
+    GROUP BY doc_id
+    HAVING SUM(CASE WHEN NOT is_boiler THEN 1 ELSE 0 END) > 0
+    """,
+)
+def c32_boilerplate_removal(spark, sf_dir):
+    """The cleaning transform on top of the passage screen: spans
+    occurring in >= 3 distinct docs (site chrome / license headers)
+    are dropped and each doc's surviving spans reassemble in position
+    order. Fully-boilerplate docs disappear -- they are the removal
+    target."""
+    return X.boilerplate_removal(_docs(spark, sf_dir), k=8, min_docs=3)
