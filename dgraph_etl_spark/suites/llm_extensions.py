@@ -1709,3 +1709,72 @@ def c32_boilerplate_removal(spark, sf_dir):
     order. Fully-boilerplate docs disappear -- they are the removal
     target."""
     return X.boilerplate_removal(_docs(spark, sf_dir), k=8, min_docs=3)
+
+
+@register(
+    "c33_bigram_next_token",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bigrams AS (
+      SELECT t[i] AS prev_tok, t[i + 1] AS next_tok
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, GREATEST(len(t) - 1, 0) + 1)) AS i
+      )
+    ),
+    cond AS (
+      SELECT prev_tok, next_tok, COUNT(*) AS cnt
+      FROM bigrams GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT prev_tok, next_tok, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY prev_tok) AS BIGINT)
+               AS prev_total,
+             ROW_NUMBER() OVER (PARTITION BY prev_tok
+                                ORDER BY cnt DESC, next_tok) AS rnk
+      FROM cond
+    )
+    SELECT prev_tok, next_tok, cnt, prev_total,
+           ROUND(cnt / prev_total, 6) AS cond_prob
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def c33_bigram_next_token(spark, sf_dir):
+    """Bigram conditional-LM table: for every token, its most likely
+    successor with the conditional probability cnt / total(prev) --
+    the classic phrase-completion / suggestion statistic (and the
+    building block of bigram-LM scoring). One hash agg keyed by the
+    token pair, then one window keyed by prev token (rank + total
+    share the same partitioning -- a single exchange); ties broken by
+    token so the argmax is total-ordered."""
+    from pyspark.sql import Window as Wnd
+
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    pairs = docs.select(
+        F.posexplode(F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0)))).alias(
+            "i", "prev_tok"
+        ),
+        t.alias("t"),
+    ).select("prev_tok", F.col("t")[F.col("i") + 1].alias("next_tok"))
+    cond = pairs.groupBy("prev_tok", "next_tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Wnd.partitionBy("prev_tok")
+    ranked = cond.select(
+        "prev_tok",
+        "next_tok",
+        "cnt",
+        F.sum("cnt").over(w).alias("prev_total"),
+        F.row_number()
+        .over(w.orderBy(F.desc("cnt"), "next_tok"))
+        .alias("rnk"),
+    )
+    return ranked.filter(F.col("rnk") == 1).select(
+        "prev_tok",
+        "next_tok",
+        "cnt",
+        "prev_total",
+        F.round(F.col("cnt") / F.col("prev_total"), 6).alias("cond_prob"),
+    )

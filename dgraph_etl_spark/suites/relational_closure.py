@@ -1878,3 +1878,49 @@ def b59_approx_quantiles(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "b60_timeseries_deltas",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(time_bucket(INTERVAL 1 DAY, ts)) AS day_us,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day_us, n_events, total_value,
+           n_events - LAG(n_events) OVER w AS delta_events,
+           ROUND((n_events - LAG(n_events) OVER w)
+                 / LAG(n_events) OVER w, 6) AS pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_us)
+    """,
+)
+def b60_timeseries_deltas(spark, sf_dir):
+    """B60: time-series day-over-day analytics -- daily rollup per
+    event type, then LAG-based absolute and percent deltas. Two
+    shuffles at any scale: the daily hash agg (map-side combinable,
+    keyed by type+day) and one window keyed by event_type whose
+    per-partition state is days, not events. The day bucket and the
+    division are the only non-integer steps (epoch arithmetic + one
+    IEEE division, both engine-identical)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"),
+    )
+    w = Wnd.partitionBy("event_type").orderBy("day_us")
+    lagged = F.lag("n_events").over(w)
+    return daily.select(
+        "event_type",
+        "day_us",
+        "n_events",
+        "total_value",
+        (F.col("n_events") - lagged).alias("delta_events"),
+        F.round((F.col("n_events") - lagged) / lagged, 6).alias("pct_change"),
+    )
