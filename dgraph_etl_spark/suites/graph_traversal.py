@@ -495,3 +495,70 @@ def g17_team_comembership(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("shared_teams"))
     )
+
+
+@register(
+    "g18_graph_profile",
+    V("""
+      , und AS MATERIALIZED (
+          SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM edges WHERE src <> dst
+          GROUP BY 1, 2
+      ),
+      nodes AS MATERIALIZED (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+      ),
+      deg AS MATERIALIZED (
+          SELECT u AS node, COUNT(*) AS d FROM (
+            SELECT a AS u FROM und UNION ALL SELECT b FROM und
+          ) s GROUP BY u
+      )
+      SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+             (SELECT COUNT(*) FROM edges) AS n_directed_edges,
+             (SELECT COUNT(*) FROM und) AS n_undirected_edges,
+             (SELECT MAX(d) FROM deg) AS max_degree,
+             ROUND((SELECT COUNT(*) FROM und) /
+                   ((SELECT COUNT(*) FROM nodes) *
+                    ((SELECT COUNT(*) FROM nodes) - 1) / 2.0), 6) AS density
+    """),
+)
+def g18_graph_profile(spark, sf_dir):
+    """One-pass graph profile (the graph analog of C16's table
+    profile): node/edge counts, max undirected degree, and density --
+    the sanity numbers read before running any traversal at scale
+    (degree skew decides salting; density decides whether wedge joins
+    are feasible). Each statistic is a hash agg; the scalars combine
+    via cross-join of one-row frames (no data movement)."""
+    edges, _, _ = _graph_inputs(spark, sf_dir)
+    und = G.undirected_edges(edges)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates(["node"])
+    )
+    deg = (
+        und.select(F.col("a").alias("u"))
+        .unionByName(und.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_dir = edges.agg(F.count(F.lit(1)).alias("n_directed_edges"))
+    n_und = und.agg(F.count(F.lit(1)).alias("n_undirected_edges"))
+    max_d = deg.agg(F.max("d").alias("max_degree"))
+    return (
+        n_nodes.crossJoin(n_dir)
+        .crossJoin(n_und)
+        .crossJoin(max_d)
+        .select(
+            "n_nodes",
+            "n_directed_edges",
+            "n_undirected_edges",
+            "max_degree",
+            F.round(
+                F.col("n_undirected_edges")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1) / 2.0),
+                6,
+            ).alias("density"),
+        )
+    )
