@@ -1778,3 +1778,56 @@ def c33_bigram_next_token(spark, sf_dir):
         "prev_total",
         F.round(F.col("cnt") / F.col("prev_total"), 6).alias("cond_prob"),
     )
+
+
+@register(
+    "c34_intradoc_span_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i - 1 AS span_id,
+             array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' ') AS span
+      FROM toks, LATERAL (
+        SELECT unnest(range(1,
+          GREATEST(CAST(ceil(len(t)/8.0) AS BIGINT), 1) + 1)) AS i
+      )
+    ),
+    firsts AS (
+      SELECT doc_id, span, MIN(span_id) AS first_id, COUNT(*) AS n_occ
+      FROM spans GROUP BY doc_id, span
+    )
+    SELECT doc_id,
+           CAST(SUM(n_occ) AS BIGINT) AS n_spans,
+           COUNT(*) AS n_unique_spans,
+           string_agg(span, ' ' ORDER BY first_id) AS dedup_text
+    FROM firsts
+    GROUP BY doc_id
+    """,
+)
+def c34_intradoc_span_dedup(spark, sf_dir):
+    """WITHIN-document repetition cleaner: keep only the FIRST
+    occurrence of each 8-token span inside a doc and reassemble in
+    original order -- the in-doc twin of c27/c32 (catches looping
+    generation and copy-paste stutter that cross-doc screens ignore).
+    Everything is keyed by doc: one shuffle, per-doc state, reassembly
+    via in-row sort of (first_id, span) structs."""
+    from ..functions.text import doc_span_hashes
+
+    spans = doc_span_hashes(_docs(spark, sf_dir), k=8)
+    firsts = spans.groupBy("doc_id", "span").agg(
+        F.min("span_id").alias("first_id"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    return firsts.groupBy("doc_id").agg(
+        F.sum("n_occ").alias("n_spans"),
+        F.count(F.lit(1)).alias("n_unique_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("first_id", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
