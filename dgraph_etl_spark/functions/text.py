@@ -610,3 +610,49 @@ def length_bucketed_batches(
             F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
         ).alias("padding_waste"),
     )
+
+
+def vocab_coverage(docs: DataFrame, num: int = 19, den: int = 20) -> DataFrame:
+    """Tokenizer-vocabulary construction by frequency coverage: the
+    minimal most-frequent-first token set whose cumulative corpus
+    share reaches ``num/den`` (default 95%). The keep test is exact
+    integer arithmetic -- (cumsum - cnt) * den < num * total -- so the
+    cut never flips on float rounding.
+
+    Scale shape (same device as token_budget_pack): the cumulative sum
+    over the vocabulary runs as per-band windows -- bands are the
+    count's digit length, so band order IS count order -- plus a
+    broadcast offset table of per-band totals; the only unpartitioned
+    window touches B <= 20 band totals, never the vocabulary."""
+    counts = tokenized(docs).groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    banded = counts.withColumn("band", F.length(F.col("cnt").cast("string")))
+    within = Window.partitionBy("band").orderBy(
+        F.desc("cnt"), "token"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_in = banded.withColumn("cum_within", F.sum("cnt").over(within))
+
+    totals = banded.groupBy("band").agg(F.sum("cnt").alias("band_total"))
+    off_w = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.withColumn(
+        "offset", F.sum("band_total").over(off_w) - F.col("band_total")
+    ).select("band", "offset")
+    grand = counts.agg(F.sum("cnt").alias("total"))
+
+    cum = (
+        cum_in.join(F.broadcast(offsets), "band")
+        .withColumn("cum_tokens", F.col("offset") + F.col("cum_within"))
+        .crossJoin(F.broadcast(grand))
+    )
+    kept = cum.filter(
+        (F.col("cum_tokens") - F.col("cnt")) * den < num * F.col("total")
+    )
+    return kept.select(
+        "token",
+        "cnt",
+        "cum_tokens",
+        F.round(F.col("cum_tokens") / F.col("total"), 6).alias("cum_share"),
+    )

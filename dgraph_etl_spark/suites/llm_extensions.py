@@ -1831,3 +1831,34 @@ def c34_intradoc_span_dedup(spark, sf_dir):
             " ",
         ).alias("dedup_text"),
     )
+
+
+@register(
+    "c35_vocab_coverage",
+    """
+    WITH counts AS (
+      SELECT token, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      ) GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+    cum AS (
+      SELECT token, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM counts
+    )
+    SELECT c.token, c.cnt, c.cum_tokens,
+           ROUND(c.cum_tokens / t.total, 6) AS cum_share
+    FROM cum c, tot t
+    WHERE (c.cum_tokens - c.cnt) * 20 < 19 * t.total
+    """,
+)
+def c35_vocab_coverage(spark, sf_dir):
+    """Frequency-coverage vocabulary build: the minimal
+    most-frequent-first token set covering 95% of corpus tokens
+    (integer-exact cut test). The vocab cumsum is banded by count
+    digit-length -- parallel per-band windows + a broadcast offset
+    table, never a global window over the vocabulary."""
+    return X.vocab_coverage(_docs(spark, sf_dir))
