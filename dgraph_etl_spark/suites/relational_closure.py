@@ -1924,3 +1924,60 @@ def b60_timeseries_deltas(spark, sf_dir):
         (F.col("n_events") - lagged).alias("delta_events"),
         F.round((F.col("n_events") - lagged) / lagged, 6).alias("pct_change"),
     )
+
+
+@register(
+    "b61_share_of_total",
+    """
+    WITH nat AS (
+      SELECT n.n_name, r.r_name,
+             COUNT(*) AS n_customers,
+             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               AS nation_balance
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name, r.r_name
+    )
+    SELECT n_name, r_name, n_customers, nation_balance,
+           ROUND(nation_balance /
+                 CAST(SUM(CAST(nation_balance AS DECIMAL(18,6)))
+                      OVER (PARTITION BY r_name) AS DOUBLE), 6)
+             AS share_of_region
+    FROM nat
+    """,
+)
+def b61_share_of_total(spark, sf_dir):
+    """B61: share-of-total analytics (RATIO_TO_REPORT): each nation's
+    balance as a fraction of its region's total. The fact scan
+    aggregates to nation rows FIRST (map-side combinable), so the
+    share window runs over ~25 nation rows partitioned by region --
+    the window never sees fact-table cardinality. Decimal-exact sums
+    feed one IEEE division."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nat = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "nation_balance"),
+        )
+    )
+    w = Wnd.partitionBy("r_name")
+    region_total = (
+        F.sum(F.col("nation_balance").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+    )
+    return nat.select(
+        "n_name",
+        "r_name",
+        "n_customers",
+        "nation_balance",
+        F.round(F.col("nation_balance") / region_total, 6).alias(
+            "share_of_region"
+        ),
+    )

@@ -582,3 +582,36 @@ def s13_stream_trending(spark, sf_dir):
     return flat.withColumn(
         "rnk", F.row_number().over(w)
     ).filter(F.col("rnk") <= 2)
+
+
+@register(
+    "s14_stream_static_enrich",
+    oracle_with_views("""
+      SELECT e.event_id, e.user_id, p.name,
+             epoch_us(e.ts) AS ts_us, e.event_type
+      FROM events e JOIN person p ON CAST(e.user_id AS STRING) = p.person_id
+    """),
+)
+def s14_stream_static_enrich(spark, sf_dir):
+    """STREAM-STATIC join: the unbounded event stream enriched per-row
+    against the static person dimension (the reference does this as a
+    per-record Dgraph lookup, dgraph.go:110-133; here the dimension is
+    a broadcast-able static DataFrame joined inside each micro-batch
+    with NO state store -- stream-static joins are stateless by
+    construction). Append mode: each enriched event emits exactly
+    once."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    person = spark.table("person")
+    ev = events_stream(spark, sf_dir)
+    joined = ev.join(
+        person, ev["user_id"].cast("string") == person["person_id"]
+    ).select(
+        "event_id",
+        "user_id",
+        "name",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+    )
+    return run_to_memory(joined, "append", "s14_enrich")
