@@ -1862,3 +1862,47 @@ def c35_vocab_coverage(spark, sf_dir):
     digit-length -- parallel per-band windows + a broadcast offset
     table, never a global window over the vocabulary."""
     return X.vocab_coverage(_docs(spark, sf_dir))
+
+
+@register(
+    "c36_mixture_balance",
+    """
+    WITH per AS (
+      SELECT lang, source, COUNT(*) AS cnt FROM documents
+      GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT lang,
+             CAST(SUM(cnt) AS BIGINT) AS n_docs,
+             COUNT(*) AS n_sources,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+      FROM per GROUP BY lang
+    )
+    SELECT lang, n_docs, n_sources,
+           ROUND(1.0 - sum_sq / (n_docs * n_docs), 6) AS gini_impurity
+    FROM tot
+    """,
+)
+def c36_mixture_balance(spark, sf_dir):
+    """Training-mixture balance diagnostic: per-language Gini impurity
+    of the source distribution (1 - sum(share^2)) -- 0 means one
+    source dominates, (k-1)/k means k sources contribute evenly. The
+    impurity form needs no libm entropy: counts and squared counts
+    are exact integers, one IEEE division at the end. Two map-side
+    combinable hash aggs at any scale."""
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per.groupBy("lang").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+    )
+    return tot.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        F.round(
+            F.lit(1.0) - F.col("sum_sq") / (F.col("n_docs") * F.col("n_docs")),
+            6,
+        ).alias("gini_impurity"),
+    )

@@ -1981,3 +1981,44 @@ def b61_share_of_total(spark, sf_dir):
             "share_of_region"
         ),
     )
+
+
+@register(
+    "b62_schema_evolution",
+    """
+    SELECT doc_id, n_chars, NULL AS lang_code FROM documents
+    WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, NULL AS n_chars, lang AS lang_code FROM documents
+    WHERE doc_id % 2 = 1
+    """,
+)
+def b62_schema_evolution(spark, sf_dir):
+    """B62: schema-evolution read -- two parquet batches written with
+    DIFFERENT columns (an old ingest with n_chars, a new ingest that
+    replaced it with lang_code) read back as ONE table via
+    mergeSchema: missing columns surface as NULLs, the union schema is
+    the table schema. This is the lakehouse reality of a pipeline
+    whose upstream adds/drops fields between runs; at scale mergeSchema
+    reads footers only (schema union on the driver), the data pages
+    are untouched."""
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(os.path.abspath(sf_dir)))
+    d = os.path.join(
+        tempfile.gettempdir(), f"dgraph_etl_schemaevo_{os.getpid()}_{tag}"
+    )
+    if not os.path.exists(os.path.join(d, "_done")):
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "n_chars"
+        ).write.mode("overwrite").parquet(os.path.join(d, "part=old"))
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", F.col("lang").alias("lang_code")
+        ).write.mode("overwrite").parquet(os.path.join(d, "part=new"))
+        open(os.path.join(d, "_done"), "w").close()
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(d, "part=old"), os.path.join(d, "part=new")
+    )
+    return merged.select("doc_id", "n_chars", "lang_code")
