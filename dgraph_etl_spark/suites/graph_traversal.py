@@ -562,3 +562,91 @@ def g18_graph_profile(spark, sf_dir):
             ).alias("density"),
         )
     )
+
+
+@register(
+    "g19_clustering_coefficient",
+    V("""
+      , und AS MATERIALIZED (
+          SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM edges WHERE src <> dst
+          GROUP BY 1, 2
+      ),
+      tri AS MATERIALIZED (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e1.b = e2.a
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+      ),
+      per_node AS (
+          SELECT node, COUNT(*) AS n_tri FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+          ) m GROUP BY node
+      ),
+      deg AS (
+          SELECT u AS node, COUNT(*) AS d FROM (
+            SELECT a AS u FROM und UNION ALL SELECT b FROM und
+          ) s GROUP BY u
+      )
+      SELECT d.node AS id, d.d AS degree,
+             COALESCE(p.n_tri, 0) AS n_triangles,
+             ROUND(2.0 * COALESCE(p.n_tri, 0) / (d.d * (d.d - 1)), 6)
+               AS clustering_coeff
+      FROM deg d LEFT JOIN per_node p ON d.node = p.node
+      WHERE d.d >= 2
+    """),
+)
+def g19_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient per vertex: triangles through the
+    vertex over its possible neighbor pairs (2t / d(d-1)) -- the
+    canonical graph-ML density feature. Triangle enumeration reuses
+    the oriented wedge-close join (each triangle once, all three
+    members emitted); degree >= 2 filter excludes undefined
+    coefficients. Same scale posture as triangle counting: equi-joins
+    only, hub mitigation = degree orientation + salting."""
+    edges, _, _ = _graph_inputs(spark, sf_dir)
+    und = G.undirected_edges(edges)
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    members = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+    )
+    per_node = members.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            F.col("node").alias("id"),
+            F.col("d").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("n_tri", F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

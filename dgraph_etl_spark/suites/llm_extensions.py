@@ -1906,3 +1906,42 @@ def c36_mixture_balance(spark, sf_dir):
             6,
         ).alias("gini_impurity"),
     )
+
+
+@register(
+    "c37_exact_k_sample",
+    """
+    SELECT lang, doc_id, sort_key FROM (
+      SELECT lang, doc_id,
+             md5(concat('k-sample-1|', CAST(doc_id AS VARCHAR))) AS sort_key,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(concat('k-sample-1|',
+                                                    CAST(doc_id AS VARCHAR))),
+                                         doc_id) AS rnk
+      FROM documents
+    ) r WHERE rnk <= 25
+    """,
+)
+def c37_exact_k_sample(spark, sf_dir):
+    """EXACT-size stratified sampling: precisely 25 docs per language,
+    chosen by md5 hash order (salted with a run key) -- the
+    fixed-budget complement of c19's fraction-based sampling.
+    Deterministic across engines, partitionings, and reruns; adding
+    documents only replaces sampled members, it never reshuffles the
+    whole sample (hash order is stable). One window per stratum --
+    partitioned by lang, never a global sort."""
+    from pyspark.sql import Window as Wnd
+
+    docs = _docs(spark, sf_dir)
+    key = F.md5(F.concat(F.lit("k-sample-1|"), F.col("doc_id").cast("string")))
+    w = Wnd.partitionBy("lang").orderBy(key.asc(), F.col("doc_id"))
+    return (
+        docs.select(
+            "lang",
+            "doc_id",
+            key.alias("sort_key"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 25)
+        .select("lang", "doc_id", "sort_key")
+    )
