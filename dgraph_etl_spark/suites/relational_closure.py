@@ -2022,3 +2022,41 @@ def b62_schema_evolution(spark, sf_dir):
         os.path.join(d, "part=old"), os.path.join(d, "part=new")
     )
     return merged.select("doc_id", "n_chars", "lang_code")
+
+
+@register(
+    "b63_forward_fill",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+    FROM events
+    """,
+)
+def b63_forward_fill(spark, sf_dir):
+    """B63: forward fill (gap imputation) -- every event carries the
+    most recent purchase value seen for its user (NULL until the
+    first). last(ignorenulls) over a per-key running frame: ONE
+    exchange keyed by user, per-partition state is a single value --
+    the imputation primitive sessionization/as-of joins build on."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "pv"
+        ),
+    )
+    w = (
+        Wnd.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Wnd.unboundedPreceding, Wnd.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.last("pv", ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
