@@ -474,3 +474,17 @@ def a26_dead_letter_split(spark, sf_dir):
         .otherwise(F.lit("not_decimal"))
         .alias("reason"),
     )
+
+
+@register("a12_max_score_salted", V("SELECT src, dst, score FROM edges"))
+def a12_max_score_salted(spark, sf_dir):
+    """A12 under heavy key skew, certified end-to-end: the two-level
+    salted max aggregation (deterministic payload-hash salt, exact
+    because MAX is associative+commutative) must produce the identical
+    edges view -- same oracle as the plain a12. This is the hub-key
+    escape hatch for power-law graphs where AQE's skew split isn't
+    enough; certifying it against the same oracle pins
+    salted == unsalted at the query level, not just in unit tests."""
+    return E.aggregate_max_salted(
+        E.explode_bidirectional(_ur(spark, sf_dir))
+    )
