@@ -1945,3 +1945,53 @@ def c37_exact_k_sample(spark, sf_dir):
         .filter(F.col("rnk") <= 25)
         .select("lang", "doc_id", "sort_key")
     )
+
+
+@register(
+    "c38_dup_rate_by_source",
+    """
+    WITH h AS (
+      SELECT doc_id, source, sha256(text) AS content_hash FROM documents
+    ),
+    canon AS (
+      SELECT content_hash, MIN(doc_id) AS canonical_id
+      FROM h GROUP BY content_hash
+    )
+    SELECT h.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN h.doc_id <> c.canonical_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_copies,
+           ROUND(SUM(CASE WHEN h.doc_id <> c.canonical_id THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS dup_rate
+    FROM h JOIN canon c ON h.content_hash = c.content_hash
+    GROUP BY h.source
+    """,
+)
+def c38_dup_rate_by_source(spark, sf_dir):
+    """Per-source duplication audit: the fraction of each source's
+    documents that are non-canonical exact copies (canonical = min
+    doc_id per content hash) -- the table that tells you WHICH feed is
+    flooding the corpus with mirrors before you debug why dedup keeps
+    shrinking it. Two hash aggs + one join keyed by content hash."""
+    docs = _docs(spark, sf_dir)
+    h = docs.select(
+        "doc_id", "source", F.sha2(F.col("text"), 256).alias("content_hash")
+    )
+    canon = h.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    return (
+        h.join(canon, "content_hash")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("canonical_id"), 1).otherwise(
+                    0
+                )
+            ).alias("n_dup_copies"),
+        )
+        .withColumn(
+            "dup_rate", F.round(F.col("n_dup_copies") / F.col("n_docs"), 6)
+        )
+    )

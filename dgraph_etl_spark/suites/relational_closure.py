@@ -2060,3 +2060,70 @@ def b63_forward_fill(spark, sf_dir):
         "ts_us",
         F.last("pv", ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@register(
+    "b64_nested_struct_hof",
+    """
+    WITH ev AS (
+      SELECT user_id,
+             list({'t': epoch_us(ts), 'et': event_type, 'v': value}
+                  ORDER BY ts, event_id) AS events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(events) AS n_events,
+           len(list_filter(events, e -> e.et = 'purchase'))
+             AS n_purchases,
+           CAST(list_sum(list_transform(
+                  list_filter(events, e -> e.et = 'purchase'),
+                  e -> CAST(e.v * 1000000 AS BIGINT))) AS BIGINT)
+             AS purchase_micros,
+           events[1].t AS first_ts_us
+    FROM ev
+    """,
+)
+def b64_nested_struct_hof(spark, sf_dir):
+    """B64: nested arrays-of-structs + higher-order functions -- each
+    user's event history collected into ONE ordered array-of-struct
+    cell, then analyzed entirely IN-ROW (filter/transform/aggregate
+    lambdas, no re-shuffle, no second explode). This is the
+    document-model surface (events-as-nested-history) Spark shares
+    with the reference's Dgraph edge lists (dgraph.go:24-31): one
+    shuffle to build the nest, then every per-entity pass is free.
+    Values fold in fixed-point micros so the in-row sum is exact."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("t"),
+            F.col("event_type").alias("et"),
+            F.col("value").alias("v"),
+            F.col("event_id").alias("eid"),
+        ).alias("e"),
+    )
+    nested = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("e")).alias("events_raw")
+    )
+    # sorted by (t, et, v, eid) struct order == (ts, event_id) order
+    # because (t, eid) is unique per event; drop eid for the output
+    events = F.transform(
+        F.col("events_raw"),
+        lambda s: F.struct(
+            s["t"].alias("t"), s["et"].alias("et"), s["v"].alias("v")
+        ),
+    )
+    purchases = F.filter(events, lambda e: e["et"] == F.lit("purchase"))
+    return nested.select(
+        "user_id",
+        F.size(events).alias("n_events"),
+        F.size(purchases).alias("n_purchases"),
+        F.aggregate(
+            F.transform(
+                purchases,
+                lambda e: F.round(e["v"] * 1000000, 0).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("purchase_micros"),
+        events[0]["t"].alias("first_ts_us"),
+    )
