@@ -1995,3 +1995,46 @@ def c38_dup_rate_by_source(spark, sf_dir):
             "dup_rate", F.round(F.col("n_dup_copies") / F.col("n_docs"), 6)
         )
     )
+
+
+@register(
+    "c39_label_centroids",
+    """
+    WITH comp AS (
+      SELECT e.label, i.i AS dim,
+             CAST(e.embedding[i.i] AS DOUBLE) AS v
+      FROM embeddings e, LATERAL (
+        SELECT unnest(range(1, len(e.embedding) + 1)) AS i
+      ) i
+    )
+    SELECT label, dim,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(ROUND(v * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / (1000000.0 * COUNT(*)) AS centroid_coord
+    FROM comp GROUP BY label, dim
+    """,
+)
+def c39_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids, dimension-wise -- the codebook
+    builder behind the IVF index (c04) exposed as its own operator.
+    posexplode keys the shuffle by (label, dim) so every dimension
+    aggregates in parallel; float coords widen to double exactly, fold
+    through ROUND-to-micros fixed point (order-independent), and the
+    mean is one IEEE division. Output is (label, dim) scalar rows --
+    no array columns, fully hash-checkable."""
+    emb = _emb(spark, sf_dir)
+    comp = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "v"
+        ),
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "v")
+    return comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (
+            F.sum(F.round(F.col("v") * 1000000, 0).cast("bigint")).cast(
+                "double"
+            )
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("centroid_coord"),
+    )

@@ -2127,3 +2127,62 @@ def b64_nested_struct_hof(spark, sf_dir):
         ).alias("purchase_micros"),
         events[0]["t"].alias("first_ts_us"),
     )
+
+
+@register(
+    "b65_winsorize",
+    """
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(GREATEST(LEAST(l.l_extendedprice, c.p95),
+                                        c.p05) * 1000000, 0) AS BIGINT))
+                AS DOUBLE) / 1000000.0 AS winsorized_sum,
+           CAST(SUM(CASE WHEN l.l_extendedprice < c.p05
+                           OR l.l_extendedprice > c.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def b65_winsorize(spark, sf_dir):
+    """B65: winsorization -- clamp each group's values into its own
+    [p05, p95] percentile band before aggregating (the robust-stats
+    answer to heavy-tailed facts). Two passes over the fact table: an
+    exact per-group percentile agg (tiny result, broadcast back) and
+    the clamped fixed-point sum. The percentile interpolation is the
+    same IEEE arithmetic in both engines; clamped values fold through
+    ROUND-to-micros so the sum is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    clamped = F.greatest(
+        F.least(F.col("l_extendedprice"), F.col("p95")), F.col("p05")
+    )
+    return (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(
+                    F.round(clamped * 1000000, 0).cast("bigint")
+                ).cast("double")
+                / 1000000.0
+            ).alias("winsorized_sum"),
+            F.sum(
+                F.when(
+                    (F.col("l_extendedprice") < F.col("p05"))
+                    | (F.col("l_extendedprice") > F.col("p95")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clamped"),
+        )
+    )
