@@ -169,6 +169,27 @@ CONTRACTS += [
         "binned interval join is a hash join on the bin key; the range "
         "predicate is a residual, not the join itself",
     ),
+    (
+        "b63_forward_fill",
+        ["Window"],
+        ["Exchange rangepartitioning", "Join"],
+        "forward fill is one per-key running window -- no join, no "
+        "global sort",
+    ),
+    (
+        "c34_intradoc_span_dedup",
+        ["HashAggregate"],
+        ["Exchange rangepartitioning", "Window"],
+        "intra-doc dedup is doc-keyed hash aggs with in-row reassembly "
+        "-- no global sort, no window",
+    ),
+    (
+        "c37_exact_k_sample",
+        ["Window"],
+        ["Exchange rangepartitioning"],
+        "exact-k sampling windows per language stratum, never a global "
+        "sort",
+    ),
 ]
 
 
