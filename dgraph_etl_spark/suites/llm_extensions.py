@@ -2038,3 +2038,58 @@ def c39_label_centroids(spark, sf_dir):
             / (F.lit(1000000.0) * F.count(F.lit(1)))
         ).alias("centroid_coord"),
     )
+
+
+@register(
+    "c40_hard_negatives",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4) AS sim
+      FROM embeddings a
+      JOIN embeddings b
+        ON a.label <> b.label
+    )
+    SELECT anchor_id, negative_id, sim FROM (
+      SELECT pairs.*,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY sim DESC, negative_id) AS rnk
+      FROM pairs
+    ) r WHERE rnk = 1
+    """,
+)
+def c40_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: each anchor's
+    most-similar vector from a DIFFERENT label (the negatives that
+    actually teach the model). Exact cross-label scan here (the
+    correctness baseline, rounded to 4dp before the deterministic
+    rank); at 100 TB the pair generation swaps to the SRP-bucket
+    candidates (c20) with this same rank epilogue -- mine within
+    buckets, not all pairs. Per-anchor window, never a global sort."""
+    from pyspark.sql import Window as Wnd
+
+    emb = _emb(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("anchor_id"),
+        S.as_double_array("embedding").alias("va"),
+        F.col("label").alias("la"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        S.as_double_array("embedding").alias("vb"),
+        F.col("label").alias("lb"),
+    )
+    pairs = a.join(b, F.col("la") != F.col("lb")).select(
+        "anchor_id",
+        "negative_id",
+        F.round(S.cosine(F.col("va"), F.col("vb")), 4).alias("sim"),
+    )
+    w = Wnd.partitionBy("anchor_id").orderBy(
+        F.desc("sim"), F.col("negative_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("anchor_id", "negative_id", "sim")
+    )
