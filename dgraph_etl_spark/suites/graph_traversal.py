@@ -650,3 +650,40 @@ def g19_clustering_coefficient(spark, sf_dir):
             ).alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    "g20_reciprocity",
+    V("""
+      SELECT (SELECT COUNT(*) FROM edges) AS n_directed,
+             (SELECT COUNT(*) FROM edges e
+              WHERE EXISTS (SELECT 1 FROM edges r
+                            WHERE r.src = e.dst AND r.dst = e.src))
+               AS n_reciprocated,
+             ROUND((SELECT COUNT(*) FROM edges e
+                    WHERE EXISTS (SELECT 1 FROM edges r
+                                  WHERE r.src = e.dst AND r.dst = e.src))
+                   / (SELECT COUNT(*) FROM edges), 6) AS reciprocity
+    """),
+)
+def g20_reciprocity(spark, sf_dir):
+    """Graph reciprocity: the fraction of directed edges whose reverse
+    edge also exists -- the directionality audit (near 1.0 means the
+    graph is effectively undirected and every traversal can use the
+    cheaper symmetric form). One self-semi-join on the reversed key +
+    two counts."""
+    edges, _, _ = _graph_inputs(spark, sf_dir)
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = edges.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_reciprocated")
+    )
+    total = edges.agg(F.count(F.lit(1)).alias("n_directed"))
+    return total.crossJoin(recip).select(
+        "n_directed",
+        "n_reciprocated",
+        F.round(F.col("n_reciprocated") / F.col("n_directed"), 6).alias(
+            "reciprocity"
+        ),
+    )

@@ -2186,3 +2186,52 @@ def b65_winsorize(spark, sf_dir):
             ).alias("n_clamped"),
         )
     )
+
+
+@register(
+    "b66_integrity_audit",
+    """
+    SELECT 'lineitem_without_order' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'order_without_customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer_without_nation',
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    """,
+)
+def b66_integrity_audit(spark, sf_dir):
+    """B66: referential-integrity audit -- orphan counts along the
+    fact-to-dimension chain, each check one anti-join (the batch form
+    of a foreign-key constraint the lake doesn't enforce). The checks
+    are independent anti-joins unioned into one small report; at scale
+    each is a single shuffle on its key."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+
+    def orphans(name, left, right, lk, rk):
+        cnt = left.join(
+            right, left[lk] == right[rk], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        return cnt.select(F.lit(name).alias("check_name"), "n_orphans")
+
+    return (
+        orphans("lineitem_without_order", li, o, "l_orderkey", "o_orderkey")
+        .unionByName(
+            orphans("order_without_customer", o, c, "o_custkey", "c_custkey")
+        )
+        .unionByName(
+            orphans(
+                "customer_without_nation", c, n, "c_nationkey", "n_nationkey"
+            )
+        )
+    )
