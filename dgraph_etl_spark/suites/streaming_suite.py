@@ -615,3 +615,85 @@ def s14_stream_static_enrich(spark, sf_dir):
         "event_type",
     )
     return run_to_memory(joined, "append", "s14_enrich")
+
+
+@register(
+    "s15_stream_source_quota",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rnk
+      FROM documents
+    ) r WHERE rnk <= 40
+    """,
+)
+def s15_stream_source_quota(spark, sf_dir):
+    """Streaming admission control: accept at most 40 documents PER
+    SOURCE cumulatively across the ingest stream (the C11 quota as a
+    stateful streaming policy). Each micro-batch ranks its own rows
+    per source (doc_id order = arrival order), offsets by the stored
+    per-source admitted counts, admits what fits, and updates the
+    counts -- so the accumulated accept set must equal the batch
+    first-40-per-source exactly. At 100 TB the state is one counter
+    per source; each batch does one per-source window + one broadcast
+    join against the counter table."""
+    import os
+    import tempfile
+
+    from ..streaming.core import docs_batched_source
+
+    QUOTA = 40
+    src = docs_batched_source(sf_dir)
+    root = tempfile.mkdtemp(prefix="s15_quota_")
+    counts_dir = os.path.join(root, "counts")
+    accepted_dir = os.path.join(root, "accepted")
+    schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def admit_batch(batch_df, epoch_id):
+        from pyspark.sql import Window as Wnd
+
+        sp = batch_df.sparkSession
+        w = Wnd.partitionBy("source").orderBy("doc_id")
+        ranked = batch_df.select("doc_id", "source").withColumn(
+            "rnk", F.row_number().over(w)
+        )
+        if os.path.exists(counts_dir):
+            counts = sp.read.parquet(counts_dir)
+            ranked = ranked.join(F.broadcast(counts), "source", "left").withColumn(
+                "used", F.coalesce(F.col("used"), F.lit(0))
+            )
+        else:
+            ranked = ranked.withColumn("used", F.lit(0))
+        admitted = ranked.filter(
+            F.col("rnk") + F.col("used") <= QUOTA
+        ).select("doc_id", "source")
+        admitted.write.mode("append").parquet(accepted_dir)
+        new_counts = (
+            sp.read.parquet(accepted_dir)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("used"))
+        )
+        tmp = counts_dir + ".tmp"
+        new_counts.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(counts_dir, ignore_errors=True)
+        os.rename(tmp, counts_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(admit_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="s15_ckpt_"), "offsets"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(accepted_dir)
