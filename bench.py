@@ -46,6 +46,7 @@ HEADLINE = [
     "b45_sessionize",         # gap-based sessionization, one exchange
     "b51_tpch_q3",            # 3-table join + agg + top-k (TPC-H Q3)
     "b52_tpch_q5",            # 6-table join w/ broadcast dims (TPC-H Q5)
+    "b67_tpch_q6",            # pure scan-filter-agg (TPC-H Q6, scan floor)
     "c27_span_dedup",         # passage-level dedup (span hash screen)
 ]
 
