@@ -2093,3 +2093,72 @@ def c40_hard_negatives(spark, sf_dir):
         .filter(F.col("rnk") == 1)
         .select("anchor_id", "negative_id", "sim")
     )
+
+
+@register(
+    "c41_curriculum_order",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(string_split(text, ' ')) // 32 AS band
+      FROM documents
+    ),
+    within AS (
+      SELECT doc_id, n_tokens, band,
+             ROW_NUMBER() OVER (PARTITION BY band
+                                ORDER BY md5(concat('cur-1|',
+                                                    CAST(doc_id AS VARCHAR))),
+                                         doc_id) AS pos_in_band
+      FROM scored
+    ),
+    offsets AS (
+      SELECT band,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY band
+                                      ROWS UNBOUNDED PRECEDING)
+                  - COUNT(*) AS BIGINT) AS band_offset
+      FROM within GROUP BY band
+    )
+    SELECT w.doc_id, w.band, w.n_tokens,
+           CAST(o.band_offset + w.pos_in_band AS BIGINT) AS curriculum_pos
+    FROM within w JOIN offsets o ON w.band = o.band
+    """,
+)
+def c41_curriculum_order(spark, sf_dir):
+    """Curriculum ordering: a global training position where documents
+    appear shortest-band-first (easy -> hard) and hash-shuffled WITHIN
+    each difficulty band (so 'ordered by difficulty' never means
+    'sorted by length' -- batches stay diverse inside a band). The
+    global position is banded-prefix-sum arithmetic: per-band windows
+    + a broadcast offset table over band counts; no global sort ever
+    touches the corpus."""
+    from pyspark.sql import Window as Wnd
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    ).withColumn("band", F.floor(F.col("n_tokens") / 32))
+    key = F.md5(F.concat(F.lit("cur-1|"), F.col("doc_id").cast("string")))
+    w = Wnd.partitionBy("band").orderBy(key.asc(), F.col("doc_id"))
+    within = scored.withColumn(
+        "pos_in_band", F.row_number().over(w).cast("bigint")
+    )
+    totals = scored.groupBy("band").agg(F.count(F.lit(1)).alias("n_in_band"))
+    off_w = Wnd.orderBy("band").rowsBetween(
+        Wnd.unboundedPreceding, Wnd.currentRow
+    )
+    offsets = totals.withColumn(
+        "band_offset",
+        (F.sum("n_in_band").over(off_w) - F.col("n_in_band")).cast("bigint"),
+    ).select("band", "band_offset")
+    return (
+        within.join(F.broadcast(offsets), "band")
+        .select(
+            "doc_id",
+            "band",
+            "n_tokens",
+            (F.col("band_offset") + F.col("pos_in_band")).alias(
+                "curriculum_pos"
+            ),
+        )
+    )
