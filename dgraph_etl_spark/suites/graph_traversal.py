@@ -687,3 +687,41 @@ def g20_reciprocity(spark, sf_dir):
             "reciprocity"
         ),
     )
+
+
+@register(
+    "g21_path_multiplicity",
+    V(_HOPS + """
+      SELECT e2.dst AS id, COUNT(*) AS n_paths
+      FROM edges e1
+      JOIN seeds s ON e1.src = s.id
+      JOIN edges e2 ON e2.src = e1.dst
+      WHERE e2.dst IN (SELECT id FROM hop2)
+      GROUP BY e2.dst
+    """),
+)
+def g21_path_multiplicity(spark, sf_dir):
+    """Path multiplicity to the 2-hop frontier: for every hop-2 vertex,
+    HOW MANY distinct seed->mid->dst paths reach it -- the ranking
+    signal reachability alone throws away (a person reached through
+    many teammates outranks one reached once). Same join shape as the
+    traversal (broadcast seeds, one edge self-join) with COUNT instead
+    of DISTINCT; the edges view's per-pair dedup makes each row one
+    path."""
+    edges, team_member, _ = _graph_inputs(spark, sf_dir)
+    seeds = G.team_seed(team_member, TEAM)
+    hop2 = G.k_hop(edges, seeds, k=2)[1]
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    paths = (
+        F.broadcast(seeds)
+        .join(e1, F.col("id") == F.col("e1.src"))
+        .join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            hop2.select(F.col("id").alias("h2")),
+            F.col("e2.dst") == F.col("h2"),
+            "left_semi",
+        )
+    )
+    return paths.groupBy(F.col("e2.dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_paths")
+    )

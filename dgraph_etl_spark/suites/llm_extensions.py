@@ -2162,3 +2162,73 @@ def c41_curriculum_order(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "c42_best_copy_canonical",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang AS blk, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, blk,
+             list_distinct([array_to_string(t[i:i+1], ' ')
+                            for i in range(1, greatest(len(t) - 1, 1) + 1)]) AS gs
+      FROM toks
+    ),
+    exploded AS (SELECT doc_id, blk, unnest(gs) AS g FROM grams),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exploded GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.blk = b.blk AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(n_common / (sa.sz + sb.sz - n_common), 4) >= 0.5
+    ),
+    uedges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM uedges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN uedges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(LEAST(d.doc_id, MIN(r.v)), d.doc_id) AS component
+      FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+      GROUP BY d.doc_id, d.n_chars
+    )
+    SELECT component,
+           COUNT(*) AS n_members,
+           MAX([n_chars, -doc_id])[2] * -1 AS kept_doc_id,
+           MAX([n_chars, -doc_id])[1] AS kept_n_chars
+    FROM comp
+    GROUP BY component
+    """,
+)
+def c42_best_copy_canonical(spark, sf_dir):
+    """Best-copy canonicalization: within each near-dup cluster keep
+    the LONGEST member (ties -> lowest doc_id), not merely the first --
+    the curation policy that prefers the complete article over its
+    truncated mirror. Components come from the same label-propagation
+    pass as c02; the winner is an argmax via struct-max (single hash
+    agg, no window sort). Oracle picks the same winner with a
+    lexicographic list-max."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, n=2, block_col="lang", threshold=0.5)
+    comp = D.neardup_components(docs, pairs).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid")))
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (best.getField("nid") * -1).alias("kept_doc_id"),
+        best.getField("n_chars").alias("kept_n_chars"),
+    )
