@@ -2232,3 +2232,56 @@ def c42_best_copy_canonical(spark, sf_dir):
         (best.getField("nid") * -1).alias("kept_doc_id"),
         best.getField("n_chars").alias("kept_n_chars"),
     )
+
+
+@register(
+    "c43_language_purity",
+    """
+    WITH hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','of','and','to','in','is',
+                                     'it','for','on'], t))) AS en_hits,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['el','la','de','y','en','es','un',
+                                     'una','por','que'], t))) AS es_hits,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['der','die','das','und','ist','ein',
+                                     'zu','mit','von','auf'], t))) AS de_hits
+      FROM documents
+    )
+    SELECT doc_id, lang, en_hits, es_hits, de_hits,
+           (GREATEST(en_hits, es_hits, de_hits) > 0 AND
+            2 * (en_hits + es_hits + de_hits
+                 - GREATEST(en_hits, es_hits, de_hits))
+              >= GREATEST(en_hits, es_hits, de_hits)) AS mixed_language
+    FROM hits
+    """,
+)
+def c43_language_purity(spark, sf_dir):
+    """Code-switching / language-noise flag: a document whose
+    second-and-below stopword evidence totals at least half its best
+    language's evidence is marked mixed -- the purity screen run
+    before per-language quality gates (a mixed doc poisons both
+    languages' statistics). Pure per-row array expressions, zero
+    shuffle; the flag is integer arithmetic (2*rest >= best), no
+    float ratio to diverge."""
+    from ..functions.text import STOPWORDS, tokens
+
+    def hits(lang):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(
+            F.filter(tokens(), lambda t: F.array_contains(arr, t))
+        ).cast("bigint")
+
+    en, es, de = hits("en"), hits("es"), hits("de")
+    best = F.greatest(en, es, de)
+    rest = en + es + de - best
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        de.alias("de_hits"),
+        ((best > 0) & (2 * rest >= best)).alias("mixed_language"),
+    )

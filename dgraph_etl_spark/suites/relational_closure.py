@@ -2306,3 +2306,21 @@ def b68_tpch_q12(spark, sf_dir):
             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@register("b69_sketch_profile", None)
+def b69_sketch_profile(spark, sf_dir):
+    """B69: the sketch-based table profile -- approx_count_distinct
+    (HLL) per column in ONE aggregation pass, the documented 100 TB
+    swap-in for c16's exact profile (exact count-distinct per column
+    re-shuffles the table per column; the sketch profile is one scan,
+    fixed memory, mergeable). Rows-only like every sketch; accuracy
+    vs the exact distinct counts is property-tested."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("o_orderkey", 0.01).alias("d_orderkey"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("d_custkey"),
+        F.approx_count_distinct("o_orderstatus", 0.01).alias("d_status"),
+        F.approx_count_distinct("o_orderpriority", 0.01).alias("d_priority"),
+    )

@@ -634,3 +634,26 @@ def test_approx_quantiles_within_rank_tolerance(spark, sf_small):
             assert exact_lo[flag] <= vals[idx] <= exact_hi[flag], (
                 q, flag, vals[idx], exact_lo[flag], exact_hi[flag],
             )
+
+
+def test_sketch_profile_within_hll_tolerance(spark, sf_small):
+    """b69's per-column HLL estimates must sit within 5% of the exact
+    distinct counts (rsd is configured at 1%; 5% leaves slack while
+    still catching a broken sketch or a wrong column wiring)."""
+    from pyspark.sql import functions as F
+
+    from dgraph_etl_spark.registry import REGISTRY, _load_suites
+
+    _load_suites()
+    row = REGISTRY["b69_sketch_profile"].fn(spark, sf_small).collect()[0]
+    o = spark.read.parquet(f"{sf_small}/orders.parquet")
+    exact = o.agg(
+        F.countDistinct("o_orderkey").alias("d_orderkey"),
+        F.countDistinct("o_custkey").alias("d_custkey"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        F.countDistinct("o_orderpriority").alias("d_priority"),
+    ).collect()[0]
+    for c in ["d_orderkey", "d_custkey", "d_status", "d_priority"]:
+        assert abs(row[c] - exact[c]) <= max(1, 0.05 * exact[c]), (
+            c, row[c], exact[c],
+        )
