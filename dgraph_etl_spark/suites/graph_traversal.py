@@ -725,3 +725,46 @@ def g21_path_multiplicity(spark, sf_dir):
     return paths.groupBy(F.col("e2.dst").alias("id")).agg(
         F.count(F.lit(1)).alias("n_paths")
     )
+
+
+@register(
+    "g22_degree_histogram",
+    V("""
+      , und AS MATERIALIZED (
+          SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM edges WHERE src <> dst
+          GROUP BY 1, 2
+      ),
+      deg AS (
+          SELECT u AS node, COUNT(*) AS d FROM (
+            SELECT a AS u FROM und UNION ALL SELECT b FROM und
+          ) s GROUP BY u
+      )
+      SELECT length(CAST(d AS VARCHAR)) AS magnitude,
+             COUNT(*) AS n_nodes,
+             MIN(d) AS min_degree, MAX(d) AS max_degree
+      FROM deg GROUP BY 1
+    """),
+)
+def g22_degree_histogram(spark, sf_dir):
+    """Degree-distribution histogram by order of magnitude (digit
+    length of the degree) -- the skew diagnostic read before choosing
+    join strategies: a heavy top bucket means salting / degree
+    orientation, a flat profile means plain hash joins suffice. Two
+    hash aggs; the bucket key is integer digit length (engine-portable,
+    no log)."""
+    edges, _, _ = _graph_inputs(spark, sf_dir)
+    und = G.undirected_edges(edges)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(
+        F.length(F.col("d").cast("string")).alias("magnitude")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("d").alias("min_degree"),
+        F.max("d").alias("max_degree"),
+    )

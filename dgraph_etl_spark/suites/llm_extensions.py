@@ -2285,3 +2285,57 @@ def c43_language_purity(spark, sf_dir):
         de.alias("de_hits"),
         ((best > 0) & (2 * rest >= best)).alias("mixed_language"),
     )
+
+
+@register(
+    "c44_token_concentration",
+    """
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    cut AS (
+      SELECT quantile_cont(n_tokens, 0.9) AS p90 FROM sized
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN s.n_tokens > c.p90
+                         THEN s.n_tokens ELSE 0 END) AS BIGINT)
+             AS top_decile_tokens,
+           ROUND(SUM(CASE WHEN s.n_tokens > c.p90
+                          THEN s.n_tokens ELSE 0 END)
+                 / SUM(s.n_tokens), 6) AS top_decile_share
+    FROM sized s, cut c
+    """,
+)
+def c44_token_concentration(spark, sf_dir):
+    """Token-mass concentration: what share of the corpus' tokens
+    lives in the longest ~10% of documents -- the budget-planning
+    audit (a top-heavy corpus means token quotas and length caps bite
+    long before doc-count quotas do). One percentile agg broadcast
+    back + one conditional-sum pass; exact integer sums, one
+    division."""
+    docs = _docs(spark, sf_dir)
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    cut = sized.agg(F.expr("percentile(n_tokens, 0.9)").alias("p90"))
+    return (
+        sized.crossJoin(F.broadcast(cut))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(
+                F.when(
+                    F.col("n_tokens") > F.col("p90"), F.col("n_tokens")
+                ).otherwise(0)
+            ).alias("top_decile_tokens"),
+        )
+        .withColumn(
+            "top_decile_share",
+            F.round(
+                F.col("top_decile_tokens") / F.col("total_tokens"), 6
+            ),
+        )
+    )
