@@ -2324,3 +2324,49 @@ def b69_sketch_profile(spark, sf_dir):
         F.approx_count_distinct("o_orderstatus", 0.01).alias("d_status"),
         F.approx_count_distinct("o_orderpriority", 0.01).alias("d_priority"),
     )
+
+
+@register(
+    "b70_incremental_agg_merge",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def b70_incremental_agg_merge(spark, sf_dir):
+    """B70: incremental aggregate maintenance -- the stored per-type
+    totals built from PRE-watermark events merged with the new
+    post-watermark batch's partial aggregate. COUNT and decimal-SUM
+    are associative, so merge = add the partials: the result must
+    equal the full-table aggregate exactly (the oracle), proving the
+    nightly-refresh pattern never needs to rescan history. At 100 TB
+    this is the difference between aggregating one day and aggregating
+    five years; the merge itself is a tiny keyed union-agg."""
+    from ..suites import pipeline_reference as PR
+
+    ev = _t(spark, sf_dir, "events")
+    wm = F.timestamp_seconds(F.lit(PR.WM_S))
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+        )
+
+    stored = partial(ev.filter(F.col("ts") < wm))
+    fresh = partial(ev.filter(F.col("ts") >= wm))
+    merged = (
+        stored.unionByName(fresh)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("total_value"),
+    )
