@@ -768,3 +768,58 @@ def g22_degree_histogram(spark, sf_dir):
         F.min("d").alias("min_degree"),
         F.max("d").alias("max_degree"),
     )
+
+
+@register(
+    "g23_component_sizes",
+    V("""
+      , und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst
+      ),
+      gnodes AS (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+        ) t
+      ),
+      ed AS (
+        SELECT DISTINCT u, v FROM (
+          SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+        ) t
+      ),
+      reach(u, v) AS (
+        SELECT u, v FROM ed
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u
+      ),
+      comp AS (
+        SELECT n.node,
+               COALESCE(LEAST(n.node, MIN(r.v)), n.node) AS component
+        FROM gnodes n LEFT JOIN reach r ON r.u = n.node
+        GROUP BY n.node
+      ),
+      sizes AS (
+        SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+      )
+      SELECT sz AS component_size,
+             COUNT(*) AS n_components,
+             CAST(sz * COUNT(*) AS BIGINT) AS n_nodes_covered
+      FROM sizes GROUP BY sz
+    """, recursive=True),
+)
+def g23_component_sizes(spark, sf_dir):
+    """Component-size distribution over the weakly-connected
+    components -- the giant-component check (one huge size bucket
+    means the graph is effectively one blob and per-component
+    parallelism won't help; many small ones mean component-partitioned
+    processing wins). Reuses the WCC label propagation; two hash aggs
+    on top."""
+    edges, _, _ = _graph_inputs(spark, sf_dir)
+    comp = G.weakly_connected_components(edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("component_size")).agg(
+        F.count(F.lit(1)).alias("n_components"),
+        (F.col("sz").alias("component_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_nodes_covered"),
+    )

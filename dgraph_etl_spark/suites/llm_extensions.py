@@ -2339,3 +2339,42 @@ def c44_token_concentration(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "c45_lexical_diversity",
+    """
+    WITH per_doc AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_types,
+             len(string_split(text, ' ')) // 64 AS band
+      FROM documents
+    )
+    SELECT band,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_types) AS BIGINT) AS total_types,
+           ROUND(SUM(n_types) / SUM(n_tokens), 6) AS mean_ttr
+    FROM per_doc GROUP BY band
+    """,
+)
+def c45_lexical_diversity(spark, sf_dir):
+    """Lexical diversity (type-token ratio) by length band: TTR falls
+    with document length by construction, so the meaningful diagnostic
+    is the per-band curve -- a band whose TTR collapses is template or
+    looping text even when its quality scores look fine. Per-row array
+    ops (no shuffle) + one band-keyed agg; the ratio is exact-int /
+    exact-int."""
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    per = docs.select(
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_types"),
+    ).withColumn("band", F.floor(F.col("n_tokens") / 64))
+    return per.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_types").alias("total_types"),
+        F.round(F.sum("n_types") / F.sum("n_tokens"), 6).alias("mean_ttr"),
+    )
