@@ -2370,3 +2370,53 @@ def b70_incremental_agg_merge(spark, sf_dir):
         "n_events",
         F.col("sum_dec").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "b71_null_semantics",
+    """
+    WITH base AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'purchase' THEN value END AS pv,
+             CASE WHEN event_type = 'click' THEN value END AS cv,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE event_type END AS nullable_key
+      FROM events
+    )
+    SELECT nullable_key,
+           COUNT(*) AS n_rows,
+           COUNT(pv) AS n_pv,
+           CAST(SUM(CASE WHEN pv IS NOT DISTINCT FROM cv
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+           CAST(SUM(CASE WHEN pv IS DISTINCT FROM cv
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_ne
+    FROM base
+    GROUP BY nullable_key
+    """,
+)
+def b71_null_semantics(spark, sf_dir):
+    """B71: NULL-semantics battery -- COUNT(col) skips NULLs,
+    null-safe equality (<=> / IS NOT DISTINCT FROM) treats NULL=NULL
+    as true, and a NULL group key forms its own group. These are the
+    three-valued-logic corners where engines silently diverge; pinning
+    them against the oracle certifies the engine's NULL algebra, not
+    just its happy path."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+        F.when(F.col("event_type") == "click", F.col("value")).alias("cv"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ).alias("nullable_key"),
+    )
+    return base.groupBy("nullable_key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("pv").alias("n_pv"),
+        F.sum(
+            F.when(F.col("pv").eqNullSafe(F.col("cv")), 1).otherwise(0)
+        ).alias("n_nullsafe_eq"),
+        F.sum(
+            F.when(~F.col("pv").eqNullSafe(F.col("cv")), 1).otherwise(0)
+        ).alias("n_nullsafe_ne"),
+    )
