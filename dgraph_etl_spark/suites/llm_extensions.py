@@ -2378,3 +2378,60 @@ def c45_lexical_diversity(spark, sf_dir):
         F.sum("n_types").alias("total_types"),
         F.round(F.sum("n_types") / F.sum("n_tokens"), 6).alias("mean_ttr"),
     )
+
+
+@register(
+    "c46_importance_sample",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(concat('0x', substr(md5(concat('imp-1|',
+               CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0
+               AS u
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(n_tokens / (n_tokens + 200.0), 6) AS accept_prob
+    FROM w
+    WHERE u < n_tokens / (n_tokens + 200.0)
+    """,
+)
+def c46_importance_sample(spark, sf_dir):
+    """Importance (weighted) sampling: each document is accepted with
+    probability n_tokens / (n_tokens + 200) -- longer docs
+    proportionally more likely, the DSIR-style reweighting shape with
+    a length-based importance weight. The coin is the salted-md5
+    uniform (deterministic across engines, partitionings, and reruns;
+    re-running the pipeline reproduces the exact sample), the weight
+    is one integer ratio; acceptance is a per-row comparison, zero
+    shuffle."""
+    docs = _docs(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("imp-1|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    n = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    prob = n / (n + F.lit(200.0))
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            u.alias("u"),
+            prob.alias("p"),
+        )
+        .filter(F.col("u") < F.col("p"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("p"), 6).alias("accept_prob"),
+        )
+    )

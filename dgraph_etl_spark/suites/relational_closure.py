@@ -2420,3 +2420,65 @@ def b71_null_semantics(spark, sf_dir):
             F.when(~F.col("pv").eqNullSafe(F.col("cv")), 1).otherwise(0)
         ).alias("n_nullsafe_ne"),
     )
+
+
+@register(
+    "b72_table_fingerprint",
+    """
+    SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+           bit_xor(CAST(concat('0x', substr(md5(
+             concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice, epoch_us(o_orderdate),
+                       o_orderpriority)), 1, 15)) AS BIGINT)) AS fingerprint
+    FROM orders
+    UNION ALL
+    SELECT 'customer', COUNT(*),
+           bit_xor(CAST(concat('0x', substr(md5(
+             concat_ws('|', c_custkey, c_name, c_nationkey, c_acctbal,
+                       c_mktsegment)), 1, 15)) AS BIGINT))
+    FROM customer
+    """,
+)
+def b72_table_fingerprint(spark, sf_dir):
+    """B72: order-insensitive table fingerprint -- XOR of per-row
+    content hashes (+ row count, since XOR alone misses even-count
+    duplicates). THE replication/migration equality primitive: two
+    copies of a table compare by exchanging 16 bytes instead of
+    terabytes, and XOR's commutativity makes the result partitioning-
+    independent -- a plain map + one combine, no shuffle of data rows.
+    15 hex digits (60 bits) keep the parse inside BIGINT in both
+    engines."""
+
+    def fp(df, name, cols):
+        row_hash = F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+        ).cast("bigint")
+        return (
+            df.select(row_hash.alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("bit_xor(h)").alias("fingerprint"),
+            )
+            .select(F.lit(name).alias("table_name"), "n_rows", "fingerprint")
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return fp(
+        o,
+        "orders",
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.unix_micros("o_orderdate"),
+            "o_orderpriority",
+        ],
+    ).unionByName(
+        fp(
+            c,
+            "customer",
+            ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        )
+    )
