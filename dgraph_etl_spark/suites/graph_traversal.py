@@ -823,3 +823,69 @@ def g23_component_sizes(spark, sf_dir):
         .cast("bigint")
         .alias("n_nodes_covered"),
     )
+
+
+@register(
+    "g24_bottleneck_paths",
+    V(_HOPS + """
+      , b1 AS (
+        SELECT e.dst AS id, MAX(e.score) AS bn
+        FROM edges e JOIN seeds s ON e.src = s.id
+        GROUP BY e.dst
+      ),
+      b2 AS (
+        SELECT id, MAX(bn) AS bn FROM (
+          SELECT id, bn FROM b1
+          UNION ALL
+          SELECT e.dst AS id, LEAST(p.bn, e.score) AS bn
+          FROM b1 p JOIN edges e ON e.src = p.id
+        ) u GROUP BY id
+      ),
+      b3 AS (
+        SELECT id, MAX(bn) AS bn FROM (
+          SELECT id, bn FROM b2
+          UNION ALL
+          SELECT e.dst AS id, LEAST(p.bn, e.score) AS bn
+          FROM b2 p JOIN edges e ON e.src = p.id
+        ) u GROUP BY id
+      )
+      SELECT id, bn AS bottleneck FROM b3
+      WHERE id NOT IN (SELECT id FROM seeds)
+    """),
+)
+def g24_bottleneck_paths(spark, sf_dir):
+    """Widest-path (bottleneck) distances, 3 relaxation rounds: for
+    every non-seed vertex, the best achievable minimum-edge-score
+    along any path of <= 3 hops from the seed team -- the max-min
+    semiring where BFS's reachability semiring can't answer 'how
+    STRONG is the best connection'. Pure MAX/LEAST on scores (no
+    float arithmetic, so cross-engine exact); each round is one join
+    + one hash agg, the same shape as a pregel superstep."""
+    edges, team_member, _ = _graph_inputs(spark, sf_dir)
+    seeds = G.team_seed(team_member, TEAM)
+    e = edges
+    front = (
+        F.broadcast(seeds)
+        .join(e, F.col("id") == e["src"])
+        .groupBy(F.col("dst").alias("bid"))
+        .agg(F.max("score").alias("bn"))
+    )
+    best = front
+    for _ in range(2):
+        ext = (
+            best.join(e, best["bid"] == e["src"])
+            .select(
+                F.col("dst").alias("bid"),
+                F.least(F.col("bn"), F.col("score")).alias("bn"),
+            )
+        )
+        best = (
+            best.unionByName(ext)
+            .groupBy("bid")
+            .agg(F.max("bn").alias("bn"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        best.join(seeds, best["bid"] == seeds["id"], "left_anti")
+        .select(F.col("bid").alias("id"), F.col("bn").alias("bottleneck"))
+    )

@@ -697,3 +697,77 @@ def s15_stream_source_quota(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(accepted_dir)
+
+
+@register(
+    "s16_stream_fingerprint",
+    """
+    SELECT COUNT(*) AS n_rows,
+           bit_xor(CAST(concat('0x', substr(md5(
+             concat_ws('|', doc_id, text)), 1, 15)) AS BIGINT))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def s16_stream_fingerprint(spark, sf_dir):
+    """Streaming integrity verification: a running order-insensitive
+    fingerprint (XOR of row hashes + count) maintained incrementally
+    per micro-batch -- after the last batch it must equal the batch
+    fingerprint of the whole table, proving the stream delivered
+    exactly the source rows (nothing lost, duplicated, or corrupted in
+    flight). XOR's self-inverse merge makes the per-batch update O(1)
+    state."""
+    import os
+    import tempfile
+
+    from ..streaming.core import docs_batched_source
+
+    src = docs_batched_source(sf_dir)
+    state_dir = os.path.join(tempfile.mkdtemp(prefix="s16_fp_"), "state")
+    schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def update_fp(batch_df, epoch_id):
+        sp = batch_df.sparkSession
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "doc_id", "text")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        part = batch_df.select(h.alias("h")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("fingerprint"),
+        )
+        if os.path.exists(state_dir):
+            prev = sp.read.parquet(state_dir)
+            part = (
+                part.unionByName(prev)
+                .agg(
+                    F.sum("n_rows").alias("n_rows"),
+                    F.expr("bit_xor(fingerprint)").alias("fingerprint"),
+                )
+            )
+        tmp = state_dir + ".tmp"
+        part.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(tmp, state_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(update_fp)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="s16_ckpt_"), "offsets"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_dir)
