@@ -2482,3 +2482,52 @@ def b72_table_fingerprint(spark, sf_dir):
             ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
         )
     )
+
+
+@register(
+    "b73_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             epoch_us(MIN(time_bucket(INTERVAL 1 WEEK, ts))) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             epoch_us(time_bucket(INTERVAL 1 WEEK, ts)) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST((a.active_week - f.cohort_week)
+                / CAST(604800000000 AS BIGINT) AS BIGINT) AS weeks_since,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def b73_retention_cohorts(spark, sf_dir):
+    """B73: retention cohort matrix -- users grouped by first-seen
+    week, counted per weeks-since-cohort of later activity (the
+    product-analytics staple). Three hash aggs, all keyed by user or
+    (cohort, offset); the distinct-activity step collapses events to
+    user-weeks BEFORE the join so the cohort join moves user-week
+    rows, never raw events."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.unix_micros(F.date_trunc("week", "ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = ev.select(
+        "user_id", week.alias("active_week")
+    ).dropDuplicates(["user_id", "active_week"])
+    wk_us = 7 * 24 * 3600 * 1_000_000
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                (F.col("active_week") - F.col("cohort_week")) / F.lit(wk_us)
+            )
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
