@@ -2435,3 +2435,64 @@ def c46_importance_sample(spark, sf_dir):
             F.round(F.col("p"), 6).alias("accept_prob"),
         )
     )
+
+
+@register(
+    "c47_dataset_card",
+    """
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             sha256(text) AS content_hash
+      FROM documents
+    ),
+    canon AS (
+      SELECT content_hash, MIN(doc_id) AS canonical_id
+      FROM h GROUP BY content_hash
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(h.n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT h.source) AS n_sources,
+           COUNT(DISTINCT h.lang) AS n_langs,
+           CAST(SUM(CASE WHEN h.doc_id <> c.canonical_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_dups,
+           ROUND(SUM(CASE WHEN h.doc_id <> c.canonical_id THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS dup_rate,
+           MIN(h.n_tokens) AS min_tokens,
+           MAX(h.n_tokens) AS max_tokens,
+           ROUND(SUM(h.n_tokens) / COUNT(*), 6) AS mean_tokens
+    FROM h JOIN canon c ON h.content_hash = c.content_hash
+    """,
+)
+def c47_dataset_card(spark, sf_dir):
+    """The dataset card in one query: corpus size, token mass, source
+    and language counts, exact-duplicate rate, and length envelope --
+    the summary block a dataset release publishes, produced by one
+    pass + one hash-keyed dedup join. Every number is an exact integer
+    or a single division."""
+    docs = _docs(spark, sf_dir)
+    h = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+    )
+    canon = h.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    j = h.join(canon, "content_hash")
+    dup = F.when(F.col("doc_id") != F.col("canonical_id"), 1).otherwise(0)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(dup).alias("n_exact_dups"),
+        F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_rate"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(F.sum("n_tokens") / F.count(F.lit(1)), 6).alias(
+            "mean_tokens"
+        ),
+    )
