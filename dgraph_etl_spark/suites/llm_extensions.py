@@ -2496,3 +2496,40 @@ def c47_dataset_card(spark, sf_dir):
             "mean_tokens"
         ),
     )
+
+
+@register(
+    "c48_ann_recall_report",
+    None,
+)
+def c48_ann_recall_report(spark, sf_dir):
+    """ANN quality report: measured recall@10 of the IVF index against
+    the exact brute-force top-10 for a panel of query vectors -- the
+    index-tuning artifact (recall vs nprobe) produced by the engine
+    itself rather than an offline script. Rows-only (recall depends on
+    the index's centroid internals); the IVF path itself is
+    plan-contract- and property-tested elsewhere. Panel queries run
+    sequentially over cached inputs; each is a bounded top-k."""
+    from ..functions.similarity import brute_topk, ivf_topk
+
+    emb = _emb(spark, sf_dir).cache()
+    rows = []
+    for qid in (0, 1, 2, 3, 4):
+        qv = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qvec")
+        )
+        exact = {r["vec_id"] for r in brute_topk(emb, qv, k=10).collect()}
+        for nprobe in (1, 3):
+            approx = {
+                r["vec_id"]
+                for r in ivf_topk(emb, qv, k=10, nprobe=nprobe).collect()
+            }
+            rows.append(
+                (qid, nprobe, len(exact & approx), len(exact))
+            )
+    out = spark.createDataFrame(
+        rows, "query_id int, nprobe int, n_hits int, k int"
+    )
+    return out.withColumn(
+        "recall", F.round(F.col("n_hits") / F.col("k"), 6)
+    )
