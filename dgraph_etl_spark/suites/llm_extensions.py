@@ -2527,6 +2527,10 @@ def c48_ann_recall_report(spark, sf_dir):
             rows.append(
                 (qid, nprobe, len(exact & approx), len(exact))
             )
+    # drop the panel cache before returning: a lingering cached
+    # embeddings relation would hijack every later query's parquet
+    # scan (and its pushed filters) in the shared session
+    emb.unpersist(blocking=False)
     out = spark.createDataFrame(
         rows, "query_id int, nprobe int, n_hits int, k int"
     )
