@@ -2537,3 +2537,46 @@ def c48_ann_recall_report(spark, sf_dir):
     return out.withColumn(
         "recall", F.round(F.col("n_hits") / F.col("k"), 6)
     )
+
+
+@register(
+    "c49_tokenizer_fertility",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_ish_tokens,
+           ROUND(SUM(length(text))
+                 / SUM(len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))), 6)
+             AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def c49_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by language: characters per (BPE-ish
+    regex) token -- the budgeting constant that converts a byte corpus
+    into a token budget, and the per-language skew that decides
+    whether a multilingual mixture is token-balanced or byte-balanced.
+    Per-row regex counts (JVM codegen, the identical pattern text runs
+    in the oracle) + one language-keyed agg of exact ints."""
+    from ..functions.text import TOKEN_REGEX
+
+    docs = _docs(spark, sf_dir)
+    bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
+    ).cast("bigint")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("bigint")).alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias(
+            "ws_tokens"
+        ),
+        F.sum(bpe).alias("bpe_ish_tokens"),
+        F.round(
+            F.sum(F.length("text").cast("bigint")) / F.sum(bpe), 6
+        ).alias("chars_per_token"),
+    )
