@@ -62,6 +62,12 @@ def _sf_label(sf_dir: str) -> float:
 def main() -> None:
     t0 = time.perf_counter()
     spark = get_spark(app_name="dgraph_etl_spark_bench")
+    # ERROR-only logs for the bench run: the banded-prefix-sum queries
+    # (functions/text.py) legitimately run tiny global windows over
+    # B band-total rows, and WindowExec WARN-spams "No Partition
+    # Defined" for each — hundreds of expected lines that bury any
+    # real regression signal in the bench output.
+    spark.sparkContext.setLogLevel("ERROR")
     _load_suites()
     # Warm-up: run every headline query once at the smallest sf so JVM
     # startup, codegen, and shuffle-service init land outside timings —

@@ -1,0 +1,168 @@
+"""CLI parity with the reference's three binaries (Makefile:3-10).
+
+    python -m dgraph_etl_spark etl   --source DIR --sink DIR [--watermark N]
+    python -m dgraph_etl_spark bulk  --source DIR [--out FILE] [--watermark N]
+    python -m dgraph_etl_spark query --source DIR --team-id ID [--hops K]
+
+Flag surfaces mirror the reference drivers:
+- `etl` = cmd/etl/etl.go:16-24 (`-elastic` source addr -> --source,
+  `-dgraph` sink addr -> --sink, `-watermark` unix-seconds resume
+  point, `-max-threads` goroutine cap -> --cpus executor threads);
+- `bulk` = cmd/bulk/main.go:19-27 (`-out ./triples.rdf` -> --out,
+  same watermark; the MySQL shard addrs collapse into --source because
+  sharding is partitioning here, SURVEY.md §1.6);
+- `query` = cmd/query/main.go:14-17 (`-teamID` -> --team-id) running
+  the 2-hop friend-of-friend traversal (main.go:29-43) and printing
+  hop counts + hop-2 person ids as JSON, like the raw Dgraph response
+  the reference prints (main.go:49).
+
+The heavy lifting lives in the library modules (pipeline/, graph/,
+sinks/); this file is argument parsing and printing only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(app_name=f"dgraph_etl_spark_{args.cmd}", cpus=args.cpus)
+
+
+def _edges_since(spark, source: str, watermark_s: int):
+    """Shared EP1/EP2 front half: incremental edge-stream scan ->
+    bidirectional explode -> max score per directed edge."""
+    from .pipeline import edges as E
+    from .pipeline import watermark as W
+    from .views import derive_user_relationship
+
+    rel = derive_user_relationship(
+        W.incremental_events_scan(spark, source, watermark_s)
+    )
+    return rel, E.max_score_per_edge(E.explode_bidirectional(rel))
+
+
+def cmd_etl(args) -> int:
+    """EP1, the live pipeline (cmd/etl/etl.go:31-110): stream the edge
+    source from the watermark, upsert deduped max-score edges through
+    the batched retrying mutation sink, print the next watermark."""
+    from .pipeline import watermark as W
+    from .sinks.live import file_sink_factory, write_edges_live
+
+    spark = _spark(args)
+    rel, edges = _edges_since(spark, args.source, args.watermark)
+    import os
+
+    os.makedirs(args.sink, exist_ok=True)
+    write_edges_live(edges, file_sink_factory(args.sink))
+    nw = W.next_watermark(rel, "last_update").first()
+    print(
+        json.dumps(
+            {
+                "sink": args.sink,
+                "rows_read": nw["rows_read"],
+                "next_watermark_s": nw["next_watermark_s"],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_bulk(args) -> int:
+    """EP2, the offline pipeline (cmd/bulk/main.go:55-118): edge stream
+    + person enrichment -> the full RDF N-Quads triple file for the
+    bulk loader."""
+    from .catalog import register_views
+    from .pipeline import persons as P
+    from .pipeline import rdf as R
+
+    spark = _spark(args)
+    register_views(spark, args.source)
+    rel, edges = _edges_since(spark, args.source, args.watermark)
+    flagged = P.enrich_is_trove(
+        P.distinct_person_ids(rel), spark.table("trove_user")
+    )
+    triples = R.all_triples(spark.table("team_member"), flagged, edges)
+    R.write_rdf(triples, args.out, single_file=args.single_file)
+    print(json.dumps({"out": args.out, "triples": triples.count()}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    """The 2-hop traversal (cmd/query/main.go:29-43): seed by team_id,
+    expand twice with visited-set exclusion, print hop counts and the
+    hop-2 person ids."""
+    from .catalog import register_views
+    from .graph.traverse import k_hop, team_seed
+
+    spark = _spark(args)
+    register_views(spark, args.source)
+    seeds = team_seed(spark.table("team_member"), args.team_id)
+    hops = k_hop(spark.table("edges"), seeds, k=args.hops)
+    counts = {f"hop{i}_count": h.count() for i, h in enumerate(hops, 1)}
+    last = sorted(r["id"] for r in hops[-1].select("id").collect())
+    print(json.dumps({**counts, f"hop{args.hops}_person_ids": last}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dgraph_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, source_required=True):
+        sp.add_argument(
+            "--source",
+            required=source_required,
+            help="fixture/table directory (the ES+MySQL source analog)",
+        )
+        sp.add_argument(
+            "--cpus",
+            default=None,
+            help="executor threads (reference -max-threads analog)",
+        )
+
+    etl = sub.add_parser("etl", help="live pipeline (reference cmd/etl)")
+    common(etl)
+    etl.add_argument(
+        "--sink", required=True, help="mutation-log output dir (Dgraph analog)"
+    )
+    etl.add_argument(
+        "--watermark",
+        type=int,
+        default=0,
+        help="resume point, unix seconds (reference -watermark)",
+    )
+    etl.set_defaults(fn=cmd_etl)
+
+    bulk = sub.add_parser("bulk", help="offline RDF pipeline (reference cmd/bulk)")
+    common(bulk)
+    bulk.add_argument(
+        "--out", default="./triples.rdf", help="RDF output path (reference -out)"
+    )
+    bulk.add_argument("--watermark", type=int, default=0)
+    bulk.add_argument(
+        "--single-file",
+        action="store_true",
+        help="coalesce to one part file like the reference's single .rdf",
+    )
+    bulk.set_defaults(fn=cmd_bulk)
+
+    q = sub.add_parser("query", help="2-hop traversal (reference cmd/query)")
+    common(q)
+    q.add_argument("--team-id", required=True, help="reference -teamID")
+    q.add_argument("--hops", type=int, default=2)
+    q.set_defaults(fn=cmd_query)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -103,7 +103,50 @@ def _compacted_source(spark: SparkSession, sf_dir: str, name: str) -> str | None
         return None  # any surprise -> fall back to the raw source
 
 
-def normalize_timestamps(df: DataFrame) -> DataFrame:
+_TS_UNIT_TO_MICROS = {"s": 1_000_000, "ms": 1_000, "us": 1}
+
+
+def ts_bigint_unit(path: str) -> str:
+    """Decide the time unit of a fixture `ts` column that Spark surfaces
+    as bigint, from the parquet FOOTER only (no data scan).
+
+    Two physical forms land as bigint: TIMESTAMP(NANOS) under the
+    nanosAsLong conf (the footer's arrow type says ``timestamp[ns]``
+    -> 'ns'), and a plain INT64 column, whose unit is undeclared -- for
+    that, infer from the magnitude of the footer min statistic
+    (epoch seconds ~1e9, millis ~1e12, micros ~1e15, nanos ~1e18; the
+    bands are 3 orders of magnitude apart, so any plausible event time
+    in 2000-2200 classifies unambiguously). Raises on an implausible
+    magnitude instead of silently misscaling by 1000x -- a new fixture
+    encoding should fail loudly (see tests/test_fixture_contract.py)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    field = pf.schema_arrow.field("ts")
+    unit = getattr(field.type, "unit", None)
+    if unit is not None:  # a declared arrow timestamp type
+        if unit in ("ns", "us", "ms", "s"):
+            return unit
+        raise ValueError(f"unsupported parquet timestamp unit {unit!r} in {path}")
+    idx = pf.schema_arrow.get_field_index("ts")
+    stats = pf.metadata.row_group(0).column(idx).statistics
+    if stats is None or stats.min is None:
+        raise ValueError(f"int64 ts column without footer statistics in {path}")
+    mag = abs(int(stats.min))
+    for lo, hi, u in (
+        (10**8, 10**11, "s"),
+        (10**11, 10**14, "ms"),
+        (10**14, 10**17, "us"),
+        (10**17, 10**20, "ns"),
+    ):
+        if lo <= mag < hi:
+            return u
+    raise ValueError(
+        f"int64 ts magnitude {mag} in {path} matches no epoch unit band"
+    )
+
+
+def normalize_timestamps(df: DataFrame, ts_unit: str = "ns") -> DataFrame:
     """Fixture timestamps arrive in whatever physical form the
     generator chose that round -- TIMESTAMP(NANOS) (read nanos-as-long,
     truncate to micros: exactly DuckDB's TIMESTAMP_NS -> TIMESTAMP
@@ -114,11 +157,24 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     verbatim as TIMESTAMP, and an NTZ->LTZ cast in a UTC session is
     that same identity on the stored value. Integer division (`div`) is
     required on the nanos path: double division of ~1e18 nanos loses
-    the microsecond digit."""
+    the microsecond digit.
+
+    ``ts_unit`` is the unit of a bigint `ts` column, as detected from
+    the parquet footer by ts_bigint_unit (callers that read the fixture
+    directly pass it through; default 'ns' matches the historical
+    TIMESTAMP(NANOS) fixture rounds)."""
     for field in df.schema.fields:
         kind = field.dataType.simpleString()
         if field.name == "ts" and kind == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            if ts_unit == "ns":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_unit in _TS_UNIT_TO_MICROS:
+                df = df.withColumn(
+                    "ts",
+                    F.timestamp_micros(F.col("ts") * _TS_UNIT_TO_MICROS[ts_unit]),
+                )
+            else:
+                raise ValueError(f"unknown ts_unit {ts_unit!r}")
         elif kind == "timestamp_ntz":
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
         elif kind == "date" and field.name.endswith("date"):
@@ -129,12 +185,31 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+def embedding_dim(sf_dir: str) -> int:
+    """The fixture embedding dimensionality, read driver-side from the
+    first value of the parquet column (one tiny Arrow batch, no Spark
+    job). Lets vector operators take ``dim`` as an explicit parameter
+    -- their plans must not depend on a `.first()` action -- while
+    staying robust to a fixture round changing the vector width."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(table_path(sf_dir, "embeddings"))
+    batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(batch.column(0)[0])
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with normalized (UTC-instant) timestamps."""
     pin_session_confs(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = _compacted_source(spark, sf_dir, name) or table_path(sf_dir, name)
-    return normalize_timestamps(spark.read.parquet(path))
+    df = spark.read.parquet(path)
+    unit = "ns"
+    if dict(df.dtypes).get("ts") == "bigint":
+        # footer-detected unit (the original fixture file: tables that
+        # carry `ts` are never compacted, see _COMPACT_TABLES)
+        unit = ts_bigint_unit(table_path(sf_dir, name))
+    return normalize_timestamps(df, ts_unit=unit)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -138,27 +138,87 @@ def blocked_similarity_join(
     )
 
 
+def _srp_planes(n_planes: int, dim: int, seed: int):
+    """The seeded Gaussian hyperplane matrix (n_planes x dim) -- the
+    single source of truth for both signature implementations."""
+    import numpy as np
+
+    return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
 def srp_signatures(
     emb: DataFrame,
     n_planes: int = 16,
     seed: int = 7,
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Signed-random-projection (SRP / random hyperplane) LSH signature:
     bit p = sign(<v, r_p>) for n_planes Gaussian hyperplanes, the
     classic cosine-LSH family (collision probability 1 - theta/pi).
     The hyperplanes are generated ONCE on the driver from a fixed seed
-    and embedded as literal arrays, so the per-row work is n_planes
-    JVM-side dot products -- no Python, no shuffle, and the signature
-    is deterministic across runs/engines for a given seed. This is the
-    blocking key for near-dup search when NO natural block column
-    exists (blocked_similarity_join's `label` at 100 TB is exactly
-    this signature)."""
-    import numpy as np
+    and shipped as a single broadcast 1-row array<array<double>> table
+    (crossJoin against a broadcast single row is a BroadcastNestedLoop
+    that adds the column without any shuffle), so the plan size is
+    independent of dim and the per-row work is n_planes JVM-side
+    higher-order-function dot products -- no Python, no shuffle, and
+    the signature is deterministic across runs/engines for a given
+    (seed, dim). This is the blocking key for near-dup search when NO
+    natural block column exists (blocked_similarity_join's `label` at
+    100 TB is exactly this signature).
 
-    first = emb.select(vec_col).first()
-    dim = len(first[0])
-    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    Pass ``dim`` explicitly in pipelines (it is schema metadata the
+    caller owns); when None it is inferred with one driver single-row
+    lookup, which is fine interactively but a needless job in a DAG.
+    """
+    if dim is None:
+        first = emb.select(vec_col).first()
+        dim = len(first[0])
+    planes = _srp_planes(n_planes, dim, seed)
+    planes_df = emb.sparkSession.createDataFrame(
+        [([[float(x) for x in row] for row in planes],)],
+        "planes array<array<double>>",
+    )
+    base = emb.select("vec_id", vec_col, as_double_array(vec_col).alias("_v"))
+    # sig = sum over plane index i of (sign bit i) << i, all inside one
+    # codegen'd transform/aggregate chain over the broadcast planes col
+    plane_bit = lambda pl, i: (  # noqa: E731
+        F.when(
+            F.aggregate(
+                F.zip_with(F.col("_v"), pl, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            # call_function: the Python shiftleft wrapper only takes an
+            # int literal for numBits, but the SQL function shifts by a
+            # column -- here the plane index from transform()
+            F.call_function("shiftleft", F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+    )
+    sig = F.aggregate(
+        F.transform(F.col("planes"), plane_bit),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        base.crossJoin(F.broadcast(planes_df))
+        .select("vec_id", vec_col, sig.alias("srp_sig"))
+    )
+
+
+def _srp_signatures_literal(
+    emb: DataFrame,
+    n_planes: int,
+    seed: int,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """The original literal-hyperplane form (n_planes x dim literals in
+    the plan). Kept as the differential-test twin for srp_signatures:
+    fine at dim 64, but at production dims (1536+) the plan blows up,
+    which is why the broadcast form is the primary."""
+    planes = _srp_planes(n_planes, dim, seed)
     base = emb.select("vec_id", vec_col, as_double_array(vec_col).alias("_v"))
     bits = []
     for p in range(n_planes):
@@ -169,7 +229,7 @@ def srp_signatures(
     sig = bits[0]
     for b in bits[1:]:
         sig = sig + b
-    return base.select("vec_id", vec_col, sig.alias("srp_sig"))
+    return base.select("vec_id", vec_col, sig.cast("long").alias("srp_sig"))
 
 
 def srp_neardup_pairs(
@@ -179,6 +239,7 @@ def srp_neardup_pairs(
     n_bands: int = 2,
     seed: int = 7,
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via SRP-LSH banding + exact
     re-rank: band the n_planes signature bits into n_bands chunks,
@@ -192,7 +253,7 @@ def srp_neardup_pairs(
     materialized once (localCheckpoint)."""
     bits_per_band = n_planes // n_bands
     mask = (1 << bits_per_band) - 1
-    sig = srp_signatures(emb, n_planes, seed, vec_col)
+    sig = srp_signatures(emb, n_planes, seed, vec_col, dim=dim)
     bands = sig.select(
         "vec_id",
         vec_col,

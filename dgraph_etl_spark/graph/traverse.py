@@ -58,6 +58,15 @@ def expand(
     return reached.join(visited, "id", "left_anti")
 
 
+# caches created by the PREVIOUS k_hop call, unpersisted at the next
+# call: a traversal's hop DataFrames are consumed within its own query,
+# so one invocation's blocks are live at a time -- without this, a
+# 200-query suite session leaks every traversal's cached edge table and
+# frontiers into executor storage (same leak class as the ANN panel
+# cache fixed in cb5b136).
+_PREV_CACHED: list[DataFrame] = []
+
+
 def k_hop(
     edges: DataFrame,
     seeds: DataFrame,
@@ -68,10 +77,17 @@ def k_hop(
     """G2/G3 generalized: k-hop BFS. Returns [hop1, hop2, ... hopk]
     frontier DataFrames (each exclusive of all earlier hops and the
     seeds, matching the reference's NOT uid(...) filters)."""
+    for df in _PREV_CACHED:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session died between queries; nothing to free
+    _PREV_CACHED.clear()
     # every hop joins against edges: materialize it once instead of
     # recomputing the (scan -> explode -> max-agg) subtree per hop.
     # At cluster scale this is the persisted/bucketed edge table.
     edges = edges.cache()
+    _PREV_CACHED.append(edges)
     visited = seeds.select("id")
     frontier = visited
     hops: list[DataFrame] = []
@@ -80,6 +96,7 @@ def k_hop(
         if (i + 1) % checkpoint_every == 0:
             frontier = frontier.localCheckpoint(eager=False)
         frontier = frontier.cache()  # reused: next hop's join + its anti-join
+        _PREV_CACHED.append(frontier)
         hops.append(frontier)
         visited = visited.unionByName(frontier)
     return hops

@@ -42,14 +42,25 @@ def incremental_events_scan(spark, sf_dir: str, watermark_unix_s: int) -> DataFr
     so NTZ wall time == the instant). Filter raw first, normalize
     after: explain shows the comparison in PushedFilters, and at 100 TB
     a time-partitioned table prunes to only the new row groups."""
-    from ..catalog import normalize_timestamps, pin_session_confs, table_path
+    from ..catalog import (
+        normalize_timestamps,
+        pin_session_confs,
+        table_path,
+        ts_bigint_unit,
+    )
 
     pin_session_confs(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    path = table_path(sf_dir, "events")
+    raw = spark.read.parquet(path)
     kind = dict(raw.dtypes).get("ts")
+    unit = "ns"
     if kind == "bigint":
-        raw = raw.filter(F.col("ts") >= watermark_unix_s * 1_000_000_000)
+        # footer-detected unit: the raw-column comparison constant must
+        # be in the column's own unit for the pushdown to be exact
+        unit = ts_bigint_unit(path)
+        per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        raw = raw.filter(F.col("ts") >= watermark_unix_s * per_s)
     elif kind == "timestamp_ntz":
         raw = raw.filter(
             F.col("ts")
@@ -57,7 +68,7 @@ def incremental_events_scan(spark, sf_dir: str, watermark_unix_s: int) -> DataFr
         )
     else:
         raw = raw.filter(F.col("ts") >= F.timestamp_seconds(F.lit(watermark_unix_s)))
-    return normalize_timestamps(raw)
+    return normalize_timestamps(raw, ts_unit=unit)
 
 
 def next_watermark(df: DataFrame, ts_col: str = "last_update") -> DataFrame:

@@ -32,11 +32,21 @@ def bucketed_table(
     name: str,
     key: str,
     n_buckets: int = 8,
+    version: str | None = None,
 ) -> DataFrame:
     """Materialize ``df`` as a bucketed+sorted catalog table (idempotent
     per session) and return it. The table name is reused if it already
     exists in this session's catalog; the backing files live in scratch
-    keyed by pid so concurrent sessions never clobber each other."""
+    keyed by pid so concurrent sessions never clobber each other.
+
+    ``version`` is a content tag for the SOURCE of ``df`` (e.g. the
+    fixture file's mtime+size): it is folded into the table name, so a
+    mid-session source refresh gets a fresh bucketed copy instead of
+    the session-cached stale one."""
+    if version is not None:
+        import re
+
+        name = f"{name}_v{re.sub(r'[^A-Za-z0-9]', '_', version)}"
     if not spark.catalog.tableExists(name):
         path = os.path.join(
             tempfile.gettempdir(), f"dgraph_etl_bucketed_{os.getpid()}", name

@@ -24,7 +24,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import normalize_timestamps, pin_session_confs, table_path
+from ..catalog import (
+    normalize_timestamps,
+    pin_session_confs,
+    table_path,
+    ts_bigint_unit,
+)
 
 _MEM_IDS = itertools.count()
 
@@ -76,7 +81,13 @@ def events_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    return normalize_timestamps(sdf)
+    unit = "ns"
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        # staged replay dirs (late_data_source) copy the fixture's
+        # physical encoding verbatim, so the original file's footer
+        # decides the unit for both
+        unit = ts_bigint_unit(table_path(sf_dir, "events"))
+    return normalize_timestamps(sdf, ts_unit=unit)
 
 
 def late_data_source(sf_dir: str) -> str:
@@ -110,10 +121,26 @@ def late_data_source(sf_dir: str) -> str:
         return d
     os.makedirs(d, exist_ok=True)
     t = pq.read_table(table_path(sf_dir, "events"))
-    ts_unit = getattr(t.column("ts").type, "unit", "us")
+    # cover every physical form normalize_timestamps handles; an
+    # unexpected unit raises instead of defaulting to micros (a DATE32
+    # or second-precision round would otherwise pass days/seconds
+    # through the int64 cast as if they were micros)
+    import pyarrow as pa
+
+    ts_type = t.column("ts").type
     ts_us = t.column("ts").cast("int64")
-    if ts_unit == "ns":
-        ts_us = pc.divide(ts_us, 1000)
+    if pa.types.is_date(ts_type):
+        ts_us = pc.multiply(ts_us, 86_400_000_000)  # days -> micros
+    else:
+        unit = getattr(ts_type, "unit", None)
+        if unit is None:  # plain int64: footer-stat magnitude decides
+            unit = ts_bigint_unit(table_path(sf_dir, "events"))
+        if unit == "ns":
+            ts_us = pc.divide(ts_us, 1000)
+        elif unit in ("us", "ms", "s"):
+            ts_us = pc.multiply(ts_us, {"us": 1, "ms": 1000, "s": 1_000_000}[unit])
+        else:
+            raise ValueError(f"unsupported events ts unit {unit!r}")
     lo, hi = pc.min(ts_us).as_py(), pc.max(ts_us).as_py()
     c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
     straggler = pc.equal(

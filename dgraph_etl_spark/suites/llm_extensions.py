@@ -1004,8 +1004,15 @@ def c20_srp_neardup(spark, sf_dir):
     (collision prob ~0.63/bit), so 8 bands x 2 bits; a production
     near-dup screen at tau>=0.9 (~0.86/bit) wants fewer, wider bands
     (e.g. 2 x 8). Rows-only: hyperplane signs aren't SQL-expressible."""
+    from ..catalog import embedding_dim
+
     return S.srp_neardup_pairs(
-        _emb(spark, sf_dir), threshold=0.4, n_planes=16, n_bands=8, seed=7
+        _emb(spark, sf_dir),
+        threshold=0.4,
+        n_planes=16,
+        n_bands=8,
+        seed=7,
+        dim=embedding_dim(sf_dir),
     )
 
 

@@ -1484,17 +1484,24 @@ def _bucketed_join_inputs(spark, sf_dir):
     from ..sources.bucketed import bucketed_table
 
     tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+
+    def _ver(table):  # source content tag -> stale copies never reused
+        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+        return f"{st.st_mtime_ns}_{st.st_size}"
+
     orders = bucketed_table(
         spark,
         _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
         f"bkt_orders_{tag}",
         "o_custkey",
+        version=_ver("orders"),
     )
     cust = bucketed_table(
         spark,
         _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
         f"bkt_customer_{tag}",
         "c_custkey",
+        version=_ver("customer"),
     )
     return orders, cust
 

@@ -1,0 +1,150 @@
+"""Fixture drift guard.
+
+The driver regenerates /root/testdata between rounds and the physical
+parquet encodings have shifted before (TIMESTAMP(NANOS)-as-int64 one
+round, naive TIMESTAMP_NTZ micros the next). Three round-1 correctness
+errors traced back to exactly this class of silent drift. This module
+makes an UNHANDLED encoding fail loudly at test time instead of
+surfacing as a mystery value mismatch deep in a query:
+
+- every table must expose the canonical logical column set;
+- every temporal column's physical form must be one the catalog's
+  normalize_timestamps/ts_bigint_unit path explicitly handles;
+- the NORMALIZED instants must land in the plausible fixture epoch
+  window -- a 1000x unit misscale lands centuries away and fails here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dgraph_etl_spark.catalog import (
+    BASE_TABLES,
+    load_table,
+    table_path,
+    ts_bigint_unit,
+)
+
+SF_DIRS = [f"/root/testdata/sf{sf}" for sf in ("0.001", "0.01", "0.1")]
+
+# logical (post-normalization) column contract per table
+EXPECTED_COLUMNS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey"},
+    "part": {"p_partkey", "p_name", "p_brand", "p_retailprice"},
+    "orders": {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    },
+    "lineitem": {
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    },
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+TEMPORAL = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+# fixture event times are synthetic recent history; anything outside
+# this window means a unit misscale (seconds read as micros -> 1970,
+# micros read as nanos -> 1970, nanos read as micros -> year 52000+)
+EPOCH_LO_US = 631_152_000 * 1_000_000  # 1990-01-01 (TPC-H dates start 1992)
+EPOCH_HI_US = 3_000_000_000 * 1_000_000  # 2065-01-24
+
+
+def _physical_form_ok(field: pa.Field) -> bool:
+    t = field.type
+    if pa.types.is_timestamp(t):
+        return t.unit in ("s", "ms", "us", "ns")
+    if pa.types.is_date(t):
+        return True
+    return pa.types.is_integer(t)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("table", BASE_TABLES)
+def test_logical_columns_present(sf_dir, table):
+    sch = pq.ParquetFile(table_path(sf_dir, table)).schema_arrow
+    missing = EXPECTED_COLUMNS[table] - set(sch.names)
+    assert not missing, f"{sf_dir}/{table}: missing columns {sorted(missing)}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("table", sorted(TEMPORAL))
+def test_temporal_physical_forms_are_handled(sf_dir, table):
+    """Every temporal column must be a form the catalog normalizes; a
+    new generator encoding fails HERE with the actual type in the
+    message, not as a value mismatch three suites later."""
+    pf = pq.ParquetFile(table_path(sf_dir, table))
+    for col in TEMPORAL[table]:
+        field = pf.schema_arrow.field(col)
+        assert _physical_form_ok(field), (
+            f"{sf_dir}/{table}.{col}: unhandled physical type {field.type} "
+            "-- extend catalog.normalize_timestamps before using this fixture"
+        )
+        if col == "ts" and pa.types.is_integer(field.type):
+            # must classify into a unit band, not fall through
+            ts_bigint_unit(table_path(sf_dir, table))
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_normalized_instants_in_plausible_window(spark, sf_dir):
+    """End-to-end misscale guard: normalized event times must land in
+    the synthetic-history window regardless of the round's encoding."""
+    from pyspark.sql import functions as F
+
+    for table, cols in TEMPORAL.items():
+        df = load_table(spark, sf_dir, table)
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.min(F.unix_micros(F.col(c))).alias(f"min_{c}"),
+                F.max(F.unix_micros(F.col(c))).alias(f"max_{c}"),
+            ]
+        row = df.agg(*aggs).first()
+        for c in cols:
+            lo, hi = row[f"min_{c}"], row[f"max_{c}"]
+            assert EPOCH_LO_US <= lo <= hi <= EPOCH_HI_US, (
+                f"{sf_dir}/{table}.{c}: normalized range "
+                f"[{lo}, {hi}] us is outside the plausible fixture window "
+                "-- likely a timestamp unit misscale from fixture drift"
+            )
+
+
+def test_encoding_consistent_across_sfs():
+    """All three scale factors should ship the same physical encodings;
+    a mixed round would make sf0.001-green/sf0.01-red bugs look like
+    scale sensitivity."""
+    for table in BASE_TABLES:
+        forms = set()
+        for sf_dir in SF_DIRS:
+            if not os.path.exists(table_path(sf_dir, table)):
+                continue
+            sch = pq.ParquetFile(table_path(sf_dir, table)).schema_arrow
+            forms.add(tuple(str(sch.field(n).type) for n in sorted(sch.names)))
+        assert len(forms) == 1, f"{table}: encodings differ across sfs: {forms}"

@@ -353,6 +353,9 @@ def test_bucketed_join_zero_exchange_zero_sort(spark, sf_small):
     # but proves nothing about bucketing); force the 100 TB fact-fact
     # planning where neither side fits an executor
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_ordering = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", None
+    )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     # one file per bucket is written sorted, but since 3.0 Spark only
     # TRUSTS that order under the opt-in conf; without it the join is
@@ -366,9 +369,12 @@ def test_bucketed_join_zero_exchange_zero_sort(spark, sf_small):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.conf.set(
-            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
-        )
+        if prev_ordering is None:
+            spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        else:
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", prev_ordering
+            )
     import re
 
     assert "SortMergeJoin" in plan, plan

@@ -338,6 +338,36 @@ def test_c20_srp_lsh_precision_and_recall(spark):
     assert recall >= 0.9, f"recall {recall:.3f} below floor"
 
 
+def test_srp_broadcast_signature_equals_literal_form(spark):
+    """The broadcast-planes SRP signature (plan size independent of
+    dim, no driver action when dim is passed) must produce bit-for-bit
+    the same signatures as the original literal-hyperplane form for
+    the same (seed, n_planes, dim)."""
+    from dgraph_etl_spark.catalog import embedding_dim, load_table
+    from dgraph_etl_spark.functions.similarity import (
+        _srp_signatures_literal,
+        srp_signatures,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    dim = embedding_dim(sf)
+    new = {
+        r.vec_id: r.srp_sig
+        for r in srp_signatures(emb, n_planes=16, seed=7, dim=dim).collect()
+    }
+    old = {
+        r.vec_id: r.srp_sig
+        for r in _srp_signatures_literal(emb, 16, 7, "embedding", dim).collect()
+    }
+    assert new == old
+    # long-range sanity: 64 planes exercises the full bit width the
+    # literal int form could not have represented safely
+    wide = srp_signatures(emb, n_planes=64, seed=3, dim=dim)
+    assert wide.schema["srp_sig"].dataType.simpleString() == "bigint"
+    assert wide.limit(5).count() == 5
+
+
 def test_c19_hash_samples_are_nested_and_partition_invariant(spark):
     """Hash sampling contracts: (a) the 25% sample is a SUBSET of the
     50% sample at the same seed (nested ablations), (b) the kept set is
