@@ -33,18 +33,28 @@ class Query:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL, or None -> driver does rows-only check
     doc: str = ""
+    defer: bool = False  # True -> queue behind the existing uncertified backlog
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+def register(
+    name: str, oracle: str | None = None, defer: bool = False
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``.
+
+    ``defer=True`` marks a query added AFTER an external certification
+    backlog already exceeded one round's query window: it sorts behind
+    every earlier-registered uncertified query, so adding new operators
+    never displaces queries that have been waiting longer."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", defer=defer
+        )
         return fn
 
     return deco
@@ -92,7 +102,14 @@ def _ordered() -> list[Query]:
     _load_suites()
     done = _certified_names()
     qs = list(REGISTRY.values())
-    return [q for q in qs if q.name not in done] + [q for q in qs if q.name in done]
+    pending = [q for q in qs if q.name not in done]
+    # stable partition: long-waiting uncertified first, deferred
+    # newcomers next, certified last
+    return (
+        [q for q in pending if not q.defer]
+        + [q for q in pending if q.defer]
+        + [q for q in qs if q.name in done]
+    )
 
 
 def queries() -> dict[str, QueryFn]:

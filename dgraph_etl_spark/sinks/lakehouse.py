@@ -1,0 +1,112 @@
+"""A13 lakehouse MERGE adapter (reference dgraph.go:110-133: update the
+stored edge only when the incoming score beats it, insert when absent).
+
+Two storage strategies behind one call:
+
+- **Delta** (when ``delta-spark`` is importable and the session has the
+  extension): a real transactional ``MERGE INTO ... WHEN MATCHED AND
+  s.score > t.score THEN UPDATE WHEN NOT MATCHED THEN INSERT`` -- the
+  production answer at 100 TB, since MERGE rewrites only the files
+  containing matched keys and optimistic concurrency serializes
+  concurrent writers by retrying on conflict.
+- **Versioned parquet fallback** (always available): the algebraic
+  equivalent -- aggregate the batch, union with the latest stored
+  version, re-take the max per (src, dst), write a new version
+  directory, atomically rename. tests/test_sinks.py proves this equals
+  MERGE semantics fold-for-fold and is batch-order invariant (max is
+  commutative/associative/idempotent, so replays and reordering --
+  exactly what a retrying concurrent writer produces -- cannot change
+  the fixed point).
+
+The fallback rewrites the whole table per merge, which is fine for a
+bounded edge table but is the reason the Delta path exists: at 100 TB
+the union+re-agg touches every partition while MERGE touches only the
+partitions holding matched keys (plus Delta skips unmatched files via
+min/max stats on src).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..pipeline.edges import max_score_per_edge, merge_max_with_existing
+
+_EDGE_COLS = ["src", "dst", "score"]
+
+
+def _have_delta(spark: SparkSession) -> bool:
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+    except ImportError:
+        return False
+    # the session must also carry the Delta catalog/extension
+    return "delta" in spark.conf.get("spark.sql.extensions", "").lower()
+
+
+def _versions(root: str) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    return sorted(d for d in os.listdir(root) if d.startswith("v"))
+
+
+def read_edge_store(spark: SparkSession, root: str) -> DataFrame | None:
+    """Current contents of the edge store at ``root`` (either backend),
+    or None if nothing has been merged yet."""
+    if _have_delta(spark):
+        from delta.tables import DeltaTable
+
+        if DeltaTable.isDeltaTable(spark, root):
+            return spark.read.format("delta").load(root)
+        return None
+    vs = _versions(root)
+    return spark.read.parquet(os.path.join(root, vs[-1])) if vs else None
+
+
+def merge_max_into(
+    spark: SparkSession, root: str, new_edges: DataFrame
+) -> DataFrame:
+    """Merge a batch of (src, dst, score) edges into the store at
+    ``root`` with max-wins semantics; returns the post-merge table."""
+    batch = max_score_per_edge(new_edges.select(_EDGE_COLS))
+    if _have_delta(spark):
+        from delta.tables import DeltaTable
+
+        if not DeltaTable.isDeltaTable(spark, root):
+            batch.write.format("delta").mode("overwrite").save(root)
+            return spark.read.format("delta").load(root)
+        (
+            DeltaTable.forPath(spark, root)
+            .alias("t")
+            .merge(
+                batch.alias("s"),
+                "t.src = s.src AND t.dst = s.dst",
+            )
+            .whenMatchedUpdate(
+                condition="s.score > t.score", set={"score": "s.score"}
+            )
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return spark.read.format("delta").load(root)
+
+    # versioned-parquet fallback: union + re-max against the latest
+    # version, then an atomic rename publish (crash-safe: a partial
+    # write never becomes the latest version)
+    existing = read_edge_store(spark, root)
+    merged = (
+        merge_max_with_existing(batch, existing) if existing is not None else batch
+    )
+    os.makedirs(root, exist_ok=True)
+    n = len(_versions(root))
+    tmp = os.path.join(root, f".tmp-{uuid.uuid4().hex[:8]}")
+    merged.write.mode("overwrite").parquet(tmp)
+    dest = os.path.join(root, f"v{n:05d}")
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost a publish race
+    return read_edge_store(spark, root)

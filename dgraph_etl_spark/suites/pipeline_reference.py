@@ -247,6 +247,35 @@ def a13_merge_with_existing(spark, sf_dir):
 
 
 @register(
+    "a13_merge_versioned_store",
+    V("SELECT src, dst, score FROM edges"),
+    defer=True,
+)
+def a13_merge_versioned_store(spark, sf_dir):
+    """A13 via the lakehouse MERGE adapter (sinks/lakehouse.py): the
+    edge stream split into three hash batches, each merged into a
+    versioned edge store with max-wins MERGE semantics (reference
+    dgraph.go:110-133). The final store version must equal the one-shot
+    edges view -- the same fixed point regardless of batch boundaries
+    (tests/test_sinks.py proves order/replay invariance). Runs a real
+    Delta MERGE when delta-spark is present; versioned-parquet
+    union+re-agg otherwise."""
+    import tempfile
+
+    from ..sinks.lakehouse import merge_max_into
+
+    exploded = E.explode_bidirectional(_ur(spark, sf_dir))
+    root = tempfile.mkdtemp(prefix="a13_store_")
+    final = None
+    for i in range(3):
+        batch = exploded.filter(
+            F.abs(F.xxhash64("src", "dst", "score")) % 3 == i
+        )
+        final = merge_max_into(spark, root, batch)
+    return final
+
+
+@register(
     "a14_find_or_create",
     V("""
       SELECT person_id, name FROM person
