@@ -58,13 +58,16 @@ def expand(
     return reached.join(visited, "id", "left_anti")
 
 
-# caches created by the PREVIOUS k_hop call, unpersisted at the next
-# call: a traversal's hop DataFrames are consumed within its own query,
-# so one invocation's blocks are live at a time -- without this, a
-# 200-query suite session leaks every traversal's cached edge table and
-# frontiers into executor storage (same leak class as the ANN panel
-# cache fixed in cb5b136).
-_PREV_CACHED: list[DataFrame] = []
+# Frontier caches from recent k_hop calls, evicted generationally: a
+# call's hop DataFrames are consumed within its own query, but
+# OVERLAPPING traversals legitimately share cached frontiers through
+# Spark's plan-matching cache manager (g03's hop1 IS g02's result; a
+# re-run of the same traversal matches everything), so the last few
+# generations stay warm and anything older is unpersisted. This bounds
+# executor storage over a 200-query session (the leak class fixed for
+# the ANN panel in cb5b136) without giving up locality reuse.
+_KEEP_GENERATIONS = 3
+_CACHE_GENERATIONS: list[list[DataFrame]] = []
 
 
 def k_hop(
@@ -77,17 +80,23 @@ def k_hop(
     """G2/G3 generalized: k-hop BFS. Returns [hop1, hop2, ... hopk]
     frontier DataFrames (each exclusive of all earlier hops and the
     seeds, matching the reference's NOT uid(...) filters)."""
-    for df in _PREV_CACHED:
-        try:
-            df.unpersist(blocking=False)
-        except Exception:
-            pass  # session died between queries; nothing to free
-    _PREV_CACHED.clear()
+    while len(_CACHE_GENERATIONS) >= _KEEP_GENERATIONS:
+        for df in _CACHE_GENERATIONS.pop(0):
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass  # session died between queries; nothing to free
+    generation: list[DataFrame] = []
+    _CACHE_GENERATIONS.append(generation)
     # every hop joins against edges: materialize it once instead of
     # recomputing the (scan -> explode -> max-agg) subtree per hop.
-    # At cluster scale this is the persisted/bucketed edge table.
-    edges = edges.cache()
-    _PREV_CACHED.append(edges)
+    # At cluster scale this is the persisted/bucketed edge table --
+    # and a caller that already owns a cached edge table (the graph
+    # suite shares one per session+sf, suites/graph_traversal.py)
+    # keeps ownership: we neither re-cache nor evict it here.
+    if not edges.is_cached:
+        edges = edges.cache()
+        generation.append(edges)
     visited = seeds.select("id")
     frontier = visited
     hops: list[DataFrame] = []
@@ -96,7 +105,7 @@ def k_hop(
         if (i + 1) % checkpoint_every == 0:
             frontier = frontier.localCheckpoint(eager=False)
         frontier = frontier.cache()  # reused: next hop's join + its anti-join
-        _PREV_CACHED.append(frontier)
+        generation.append(frontier)
         hops.append(frontier)
         visited = visited.unionByName(frontier)
     return hops

@@ -37,9 +37,33 @@ hop2 AS (
 """
 
 
+# One cached edge table per (session, sf_dir), shared by every graph
+# query: the local analog of the persisted/bucketed edge table a
+# cluster deployment owns. Bounded (a session touches at most a couple
+# of sf dirs) and deliberately long-lived -- per-traversal caches (the
+# frontiers) are evicted by the next k_hop call instead.
+_EDGE_CACHE: dict = {}
+
+
+def _cached_edges(spark, sf_dir):
+    import os
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    df = _EDGE_CACHE.get(key)
+    if df is None:
+        register_views(spark, sf_dir)
+        df = spark.table("edges").cache()
+        _EDGE_CACHE[key] = df
+    return df
+
+
 def _graph_inputs(spark, sf_dir):
     register_views(spark, sf_dir)
-    return spark.table("edges"), spark.table("team_member"), spark.table("person")
+    return (
+        _cached_edges(spark, sf_dir),
+        spark.table("team_member"),
+        spark.table("person"),
+    )
 
 
 @register("g01_team_seed", V(_HOPS + "SELECT id FROM seeds"))
@@ -248,7 +272,7 @@ def g07_top_connections(spark, sf_dir):
     """Flagship analytics: strongest-connected trove users -- semi-join
     + hash agg + top-k (TakeOrderedAndProject, no global sort)."""
     register_views(spark, sf_dir)
-    edges, trove = spark.table("edges"), spark.table("trove_user")
+    edges, trove = _cached_edges(spark, sf_dir), spark.table("trove_user")
     return (
         edges.join(
             trove, edges["src"] == trove["person_id_user"], "left_semi"
