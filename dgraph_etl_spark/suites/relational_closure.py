@@ -2538,3 +2538,514 @@ def b73_retention_cohorts(spark, sf_dir):
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+# ------------------------------------------------- TPC-H closure (r4)
+# The remaining TPC-H query shapes the fixture schema supports, adapted
+# where the fixture lacks a column (no partsupp/commitdate/receiptdate;
+# p_retailprice stands in for ps_supplycost, l_shipdate > o_orderdate
+# stands in for the commit/receipt lateness tests). Together with
+# q1/q3/q5/q6/q12 (b14/b51/b52/b67/b68) these close out the dialect's
+# canonical join/subquery/disjunction shapes. All registered defer=True
+# (behind the pre-existing certification backlog).
+
+
+@register(
+    "b74_tpch_q4",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    defer=True,
+)
+def b74_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order priority checking), lateness adapted to
+    l_shipdate > o_orderdate. Spark shape: pushed date-range scan on
+    orders, LEFT SEMI join to lineitem with the correlated inequality
+    as a join condition (no subquery re-scan per row), one hash agg.
+    At 100 TB both sides are facts: the semi-join shuffles on
+    orderkey once, and the date filter prunes orders partitions before
+    the exchange."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    hit = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "b75_tpch_q7",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate) AS l_year,
+           {fpsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    defer=True,
+)
+def b75_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): revenue between a nation PAIR by
+    ship year. Spark shape: the two nation-filtered dimension chains
+    (supplier->nation, customer->nation) are broadcast; lineitem joins
+    orders on the one real shuffle. The OR-of-pairs predicate lands
+    after both nation names are attached, on the already-tiny joined
+    dims -- at 100 TB the broadcast semi-filters supplier/customer
+    before they touch the facts."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(*pair))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(*pair))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(fpsum("l_extendedprice * (1 - l_discount)", "revenue"))
+    )
+
+
+@register(
+    "b76_tpch_q8",
+    f"""
+    SELECT o_year,
+           {fpsum_sql("CASE WHEN nat = 'NATION_1' THEN volume ELSE 0 END",
+                      "nation_volume")},
+           {fpsum_sql("volume", "total_volume")}
+    FROM (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS nat
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+    ) shipping
+    GROUP BY o_year
+    """,
+    defer=True,
+)
+def b76_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): a nation's share of ECONOMY
+    part revenue inside one customer region, by order year. Emitted as
+    exact numerator + denominator (the share is their ratio; keeping
+    both sums exact keeps the hash deterministic). Spark shape: all
+    five dims broadcast (region+nation prune customers BEFORE the
+    fact join), lineitem->orders is the only shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp_nat = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nat"))
+    )
+    cust_in_region = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(
+            F.broadcast(cust_in_region),
+            o["o_custkey"] == F.col("c_custkey"),
+            "inner",
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            fpsum(
+                "CASE WHEN nat = 'NATION_1' THEN l_extendedprice * (1 - l_discount)"
+                " ELSE 0 END",
+                "nation_volume",
+            ),
+            fpsum("l_extendedprice * (1 - l_discount)", "total_volume"),
+        )
+    )
+
+
+@register(
+    "b77_tpch_q9",
+    f"""
+    SELECT nat AS nation, o_year,
+           {fpsum_sql(
+               "l_extendedprice * (1 - l_discount)"
+               " - p_retailprice * l_quantity * 0.1",
+               "sum_profit")}
+    FROM (
+      SELECT n.n_name AS nat,
+             EXTRACT(year FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice, l.l_discount, l.l_quantity, p.p_retailprice
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      WHERE p.p_name LIKE '%gear%'
+    ) profit
+    GROUP BY 1, 2
+    """,
+    defer=True,
+)
+def b77_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product type profit), p_retailprice*0.1 standing in
+    for ps_supplycost (the fixture has no partsupp). Spark shape:
+    part (LIKE-filtered) and supplier->nation broadcast; the only
+    shuffle is lineitem->orders; profit expression folded into one
+    fixed-point sum. The LIKE filter can't prune the parquet scan by
+    stats, but it cuts the broadcast table before the fact join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_nat = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            fpsum(
+                "l_extendedprice * (1 - l_discount)"
+                " - p_retailprice * l_quantity * 0.1",
+                "sum_profit",
+            )
+        )
+    )
+
+
+@register(
+    "b78_tpch_q10",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           {fpsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    defer=True,
+)
+def b78_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned item reporting): top-20 customers by
+    returned revenue in a quarter. Spark shape: date+returnflag
+    pushed to the scans, customer/nation broadcast, one shuffle agg
+    keyed by customer, TakeOrderedAndProject for the top-20 (never a
+    global sort). Ties broken by c_custkey so LIMIT is deterministic
+    cross-engine."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(fpsum("l_extendedprice * (1 - l_discount)", "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "b79_tpch_q14",
+    f"""
+    SELECT
+      {fpsum_sql(
+          "CASE WHEN p_type = 'PROMO'"
+          " THEN l_extendedprice * (1 - l_discount) ELSE 0 END",
+          "promo_revenue")},
+      {fpsum_sql("l_extendedprice * (1 - l_discount)", "total_revenue")}
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    defer=True,
+)
+def b79_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): promo share of one month's
+    revenue, emitted as exact numerator+denominator. Spark shape:
+    month filter pushed to the lineitem scan, part broadcast, single
+    partial-agg -- no shuffle at all beyond the final 1-row gather."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            fpsum(
+                "CASE WHEN p_type = 'PROMO'"
+                " THEN l_extendedprice * (1 - l_discount) ELSE 0 END",
+                "promo_revenue",
+            ),
+            fpsum("l_extendedprice * (1 - l_discount)", "total_revenue"),
+        )
+    )
+
+
+@register(
+    "b80_tpch_q17",
+    f"""
+    SELECT {fpsum_sql("l.l_extendedprice", "sum_extended")} ,
+           COUNT(*) AS n_small_orders
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#17'
+      AND l.l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    defer=True,
+)
+def b80_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): rows under 20% of
+    their part's average quantity. The correlated scalar subquery is
+    DECORRELATED Spark-side into a per-part aggregate joined back --
+    the scan runs twice but each pass is columnar and the join key is
+    the natural partkey; at 100 TB the per-part averages table is tiny
+    relative to lineitem and broadcast-joins back onto it. Threshold
+    arithmetic is exact-sum/count in BOTH engines so the < comparison
+    sees bit-identical doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#17")
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+            * 0.2
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .join(per_part, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            fpsum("l_extendedprice", "sum_extended"),
+            F.count(F.lit(1)).alias("n_small_orders"),
+        )
+    )
+
+
+@register(
+    "b81_tpch_q18",
+    f"""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           epoch_us(o.o_orderdate) AS o_orderdate_us, o.o_totalprice,
+           {fpsum_sql("l.l_quantity", "sum_qty")}
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+    )
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    defer=True,
+)
+def b81_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large volume customers): orders whose total quantity
+    clears a threshold, with customer detail. Spark shape: the HAVING
+    subquery is one hash agg over lineitem; its surviving keys (rare
+    by construction) broadcast back as a semi-join, so the detail join
+    only moves qualifying orders. Exact decimal compare on the
+    threshold."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(
+            F.broadcast(big.withColumnRenamed("l_orderkey", "big_orderkey")),
+            F.col("l_orderkey") == F.col("big_orderkey"),
+            "left_semi",
+        )
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_totalprice",
+        )
+        .agg(fpsum("l_quantity", "sum_qty"))
+    )
+
+
+@register(
+    "b82_tpch_q19",
+    f"""
+    SELECT {fpsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           COUNT(*) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    defer=True,
+)
+def b82_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): the
+    OR-of-ANDs shape optimizers historically fumbled. Spark keeps it
+    one broadcast hash join + residual disjunction; Catalyst derives
+    the common l_quantity <= 30 and part-side brand/size union bounds
+    for pushdown. No shuffle beyond the final 1-row gather."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    q, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((brand == "Brand#12") & size.between(1, 15) & q.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 25) & q.between(10, 20))
+        | ((brand == "Brand#3") & size.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        fpsum("l_extendedprice * (1 - l_discount)", "revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "b83_tpch_q22",
+    f"""
+    WITH avgbal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           {fpsum_sql("c.c_acctbal", "totacctbal")}
+    FROM customer c, avgbal
+    WHERE c.c_acctbal > avgbal.ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+    defer=True,
+)
+def b83_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity), phone-prefix clause
+    dropped (no c_phone in the fixture) and "never ordered" adapted to
+    "no order since 2000-01-01" (every fixture customer has at least
+    one order): above-average-balance inactive customers, per nation. Spark shape: the global average
+    is a 1-row broadcast crossJoin (no driver round-trip), the NOT
+    EXISTS is a left_anti join shuffling only custkeys, one final hash
+    agg. Exact-sum/count average so both engines compare identical
+    doubles."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    avgbal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ab")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            fpsum("c_acctbal", "totacctbal"),
+        )
+    )
