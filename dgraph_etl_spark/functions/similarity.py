@@ -290,6 +290,225 @@ def srp_neardup_pairs(
     )
 
 
+def quantize_vectors(
+    emb: DataFrame, scale: int = 1_000_000, vec_col: str = "embedding"
+) -> DataFrame:
+    """Fixed-point view of the corpus: each float component becomes
+    round(x * scale) as a 64-bit integer. Every distance / centroid
+    computation downstream is then EXACT integer arithmetic -- the
+    property that makes an iterative clustering reproducible bit-for-bit
+    across engines, partitionings, and retries (IEEE float sums are
+    order-dependent; integer sums are not). With unit-norm-ish
+    embeddings and scale 1e6, a squared distance is bounded by
+    dim * (2*scale)^2 ~ 2.6e14 << 2^63."""
+    q = F.transform(
+        as_double_array(vec_col), lambda x: F.round(x * scale).cast("long")
+    )
+    return emb.select("vec_id", q.alias("qv"))
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Σ (a_i - b_i)^2 over integer components -- exact."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_loop(q: DataFrame, k: int, n_iter: int):
+    """Shared Lloyd iteration over quantized vectors ``(vec_id, qv)``.
+    Returns ``(cents, assign)``: the post-iteration integer centroid
+    table ``(cell, cv)`` and the final hard assignment ``(vec_id,
+    cell)`` against it."""
+    from pyspark.sql import Window
+
+    seeds = (
+        q.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k)
+    )
+    # k rows: the global window is over the already-limited seed set
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).alias("cell"),
+        F.col("qv").alias("cv"),
+    ).localCheckpoint()
+
+    for _ in range(n_iter):
+        scored = q.crossJoin(F.broadcast(cents)).withColumn(
+            "dist", _sq_dist(F.col("qv"), F.col("cv"))
+        )
+        assigned = scored.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cell"))["cell"].alias("cell"),
+            F.first("qv").alias("qv"),
+        )
+        comp = assigned.select(
+            "cell", F.posexplode("qv").alias("pos", "x")
+        ).groupBy("cell", "pos").agg(
+            F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        new_cents = (
+            comp.withColumn(
+                "m",
+                F.floor(
+                    (2.0 * F.col("s") + F.col("n")) / (2.0 * F.col("n"))
+                ).cast("long"),
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv_new")
+            )
+        )
+        cents = (
+            cents.join(new_cents, "cell", "left")
+            .select("cell", F.coalesce("cv_new", "cv").alias("cv"))
+            .localCheckpoint()
+        )
+    scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "dist", _sq_dist(F.col("qv"), F.col("cv"))
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cell"))["cell"].alias("cell")
+    )
+    return cents, assign
+
+
+def kmeans_cells(
+    emb: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    scale: int = 1_000_000,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means as an iterative DataFrame algorithm -- the IVF
+    coarse quantizer LEARNED from the data instead of borrowed from the
+    label column (label_centroids). Returns the final hard assignment
+    ``(vec_id, cell)``.
+
+    Design for 100 TB:
+    - centroids are a k-row table, broadcast every iteration; the corpus
+      is only ever scanned, never shuffled (assignment = narrow map over
+      a broadcast crossJoin, argmin via min(struct(dist, cell)) -- a
+      partial-aggregatable hash agg keyed by vec_id).
+    - the centroid update aggregates (cell, dim) partial sums map-side;
+      shuffle volume is k * dim rows, independent of corpus size.
+    - per-round localCheckpoint truncates the growing lineage (same
+      pattern as graph/traverse.py's pagerank loop).
+    - all arithmetic is fixed-point integer (quantize_vectors), so the
+      result is deterministic across engines AND across Spark's own
+      nondeterministic partial-agg orders; ties broken by cell id.
+      The centroid mean is round-half-up via floor((2s + n) / (2n)),
+      computed in double -- exact while |2s + n| < 2^53 (true whenever
+      cell mass * scale < 4.5e15, i.e. up to ~4.5e9 unit-scale vectors
+      per cell; shard the update by vector subsets beyond that).
+    - deterministic seeding: the k vectors with the smallest
+      md5(vec_id) -- a content-independent, engine-portable choice
+      (k-means++ would need sequential dependent sampling; at scale,
+      run it on a driver-side sample to pick seeds, then broadcast).
+
+    Empty cells keep their previous centroid (COALESCE on the left
+    join), so k never silently shrinks."""
+    q = quantize_vectors(emb, scale, vec_col).localCheckpoint()
+    _, assign = _kmeans_loop(q, k, n_iter)
+    return assign
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    scale: int = 1_000_000,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The learned codebook as double vectors (cell, centroid) --
+    de-quantized back to unit scale so it plugs into ivf_topk's
+    cosine-probe path exactly where label_centroids does."""
+    cells = kmeans_cells(emb, k, n_iter, scale, vec_col)
+    assigned = emb.join(cells, "vec_id")
+    pos = assigned.select(
+        "cell", F.posexplode(as_double_array(vec_col)).alias("pos", "x")
+    )
+    means = pos.groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+    return means.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def _int_cosine(a: Column, b: Column) -> Column:
+    """Cosine over quantized integer vectors: dot and squared norms are
+    EXACT integer folds; the single float op is one divide over two
+    sqrts of exact operands -- the same doubles on every engine, so the
+    rounded value is hash-stable (cosine is scale-invariant, so the
+    quantized cosine equals the float cosine up to quantization)."""
+    d = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    return d / (na * nb)
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int,
+    ncells: int = 4,
+    n_iter: int = 2,
+    nprobe: int = 2,
+    scale: int = 1_000_000,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_topk with the LEARNED coarse quantizer: k-means cells replace
+    the label column. Probe the nprobe most query-similar centroids,
+    exact cosine re-rank inside those cells only -- the end-to-end ANN
+    path with no reliance on a pre-existing partition key. At 100 TB the
+    assignment is written PARTITIONED BY cell (build_ivf_index) and the
+    probe prunes partitions at the scan.
+
+    The probe similarity is computed over the QUANTIZED integer
+    centroids and query (round(csim, 6), ties by cell id), so cell
+    selection -- like the assignment itself -- is reproducible
+    bit-for-bit across engines; only the final re-rank touches the
+    original float vectors (round(sim, 4), the c04 convention)."""
+    q = quantize_vectors(emb, scale, vec_col).localCheckpoint()
+    cents, cells = _kmeans_loop(q, ncells, n_iter)
+    qv_int = query.select(
+        F.transform(
+            as_double_array("qvec"), lambda x: F.round(x * scale).cast("long")
+        ).alias("qint")
+    )
+    probed = (
+        cents.crossJoin(F.broadcast(qv_int))
+        .withColumn("csim", F.round(_int_cosine(F.col("cv"), F.col("qint")), 6))
+        .orderBy(F.desc("csim"), "cell")
+        .limit(nprobe)
+        .select("cell")
+    )
+    candidates = emb.join(cells, "vec_id").join(
+        F.broadcast(probed), "cell", "left_semi"
+    )
+    return brute_topk(candidates, query, k, vec_col)
+
+
 def build_ivf_index(emb: DataFrame, path: str) -> None:
     """C4 index build: persist the corpus PARTITIONED BY cell id (here
     the label column; k-means cell assignment slots in identically).

@@ -2587,3 +2587,169 @@ def c49_tokenizer_fertility(spark, sf_dir):
             F.sum(F.length("text").cast("bigint")) / F.sum(bpe), 6
         ).alias("chars_per_token"),
     )
+
+
+# --------------------------------------------- learned coarse quantizer
+#
+# Lloyd's k-means as an iterative DataFrame algorithm (the IVF codebook
+# LEARNED from the data -- functions/similarity.py kmeans_cells), made
+# hash-certifiable by doing every distance and centroid update in
+# fixed-point integer arithmetic: integer sums are order-independent, so
+# Spark's partial-agg nondeterminism and DuckDB's single-threaded fold
+# produce the SAME assignment bit-for-bit. The oracle is the unrolled
+# Lloyd iteration as chained CTEs, generated below for a fixed
+# (k, n_iter, scale).
+
+_KM_K, _KM_ITER, _KM_SCALE = 4, 2, 1_000_000
+_KM_NPROBE = 2
+
+
+def _kmeans_ctes(k: int, n_iter: int, scale: int) -> str:
+    """Unrolled Lloyd iteration as DuckDB CTEs. Exposes:
+    q (vec_id, qv), c{i} centroid tables, and af -- the final
+    (vec_id, cell) assignment against c{n_iter}."""
+    dist = (
+        "list_sum(list_transform(range(len(q.qv)), i -> "
+        "(q.qv[i+1] - c.cv[i+1]) * (q.qv[i+1] - c.cv[i+1])))"
+    )
+    parts = [
+        f"""
+  q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+    FROM embeddings
+  ),
+  seeds AS (
+    SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h
+    FROM q ORDER BY h, vec_id LIMIT {k}
+  ),
+  c0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, qv AS cv
+    FROM seeds
+  )"""
+    ]
+    steps = [(i, f"c{i - 1}", f"a{i}") for i in range(1, n_iter + 1)]
+    for i, prev, aname in steps:
+        parts.append(
+            f"""
+  s{i} AS (
+    SELECT q.vec_id, q.qv, c.cell, {dist} AS dist
+    FROM q CROSS JOIN {prev} c
+  ),
+  {aname} AS (
+    SELECT vec_id, qv, cell FROM (
+      SELECT vec_id, qv, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cell) AS rn
+      FROM s{i}) t WHERE rn = 1
+  ),
+  u{i} AS (
+    SELECT cell, unnest(qv) AS x, unnest(range(len(qv))) AS pos FROM {aname}
+  ),
+  m{i} AS (
+    SELECT cell, pos,
+           CAST(FLOOR((2.0 * SUM(x) + COUNT(*))
+                      / (2.0 * COUNT(*))) AS BIGINT) AS m
+    FROM u{i} GROUP BY cell, pos
+  ),
+  n{i} AS (SELECT cell, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cell),
+  c{i} AS (
+    SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
+    FROM {prev} p LEFT JOIN n{i} n ON p.cell = n.cell
+  )"""
+        )
+    parts.append(
+        f"""
+  sf AS (
+    SELECT q.vec_id, q.qv, c.cell, {dist} AS dist
+    FROM q CROSS JOIN c{n_iter} c
+  ),
+  af AS (
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cell) AS rn
+      FROM sf) t WHERE rn = 1
+  )"""
+    )
+    return ",".join(parts)
+
+
+@register(
+    "c50_kmeans_cells",
+    "WITH "
+    + _kmeans_ctes(_KM_K, _KM_ITER, _KM_SCALE)
+    + """
+    SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM af
+    """,
+    defer=True,
+)
+def c50_kmeans_cells(spark, sf_dir):
+    """Lloyd's k-means (k=4, 2 iterations) hard assignment -- an
+    ITERATIVE algorithm certified hash-exact against an unrolled-CTE
+    oracle, like g10_pagerank. Centroids are a broadcast k-row table
+    each round; the corpus is scanned, never shuffled by content; the
+    centroid update shuffles k*dim partial sums regardless of corpus
+    size. Fixed-point integer distances make the argmin reproducible
+    across engines and partial-agg orders (functions/similarity.py
+    kmeans_cells)."""
+    cells = S.kmeans_cells(
+        _emb(spark, sf_dir), k=_KM_K, n_iter=_KM_ITER, scale=_KM_SCALE
+    )
+    return cells.select("vec_id", F.col("cell").cast("int").alias("cell"))
+
+
+@register(
+    "c51_ivf_kmeans_topk",
+    "WITH "
+    + _kmeans_ctes(_KM_K, _KM_ITER, _KM_SCALE)
+    + f"""
+    , qint AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT))
+             AS qint
+      FROM embeddings WHERE vec_id = 0
+    ),
+    probe AS (
+      SELECT cell FROM (
+        SELECT c.cell,
+               ROUND(
+                 CAST(list_sum(list_transform(range(len(c.cv)),
+                        i -> c.cv[i+1] * q.qint[i+1])) AS DOUBLE)
+                 / (sqrt(CAST(list_sum(list_transform(c.cv,
+                        x -> x * x)) AS DOUBLE))
+                    * sqrt(CAST(list_sum(list_transform(q.qint,
+                        x -> x * x)) AS DOUBLE))), 6) AS csim
+        FROM c{_KM_ITER} c CROSS JOIN qint q
+      ) t ORDER BY csim DESC, cell LIMIT {_KM_NPROBE}
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        qv.qvec::DOUBLE[]), 4) AS sim
+    FROM embeddings e
+    JOIN af ON e.vec_id = af.vec_id
+    CROSS JOIN (SELECT embedding AS qvec FROM embeddings
+                WHERE vec_id = 0) qv
+    WHERE af.cell IN (SELECT cell FROM probe)
+    ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+    defer=True,
+)
+def c51_ivf_kmeans_topk(spark, sf_dir):
+    """End-to-end learned-quantizer ANN, hash-certified: k-means cells
+    (integer-exact) -> probe the 2 most query-similar centroids (cosine
+    over the QUANTIZED centroids, so cell choice is engine-exact) ->
+    exact cosine re-rank inside the probed cells only (the c04
+    convention). The scan fraction is ~nprobe/k; at 100 TB the
+    assignment is persisted PARTITIONED BY cell and the probe prunes
+    partitions (functions/similarity.py ivf_kmeans_topk)."""
+    return S.ivf_kmeans_topk(
+        _emb(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        k=10,
+        ncells=_KM_K,
+        n_iter=_KM_ITER,
+        nprobe=_KM_NPROBE,
+        scale=_KM_SCALE,
+    )

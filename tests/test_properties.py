@@ -687,3 +687,56 @@ def test_sketch_profile_within_hll_tolerance(spark, sf_small):
         assert abs(row[c] - exact[c]) <= max(1, 0.05 * exact[c]), (
             c, row[c], exact[c],
         )
+
+
+# --------------------------------------------------- k-means quantizer
+
+
+def test_kmeans_assignment_is_partitioning_invariant(spark, sf_small):
+    """The fixed-point design claim: integer distance/centroid math
+    makes Lloyd's algorithm reproducible regardless of how the corpus
+    is partitioned (float partial sums would not be)."""
+    from dgraph_etl_spark.catalog import register_views
+    from dgraph_etl_spark.functions.similarity import kmeans_cells
+
+    register_views(spark, sf_small)
+    emb = spark.table("embeddings")
+    a = {
+        (r["vec_id"], r["cell"])
+        for r in kmeans_cells(emb, k=4, n_iter=2).collect()
+    }
+    b = {
+        (r["vec_id"], r["cell"])
+        for r in kmeans_cells(emb.repartition(7), k=4, n_iter=2).collect()
+    }
+    assert a == b
+    cells = {c for _, c in a}
+    assert len(cells) >= 2  # the fixture is not degenerate
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark, sf_small):
+    """Learned-quantizer ANN: probing 2 of 4 cells must recover a
+    meaningful share of the true top-10 (and every returned id must be
+    in the true corpus)."""
+    from dgraph_etl_spark.catalog import register_views
+    from dgraph_etl_spark.functions.similarity import (
+        brute_topk,
+        ivf_kmeans_topk,
+    )
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_small)
+    emb = spark.table("embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    true = {r["vec_id"] for r in brute_topk(emb, qv, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivf_kmeans_topk(
+            emb, qv, k=10, ncells=4, n_iter=2, nprobe=2
+        ).collect()
+    }
+    assert len(approx) == 10
+    recall = len(true & approx) / 10
+    assert recall >= 0.4, f"recall@10 {recall}"

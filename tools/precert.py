@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Pre-certification sweep: run the driver's differential check locally
+at sf0.01 (the driver's actual scale) over the queries that have no
+green row in any CORRECTNESS_r*.json yet — so harness-side surprises
+(sf-dependent ties, canonicalization, timing) surface BEFORE the
+external run burns a round's 50-query window on them.
+
+Usage: python tools/precert.py [N]   (default: all pending)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+from dgraph_etl_spark.registry import _certified_names, _ordered  # noqa: E402
+from dgraph_etl_spark.session import get_spark  # noqa: E402
+from tests.oracle_utils import check_query  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    cap = int(sys.argv[1]) if len(sys.argv) > 1 else 10**9
+    order = _ordered()
+    done = _certified_names()
+    pending = [q for q in order if q.name not in done][:cap]
+    spark = get_spark(app_name="precert")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = []
+    for i, q in enumerate(pending):
+        t0 = time.perf_counter()
+        try:
+            if q.oracle is None:
+                df = q.fn(spark, SF_DIR)
+                n = df.count()
+                assert len(df.schema.fields) > 0
+                problems = [] if n >= 0 else ["negative count?"]
+            else:
+                problems = check_query(spark, SF_DIR, q.name, q.fn, q.oracle)
+        except Exception as exc:  # pragma: no cover - diagnostic tool
+            problems = [f"EXCEPTION: {type(exc).__name__}: {exc}"]
+        dt = time.perf_counter() - t0
+        status = "ok" if not problems else "FAIL"
+        print(f"[{i+1}/{len(pending)}] {q.name:38s} {status} {dt:6.2f}s", flush=True)
+        if problems:
+            failures.append((q.name, problems))
+    print(f"\n{len(pending) - len(failures)}/{len(pending)} ok")
+    for name, probs in failures:
+        print(f"FAIL {name}: " + "; ".join(str(p)[:500] for p in probs))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
