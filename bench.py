@@ -80,15 +80,19 @@ def main() -> None:
     register_views(spark, SF_DIR, force=True)
     startup = time.perf_counter() - t0
 
-    # Best of 2 runs per query: the container runs in a microVM where
-    # host steal time can multiply a single run's wall clock several-
-    # fold (observed 2.9s vs 66.9s for the identical plan). The min of
-    # two executions measures the operators, not the neighbor's load.
+    # Best of 3 runs per query: (a) the container runs in a microVM
+    # where host steal time can multiply a single run's wall clock
+    # several-fold (observed 2.9s vs 66.9s for the identical plan);
+    # (b) HotSpot tiers compilation, so the FIRST sf-target execution
+    # of a plan routinely runs 2-6x slower than the C2-compiled third
+    # (measured: b19 3.8s -> 0.97 -> 0.66 in one session). The min of
+    # three executions measures the operators, not JIT warm-up or the
+    # neighbor's load.
     times: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t1 = time.perf_counter()
             df = q.fn(spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()

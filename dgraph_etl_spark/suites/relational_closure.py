@@ -3049,3 +3049,90 @@ def b83_tpch_q22(spark, sf_dir):
             fpsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+@register(
+    "b84_tpch_q13",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+    defer=True,
+)
+def b84_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer distribution): orders-per-customer histogram
+    with customers who ordered nothing kept at zero (the comment-filter
+    clause adapted to order priority). Spark shape: LEFT OUTER join
+    with the filter INSIDE the join condition (pushed to the orders
+    scan; an outer-join filter in WHERE would wrongly drop the zero
+    customers), first agg shuffles on custkey, the distribution agg
+    sees only distinct counts. COUNT(col) vs COUNT(*) null semantics
+    are what keeps the zero bucket honest -- the b71 battery's corner
+    in a real query."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (o["o_custkey"] == c["c_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "b85_tpch_q15",
+    f"""
+    WITH revenue AS MATERIALIZED (
+      SELECT l_suppkey AS supplier_no,
+             {fpsum_sql("l_extendedprice * (1 - l_discount)", "total_revenue")}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    defer=True,
+)
+def b85_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the supplier(s) hitting the quarter's
+    maximum revenue. Spark shape: one pushed date-range scan + suppkey
+    hash agg builds the revenue view; the scalar-subquery max is a
+    1-row broadcast crossJoin against it (no second scan of lineitem,
+    no driver round-trip); supplier attaches by broadcast. The equality
+    against MAX is safe cross-engine because revenue is a fixed-point
+    long sum -- identical doubles on both sides. The revenue CTE is
+    MATERIALIZED for DuckDB (referenced twice) and reused once in
+    Spark's plan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(
+        F.col("l_suppkey").alias("supplier_no")
+    ).agg(fpsum("l_extendedprice * (1 - l_discount)", "total_revenue"))
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
