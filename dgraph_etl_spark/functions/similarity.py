@@ -564,3 +564,83 @@ def ivf_persisted_topk(
     ]
     candidates = index.filter(F.col("label").isin(probed))
     return brute_topk(candidates, query, k, vec_col)
+
+
+# ---- oracle-side twin of the k-means loop (SQL text generator;
+# lives here, registry-free, so any suite can reference it without
+# perturbing suite import order) ----
+
+KM_K, KM_ITER, KM_SCALE = 4, 2, 1_000_000
+KM_NPROBE = 2
+
+
+def kmeans_oracle_ctes(k: int, n_iter: int, scale: int) -> str:
+    """Unrolled Lloyd iteration as DuckDB CTEs. Exposes:
+    q (vec_id, qv), c{i} centroid tables, and af -- the final
+    (vec_id, cell) assignment against c{n_iter}."""
+    dist = (
+        "list_sum(list_transform(range(len(q.qv)), i -> "
+        "(q.qv[i+1] - c.cv[i+1]) * (q.qv[i+1] - c.cv[i+1])))"
+    )
+    parts = [
+        f"""
+  q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+    FROM embeddings
+  ),
+  seeds AS (
+    SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h
+    FROM q ORDER BY h, vec_id LIMIT {k}
+  ),
+  c0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, qv AS cv
+    FROM seeds
+  )"""
+    ]
+    steps = [(i, f"c{i - 1}", f"a{i}") for i in range(1, n_iter + 1)]
+    for i, prev, aname in steps:
+        parts.append(
+            f"""
+  s{i} AS (
+    SELECT q.vec_id, q.qv, c.cell, {dist} AS dist
+    FROM q CROSS JOIN {prev} c
+  ),
+  {aname} AS (
+    SELECT vec_id, qv, cell FROM (
+      SELECT vec_id, qv, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cell) AS rn
+      FROM s{i}) t WHERE rn = 1
+  ),
+  u{i} AS (
+    SELECT cell, unnest(qv) AS x, unnest(range(len(qv))) AS pos FROM {aname}
+  ),
+  m{i} AS (
+    SELECT cell, pos,
+           CAST(FLOOR((2.0 * SUM(x) + COUNT(*))
+                      / (2.0 * COUNT(*))) AS BIGINT) AS m
+    FROM u{i} GROUP BY cell, pos
+  ),
+  n{i} AS (SELECT cell, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cell),
+  c{i} AS (
+    SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
+    FROM {prev} p LEFT JOIN n{i} n ON p.cell = n.cell
+  )"""
+        )
+    parts.append(
+        f"""
+  sf AS (
+    SELECT q.vec_id, q.qv, c.cell, {dist} AS dist
+    FROM q CROSS JOIN c{n_iter} c
+  ),
+  af AS (
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cell) AS rn
+      FROM sf) t WHERE rn = 1
+  )"""
+    )
+    return ",".join(parts)

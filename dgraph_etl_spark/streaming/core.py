@@ -209,3 +209,36 @@ def docs_batched_source(sf_dir: str, n_batches: int = 3) -> tuple[str, str]:
             pq.write_table(t.filter(mask), paths[i])
             os.utime(paths[i], ((i + 1) * 1_000_000, (i + 1) * 1_000_000))
     return d
+
+
+def table_batched_source(
+    sf_dir: str, table: str, id_col: str, n_batches: int = 3
+) -> str:
+    """docs_batched_source generalized to any fixture table: stage it
+    as an n-file streaming source split by id range (deterministic
+    batch = arrival order), mtimes pinned so the file source replays
+    batches in id order."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tag = _source_tag(sf_dir, table)
+    d = os.path.join(
+        tempfile.gettempdir(), f"dgraph_etl_{table}{n_batches}_{tag}"
+    )
+    paths = [os.path.join(d, f"batch{i}.parquet") for i in range(n_batches)]
+    if not all(os.path.exists(p) for p in paths):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(table_path(sf_dir, table))
+        lo = pc.min(t.column(id_col)).as_py()
+        hi = pc.max(t.column(id_col)).as_py() + 1
+        step = max(1, (hi - lo) // n_batches)
+        for i in range(n_batches):
+            a = lo + i * step
+            b = hi if i == n_batches - 1 else lo + (i + 1) * step
+            mask = pc.and_(
+                pc.greater_equal(t.column(id_col), a),
+                pc.less(t.column(id_col), b),
+            )
+            pq.write_table(t.filter(mask), paths[i])
+            os.utime(paths[i], ((i + 1) * 1_000_000, (i + 1) * 1_000_000))
+    return d

@@ -23,6 +23,7 @@ from ..pipeline.edges import (
     max_score_per_edge,
     merge_max_with_existing,
 )
+from ..functions import similarity as _sim
 from ..registry import register
 from ..streaming.core import events_stream, late_data_source, run_to_memory
 from ..views import oracle_with_views
@@ -771,3 +772,80 @@ def s16_stream_fingerprint(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(state_dir)
+
+
+@register(
+    "s17_stream_ann_ingest",
+    "WITH "
+    + _sim.kmeans_oracle_ctes(_sim.KM_K, _sim.KM_ITER, _sim.KM_SCALE)
+    + """
+    SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM af
+    """,
+    defer=True,
+)
+def s17_stream_ann_ingest(spark, sf_dir):
+    """Streaming ANN index maintenance: embeddings arrive in
+    micro-batches and are appended to the partitioned IVF index with a
+    FROZEN codebook -- the production shape where the coarse quantizer
+    is trained offline (c50's k-means over the reference corpus) and
+    ingest only ever assigns + appends. Each batch is a narrow map
+    against the broadcast k-row centroid table (no shuffle, no state
+    beyond the index itself); the partition-by-cell append is what
+    keeps later probes partition-pruned. The accumulated index must
+    equal the batch-built assignment bit-for-bit (same unrolled-Lloyd
+    oracle as c50) -- integer distances make that exact, not
+    approximate."""
+    import os
+    import tempfile
+
+    from ..catalog import register_views
+    from ..functions.similarity import (
+        _kmeans_loop,
+        _sq_dist,
+        quantize_vectors,
+    )
+    from ..streaming.core import table_batched_source
+
+    register_views(spark, sf_dir)
+    # offline codebook training on the static corpus (c50's loop)
+    emb = spark.table("embeddings")
+    q = quantize_vectors(emb, _sim.KM_SCALE).localCheckpoint()
+    cents, _ = _kmeans_loop(q, _sim.KM_K, _sim.KM_ITER)
+    cents = cents.localCheckpoint()
+
+    src = table_batched_source(sf_dir, "embeddings", "vec_id")
+    schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index_dir = tempfile.mkdtemp(prefix="s17_ivf_") + "/index"
+
+    def ingest(batch_df, epoch_id):
+        assigned = (
+            quantize_vectors(batch_df, _sim.KM_SCALE)
+            .crossJoin(F.broadcast(cents))
+            .withColumn("dist", _sq_dist(F.col("qv"), F.col("cv")))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist", "cell"))["cell"]
+                .cast("int")
+                .alias("cell")
+            )
+        )
+        assigned.write.mode("append").partitionBy("cell").parquet(index_dir)
+
+    sq = (
+        stream.writeStream.foreachBatch(ingest)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="s17_ckpt_") + "/offsets",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.read.parquet(index_dir).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
