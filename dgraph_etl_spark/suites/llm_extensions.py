@@ -2686,3 +2686,46 @@ def c51_ivf_kmeans_topk(spark, sf_dir):
         nprobe=_KM_NPROBE,
         scale=_KM_SCALE,
     )
+
+
+@register(
+    "c52_int8_topk",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    gm AS (
+      SELECT MAX(list_max(list_transform(qv, x -> abs(x)))) AS qmax FROM q
+    ),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(qv,
+               x -> CAST(FLOOR((254.0 * x + gm.qmax)
+                               / (2.0 * gm.qmax)) AS BIGINT)) AS v8
+      FROM q, gm
+    ),
+    qq AS (SELECT v8 AS qv8 FROM q8 WHERE vec_id = 0)
+    SELECT c.vec_id,
+           ROUND(
+             CAST(list_sum(list_transform(range(len(c.v8)),
+                    i -> c.v8[i+1] * qq.qv8[i+1])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(c.v8,
+                    x -> x * x)) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(qq.qv8,
+                    x -> x * x)) AS DOUBLE))), 6) AS sim8
+    FROM q8 c CROSS JOIN qq
+    ORDER BY sim8 DESC, c.vec_id LIMIT 10
+    """,
+    defer=True,
+)
+def c52_int8_topk(spark, sf_dir):
+    """Compressed-index ANN: symmetric int8 quantization on an
+    integer-derived grid (global qmax scale, one broadcast scalar),
+    then top-k by int8 cosine -- exact integer dot/norm folds, one
+    float divide, ranking reproducible bit-for-bit across engines.
+    The 4x-smaller index scan of the ANN family
+    (functions/similarity.py int8_quantize/int8_topk)."""
+    return S.int8_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)

@@ -740,3 +740,21 @@ def test_ivf_kmeans_recall_vs_brute_force(spark, sf_small):
     assert len(approx) == 10
     recall = len(true & approx) / 10
     assert recall >= 0.4, f"recall@10 {recall}"
+
+
+def test_int8_topk_recall_vs_float_brute_force(spark, sf_small):
+    """4x-compressed ANN: integer-dot ranking over the int8 grid must
+    recover most of the true float top-10."""
+    from dgraph_etl_spark.catalog import register_views
+    from dgraph_etl_spark.functions.similarity import brute_topk, int8_topk
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_small)
+    emb = spark.table("embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    true = {r["vec_id"] for r in brute_topk(emb, qv, k=10).collect()}
+    q8 = {r["vec_id"] for r in int8_topk(emb, qv, k=10).collect()}
+    recall = len(true & q8) / 10
+    assert recall >= 0.5, f"recall@10 {recall}"
