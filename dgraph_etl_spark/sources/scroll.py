@@ -1,0 +1,242 @@
+"""Scroll-page source: the reference's Elasticsearch extract as a real
+Spark connector (Python Data Source API, Spark 4).
+
+The reference scans index ``user_relationship`` through the ES scroll
+API -- 5,000-hit pages, sorted ascending by ``last_update``, with the
+``last_update >= watermark`` range predicate evaluated INSIDE the
+source (reference: elastic.go:44-102 scan+channel, :52-53 range query,
+:55-58 sort, :60 page size; cmd/etl/etl.go:19 watermark flag). The
+Spark-native twin here keeps all three source-side behaviors, but as
+engine machinery instead of a hand-rolled client loop:
+
+- a "scroll page" is a JSONL file of hit envelopes
+  ``{"_id": ..., "_source": {...}}`` plus one manifest carrying
+  per-page (min, max) of the sort key -- exactly the page/cursor state
+  the ES client hides;
+- the batch reader maps one InputPartition per page (pages scan in
+  parallel -- the channel+goroutine pipeline disappears into the
+  scheduler) and PUSHES the watermark range predicate down: pages
+  whose max last_update precedes the watermark are never opened
+  (pushFilters + manifest pruning = A2's "filter runs inside the
+  source");
+- the stream reader exposes the page cursor AS the streaming offset:
+  resume-from-checkpoint replays from the exact page the last commit
+  ended on, which is the reference's manual watermark bookkeeping
+  (elastic.go:87-96 progress prints) made transactional.
+
+Rows come out as the raw hit envelope (``last_update_us`` surfaced for
+pushdown + ``_source`` as a JSON string) so the engine's A4 decode path
+(``from_json`` + permissive skip) stays in the query, same as the
+reference's per-hit ``json.Unmarshal`` (elastic.go:80-85).
+
+Scale note: a Python data source pays one Python worker hop per
+partition -- fine for modest feeds and for CONTRACT parity (this module
+exists to own the source semantics end to end); a 100 TB ingest would
+front the same page/manifest layout with the JVM JSON reader
+(``spark.read.json`` + a pushed range filter gives identical pruning on
+a date-partitioned layout).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+SCROLL_SCHEMA = "last_update_us BIGINT, _id STRING, _source STRING"
+PAGE_SIZE = 5_000  # the reference's scroll size (elastic.go:60)
+
+
+def stage_scroll_pages(
+    spark, sf_dir: str, page_size: int = PAGE_SIZE
+) -> str:
+    """Materialize the events fixture as scroll pages: JSONL hit files
+    of ``page_size`` rows sorted ascending by last_update (the
+    reference's scroll order), plus ``manifest.json`` with per-page
+    (min, max, n) of the sort key. Idempotent per source identity
+    (mtime+size tag, same convention as the other staged sources)."""
+    from ..catalog import register_views, table_path
+
+    st = os.stat(table_path(sf_dir, "events"))
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_mtime_ns}_{st.st_size}_{page_size}"
+    )
+    d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_scroll_{tag}")
+    manifest_path = os.path.join(d, "manifest.json")
+    if os.path.exists(manifest_path):
+        return d
+    register_views(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.table("events")
+        .select(
+            F.unix_micros("ts").alias("lu"),
+            F.col("event_id").cast("string").alias("_id"),
+            F.to_json(
+                F.struct(
+                    F.unix_micros("ts").alias("last_update"),
+                    F.col("user_id").cast("string").alias("from_person_id"),
+                    (F.col("event_id") % 50)
+                    .cast("string")
+                    .alias("to_person_id"),
+                    F.struct(
+                        # ROUND before the int cast: Spark truncates
+                        # double->int while DuckDB rounds (see views.py)
+                        F.round(F.col("value") * 100, 0)
+                        .cast("int")
+                        .alias("raw_score_in"),
+                        F.round(F.col("value") * 37, 0)
+                        .cast("int")
+                        .alias("raw_score_out"),
+                    ).alias("stats"),
+                )
+            ).alias("src"),
+        )
+        .orderBy("lu", "_id")
+        .toPandas()
+    )
+    os.makedirs(d, exist_ok=True)
+    manifest = []
+    for p in range(0, max(len(rows), 1), page_size):
+        chunk = rows.iloc[p : p + page_size]
+        fname = f"page{p // page_size:05d}.jsonl"
+        with open(os.path.join(d, fname), "w") as f:
+            for lu, hid, src in chunk.itertuples(index=False, name=None):
+                f.write(
+                    json.dumps(
+                        {"_id": hid, "_lu": int(lu), "_source": src},
+                        separators=(",", ":"),
+                    )
+                    + "\n"
+                )
+        manifest.append(
+            {
+                "file": fname,
+                "min_lu": int(chunk["lu"].min()),
+                "max_lu": int(chunk["lu"].max()),
+                "n": int(len(chunk)),
+            }
+        )
+    with open(manifest_path + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.rename(manifest_path + ".tmp", manifest_path)
+    return d
+
+
+def _load_manifest(path: str):
+    with open(os.path.join(path, "manifest.json")) as f:
+        return json.load(f)
+
+
+def _read_page(path: str, fname: str, min_lu: int | None):
+    """Yield hit tuples from one page file, applying the pushed lower
+    bound row-side too (the source owns the predicate entirely; Spark
+    still re-applies it, which is free)."""
+    with open(os.path.join(path, fname)) as f:
+        for line in f:
+            hit = json.loads(line)
+            if min_lu is not None and hit["_lu"] < min_lu:
+                continue
+            yield (hit["_lu"], hit["_id"], hit["_source"])
+
+
+def register_scroll_source(spark) -> None:
+    """Register the connector under format name ``scroll_hits`` (batch
+    + streaming). Safe to call repeatedly."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        GreaterThan,
+        GreaterThanOrEqual,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _PagePartition(InputPartition):
+        def __init__(self, fname: str, min_lu):
+            self.fname = fname
+            self.min_lu = min_lu
+
+    class _ScrollReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.watermark = None  # pushed lower bound on last_update_us
+
+        def pushFilters(self, filters):
+            for flt in filters:
+                if isinstance(
+                    flt, (GreaterThan, GreaterThanOrEqual)
+                ) and flt.attribute == ("last_update_us",):
+                    bound = int(flt.value)
+                    if isinstance(flt, GreaterThan):
+                        bound += 1
+                    if self.watermark is None or bound > self.watermark:
+                        self.watermark = bound
+                    # fully handled here (page pruning + row filter):
+                    # do not hand it back to Spark
+                    continue
+                yield flt
+
+        def partitions(self):
+            pages = _load_manifest(self.path)
+            if self.watermark is not None:
+                pages = [p for p in pages if p["max_lu"] >= self.watermark]
+            return [_PagePartition(p["file"], self.watermark) for p in pages]
+
+        def read(self, partition):
+            return _read_page(self.path, partition.fname, partition.min_lu)
+
+    class _ScrollStreamReader(SimpleDataSourceStreamReader):
+        """The scroll cursor as a streaming offset: each micro-batch is
+        one page; a restart resumes from the committed page index --
+        the reference's manual watermark checkpointing, owned by the
+        engine's offset log instead of operator discipline."""
+
+        def __init__(self, options):
+            self.path = options["path"]
+            self.pages = _load_manifest(self.path)
+
+        def initialOffset(self):
+            return {"page": 0}
+
+        def read(self, start):
+            # rows must be a PICKLABLE sequence (the engine prefetches
+            # and caches them with the offset), not a generator
+            i = start["page"]
+            if i >= len(self.pages):
+                return iter([]), {"page": i}
+            return (
+                iter(list(_read_page(self.path, self.pages[i]["file"], None))),
+                {"page": i + 1},
+            )
+
+        def readBetweenOffsets(self, start, end):
+            out = []
+            for i in range(start["page"], end["page"]):
+                out.extend(_read_page(self.path, self.pages[i]["file"], None))
+            return iter(out)
+
+    class ScrollDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "scroll_hits"
+
+        def schema(self):
+            return SCROLL_SCHEMA
+
+        def reader(self, schema):
+            return _ScrollReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return _ScrollStreamReader(self.options)
+
+    # self-pin: the external driver hands us a vanilla session, and
+    # Python-source filter pushdown defaults off (runtime-settable SQL conf)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(ScrollDataSource)
+    except Exception:
+        # already registered in this session
+        pass

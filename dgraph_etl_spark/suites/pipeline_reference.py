@@ -517,3 +517,55 @@ def a12_max_score_salted(spark, sf_dir):
     return E.aggregate_max_salted(
         E.explode_bidirectional(_ur(spark, sf_dir))
     )
+
+
+@register(
+    "b86_scroll_source_scan",
+    f"""
+    SELECT CAST(user_id AS STRING) AS from_person_id,
+           COUNT(*) AS n_hits,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS INT)) AS BIGINT)
+             AS sum_raw_in,
+           MAX(epoch_us(ts)) AS max_lu_us
+    FROM events
+    WHERE epoch(ts) >= {WM_S}
+    GROUP BY 1
+    """,
+    defer=True,
+)
+def b86_scroll_source_scan(spark, sf_dir):
+    """A1/A2/A4 through a REAL connector: the scroll-page data source
+    (sources/scroll.py, Python Data Source API) scans the staged hit
+    pages with the watermark range predicate pushed INTO the source --
+    pages whose manifest max precedes the watermark are never opened
+    (the reference's source-side range query, elastic.go:52-53) --
+    then the engine's A4 from_json decode and one hash agg. One
+    InputPartition per page = the scroll's pagination becoming plain
+    scan parallelism."""
+    from ..sources.scroll import register_scroll_source, stage_scroll_pages
+
+    src_dir = stage_scroll_pages(spark, sf_dir)
+    register_scroll_source(spark)
+    hits = (
+        spark.read.format("scroll_hits").option("path", src_dir).load()
+    )
+    decoded = hits.filter(
+        F.col("last_update_us") >= WM_S * 1_000_000
+    ).select(
+        F.col("last_update_us"),
+        F.from_json(
+            "_source",
+            "last_update BIGINT, from_person_id STRING, "
+            "to_person_id STRING, "
+            "stats STRUCT<raw_score_in: INT, raw_score_out: INT>",
+        ).alias("r"),
+    )
+    return decoded.groupBy(
+        F.col("r.from_person_id").alias("from_person_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum(F.col("r.stats.raw_score_in"))
+        .cast("bigint")
+        .alias("sum_raw_in"),
+        F.max("last_update_us").alias("max_lu_us"),
+    )

@@ -849,3 +849,84 @@ def s17_stream_ann_ingest(spark, sf_dir):
     return spark.read.parquet(index_dir).select(
         "vec_id", F.col("cell").cast("int").alias("cell")
     )
+
+
+@register(
+    "s18_stream_scroll_pages",
+    """
+    SELECT CAST(user_id AS STRING) AS from_person_id,
+           COUNT(*) AS n_hits,
+           MAX(epoch_us(ts)) AS max_lu_us
+    FROM events
+    GROUP BY 1
+    """,
+    defer=True,
+)
+def s18_stream_scroll_pages(spark, sf_dir):
+    """The scroll connector as a STREAMING source: each micro-batch is
+    one scroll page, and the page cursor IS the streaming offset --
+    resume-from-checkpoint replays from the exact page the last commit
+    ended on (the reference's manual watermark bookkeeping,
+    elastic.go:87-96, owned by the offset log). The accumulated ingest
+    must aggregate to exactly the batch answer: nothing dropped or
+    double-read across micro-batch boundaries."""
+    import os
+    import tempfile
+
+    from ..sources.scroll import register_scroll_source, stage_scroll_pages
+
+    src_dir = stage_scroll_pages(spark, sf_dir, page_size=1000)
+    register_scroll_source(spark)
+    stream = (
+        spark.readStream.format("scroll_hits")
+        .option("path", src_dir)
+        .load()
+    )
+    decoded = stream.select(
+        "last_update_us",
+        F.from_json(
+            "_source",
+            "last_update BIGINT, from_person_id STRING, "
+            "to_person_id STRING, "
+            "stats STRUCT<raw_score_in: INT, raw_score_out: INT>",
+        ).alias("r"),
+    ).select("last_update_us", "r.from_person_id")
+    out_dir = tempfile.mkdtemp(prefix="s18_scroll_") + "/rows"
+    # one micro-batch per scroll page: run the continuous trigger until
+    # the sink holds every staged hit (availableNow would stop after
+    # the single prefetched page -- the simple stream reader prefetches
+    # exactly one read() ahead), then stop. The drain condition is
+    # exact: the manifest says how many hits exist.
+    import json as _json
+    import time
+
+    with open(os.path.join(src_dir, "manifest.json")) as f:
+        expected = sum(p["n"] for p in _json.load(f))
+    q = (
+        decoded.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="s18_ckpt_") + "/offsets",
+        )
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.monotonic() + 300
+    while time.monotonic() < deadline:
+        try:
+            if spark.read.parquet(out_dir).count() >= expected:
+                break
+        except Exception:
+            pass  # sink not created yet
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("from_person_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max("last_update_us").alias("max_lu_us"),
+        )
+    )
