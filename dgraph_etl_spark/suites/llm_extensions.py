@@ -2729,3 +2729,73 @@ def c52_int8_topk(spark, sf_dir):
     The 4x-smaller index scan of the ANN family
     (functions/similarity.py int8_quantize/int8_topk)."""
     return S.int8_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "c53_entity_resolution",
+    """
+    WITH feed_a AS (
+      SELECT c_custkey AS a_id, c_name AS a_name, c_nationkey AS blk
+      FROM customer
+    ),
+    feed_b AS (
+      -- the dirty twin feed: ids re-keyed, names truncated by one char
+      -- (a deterministic stand-in for the typos/truncation real feeds
+      -- carry)
+      SELECT c_custkey + 100000 AS b_id,
+             substr(c_name, 1, length(c_name) - 1) AS b_name,
+             c_nationkey AS blk
+      FROM customer
+    ),
+    scored AS (
+      SELECT b.b_id, b.b_name, a.a_id, a.a_name,
+             CAST(levenshtein(a.a_name, b.b_name) AS INT) AS dist
+      FROM feed_b b JOIN feed_a a USING (blk)
+    ),
+    best AS (
+      SELECT b_id, b_name, a_id, a_name, dist,
+             ROW_NUMBER() OVER (PARTITION BY b_id
+                                ORDER BY dist, a_id) AS rn
+      FROM scored
+    )
+    SELECT b_id, b_name, a_id AS matched_id, a_name AS matched_name, dist
+    FROM best WHERE rn = 1
+    """,
+    defer=True,
+)
+def c53_entity_resolution(spark, sf_dir):
+    """Entity resolution / record linkage: a dirty feed (re-keyed ids,
+    truncated names) is linked back to the clean registry by BLOCKED
+    fuzzy match -- candidate pairs only within a blocking key (nation
+    here; phonetic/prefix buckets at scale), integer edit distance, and
+    best-match-wins with deterministic ties (min distance, then min
+    id). The quadratic step is confined to blocks exactly like C5's
+    similarity join; the best-match argmin is one hash agg (min over a
+    (dist, id, name) struct), no global window. Edit distance is an
+    exact integer, so the linkage is hash-identical cross-engine."""
+    register_views(spark, sf_dir)
+    c = spark.table("customer")
+    feed_a = c.select(
+        F.col("c_custkey").alias("a_id"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("blk"),
+    )
+    feed_b = c.select(
+        (F.col("c_custkey") + 100000).alias("b_id"),
+        F.expr("substr(c_name, 1, length(c_name) - 1)").alias("b_name"),
+        F.col("c_nationkey").alias("blk"),
+    )
+    scored = feed_b.join(feed_a, "blk").withColumn(
+        "dist", F.levenshtein("a_name", "b_name").cast("int")
+    )
+    best = scored.groupBy("b_id").agg(
+        F.first("b_name").alias("b_name"),
+        F.min(F.struct("dist", "a_id", "a_name")).alias("w"),
+    )
+    return best.select(
+        "b_id",
+        "b_name",
+        F.col("w.a_id").alias("matched_id"),
+        F.col("w.a_name").alias("matched_name"),
+        F.col("w.dist").alias("dist"),
+    )
