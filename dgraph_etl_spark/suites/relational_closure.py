@@ -3136,3 +3136,374 @@ def b85_tpch_q15(spark, sf_dir):
         .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# -------------------------------------------- TPC-H closure: Q2/Q11/Q16/Q20/Q21
+#
+# The fixture set carries no partsupp table, so the four partsupp
+# queries run against a DERIVED part-supplier relation: the distinct
+# (l_partkey, l_suppkey) pairs of lineitem, with
+#   ps_supplycost = MIN(l_extendedprice / l_quantity)   (unit price floor)
+#   ps_availqty   = exact-decimal SUM(l_quantity)       (total shipped)
+# Both engines build it from the same rows with order-independent
+# aggregates (MIN of identical per-row IEEE divisions; decimal-exact
+# sum), so the derived table is bit-identical cross-engine. At 100 TB
+# the derivation is one map-side-combined hash agg keyed by
+# (partkey, suppkey) -- the same shuffle a real partsupp scan would
+# need for these queries' joins, so nothing is lost vs a stored table.
+
+_PS_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS ps_availqty
+  FROM lineitem WHERE l_quantity > 0
+  GROUP BY 1, 2
+"""
+
+
+def _partsupp(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        ),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("ps_availqty"),
+    )
+
+
+@register(
+    "b87_tpch_q21",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_regionkey = 1
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+               AND o.o_orderstatus = 'F'
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    """,
+    defer=True,
+)
+def b87_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting). Adapted to the
+    fixture: "late" is l_shipdate > o_orderdate + 90 days (no
+    l_receiptdate/l_commitdate columns), and the nation filter widens
+    to a region (100 suppliers / 25 nations would leave ~4).
+
+    The oracle keeps the classic triple-correlated EXISTS/NOT-EXISTS
+    text; Spark does NOT mirror those self-joins -- it folds all three
+    into ONE hash agg per orderkey (distinct suppliers, distinct LATE
+    suppliers, that supplier's late line count), then keeps orders
+    where exactly one supplier was late among >=2 participants. Three
+    lineitem shuffles become one: the formulation that survives a
+    100x lineitem scale-up. Counting late l1 ROWS (not orders) is what
+    makes the agg form row-equivalent to the EXISTS text."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = F.col("l_shipdate") > F.date_add(
+        F.col("o_orderdate").cast("date"), 90
+    ).cast("timestamp")
+    late_supp = F.when(late, F.col("l_suppkey"))
+    per_order = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(late_supp).alias("n_late_supp"),
+            F.min(late_supp).alias("waiter"),
+            F.count(late_supp).alias("n_late_rows"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    s_in = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    ).select("s_suppkey", "s_name")
+    return (
+        per_order.join(
+            F.broadcast(s_in), per_order["waiter"] == s_in["s_suppkey"]
+        )
+        .groupBy("s_name")
+        .agg(F.sum("n_late_rows").alias("numwait"))
+    )
+
+
+@register(
+    "b88_tpch_q2",
+    f"""
+    WITH partsupp AS ({_PS_SQL}),
+    eligible AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost, s.s_suppkey, s.s_acctbal,
+             s.s_name, n.n_name
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+                   AND r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
+           e.ps_supplycost
+    FROM part p
+    JOIN eligible e ON e.ps_partkey = p.p_partkey
+    WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
+      AND e.ps_supplycost = (
+        SELECT MIN(e2.ps_supplycost) FROM eligible e2
+        WHERE e2.ps_partkey = p.p_partkey)
+    """,
+    defer=True,
+)
+def b88_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier): for ECONOMY parts up to size
+    15, every EUROPE supplier quoting that part's minimum cost among
+    EUROPE suppliers. The p_type LIKE '%BRASS' clause becomes equality
+    (fixture types are single words) and size narrows to a range for
+    non-trivial output.
+
+    Spark shape: the correlated MIN subquery is de-correlated by hand
+    -- group the region-filtered partsupp once by partkey, join the
+    min back on (partkey, cost-equality); ties survive exactly as in
+    the SQL. supplier/nation/region reduce to a broadcast chain
+    (suppliers are dimension-sized); the only fact shuffles are the
+    partsupp derivation and the min-per-part agg, both keyed by
+    partkey -- AQE coalesces them into adjacent stages. Double
+    equality on ps_supplycost is cross-engine-safe: both sides carry
+    the identical MIN of identical divisions."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dim = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eligible = ps.join(
+        F.broadcast(dim), ps["ps_suppkey"] == dim["s_suppkey"]
+    ).select(
+        "ps_partkey", "ps_supplycost", "s_suppkey", "s_acctbal", "s_name",
+        "n_name",
+    )
+    min_cost = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY")
+    )
+    return (
+        eligible.join(
+            min_cost.withColumnRenamed("ps_partkey", "mc_partkey"),
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == p["p_partkey"])
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "ps_supplycost",
+        )
+    )
+
+
+@register(
+    "b89_tpch_q11",
+    f"""
+    WITH partsupp AS ({_PS_SQL}),
+    eligible AS (
+      SELECT ps.* FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_regionkey = 2
+    ),
+    total AS (
+      SELECT {fpsum_sql("ps_supplycost * ps_availqty", "grand_total")}
+      FROM eligible
+    )
+    SELECT e.ps_partkey,
+           {fpsum_sql("e.ps_supplycost * e.ps_availqty", "part_value")}
+    FROM eligible e, total t
+    GROUP BY e.ps_partkey, t.grand_total
+    HAVING CAST(SUM(CAST(ROUND((e.ps_supplycost * e.ps_availqty) * 1000000,
+                               0) AS BIGINT)) AS DOUBLE) / 1000000.0
+           > 0.001 * t.grand_total
+    """,
+    defer=True,
+)
+def b89_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock): parts whose inventory value among
+    ASIA-region suppliers exceeds 0.1% of the region's total (nation
+    filter widened to a region; fraction scaled to the fixture). Spark
+    shape: one partkey hash agg over the region-filtered derived
+    partsupp, the grand total as a 1-row broadcast crossJoin (no
+    second pass, no driver round-trip). Value sums are fixed-point
+    longs on both engines so the HAVING threshold compares identical
+    doubles."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    dim = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    ).select("s_suppkey")
+    eligible = ps.join(
+        F.broadcast(dim), ps["ps_suppkey"] == dim["s_suppkey"]
+    )
+    per_part = eligible.groupBy("ps_partkey").agg(
+        fpsum("ps_supplycost * ps_availqty", "part_value")
+    )
+    # the grand total re-aggregates the same fixed-point longs from
+    # `eligible` (summing per_part's doubles would reintroduce IEEE
+    # order sensitivity)
+    total = eligible.agg(fpsum("ps_supplycost * ps_availqty", "grand_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > 0.001 * F.col("grand_total"))
+        .select("ps_partkey", "part_value")
+    )
+
+
+@register(
+    "b90_tpch_q16",
+    f"""
+    WITH partsupp AS ({_PS_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'ECONOMY'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    defer=True,
+)
+def b90_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) bucket, excluding one brand, one
+    type, and blacklisted suppliers (the customer-complaints LIKE
+    clause adapted to s_acctbal < 0 -- the fixture supplier table has
+    no comment column). Spark shape: the NOT IN becomes a broadcast
+    left_anti join (safe: s_suppkey is non-null), part attaches by
+    broadcast with brand/type/size filters pushed to its scan, one
+    distinct-agg keyed by the output buckets. The partial-distinct
+    runs map-side, so the shuffle carries (bucket, suppkey) pairs
+    already deduped per task -- the 100 TB shape."""
+    ps = _partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        ps.join(
+            F.broadcast(bad),
+            ps["ps_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "b91_tpch_q20",
+    f"""
+    WITH partsupp AS ({_PS_SQL})
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_regionkey = 0
+    WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey FROM partsupp ps
+      WHERE ps.ps_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND ps.ps_availqty > 0.5 * (
+          SELECT CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+          FROM lineitem l
+          WHERE l.l_partkey = ps.ps_partkey
+            AND l.l_suppkey = ps.ps_suppkey
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l.l_shipdate <  TIMESTAMP '1997-01-01')
+    )
+    """,
+    defer=True,
+)
+def b91_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion): AFRICA-region suppliers
+    holding more than half their 1996 shipped quantity of any 'small*'
+    part (nation filter widened to a region). Spark shape: the
+    correlated quantity subquery de-correlates into one date-filtered
+    hash agg keyed by (partkey, suppkey); joining it back INNER
+    mirrors the SQL's NULL-comparison semantics (a pair with no 1996
+    shipments fails the > on both engines). The part-name IN is a
+    broadcast left_semi before the agg join, the supplier IN another
+    left_semi, nation a broadcast filter. Everything fact-sized
+    shuffles at most once, keyed by (partkey, suppkey)."""
+    ps = _partsupp(spark, sf_dir)
+    small = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li96 = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("qty96")
+        )
+    )
+    qualifying = (
+        ps.join(
+            F.broadcast(small), ps["ps_partkey"] == small["p_partkey"],
+            "left_semi",
+        )
+        .join(
+            li96,
+            (ps["ps_partkey"] == li96["l_partkey"])
+            & (ps["ps_suppkey"] == li96["l_suppkey"]),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty96"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(
+            F.broadcast(qualifying),
+            s["s_suppkey"] == F.col("ps_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+    )
