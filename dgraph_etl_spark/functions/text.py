@@ -656,3 +656,105 @@ def vocab_coverage(docs: DataFrame, num: int = 19, den: int = 20) -> DataFrame:
         "cum_tokens",
         F.round(F.col("cum_tokens") / F.col("total"), 6).alias("cum_share"),
     )
+
+
+def bigram_plausibility(docs: DataFrame) -> DataFrame:
+    """Per-document bigram-LM plausibility score: the average corpus
+    conditional probability P(next|prev) over the doc's token
+    transitions. The doc-level companion to the c33 conditional table
+    -- low scores flag machine-garbled / shuffled / boilerplate text,
+    the cheap stand-in for model-perplexity filtering when no LM fits
+    in the pipeline.
+
+    Determinism contract: each transition's probability is
+    round(cnt/total, 6) (identical integer-ratio doubles on any
+    engine), doc sums are fixed-point longs, and the final average is
+    the same double division on both sides -- hash-stable without any
+    float summation order dependence. Deliberately NOT log-perplexity:
+    ln() is not correctly-rounded in either engine, so a log-based
+    score could differ in the last ulp cross-engine; the probability
+    mass ranks documents identically for the filter's purpose.
+
+    Shape at 100 TB: the bigram explode is map-side; the conditional
+    table is one (prev,next) hash agg; prev totals reuse that output
+    (one more tiny agg, NOT a second corpus pass); the score join is
+    keyed by the token pair with partial aggregation before the final
+    doc_id shuffle. Docs with <2 tokens have no transitions and are
+    excluded (score undefined)."""
+    base = docs.select("doc_id", tokens().alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("prev_tok"),
+            F.element_at("toks", i + 1).alias("next_tok"),
+        ),
+    )
+    transitions = base.select(
+        "doc_id", F.explode(grams).alias("g")
+    ).select("doc_id", "g.prev_tok", "g.next_tok")
+    cond = transitions.groupBy("prev_tok", "next_tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = cond.groupBy("prev_tok").agg(F.sum("cnt").alias("total"))
+    probs = cond.join(totals, "prev_tok").select(
+        "prev_tok",
+        "next_tok",
+        F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("p"),
+    )
+    scored = transitions.join(probs, ["prev_tok", "next_tok"])
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum(F.expr("CAST(ROUND(p * 1000000, 0) AS BIGINT)")).alias(
+            "p_mass_6dp"
+        ),
+        (
+            F.sum(F.expr("CAST(ROUND(p * 1000000, 0) AS BIGINT)")).cast(
+                "double"
+            )
+            / 1000000.0
+            / F.count(F.lit(1))
+        ).alias("avg_cond_prob"),
+    )
+
+
+def zipf_curve(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus rank-frequency (Zipf) curve: the top-k terms with rank,
+    count, frequency relative to the top term, and the rank*count
+    product (constant under a perfect Zipf law -- drift across ranks
+    quantifies how far the corpus deviates, a standard
+    natural-vs-synthetic / crawl-health audit).
+
+    Integer-exact by construction: every emitted number derives from
+    counts and ranks (the one double is an integer ratio rounded to
+    6dp), so the curve hash-matches cross-engine -- a log-log OLS
+    slope would hinge on ln() ulp agreement, see bigram_plausibility.
+
+    Shape at 100 TB: one token hash agg (map-side partials), top-k via
+    TakeOrderedAndProject, then ranking ON THE K-ROW RESULT coalesced
+    to one partition -- the global window never sees the full
+    vocabulary."""
+    counts = (
+        docs.select(F.explode(tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), "tok").limit(k).coalesce(1)
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    mx = top.agg(F.max("cnt").alias("mc"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "rnk",
+            "tok",
+            "cnt",
+            (F.col("rnk") * F.col("cnt")).cast("bigint").alias(
+                "zipf_product"
+            ),
+            F.round(F.col("cnt").cast("double") / F.col("mc"), 6).alias(
+                "rel_freq"
+            ),
+        )
+    )

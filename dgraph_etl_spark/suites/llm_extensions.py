@@ -2799,3 +2799,147 @@ def c53_entity_resolution(spark, sf_dir):
         F.col("w.a_name").alias("matched_name"),
         F.col("w.dist").alias("dist"),
     )
+
+
+@register(
+    "c54_bigram_plausibility",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    transitions AS (
+      SELECT doc_id, t[i] AS prev_tok, t[i + 1] AS next_tok
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, GREATEST(len(t) - 1, 0) + 1)) AS i
+      )
+    ),
+    cond AS (
+      SELECT prev_tok, next_tok, COUNT(*) AS cnt
+      FROM transitions GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT prev_tok, SUM(cnt) AS total FROM cond GROUP BY 1
+    ),
+    probs AS (
+      SELECT c.prev_tok, c.next_tok,
+             ROUND(CAST(c.cnt AS DOUBLE) / t.total, 6) AS p
+      FROM cond c JOIN totals t USING (prev_tok)
+    )
+    SELECT tr.doc_id,
+           COUNT(*) AS n_transitions,
+           CAST(SUM(CAST(ROUND(p.p * 1000000, 0) AS BIGINT)) AS BIGINT)
+             AS p_mass_6dp,
+           CAST(SUM(CAST(ROUND(p.p * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*) AS avg_cond_prob
+    FROM transitions tr
+    JOIN probs p USING (prev_tok, next_tok)
+    GROUP BY tr.doc_id
+    """,
+    defer=True,
+)
+def c54_bigram_plausibility(spark, sf_dir):
+    """Bigram-LM document scoring: each doc's average corpus
+    conditional probability over its token transitions -- the
+    perplexity-filter stand-in that needs no model, c33's table turned
+    into a per-doc curation signal. Deliberately probability-mass (not
+    log) so the score is integer-ratio-exact cross-engine; see
+    functions/text.py:bigram_plausibility for the 100 TB shape."""
+    return X.bigram_plausibility(_docs(spark, sf_dir))
+
+
+@register(
+    "c55_semantic_dedup",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 4) >= 0.4
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT e.vec_id,
+             COALESCE(LEAST(e.vec_id, MIN(r.v)), e.vec_id) AS keeper_id
+      FROM embeddings e LEFT JOIN reach r ON r.u = e.vec_id
+      GROUP BY e.vec_id
+    ),
+    sizes AS (
+      SELECT keeper_id AS k2, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+    )
+    SELECT c.vec_id, c.keeper_id, s.cluster_size,
+           c.vec_id = c.keeper_id AS is_keeper
+    FROM comp c JOIN sizes s ON s.k2 = c.keeper_id
+    """,
+    defer=True,
+)
+def c55_semantic_dedup(spark, sf_dir):
+    """SemDeDup end-to-end: embedding-cosine near-dup pairs (blocked
+    by cluster -- the label column here, k-means cells at scale) ->
+    connected components -> one keeper per semantic cluster, with the
+    cluster size and a keep/drop flag per vector. The full semantic
+    dedup decision a curation pipeline applies before training, in
+    one certified op: c02_embedding_neardup finds the pairs, the
+    hash-to-min propagation from c02_neardup_components resolves
+    transitive clusters, and the keeper rule (min vec_id) is
+    deterministic. Quadratic work stays inside blocks; components
+    cost O(diameter) shuffles on a pair list linear in corpus size.
+    Oracle: DuckDB recursive-CTE transitive closure."""
+    emb = _emb(spark, sf_dir)
+    pairs = S.blocked_similarity_join(emb, threshold=0.4).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = D.neardup_components(
+        emb.select(F.col("vec_id").alias("doc_id")), pairs
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("component").alias("keeper_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("component")).alias("is_keeper"),
+        )
+    )
+
+
+@register(
+    "c56_zipf_curve",
+    """
+    WITH tf AS (
+      SELECT tok, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+      FROM tf ORDER BY cnt DESC, tok LIMIT 100
+    ),
+    mx AS (SELECT MAX(cnt) AS mc FROM top)
+    SELECT rnk, tok, cnt,
+           CAST(rnk * cnt AS BIGINT) AS zipf_product,
+           ROUND(CAST(cnt AS DOUBLE) / mc, 6) AS rel_freq
+    FROM top, mx
+    """,
+    defer=True,
+)
+def c56_zipf_curve(spark, sf_dir):
+    """Corpus Zipf (rank-frequency) audit: top-100 terms with the
+    rank*count product whose drift across ranks measures deviation
+    from the Zipf law -- the natural-vs-synthetic-text / crawl-health
+    check. Integer-exact outputs (no ln(); see
+    functions/text.py:zipf_curve for why and for the top-k-then-rank
+    plan shape)."""
+    return X.zipf_curve(_docs(spark, sf_dir), k=100)

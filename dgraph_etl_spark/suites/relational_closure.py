@@ -3507,3 +3507,55 @@ def b91_tpch_q20(spark, sf_dir):
         )
         .select("s_name", "s_acctbal")
     )
+
+
+@register(
+    "b92_cube_rollup",
+    f"""
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+                ELSE l_returnflag END AS ret_flag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+                ELSE l_linestatus END AS line_status,
+           CAST(GROUPING(l_returnflag) AS INT) AS flag_grp,
+           CAST(GROUPING(l_linestatus) AS INT) AS status_grp,
+           COUNT(*) AS n_rows,
+           {fpsum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    defer=True,
+)
+def b92_cube_rollup(spark, sf_dir):
+    """Multi-dimensional OLAP subtotals: revenue by returnflag x
+    linestatus with every CUBE margin (per-flag, per-status, grand
+    total) in one pass. GROUPING() flags disambiguate the 'ALL'
+    margins from real values -- the standard lossless-cube encoding.
+    Spark shape: Expand (one synthetic row per grouping set) feeding a
+    single hash agg; partial aggregation still applies per grouping
+    set, so the shuffle carries at most |sets| x |distinct keys| rows
+    per task -- at 100 TB this beats 4 separate aggs by sharing the
+    one lineitem scan. Flag/status cardinality is tiny (3 x 2), so
+    the Expand fan-out (4x rows map-side) collapses immediately into
+    partial aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("flag_grp"),
+            F.grouping("l_linestatus").cast("int").alias("status_grp"),
+            F.count(F.lit(1)).alias("n_rows"),
+            fpsum("l_extendedprice * (1 - l_discount)", "revenue"),
+        )
+        .select(
+            F.when(F.col("flag_grp") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_returnflag"))
+            .alias("ret_flag"),
+            F.when(F.col("status_grp") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_linestatus"))
+            .alias("line_status"),
+            "flag_grp",
+            "status_grp",
+            "n_rows",
+            "revenue",
+        )
+    )
