@@ -90,6 +90,59 @@ def events_stream(
     return normalize_timestamps(sdf, ts_unit=unit)
 
 
+def _events_ts_micros(t, sf_dir: str):
+    """The events ts column as int64 epoch micros, covering every
+    physical form normalize_timestamps handles; an unexpected unit
+    raises instead of defaulting to micros (a DATE32 or
+    second-precision round would otherwise pass days/seconds through
+    the int64 cast as if they were micros)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ts_type = t.column("ts").type
+    ts_us = t.column("ts").cast("int64")
+    if pa.types.is_date(ts_type):
+        return pc.multiply(ts_us, 86_400_000_000)  # days -> micros
+    unit = getattr(ts_type, "unit", None)
+    if unit is None:  # plain int64: footer-stat magnitude decides
+        unit = ts_bigint_unit(table_path(sf_dir, "events"))
+    if unit == "ns":
+        return pc.divide(ts_us, 1000)
+    if unit in ("us", "ms", "s"):
+        return pc.multiply(ts_us, {"us": 1, "ms": 1000, "s": 1_000_000}[unit])
+    raise ValueError(f"unsupported events ts unit {unit!r}")
+
+
+def time_split_source(sf_dir: str) -> str:
+    """Stage a clean three-micro-batch replay of events: thirds of
+    event time, no stragglers (late_data_source's twin for operators
+    where the interesting semantics is WATERMARK-DRIVEN STATE
+    EVICTION -- outer-join null emission -- rather than late-row
+    drops). Same epoch-micros cut discipline and mtime-pinned replay
+    order; the oracle reconstructs the batch boundaries from the same
+    integer cuts."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tag = _source_tag(sf_dir, "events")
+    d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_tsplit3_{tag}")
+    paths = [os.path.join(d, f"batch{i}.parquet") for i in (1, 2, 3)]
+    if all(os.path.exists(p) for p in paths):
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(table_path(sf_dir, "events"))
+    ts_us = _events_ts_micros(t, sf_dir)
+    lo, hi = pc.min(ts_us).as_py(), pc.max(ts_us).as_py()
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
+    in1 = pc.less(ts_us, c1)
+    in2 = pc.and_(pc.greater_equal(ts_us, c1), pc.less(ts_us, c2))
+    in3 = pc.invert(pc.or_(in1, in2))
+    for i, mask in enumerate([in1, in2, in3]):
+        pq.write_table(t.filter(mask), paths[i])
+        os.utime(paths[i], ((i + 1) * 1_000_000, (i + 1) * 1_000_000))
+    return d
+
+
 def late_data_source(sf_dir: str) -> str:
     """Stage a deterministic three-micro-batch replay of events (B40).
 
@@ -121,26 +174,7 @@ def late_data_source(sf_dir: str) -> str:
         return d
     os.makedirs(d, exist_ok=True)
     t = pq.read_table(table_path(sf_dir, "events"))
-    # cover every physical form normalize_timestamps handles; an
-    # unexpected unit raises instead of defaulting to micros (a DATE32
-    # or second-precision round would otherwise pass days/seconds
-    # through the int64 cast as if they were micros)
-    import pyarrow as pa
-
-    ts_type = t.column("ts").type
-    ts_us = t.column("ts").cast("int64")
-    if pa.types.is_date(ts_type):
-        ts_us = pc.multiply(ts_us, 86_400_000_000)  # days -> micros
-    else:
-        unit = getattr(ts_type, "unit", None)
-        if unit is None:  # plain int64: footer-stat magnitude decides
-            unit = ts_bigint_unit(table_path(sf_dir, "events"))
-        if unit == "ns":
-            ts_us = pc.divide(ts_us, 1000)
-        elif unit in ("us", "ms", "s"):
-            ts_us = pc.multiply(ts_us, {"us": 1, "ms": 1000, "s": 1_000_000}[unit])
-        else:
-            raise ValueError(f"unsupported events ts unit {unit!r}")
+    ts_us = _events_ts_micros(t, sf_dir)
     lo, hi = pc.min(ts_us).as_py(), pc.max(ts_us).as_py()
     c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
     straggler = pc.equal(

@@ -930,3 +930,105 @@ def s18_stream_scroll_pages(spark, sf_dir):
             F.max("last_update_us").alias("max_lu_us"),
         )
     )
+
+
+@register(
+    "s19_stream_outer_join",
+    """
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id AS p_user_id,
+             ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT c.click_id, p.purchase_id, c.user_id,
+             epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us
+      FROM clicks c JOIN purchases p
+        ON c.user_id = p.p_user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 4 HOUR
+    ),
+    -- the final eviction watermark: availableNow runs a trailing
+    -- no-data micro-batch after the last file, so state is flushed
+    -- against the FULL stream's max event time minus the delay
+    -- (measured behavior, pinned here and in the docstring)
+    -- the final eviction watermark is the GLOBAL join watermark:
+    -- each input tracks its own max event time (clicks' max click_ts,
+    -- purchases' max purchase_ts) and the join advances at the MIN of
+    -- the two; Spark tracks watermarks in epoch MILLIS, so the max
+    -- truncates to ms before the 30-minute delay subtraction
+    wm AS (
+      SELECT (LEAST(
+                (SELECT epoch_us(MAX(click_ts)) FROM clicks),
+                (SELECT epoch_us(MAX(purchase_ts)) FROM purchases)
+              ) // 1000) * 1000 - 1800000000 AS w_us
+    ),
+    unmatched AS (
+      SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
+             CAST(NULL AS BIGINT) AS gap_us
+      FROM clicks c, wm
+      WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+        AND epoch_us(c.click_ts + INTERVAL 4 HOUR) < wm.w_us
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def s19_stream_outer_join(spark, sf_dir):
+    """B39+: STREAM-STREAM LEFT OUTER join -- the attribution join
+    (s11) with abandoned clicks emitted as NULL rows. The semantics
+    s11 can't show: a click row buffers in state until the watermark
+    proves no in-window purchase can still arrive (click_ts + 4 h <
+    watermark); only then is it evicted AND emitted with NULLs. The
+    3-batch time-split source makes the watermark actually advance
+    mid-stream; clicks near the stream's end stay in state when
+    availableNow terminates and are correctly ABSENT from the output
+    (no final flush). The oracle replays the protocol: inner matches
+    plus null-extended clicks older than the batch-3 eviction
+    watermark (computed from batches 1-2 -- same one-batch lag
+    late_data_source documents). At 100 TB both state stores stay
+    bounded by watermark + range exactly as in s11."""
+    from ..streaming.core import time_split_source
+
+    ev = events_stream(spark, sf_dir, path=time_split_source(sf_dir))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", _WM)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", _WM)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 4 HOURS")
+        ),
+        "left_outer",
+    )
+    out = run_to_memory(joined, "append", "s19_ssouter")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("purchase_ts"))
+            - F.unix_micros(F.col("click_ts"))
+        ).alias("gap_us"),
+    )
