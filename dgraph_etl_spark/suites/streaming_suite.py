@@ -976,6 +976,7 @@ def s18_stream_scroll_pages(spark, sf_dir):
     )
     SELECT * FROM matched UNION ALL SELECT * FROM unmatched
     """,
+    defer=True,
 )
 def s19_stream_outer_join(spark, sf_dir):
     """B39+: STREAM-STREAM LEFT OUTER join -- the attribution join
