@@ -3207,12 +3207,17 @@ def b87_tpch_q21(spark, sf_dir):
 
     The oracle keeps the classic triple-correlated EXISTS/NOT-EXISTS
     text; Spark does NOT mirror those self-joins -- it folds all three
-    into ONE hash agg per orderkey (distinct suppliers, distinct LATE
-    suppliers, that supplier's late line count), then keeps orders
-    where exactly one supplier was late among >=2 participants. Three
-    lineitem shuffles become one: the formulation that survives a
-    100x lineitem scale-up. Counting late l1 ROWS (not orders) is what
-    makes the agg form row-equivalent to the EXISTS text."""
+    into a TWO-LEVEL hash agg: first per (orderkey, suppkey) (late
+    line count per participant -- no distinct needed at this grain),
+    then per orderkey (participant count, late-participant count, the
+    single late supplier, its late rows), keeping orders where exactly
+    one supplier was late among >=2 participants. Three lineitem
+    shuffles become one fact-grain shuffle plus one over distinct
+    (order, supplier) pairs -- and no Expand: a single-level
+    multi-countDistinct would triple the shuffled rows duplicating
+    every joined row per distinct aggregate. Counting late l1 ROWS
+    (not orders) is what makes the agg form row-equivalent to the
+    EXISTS text."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -3224,15 +3229,19 @@ def b87_tpch_q21(spark, sf_dir):
     late = F.col("l_shipdate") > F.date_add(
         F.col("o_orderdate").cast("date"), 90
     ).cast("timestamp")
-    late_supp = F.when(late, F.col("l_suppkey"))
-    per_order = (
+    per_pair = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.when(late, 1)).alias("late_rows"))
+    )
+    is_late = F.col("late_rows") > 0
+    per_order = (
+        per_pair.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(late_supp).alias("n_late_supp"),
-            F.min(late_supp).alias("waiter"),
-            F.count(late_supp).alias("n_late_rows"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.count(F.when(is_late, 1)).alias("n_late_supp"),
+            F.min(F.when(is_late, F.col("l_suppkey"))).alias("waiter"),
+            F.sum("late_rows").alias("n_late_rows"),
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
@@ -3456,43 +3465,48 @@ def b91_tpch_q20(spark, sf_dir):
     """TPC-H Q20 (potential part promotion): AFRICA-region suppliers
     holding more than half their 1996 shipped quantity of any 'small*'
     part (nation filter widened to a region). Spark shape: the
-    correlated quantity subquery de-correlates into one date-filtered
-    hash agg keyed by (partkey, suppkey); joining it back INNER
-    mirrors the SQL's NULL-comparison semantics (a pair with no 1996
-    shipments fails the > on both engines). The part-name IN is a
-    broadcast left_semi before the agg join, the supplier IN another
-    left_semi, nation a broadcast filter. Everything fact-sized
-    shuffles at most once, keyed by (partkey, suppkey)."""
-    ps = _partsupp(spark, sf_dir)
+    correlated quantity subquery is FUSED into the derived-partsupp
+    aggregation -- ps_supplycost/ps_availqty and the 1996-only
+    quantity are conditional aggregates of the SAME (partkey, suppkey)
+    groupBy, so lineitem is scanned and shuffled exactly once where
+    the textual plan (partsupp CTE + correlated subquery) would scan
+    it twice and join the two aggregates back together. qty96 is NULL
+    for pairs with no 1996 shipments, which mirrors the SQL's
+    NULL-comparison semantics (the > fails on both engines). The
+    part-name IN is a broadcast left_semi pushed below the agg, the
+    supplier IN another broadcast semi, nation a broadcast filter."""
+    in96 = (F.col("l_shipdate") >= "1996-01-01") & (
+        F.col("l_shipdate") < "1997-01-01"
+    )
     small = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_name").like("small%"))
         .select("p_partkey")
     )
-    li96 = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1997-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    fused = (
+        li.join(
+            F.broadcast(small),
+            li["l_partkey"] == small["p_partkey"],
+            "left_semi",
         )
-        .groupBy("l_partkey", "l_suppkey")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,6)"))
             .cast("double")
-            .alias("qty96")
+            .alias("ps_availqty"),
+            F.sum(
+                F.when(in96, F.col("l_quantity").cast("decimal(18,6)"))
+            )
+            .cast("double")
+            .alias("qty96"),
         )
     )
     qualifying = (
-        ps.join(
-            F.broadcast(small), ps["ps_partkey"] == small["p_partkey"],
-            "left_semi",
-        )
-        .join(
-            li96,
-            (ps["ps_partkey"] == li96["l_partkey"])
-            & (ps["ps_suppkey"] == li96["l_suppkey"]),
-        )
-        .filter(F.col("ps_availqty") > 0.5 * F.col("qty96"))
+        fused.filter(F.col("ps_availqty") > 0.5 * F.col("qty96"))
         .select("ps_suppkey")
         .distinct()
     )

@@ -381,3 +381,35 @@ def test_bucketed_join_zero_exchange_zero_sort(spark, sf_small):
     assert "Bucketed: true" in plan, plan
     assert ") Exchange" not in plan, plan
     assert not re.search(r"\) Sort\b(?!MergeJoin)", plan), plan
+
+
+def test_cube_one_expand_one_agg(spark, sf_small):
+    """B92 scale contract: the CUBE is ONE Expand feeding a single
+    shared-scan hash agg (partial+final) -- never a Union of separate
+    per-grouping-set aggregates, which would rescan lineitem 4x."""
+    plan = plan_of(spark, sf_small, "b92_cube_rollup")
+    assert "Expand" in plan, plan
+    assert "Union" not in plan, plan
+    assert plan.count(") Exchange") == 1, plan
+
+
+def test_q21_two_level_agg_no_expand(spark, sf_small):
+    """B87 scale contract: the triple-EXISTS fold stays a two-level
+    hash agg over ONE lineitem scan with no Expand -- a single-level
+    multi-countDistinct would re-introduce Expand (3x the shuffled
+    join output), and any lineitem self-join would mirror the oracle's
+    O(3 scans) shape."""
+    plan = plan_of(spark, sf_small, "b87_tpch_q21")
+    assert "Expand" not in plan, plan
+    assert plan.count("lineitem") == 1, plan
+    assert plan.count(") Exchange") <= 3, plan
+
+
+def test_q20_fused_single_lineitem_pass(spark, sf_small):
+    """B91 scale contract: the derived-partsupp aggregate and the
+    correlated 1996-quantity subquery are FUSED -- lineitem is scanned
+    once and shuffled once (plus the tiny distinct), instead of the
+    textual plan's two scans joined back together."""
+    plan = plan_of(spark, sf_small, "b91_tpch_q20")
+    assert plan.count("lineitem") == 1, plan
+    assert plan.count(") Exchange") <= 2, plan
