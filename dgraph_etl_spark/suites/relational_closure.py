@@ -3573,3 +3573,115 @@ def b92_cube_rollup(spark, sf_dir):
             "revenue",
         )
     )
+
+
+@register(
+    "b93_ntile_binning",
+    """
+    SELECT o_orderpriority, quartile,
+           COUNT(*) AS n_orders,
+           MIN(price_cents) AS min_cents,
+           MAX(price_cents) AS max_cents
+    FROM (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    ) t
+    GROUP BY o_orderpriority, quartile
+    """,
+    defer=True,
+)
+def b93_ntile_binning(spark, sf_dir):
+    """Equal-frequency binning: each order assigned to its price
+    quartile WITHIN its priority class via NTILE(4) -- the
+    discretization step feature pipelines run before histogramming /
+    monotonic binning. Ties ordered by the unique orderkey so bucket
+    assignment is total-ordered (engine-identical); both engines give
+    the first (n mod 4) buckets the extra row per the SQL standard.
+    Spark shape: one exchange keyed by priority feeds the window, and
+    the per-bin summary reuses the same partitioning (bin keys are a
+    prefix extension) -- at 100 TB this is one fact shuffle; when a
+    single priority class outgrows a task, the percentile-cut form
+    (b65's exact-percentile broadcast) replaces rank-based NTILE at
+    identical output shape."""
+    o = _t(spark, sf_dir, "orders")
+    w = Wnd.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    binned = o.select(
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return binned.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("price_cents").alias("min_cents"),
+        F.max("price_cents").alias("max_cents"),
+    )
+
+
+@register(
+    "b94_order_stats",
+    """
+    SELECT l_returnflag,
+           MEDIAN(qty_int) AS median_qty,
+           CAST(quantile_disc(price_cents, 0.25) AS BIGINT) AS p25_cents,
+           CAST(quantile_disc(price_cents, 0.75) AS BIGINT) AS p75_cents,
+           MIN(qty_mode.m) AS mode_qty
+    FROM (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS qty_int,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+      FROM lineitem
+    ) t,
+    LATERAL (
+      SELECT MIN(v) AS m FROM (
+        SELECT qty_int AS v, COUNT(*) AS c
+        FROM (SELECT l_returnflag AS rf2, CAST(l_quantity AS BIGINT) AS qty_int
+              FROM lineitem) i
+        WHERE i.rf2 = t.l_returnflag
+        GROUP BY v
+        QUALIFY c = MAX(c) OVER ()
+      )
+    ) qty_mode
+    GROUP BY l_returnflag
+    """,
+    defer=True,
+)
+def b94_order_stats(spark, sf_dir):
+    """Exact order statistics per group: median (interpolated, over
+    integer quantities so the midpoint arithmetic is exact in double),
+    discrete quartiles (percentile_disc semantics -- an actual data
+    value, no interpolation), and the modal quantity with a
+    deterministic min tie-break (engines disagree on bare MODE()'s
+    tie). Spark shape: median/percentile are single-pass sort-based
+    aggs per group key; the mode is its own (flag, qty) hash agg +
+    argmax-by-struct -- no window over fact rows. At 100 TB exact
+    per-group sorting caps at the largest group; the b59 sketch is
+    the documented swap-in past that point."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
+            "price_cents"
+        ),
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.expr("median(qty_int)").alias("median_qty"),
+        F.expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY price_cents) AS BIGINT)").alias("p25_cents"),
+        F.expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY price_cents) AS BIGINT)").alias("p75_cents"),
+    )
+    mode = (
+        li.groupBy("l_returnflag", "qty_int")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("l_returnflag")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("qty_int")).alias("neg"))).alias("w"))
+        .select(
+            "l_returnflag", (-F.col("w.neg")).alias("mode_qty")
+        )
+    )
+    return stats.join(mode, "l_returnflag")
