@@ -330,6 +330,89 @@ def pagerank(
     return ranks.select("node", F.round("rank", round_dp).alias("rank"))
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Personalized PageRank: power iteration where ALL teleport mass
+    (the (1-d) restart and the dangling redistribution) returns to the
+    seed set instead of spreading uniformly -- ranks measure proximity
+    to the seeds, the standard graph-retrieval / recommendation score
+    (seed-team expansion ranked by random-walk affinity, vs the global
+    importance g10 computes).
+
+    Same per-iteration shape as ``pagerank`` (one ranks-onto-edges
+    join + one groupBy(dst) + a join back onto the teleport vector,
+    dangling mass in-plan via a 1-row broadcast); the teleport vector
+    replaces the uniform 1/N constant and is checkpointed once. Seeds
+    need not touch any edge -- they still hold restart mass. Fixed
+    iteration count; final ranks rounded so cross-engine SUM
+    accumulation ulps are absorbed."""
+    seed_nodes = seeds.select(F.col("id").alias("node")).dropDuplicates(
+        ["node"]
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .union(seed_nodes)
+        .dropDuplicates(["node"])
+    )
+    s_cnt = seed_nodes.count()  # index metadata, like pagerank's n
+    tele = (
+        nodes.join(
+            F.broadcast(seed_nodes.withColumn("is_seed", F.lit(True))),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.when(F.col("is_seed"), F.lit(1.0 / s_cnt))
+            .otherwise(F.lit(0.0))
+            .alias("tele"),
+        )
+        .localCheckpoint()
+    )
+    out_deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ranks = tele.select("node", F.col("tele").alias("rank"))
+    e = edges.select("src", "dst").localCheckpoint()
+    for _ in range(n_iter):
+        contrib_src = ranks.join(out_deg, "node", "left")
+        dangling = contrib_src.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
+        )
+        contribs = (
+            e.join(
+                contrib_src.filter(F.col("out_deg").isNotNull()).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("out_deg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("in_share"))
+        )
+        ranks = (
+            tele.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("tele")
+                    + F.lit(damping) * F.col("mass") * F.col("tele")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("in_share"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", round_dp).alias("rank"))
+
+
 def bfs_distances(
     edges: DataFrame, seeds: DataFrame, max_hops: int
 ) -> DataFrame:

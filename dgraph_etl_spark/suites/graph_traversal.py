@@ -913,3 +913,71 @@ def g24_bottleneck_paths(spark, sf_dir):
         best.join(seeds, best["bid"] == seeds["id"], "left_anti")
         .select(F.col("bid").alias("id"), F.col("bn").alias("bottleneck"))
     )
+
+
+def _ppr_oracle_sql(n_iter: int = 10, d: float = 0.85) -> str:
+    """Personalized PageRank unrolled as chained MATERIALIZED CTEs,
+    mirroring traverse.personalized_pagerank term-for-term in the same
+    association order ((base*t + (d*mass)*t) + d*in_share) so the only
+    cross-engine difference is SUM accumulation order; the 6-dp final
+    round absorbs it. Same unrolling discipline as
+    _pagerank_oracle_sql (AS MATERIALIZED is load-bearing: each p_i is
+    referenced twice)."""
+    base = 1.0 - d
+    parts = [
+        f"""
+, ppr_seeds AS MATERIALIZED (
+    SELECT DISTINCT person_id AS node FROM team_member
+    WHERE team_id = '{TEAM}'
+),
+scnt AS MATERIALIZED (SELECT COUNT(*) AS s FROM ppr_seeds),
+pnodes AS MATERIALIZED (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    UNION SELECT node FROM ppr_seeds
+),
+poutdeg AS MATERIALIZED (
+    SELECT src AS node, COUNT(*) AS od FROM edges GROUP BY src
+),
+ptele AS MATERIALIZED (
+    SELECT n.node,
+           CASE WHEN s.node IS NULL THEN 0.0
+                ELSE 1.0 / (SELECT s FROM scnt) END AS t
+    FROM pnodes n LEFT JOIN ppr_seeds s ON n.node = s.node
+),
+p0 AS MATERIALIZED (SELECT node, t AS rank FROM ptele)
+"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+, p{i} AS MATERIALIZED (
+    SELECT t.node,
+           {base!r} * t.t
+           + {d!r} * (SELECT COALESCE(SUM(r.rank), 0.0)
+                      FROM p{i - 1} r LEFT JOIN poutdeg o ON r.node = o.node
+                      WHERE o.node IS NULL) * t.t
+           + {d!r} * COALESCE(c.in_share, 0.0) AS rank
+    FROM ptele t
+    LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank / o.od) AS in_share
+        FROM edges e
+        JOIN p{i - 1} r ON e.src = r.node
+        JOIN poutdeg o ON e.src = o.node
+        GROUP BY e.dst
+    ) c ON t.node = c.node
+)
+""")
+    parts.append(f"SELECT node, ROUND(rank, 6) AS rank FROM p{n_iter}")
+    return V("".join(parts))
+
+
+@register("g25_personalized_pagerank", _ppr_oracle_sql(), defer=True)
+def g25_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from the seed team: random-walk-with-
+    restart proximity scores -- the graph-retrieval / recommendation
+    ranking (who is close to THIS team), vs g10's global importance.
+    All teleport mass (restart + dangling) returns to the seeds.
+    Oracle: the same fixed power iteration unrolled as chained CTEs,
+    both sides rounded to 6 dp."""
+    edges, team_member, _ = _graph_inputs(spark, sf_dir)
+    seeds = G.team_seed(team_member, TEAM)
+    return G.personalized_pagerank(edges, seeds, n_iter=10, round_dp=6)
