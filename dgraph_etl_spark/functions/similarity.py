@@ -716,3 +716,317 @@ def int8_topk(
     )
     return scored.orderBy(F.desc("sim8"), "vec_id").limit(k)
 
+
+
+# ------------------------------------------------- product quantization
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # codes per subspace (codebook rows = PQ_M * PQ_K)
+PQ_ITER = 2  # Lloyd rounds per subspace
+PQ_TOPC = 30  # ADC candidates kept for exact re-rank
+
+
+def pq_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    n_iter: int = PQ_ITER,
+    scale: int = 1_000_000,
+    topc: int = PQ_TOPC,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring
+    and exact re-rank -- the third member of the compressed-index
+    family (IVF prunes BY CELL, int8 shrinks components, PQ shrinks
+    each vector to m_sub CODES: 8 bytes here vs 256 for float32).
+
+    Pipeline (every arithmetic step fixed-point integer, so the whole
+    thing -- codebook, codes, candidate set, final ranking -- is
+    reproducible bit-for-bit across engines and partial-agg orders,
+    and hash-certifiable):
+    1. codebooks: one Lloyd loop over SUBVECTORS keyed by subspace m --
+       all m_sub codebooks train in the same jobs (the per-iteration
+       shuffle carries m_sub*k_codes*subdim partial sums, independent
+       of corpus size). Seeds are the k_codes smallest-md5 vectors'
+       subvectors (same engine-portable rule as kmeans_cells); empty
+       codes keep their previous centroid.
+    2. encode: argmin centroid per (vec_id, m) via min(struct) -- the
+       corpus is scanned against a broadcast codebook, never shuffled
+       by content; the code table is the 32x-smaller persistable index.
+    3. ADC: the query's per-(m, code) partial dot products and centroid
+       partial norms are a broadcast m_sub*k_codes integer table; each
+       vector's approximate cosine is one groupBy(vec_id) over its
+       m_sub code rows. At query time against a PERSISTED code table
+       this is the only per-corpus work -- no float vectors touched.
+    4. exact re-rank of the top-``topc`` ADC candidates (left_semi back
+       to the float corpus), c04's convention: round(sim,4), ties by
+       vec_id.
+
+    At 100 TB: train on a sample, persist codebook + code table; the
+    ADC scan reads 8 bytes/vector and the re-rank touches ``topc``
+    rows. Recall is property-tested (tests/test_properties.py)."""
+    q = quantize_vectors(emb, scale, vec_col).localCheckpoint()
+    sd = F.floor(F.size("qv") / m_sub).cast("int")
+    subs = q.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+        F.col("qv"),
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(F.col("qv"), F.col("m") * sd + 1, sd).alias("sv"),
+    )
+
+    from pyspark.sql import Window
+
+    seeds = (
+        q.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k_codes)
+    )
+    seed_codes = seeds.select(
+        (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).alias(
+            "code"
+        ),
+        "qv",
+    )
+    cents = (
+        seed_codes.select(
+            "code",
+            F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+            F.col("qv"),
+        )
+        .select(
+            "m",
+            "code",
+            F.slice(
+                F.col("qv"),
+                F.col("m") * F.floor(F.size("qv") / m_sub).cast("int") + 1,
+                F.floor(F.size("qv") / m_sub).cast("int"),
+            ).alias("cv"),
+        )
+        .localCheckpoint()
+    )
+
+    def assign(codebook):
+        scored = subs.join(F.broadcast(codebook), "m").withColumn(
+            "dist", _sq_dist(F.col("sv"), F.col("cv"))
+        )
+        return scored.groupBy("vec_id", "m").agg(
+            F.min(F.struct("dist", "code"))["code"].alias("code"),
+            F.first("sv").alias("sv"),
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(cents)
+        comp = (
+            assigned.select(
+                "m", "code", F.posexplode("sv").alias("pos", "x")
+            )
+            .groupBy("m", "code", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        new_cents = (
+            comp.withColumn(
+                "mu",
+                F.floor(
+                    (2.0 * F.col("s") + F.col("n")) / (2.0 * F.col("n"))
+                ).cast("long"),
+            )
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("cv_new")
+            )
+        )
+        cents = (
+            cents.join(new_cents, ["m", "code"], "left")
+            .select(
+                "m", "code", F.coalesce("cv_new", "cv").alias("cv")
+            )
+            .localCheckpoint()
+        )
+
+    codes = assign(cents).select("vec_id", "m", "code")
+
+    qv = quantize_vectors(
+        query.select(F.lit(-1).alias("vec_id"), F.col("qvec")), scale, "qvec"
+    ).select(F.col("qv").alias("qq"))
+    qsubs = qv.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+        F.col("qq"),
+    ).select(
+        "m",
+        F.slice(
+            F.col("qq"),
+            F.col("m") * F.floor(F.size("qq") / m_sub).cast("int") + 1,
+            F.floor(F.size("qq") / m_sub).cast("int"),
+        ).alias("qsv"),
+    )
+    int_dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    adc_table = cents.join(F.broadcast(qsubs), "m").select(
+        "m",
+        "code",
+        int_dot(F.col("cv"), F.col("qsv")).alias("pdot"),
+        int_dot(F.col("cv"), F.col("cv")).alias("pnorm"),
+    )
+    qnorm = qv.select(int_dot(F.col("qq"), F.col("qq")).alias("qn"))
+    approx = (
+        codes.join(F.broadcast(adc_table), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum("pdot").alias("dot_adc"),
+            F.sum("pnorm").alias("norm_adc"),
+        )
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "vec_id",
+            (
+                F.col("dot_adc").cast("double")
+                / (
+                    F.sqrt(
+                        F.greatest(F.col("norm_adc"), F.lit(1)).cast(
+                            "double"
+                        )
+                    )
+                    * F.sqrt(F.col("qn").cast("double"))
+                )
+            ).alias("adc_sim"),
+        )
+    )
+    cands = approx.orderBy(F.desc("adc_sim"), "vec_id").limit(topc)
+    reranked = emb.join(F.broadcast(cands), "vec_id", "left_semi")
+    return brute_topk(reranked, query, k, vec_col)
+
+
+def pq_oracle_ctes(
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    n_iter: int = PQ_ITER,
+    scale: int = 1_000_000,
+    topc: int = PQ_TOPC,
+) -> str:
+    """The PQ pipeline unrolled as DuckDB CTEs, mirroring pq_topk
+    step-for-step (same seeds, same round-half-up centroid means, same
+    integer ADC, same tie-breaks). Exposes ``pq_cands`` -- the
+    ``topc``-row ADC candidate set (vec_id, adc_sim)."""
+    dist = (
+        "list_sum(list_transform(range(len(s.sv)), i -> "
+        "(s.sv[i+1] - c.cv[i+1]) * (s.sv[i+1] - c.cv[i+1])))"
+    )
+    parts = [
+        f"""
+  pqq AS (
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+    FROM embeddings
+  ),
+  pqsubs AS (
+    SELECT vec_id, t.m,
+           qv[t.m * (len(qv) // {m_sub}) + 1 :
+              (t.m + 1) * (len(qv) // {m_sub})] AS sv
+    FROM pqq CROSS JOIN range({m_sub}) t(m)
+  ),
+  pqseeds AS (
+    SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h
+    FROM pqq ORDER BY h, vec_id LIMIT {k_codes}
+  ),
+  pqc0 AS (
+    SELECT t.m, s.code,
+           s.qv[t.m * (len(s.qv) // {m_sub}) + 1 :
+                (t.m + 1) * (len(s.qv) // {m_sub})] AS cv
+    FROM (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, qv
+          FROM pqseeds) s
+    CROSS JOIN range({m_sub}) t(m)
+  )"""
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"pqc{i - 1}"
+        parts.append(
+            f"""
+  pqs{i} AS (
+    SELECT s.vec_id, s.m, s.sv, c.code, {dist} AS dist
+    FROM pqsubs s JOIN {prev} c ON s.m = c.m
+  ),
+  pqa{i} AS (
+    SELECT vec_id, m, sv, code FROM (
+      SELECT vec_id, m, sv, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                ORDER BY dist, code) AS rn
+      FROM pqs{i}) t WHERE rn = 1
+  ),
+  pqu{i} AS (
+    SELECT m, code, unnest(sv) AS x, unnest(range(len(sv))) AS pos
+    FROM pqa{i}
+  ),
+  pqm{i} AS (
+    SELECT m, code, pos,
+           CAST(FLOOR((2.0 * SUM(x) + COUNT(*))
+                      / (2.0 * COUNT(*))) AS BIGINT) AS mu
+    FROM pqu{i} GROUP BY m, code, pos
+  ),
+  pqn{i} AS (
+    SELECT m, code, list(mu ORDER BY pos) AS cv FROM pqm{i}
+    GROUP BY m, code
+  ),
+  pqc{i} AS (
+    SELECT p.m, p.code, COALESCE(n.cv, p.cv) AS cv
+    FROM {prev} p LEFT JOIN pqn{i} n
+      ON p.m = n.m AND p.code = n.code
+  )"""
+        )
+    parts.append(
+        f"""
+  pqsf AS (
+    SELECT s.vec_id, s.m, c.code, {dist} AS dist
+    FROM pqsubs s JOIN pqc{n_iter} c ON s.m = c.m
+  ),
+  pqcodes AS (
+    SELECT vec_id, m, code FROM (
+      SELECT vec_id, m, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                ORDER BY dist, code) AS rn
+      FROM pqsf) t WHERE rn = 1
+  ),
+  pqquery AS (
+    SELECT list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qq
+    FROM embeddings WHERE vec_id = 0
+  ),
+  pqqsubs AS (
+    SELECT t.m,
+           qq[t.m * (len(qq) // {m_sub}) + 1 :
+              (t.m + 1) * (len(qq) // {m_sub})] AS qsv
+    FROM pqquery CROSS JOIN range({m_sub}) t(m)
+  ),
+  pqadc AS (
+    SELECT c.m, c.code,
+           list_sum(list_transform(range(len(c.cv)),
+             i -> c.cv[i+1] * q.qsv[i+1])) AS pdot,
+           list_sum(list_transform(c.cv, x -> x * x)) AS pnorm
+    FROM pqc{n_iter} c JOIN pqqsubs q ON c.m = q.m
+  ),
+  pqqnorm AS (
+    SELECT list_sum(list_transform(qq, x -> x * x)) AS qn FROM pqquery
+  ),
+  pq_cands AS (
+    SELECT vec_id,
+           CAST(SUM(a.pdot) AS DOUBLE)
+           / (sqrt(CAST(GREATEST(SUM(a.pnorm), 1) AS DOUBLE))
+              * sqrt(CAST((SELECT qn FROM pqqnorm) AS DOUBLE)))
+             AS adc_sim
+    FROM pqcodes k JOIN pqadc a ON k.m = a.m AND k.code = a.code
+    GROUP BY vec_id
+    ORDER BY adc_sim DESC, vec_id LIMIT {topc}
+  )"""
+    )
+    return ",".join(parts)

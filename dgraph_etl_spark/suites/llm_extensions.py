@@ -2943,3 +2943,33 @@ def c56_zipf_curve(spark, sf_dir):
     functions/text.py:zipf_curve for why and for the top-k-then-rank
     plan shape)."""
     return X.zipf_curve(_docs(spark, sf_dir), k=100)
+
+
+@register(
+    "c57_pq_topk",
+    "WITH "
+    + S.pq_oracle_ctes()
+    + """
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        qv.qvec::DOUBLE[]), 4) AS sim
+    FROM embeddings e
+    JOIN pq_cands c ON e.vec_id = c.vec_id
+    CROSS JOIN (SELECT embedding AS qvec FROM embeddings
+                WHERE vec_id = 0) qv
+    ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+    defer=True,
+)
+def c57_pq_topk(spark, sf_dir):
+    """Product-quantization ANN, hash-certified end to end: per-
+    subspace codebooks trained in ONE Lloyd loop keyed by subspace
+    (integer-exact), vectors encoded to 8 one-byte codes, asymmetric-
+    distance scoring from a broadcast (m, code) partial-dot table, and
+    exact cosine re-rank of the top-30 ADC candidates. The index the
+    ADC scan reads is 32x smaller than the float corpus; at query
+    time against a persisted code table no float vector is touched
+    until the re-rank (functions/similarity.py pq_topk). Oracle: the
+    full pipeline unrolled -- same seeds, same round-half-up means,
+    same integer ADC, same tie-breaks."""
+    return S.pq_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)

@@ -758,3 +758,20 @@ def test_int8_topk_recall_vs_float_brute_force(spark, sf_small):
     q8 = {r["vec_id"] for r in int8_topk(emb, qv, k=10).collect()}
     recall = len(true & q8) / 10
     assert recall >= 0.5, f"recall@10 {recall}"
+
+
+def test_c57_pq_recall_vs_brute_force(spark, sf_small):
+    """PQ-ADC keeps 30 candidates for a top-10 re-rank; the re-ranked
+    result must substantially overlap the exact top-10 (8 subspaces x
+    16 codes on 64-dim vectors loses little at this corpus size). The
+    re-rank makes every returned similarity EXACT, so only membership
+    can degrade -- never a reported score."""
+    from dgraph_etl_spark.catalog import register_views
+    from dgraph_etl_spark.functions.similarity import pq_topk
+
+    register_views(spark, sf_small)
+    emb = spark.table("embeddings")
+    qv = emb.filter("vec_id = 0").selectExpr("embedding AS qvec")
+    exact = {r.vec_id for r in brute_topk(emb, qv, k=10).collect()}
+    approx = {r.vec_id for r in pq_topk(emb, qv, k=10).collect()}
+    assert len(exact & approx) >= 5
