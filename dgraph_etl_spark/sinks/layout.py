@@ -1,0 +1,68 @@
+"""Multi-dimensional data layout (Z-order clustering) for file-level
+skipping.
+
+A 100 TB fact table is usually range-clustered on ONE dimension (event
+time); any predicate on a second dimension (customer, part, region)
+then overlaps every file. Interleaving the bits of two (or more)
+low-cardinality-projected keys into a single Z-address and
+range-clustering files on it bounds EVERY interleaved dimension's
+min/max span per file to ~sqrt of the keyspace -- parquet footer
+stats (and any lakehouse manifest built on them) can then prune files
+for predicates on either dimension. Delta/Iceberg `OPTIMIZE ZORDER BY`
+is this exact operation; here it is plain DataFrame + parquet, engine
+arithmetic only (the Z-address is a deterministic integer expression
+both engines compute bit-identically -- see suites registration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def z_address(a: Column, b: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative integer
+    columns into a single Z-order address: bit i of ``a`` lands at
+    position 2i+1, bit i of ``b`` at 2i. Pure shift/and/or expression
+    -- whole-stage codegen'd, no UDF; ~2*bits terms folded by Catalyst
+    into one projection."""
+    a = a.cast("long")
+    b = b.cast("long")
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(a, i).bitwiseAND(one), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(b, i).bitwiseAND(one), 2 * i)
+        )
+    return z
+
+
+def z_address_sql(a: str, b: str, bits: int = 16) -> str:
+    """The DuckDB text of z_address (must mirror it exactly)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    zkey: str = "zkey",
+    n_files: int = 16,
+) -> None:
+    """Cluster ``df`` into ``n_files`` parquet files by Z-address
+    range: repartitionByRange gives each file a disjoint zkey span
+    (and therefore a bounded span in every interleaved dimension),
+    sortWithinPartitions tightens row-group stats inside each file.
+    One range shuffle -- the same cost as the single-dimension sort
+    the table would get anyway."""
+    (
+        df.repartitionByRange(n_files, F.col(zkey))
+        .sortWithinPartitions(zkey)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -3685,3 +3685,87 @@ def b94_order_stats(spark, sf_dir):
         )
     )
     return stats.join(mode, "l_returnflag")
+
+
+from ..sinks.layout import z_address_sql as _z_sql
+
+
+@register(
+    "b95_zorder_address",
+    f"""
+    WITH dims AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(l_shipdate AS DATE)) AS BIGINT) AS day_raw,
+             l_partkey AS part_raw
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT MIN(day_raw) AS dlo, MAX(day_raw) AS dhi,
+             MIN(part_raw) AS plo, MAX(part_raw) AS phi
+      FROM dims
+    ),
+    scaled AS (
+      SELECT d.l_orderkey, d.l_linenumber,
+             ((d.day_raw - b.dlo) * 256) // (b.dhi - b.dlo + 1) AS day8,
+             ((d.part_raw - b.plo) * 256) // (b.phi - b.plo + 1) AS part8
+      FROM dims d, bounds b
+    )
+    SELECT l_orderkey, l_linenumber, day8, part8,
+           {_z_sql('day8', 'part8', bits=8)} AS zkey
+    FROM scaled
+    """,
+    defer=True,
+)
+def b95_zorder_address(spark, sf_dir):
+    """Z-order clustering key: ship-day and partkey each min-max
+    normalized to 8 bits (equal bit width is what makes the interleave
+    balanced -- an unscaled wider dimension would own every high bit
+    and range cuts would never reach the other column) then
+    bit-interleaved into one 16-bit address. Range-clustering files on
+    it bounds BOTH dimensions' footer-stat span per file -- the
+    Delta/Iceberg OPTIMIZE ZORDER BY primitive as deterministic
+    integer arithmetic (min/max are one exact 1-row aggregate,
+    broadcast; the interleave is a codegen'd shift/or chain, no UDF).
+    The file-skipping effect on either dimension is pinned in
+    tests/test_scale_layouts.py; this query certifies the address
+    arithmetic cross-engine."""
+    from ..sinks.layout import z_address
+
+    li = _t(spark, sf_dir, "lineitem")
+    dims = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("day_raw"),
+        F.col("l_partkey").alias("part_raw"),
+    )
+    bounds = dims.agg(
+        F.min("day_raw").alias("dlo"),
+        F.max("day_raw").alias("dhi"),
+        F.min("part_raw").alias("plo"),
+        F.max("part_raw").alias("phi"),
+    )
+    scaled = dims.crossJoin(F.broadcast(bounds)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(
+            (F.col("day_raw") - F.col("dlo")) * 256
+            / (F.col("dhi") - F.col("dlo") + 1)
+        ).alias("day8"),
+        F.floor(
+            (F.col("part_raw") - F.col("plo")) * 256
+            / (F.col("phi") - F.col("plo") + 1)
+        ).alias("part8"),
+    )
+    return scaled.select(
+        "l_orderkey",
+        "l_linenumber",
+        "day8",
+        "part8",
+        z_address(F.col("day8"), F.col("part8"), bits=8).alias("zkey"),
+    )

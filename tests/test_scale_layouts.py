@@ -262,3 +262,84 @@ def test_salted_salts_are_deterministic(spark):
     one = sorted(map(tuple, aggregate_max_salted(edges, buckets=8).collect()))
     two = sorted(map(tuple, aggregate_max_salted(edges, buckets=8).collect()))
     assert one == two
+
+
+def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_small):
+    """Z-order layout contract: files range-clustered on the
+    interleaved (day, partkey) address have BOUNDED footer-stat spans
+    in BOTH dimensions, so a selective predicate on EITHER column
+    overlaps only a fraction of files -- while the usual
+    single-dimension (date-sorted) layout overlaps EVERY file for a
+    partkey predicate. Footer min/max stats are read directly (the
+    same stats a lakehouse manifest indexes); content is preserved
+    exactly."""
+    import pyarrow.parquet as pq
+
+    from dgraph_etl_spark.sinks.layout import zorder_write
+
+    from dgraph_etl_spark.registry import REGISTRY, _load_suites
+
+    _load_suites()
+    register_views(spark, sf_small)
+    # the certified address query: min-max-normalized 8-bit dims
+    zdf = REGISTRY["b95_zorder_address"].fn(spark, sf_small)
+    li = zdf.drop("zkey")
+
+    n_files = 8
+    zdir = tempfile.mkdtemp(prefix="dgraph_etl_z_") + "/z"
+    ldir = tempfile.mkdtemp(prefix="dgraph_etl_z_") + "/linear"
+    zorder_write(zdf, zdir, n_files=n_files)
+    # the baseline layout every time-series table already has
+    (
+        zdf.repartitionByRange(n_files, F.col("day8"))
+        .sortWithinPartitions("day8")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def overlap_fraction(d, col, lo, hi):
+        files = [
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        ]
+        assert len(files) == n_files, files
+        n = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            cmin = min(
+                md.row_group(i).column(
+                    next(
+                        j
+                        for j in range(md.num_columns)
+                        if md.row_group(i).column(j).path_in_schema == col
+                    )
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            cmax = max(
+                md.row_group(i).column(
+                    next(
+                        j
+                        for j in range(md.num_columns)
+                        if md.row_group(i).column(j).path_in_schema == col
+                    )
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            if cmax >= lo and cmin <= hi:
+                n += 1
+        return n / len(files)
+
+    # selective partkey predicate: bottom 1/8 of the normalized keyspace
+    z_part = overlap_fraction(zdir, "part8", 0, 31)
+    l_part = overlap_fraction(ldir, "part8", 0, 31)
+    assert l_part == 1.0, l_part  # date-sorted layout can't skip on part
+    assert z_part <= 0.5, z_part  # z-order skips at least half the files
+    # and the z-layout still skips on time (bottom 1/8 of the day range)
+    z_day = overlap_fraction(zdir, "day8", 0, 31)
+    assert z_day <= 0.5, z_day
+    # content preserved exactly
+    assert (
+        spark.read.parquet(zdir).count()
+        == li.count()
+        == spark.read.parquet(ldir).count()
+    )
