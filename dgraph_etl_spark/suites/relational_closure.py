@@ -3769,3 +3769,265 @@ def b95_zorder_address(spark, sf_dir):
         "part8",
         z_address(F.col("day8"), F.col("part8"), bits=8).alias("zkey"),
     )
+
+
+@register(
+    "b96_linear_interpolate",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT))
+                  AS BIGINT) AS total_fp
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+    spine AS (
+      SELECT t.event_type, CAST(u.d AS DATE) AS d
+      FROM (SELECT DISTINCT event_type FROM daily) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(CAST(b.lo AS TIMESTAMP),
+                                      CAST(b.hi AS TIMESTAMP),
+                                      INTERVAL 1 DAY)) AS d
+        FROM bounds b
+      ) u
+    ),
+    joined AS (
+      SELECT s.event_type, s.d, dl.total_fp
+      FROM spine s LEFT JOIN daily dl
+        ON dl.event_type = s.event_type AND dl.d = s.d
+    ),
+    anchored AS (
+      SELECT event_type, d, total_fp,
+             last_value(total_fp IGNORE NULLS) OVER w_prev AS prev_v,
+             last_value(CASE WHEN total_fp IS NOT NULL THEN d END
+                        IGNORE NULLS) OVER w_prev AS prev_d,
+             first_value(total_fp IGNORE NULLS) OVER w_next AS next_v,
+             first_value(CASE WHEN total_fp IS NOT NULL THEN d END
+                         IGNORE NULLS) OVER w_next AS next_d
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, epoch_us(CAST(d AS TIMESTAMP)) AS day_us,
+           total_fp IS NOT NULL AS observed,
+           ROUND(
+             CASE
+               WHEN total_fp IS NOT NULL THEN CAST(total_fp AS DOUBLE)
+               WHEN prev_v IS NULL THEN CAST(next_v AS DOUBLE)
+               WHEN next_v IS NULL THEN CAST(prev_v AS DOUBLE)
+               ELSE CAST(prev_v AS DOUBLE)
+                    + CAST(next_v - prev_v AS DOUBLE)
+                      * CAST(date_diff('day', prev_d, d) AS DOUBLE)
+                      / CAST(date_diff('day', prev_d, next_d) AS DOUBLE)
+             END / 1000000.0, 6) AS value_interp
+    FROM anchored
+    """,
+    defer=True,
+)
+def b96_linear_interpolate(spark, sf_dir):
+    """Time-series gap repair by LINEAR interpolation -- b63's
+    forward-fill sibling for quantities where holding the last value
+    lies (rates, gauges): each missing day gets the line between its
+    previous and next observed anchors; edge gaps fall back to the
+    one available anchor. Daily totals are fixed-point longs, so the
+    interpolation is one double expression over exact integers --
+    identical on both engines, rounded at 6 dp.
+
+    Spark shape: ONE exchange keyed by event_type serves both anchor
+    windows (prev = running last ignorenulls, next = the mirrored
+    frame); the day spine is a broadcast sequence-explode against the
+    distinct type table, never a fact-sized generate. At 100 TB the
+    spine is days x types (tiny) and the daily rollup is the only
+    fact shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(value * 1000000, 0) AS BIGINT)")).alias(
+            "total_fp"
+        )
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    types = daily.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+            ).alias("d"),
+        )
+    )
+    joined = spine.join(daily, ["event_type", "d"], "left")
+    w_prev = (
+        Wnd.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Wnd.unboundedPreceding, Wnd.currentRow)
+    )
+    w_next = (
+        Wnd.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Wnd.currentRow, Wnd.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("total_fp").isNotNull(), F.col("d"))
+    anchored = joined.select(
+        "event_type",
+        "d",
+        "total_fp",
+        F.last("total_fp", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_d, ignorenulls=True).over(w_prev).alias("prev_d"),
+        F.first("total_fp", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_d, ignorenulls=True).over(w_next).alias("next_d"),
+    )
+    interp = (
+        F.when(F.col("total_fp").isNotNull(), F.col("total_fp").cast("double"))
+        .when(F.col("prev_v").isNull(), F.col("next_v").cast("double"))
+        .when(F.col("next_v").isNull(), F.col("prev_v").cast("double"))
+        .otherwise(
+            F.col("prev_v").cast("double")
+            + (F.col("next_v") - F.col("prev_v")).cast("double")
+            * F.datediff(F.col("d"), F.col("prev_d")).cast("double")
+            / F.datediff(F.col("next_d"), F.col("prev_d")).cast("double")
+        )
+    )
+    return anchored.select(
+        "event_type",
+        F.unix_micros(F.col("d").cast("timestamp")).alias("day_us"),
+        F.col("total_fp").isNotNull().alias("observed"),
+        F.round(interp / 1000000.0, 6).alias("value_interp"),
+    )
+
+
+@register(
+    "b97_mad_outliers",
+    """
+    WITH vals AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, MEDIAN(cents) AS med FROM vals GROUP BY 1
+    ),
+    mad AS (
+      SELECT v.event_type, m.med,
+             MEDIAN(ABS(CAST(v.cents AS DOUBLE) - m.med)) AS mad
+      FROM vals v JOIN med m USING (event_type)
+      GROUP BY v.event_type, m.med
+    )
+    SELECT v.event_type, a.med, a.mad,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN ABS(CAST(v.cents AS DOUBLE) - a.med)
+                              > 4.4478 * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM vals v JOIN mad a USING (event_type)
+    GROUP BY v.event_type, a.med, a.mad
+    """,
+    defer=True,
+)
+def b97_mad_outliers(spark, sf_dir):
+    """Robust anomaly detection by median absolute deviation -- the
+    outlier test that, unlike c14's z-score, is itself immune to the
+    outliers it hunts (mean and stddev are corrupted by the anomalies;
+    medians are not). Threshold 3 sigma-equivalents = 3 * 1.4826 * MAD.
+    All inputs are integer cents, so both medians and every comparison
+    are identical doubles cross-engine.
+
+    Spark shape: two exact median aggs (the second over |x - med| after
+    a broadcast join of the 5-row median table) + one counting pass --
+    the fact table is never windowed or sorted globally; per-group
+    median caps at the largest group, with b59's sketch as the
+    documented swap-in."""
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    med = vals.groupBy("event_type").agg(
+        F.expr("median(cents)").alias("med")
+    )
+    dev = vals.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr("median(adev)").alias("mad")
+    )
+    return (
+        vals.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents").cast("double") - F.col("med"))
+                    > 4.4478 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "med", "mad", "n_rows", "n_outliers")
+    )
+
+
+def _binary_stage_dir(sf_dir):
+    """Stage a deterministic directory of raw binary files (the first
+    16 documents' text bytes, one .bin each) -- the on-disk form
+    multimodal corpora arrive in before any table exists. Keyed by
+    source identity like every other staging helper."""
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir))
+        + f"_{st.st_mtime_ns}_{st.st_size}"
+    )
+    d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_bin_{tag}")
+    if os.path.isdir(d) and len(os.listdir(d)) == 16:
+        return d
+    os.makedirs(d, exist_ok=True)
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM read_parquet(?) ORDER BY doc_id LIMIT 16",
+        [os.path.join(sf_dir, "documents.parquet")],
+    ).fetchall()
+    con.close()
+    for doc_id, text in rows:
+        with open(os.path.join(d, f"doc_{doc_id:06d}.bin"), "wb") as f:
+            f.write(text.encode("utf-8"))
+    return d
+
+
+@register(
+    "b98_binaryfile_scan",
+    """
+    SELECT printf('doc_%06d.bin', doc_id) AS file_name,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 16)
+    """,
+    defer=True,
+)
+def b98_binaryfile_scan(spark, sf_dir):
+    """B2+: RAW BINARY ingestion -- Spark's `binaryFile` source over a
+    directory of opaque files (the front door of every multimodal
+    pipeline: images/audio arrive as files, not rows). Emits file
+    name, byte length, and content digest. The oracle recomputes all
+    three from the DOCUMENTS table the files were staged from, so the
+    whole file-write -> binaryFile-read round trip is certified
+    byte-exact against the source of truth (not merely self-consistent
+    with another reader of the same files). At 100 TB binaryFile
+    parallelizes by file with maxPartitionBytes packing; decode
+    happens downstream in c09's mapInPandas lane, never here."""
+    d = _binary_stage_dir(sf_dir)
+    df = spark.read.format("binaryFile").load(d)
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+    )
