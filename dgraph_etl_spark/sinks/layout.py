@@ -53,16 +53,27 @@ def zorder_write(
     path: str,
     zkey: str = "zkey",
     n_files: int = 16,
+    key_bits: int = 16,
 ) -> None:
-    """Cluster ``df`` into ``n_files`` parquet files by Z-address
-    range: repartitionByRange gives each file a disjoint zkey span
-    (and therefore a bounded span in every interleaved dimension),
-    sortWithinPartitions tightens row-group stats inside each file.
-    One range shuffle -- the same cost as the single-dimension sort
-    the table would get anyway."""
+    """Cluster ``df`` into ``n_files`` parquet leaf files by Z-address
+    range: each file covers one EXPLICIT, equal-width span of the
+    ``key_bits``-bit address space (and therefore a bounded span in
+    every interleaved dimension). Deliberately NOT repartitionByRange:
+    its reservoir-sampled boundaries are seeded per run, so two
+    builds of the same table would get different file spans -- this
+    layout must be reproducible for incremental rebuilds and for the
+    skipping contract tests. sortWithinPartitions tightens row-group
+    stats inside each file; one hash shuffle on the bucket id, the
+    same cost as the single-dimension sort the table would get
+    anyway."""
+    width = max((1 << key_bits) // n_files, 1)
     (
-        df.repartitionByRange(n_files, F.col(zkey))
+        df.withColumn(
+            "zbucket", F.floor(F.col(zkey) / width).cast("int")
+        )
+        .repartition(n_files, F.col("zbucket"))
         .sortWithinPartitions(zkey)
-        .write.mode("overwrite")
+        .write.partitionBy("zbucket")
+        .mode("overwrite")
         .parquet(path)
     )

@@ -2973,3 +2973,55 @@ def c57_pq_topk(spark, sf_dir):
     full pipeline unrolled -- same seeds, same round-half-up means,
     same integer ADC, same tie-breaks."""
     return S.pq_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "c58_arrow_norms",
+    """
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dims,
+           ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x))), 4) AS l2_norm
+    FROM embeddings
+    """,
+    defer=True,
+)
+def c58_arrow_norms(spark, sf_dir):
+    """The Arrow-native batch lane: c09's vector norms computed via
+    ``mapInArrow`` -- RecordBatches cross the JVM/Python boundary with
+    zero pandas materialization (the lane multimodal codecs upgrade to
+    when pandas conversion itself becomes the bottleneck; same batch
+    streaming discipline as c09's mapInPandas). The Python side
+    accumulates each row's squares SEQUENTIALLY in float64,
+    reproducing the engines' left-fold exactly, so the same oracle
+    certifies both lanes. At 100 TB: one narrow pass, Arrow batch in /
+    Arrow batch out, no shuffle."""
+    import pyarrow as pa
+
+    def norms(batches):
+        for rb in batches:
+            vec_ids = rb.column("vec_id").to_pylist()
+            labels = rb.column("label").to_pylist()
+            embs = rb.column("embedding").to_pylist()
+            dims, l2 = [], []
+            for v in embs:
+                s = 0.0
+                for x in v:
+                    fx = float(x)
+                    s += fx * fx
+                dims.append(len(v))
+                l2.append(round(s**0.5, 4))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids, pa.int64()),
+                    pa.array(labels, pa.int32()),
+                    pa.array(dims, pa.int32()),
+                    pa.array(l2, pa.float64()),
+                ],
+                ["vec_id", "label", "dims", "l2_norm"],
+            )
+
+    emb = _emb(spark, sf_dir)
+    return emb.mapInArrow(
+        norms, "vec_id long, label int, dims int, l2_norm double"
+    )

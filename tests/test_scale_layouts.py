@@ -289,19 +289,25 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_small):
     zdir = tempfile.mkdtemp(prefix="dgraph_etl_z_") + "/z"
     ldir = tempfile.mkdtemp(prefix="dgraph_etl_z_") + "/linear"
     zorder_write(zdf, zdir, n_files=n_files)
-    # the baseline layout every time-series table already has
+    # the baseline layout every time-series table already has -- the
+    # same deterministic bucketing discipline, on day alone
     (
-        zdf.repartitionByRange(n_files, F.col("day8"))
+        zdf.withColumn("zbucket", F.floor(F.col("day8") / 32).cast("int"))
+        .repartition(n_files, F.col("zbucket"))
         .sortWithinPartitions("day8")
-        .write.mode("overwrite")
+        .write.partitionBy("zbucket")
+        .mode("overwrite")
         .parquet(ldir)
     )
 
     def overlap_fraction(d, col, lo, hi):
         files = [
-            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            os.path.join(root, f)
+            for root, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
         ]
-        assert len(files) == n_files, files
+        assert len(files) >= n_files - 1, files
         n = 0
         for f in files:
             md = pq.ParquetFile(f).metadata
