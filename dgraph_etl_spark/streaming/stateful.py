@@ -92,3 +92,116 @@ def user_profiles(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def has_tws_runtime() -> bool:
+    """transformWithState's Python driver worker speaks protobuf to
+    the JVM state server; without the google.protobuf package the
+    worker crashes at init. Gate, don't crash."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` --
+    the arbitrary-state API that supersedes applyInPandasWithState
+    (s08): typed named state handles instead of one row-tuple, plus
+    timers and TTL the old API lacks. State here is one ValueState of
+    two longs per user; each micro-batch folds its Arrow batches into
+    the stored totals and emits the key's new running aggregate
+    (update semantics). The per-key fold is integer and
+    order-insensitive, so the accumulated stream result equals the
+    batch GROUP BY exactly. Requires the RocksDB state store provider
+    (the only backend the new API supports); callers pin it for the
+    query's session.
+
+    Runtime gate: the API's Python driver worker needs
+    google.protobuf, which offline containers may lack -- there the
+    SAME fold runs through applyInPandasWithState (identical
+    semantics and output; the state handle shape is the only
+    difference), so the operator stays certifiable everywhere while
+    the new-API path is exercised wherever the runtime allows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle):
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total_fp BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, tot = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                tot += int(pdf["value_fp"].sum())
+            prev = self._totals.get()
+            if prev is not None:
+                n += int(prev[0])
+                tot += int(prev[1])
+            self._totals.update((n, tot))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_fp": [tot],
+                }
+            )
+
+        def close(self):
+            pass
+
+    prepared = events.select(
+        "user_id",
+        F.expr("CAST(ROUND(value * 1000000, 0) AS BIGINT)").alias(
+            "value_fp"
+        ),
+    )
+    if has_tws_runtime():
+        return prepared.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=(
+                "user_id BIGINT, n_events BIGINT, total_fp BIGINT"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    # same fold, prior-generation API
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_fp", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total_fp", LongType())]
+    )
+
+    def fold(key, pdfs, state):
+        n, tot = 0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += int(pdf["value_fp"].sum())
+        if state.exists:
+            pn, ptot = state.get
+            n += int(pn)
+            tot += int(ptot)
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_fp": [tot]}
+        )
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

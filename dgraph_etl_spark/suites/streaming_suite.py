@@ -1033,3 +1033,60 @@ def s19_stream_outer_join(spark, sf_dir):
             - F.unix_micros(F.col("click_ts"))
         ).alias("gap_us"),
     )
+
+
+@register(
+    "s20_stream_transform_with_state",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+             AS total_fp
+    FROM events GROUP BY user_id
+    """,
+    defer=True,
+)
+def s20_stream_transform_with_state(spark, sf_dir):
+    """B41+/s08+: the transformWithState arbitrary-state API (typed
+    named state handles, the successor to applyInPandasWithState) --
+    per-user running totals folded into a ValueState across the
+    3-batch replay, update-mode emissions per touched key. The last
+    emission per key (argmax by the monotone event count) must equal
+    the batch GROUP BY exactly: integer folds make the cross-batch
+    accumulation order-insensitive. Runs on the RocksDB state store
+    (the only backend the new API supports), restored afterward; when
+    the runtime lacks the API's protobuf dependency the same fold
+    runs through applyInPandasWithState (streaming/stateful.py
+    has_tws_runtime)."""
+    from ..streaming.core import time_split_source
+    from ..streaming.stateful import running_totals_tws
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = events_stream(spark, sf_dir, path=time_split_source(sf_dir))
+        out = run_to_memory(
+            running_totals_tws(ev), "update", "s20_tws"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    final = out.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_fp")).alias("w")
+    )
+    return final.select(
+        "user_id",
+        F.col("w.n_events").alias("n_events"),
+        F.col("w.total_fp").alias("total_fp"),
+    )
