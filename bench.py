@@ -48,6 +48,8 @@ HEADLINE = [
     "b52_tpch_q5",            # 6-table join w/ broadcast dims (TPC-H Q5)
     "b67_tpch_q6",            # pure scan-filter-agg (TPC-H Q6, scan floor)
     "c27_span_dedup",         # passage-level dedup (span hash screen)
+    "b87_tpch_q21",           # triple-EXISTS fold as two-level agg (Q21)
+    "b92_cube_rollup",        # CUBE margins: one Expand, one hash agg
 ]
 
 
