@@ -4031,3 +4031,77 @@ def b98_binaryfile_scan(spark, sf_dir):
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5("content").alias("digest"),
     )
+
+
+@register(
+    "b99_variant_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_total,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_max
+    FROM events GROUP BY event_type
+    """,
+    defer=True,
+)
+def b99_variant_extract(spark, sf_dir):
+    """Semi-structured analytics through the VARIANT type (Spark 4's
+    binary JSON): props parses ONCE into variant and fields extract
+    with typed paths -- unlike per-access get_json_object string
+    re-parsing (A4/b33's lane), the open-format answer to schema
+    drift: ingest keeps every field, queries bind types at read. At
+    100 TB the parse is a narrow map and shredded variant columns
+    carry only the accessed paths through the shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("k_total"),
+        F.max(k).alias("k_max"),
+    )
+
+
+_RECURSIVE_WALK_SQL = V(
+    """
+    , asc_edges AS (
+        SELECT DISTINCT src, dst FROM edges
+        WHERE CAST(src AS BIGINT) < CAST(dst AS BIGINT)
+    ),
+    rseeds AS (
+        SELECT DISTINCT person_id AS id FROM team_member
+        WHERE team_id = '7'
+    ),
+    walk(start_id, node, depth) AS (
+        SELECT id, id, 0 FROM rseeds
+        UNION ALL
+        SELECT w.start_id, e.dst, w.depth + 1
+        FROM walk w JOIN asc_edges e ON e.src = w.node
+        WHERE w.depth < 3
+    )
+    SELECT start_id, depth, COUNT(*) AS n_paths
+    FROM walk GROUP BY start_id, depth
+    """,
+    recursive=True,
+)
+
+
+@register("b100_recursive_sql", _RECURSIVE_WALK_SQL, defer=True)
+def b100_recursive_sql(spark, sf_dir):
+    """RECURSIVE SQL, verbatim both engines (Spark 4's WITH RECURSIVE
+    -- the b47 discipline applied to iteration): ascending-id path
+    counts from the seed team, depth <= 3. The recursion walks a DAG
+    (src < dst numerically), so UNION ALL -- the only recursive-union
+    form Spark supports -- terminates without a dedup step; supporting
+    CTEs use SELECT DISTINCT, never plain UNION, per the
+    WITH RECURSIVE dedup caveat both engines share (views.py
+    oracle_with_views). The DataFrame twins of this shape (bounded
+    BFS, transitive closure with dedup-per-round) remain the 100 TB
+    path -- g13/g12 -- because recursive SQL can't localCheckpoint
+    per round; this certifies the SQL surface itself."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_WALK_SQL)
