@@ -3322,7 +3322,11 @@ def b88_tpch_q2(spark, sf_dir):
     )
     return (
         eligible.join(
-            min_cost.withColumnRenamed("ps_partkey", "mc_partkey"),
+            # one row per part -- broadcastable at any corpus scale
+            # (parts are dimension-sized even when lineitem is 100 TB)
+            F.broadcast(
+                min_cost.withColumnRenamed("ps_partkey", "mc_partkey")
+            ),
             (F.col("ps_partkey") == F.col("mc_partkey"))
             & (F.col("ps_supplycost") == F.col("min_cost")),
         )
