@@ -413,3 +413,22 @@ def test_q20_fused_single_lineitem_pass(spark, sf_small):
     plan = plan_of(spark, sf_small, "b91_tpch_q20")
     assert plan.count("lineitem") == 1, plan
     assert plan.count(") Exchange") <= 2, plan
+
+
+def test_ntile_single_exchange(spark, sf_small):
+    """B93 scale contract: the NTILE window and the per-bin summary
+    agg share ONE exchange (the bin keys extend the window's
+    partitioning) -- a second exchange would mean the summary
+    re-shuffles the fact table."""
+    plan = plan_of(spark, sf_small, "b93_ntile_binning")
+    assert plan.count(") Exchange") == 1, plan
+
+
+def test_interpolate_exchange_budget(spark, sf_small):
+    """B96 scale contract: at most three exchanges -- the daily
+    rollup, the type spine, and ONE serving both anchor windows
+    (prev/next share partitioning and ordering). More means the
+    mirrored window frames stopped sharing their sort."""
+    plan = plan_of(spark, sf_small, "b96_linear_interpolate")
+    assert plan.count(") Exchange") <= 3, plan
+    assert plan.count("SortMergeJoin") == 0, plan
