@@ -165,3 +165,83 @@ def test_merge_max_into_versions_are_monotone(spark, tmp_path):
         }
         assert all(cur.get(k, s) >= s for k, s in prev.items()), v
         prev = cur
+
+
+def test_exactly_once_jdbc_sink_survives_crash_replay(spark, sf_small, tmp_path):
+    """The at-least-once crash window, end-to-end against embedded
+    Derby: the stream crashes AFTER batch 1's data append but BEFORE
+    its commit marker; the restart replays batch 1 from the
+    checkpoint. A naive INSERT sink would now hold batch 1 twice --
+    the epoch-ledger writer must destructively rewrite the replayed
+    batch, then finish the remaining batches, landing EXACTLY the
+    source rows with no duplicate event_ids."""
+    from dgraph_etl_spark.sinks.jdbc_sink import (
+        ensure_sink_tables,
+        exactly_once_jdbc_writer,
+        jdbc_query_long,
+    )
+    from dgraph_etl_spark.streaming.core import (
+        events_stream,
+        time_split_source,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/xonce;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    ensure_sink_tables(
+        spark,
+        url,
+        "sink_events",
+        "sink_ledger",
+        '"event_id" BIGINT, "user_id" BIGINT, "batch_id" BIGINT',
+    )
+    src = time_split_source(sf_small)
+    ckpt = str(tmp_path / "ckpt")
+    hook = {"armed": True}
+
+    def start(fail_hook):
+        ev = events_stream(spark, sf_small, path=src).select(
+            "event_id", "user_id"
+        )
+        return (
+            ev.writeStream.foreachBatch(
+                exactly_once_jdbc_writer(
+                    url,
+                    "sink_events",
+                    "sink_ledger",
+                    "xonce_test",
+                    properties=props,
+                    fail_before_marker_once=fail_hook,
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    import pytest as _pytest
+
+    q = start(hook)
+    with _pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    # crash landed between append and marker: data rows present for the
+    # crashed batch, marker absent
+    assert not hook["armed"]
+    partial = jdbc_query_long(
+        spark, url, 'SELECT COUNT(*) FROM sink_events'
+    )
+    assert partial > 0
+
+    q2 = start({"armed": False})
+    q2.awaitTermination()
+
+    n_src = spark.read.parquet(src).count()
+    n_sink = jdbc_query_long(spark, url, "SELECT COUNT(*) FROM sink_events")
+    n_distinct = jdbc_query_long(
+        spark, url, 'SELECT COUNT(DISTINCT "event_id") FROM sink_events'
+    )
+    assert n_sink == n_src, (n_sink, n_src)
+    assert n_distinct == n_src, (n_distinct, n_src)
+    n_batches = jdbc_query_long(
+        spark, url, "SELECT COUNT(*) FROM sink_ledger"
+    )
+    assert n_batches == 3
