@@ -3025,3 +3025,103 @@ def c58_arrow_norms(spark, sf_dir):
     return emb.mapInArrow(
         norms, "vec_id long, label int, dims int, l2_norm double"
     )
+
+
+@register(
+    "c59_source_centroid_drift",
+    """
+    WITH de AS (
+      SELECT d.source,
+             list_transform(e.embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS qv
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    comp AS (
+      SELECT source, pos, SUM(x) AS s, COUNT(*) AS n
+      FROM (SELECT source, unnest(qv) AS x,
+                   unnest(range(len(qv))) AS pos FROM de)
+      GROUP BY source, pos
+    ),
+    cents AS (
+      SELECT source,
+             list(CAST(FLOOR((2.0 * s + n) / (2.0 * n)) AS BIGINT)
+                  ORDER BY pos) AS cv
+      FROM comp GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           ROUND(
+             CAST(list_sum(list_transform(range(len(a.cv)),
+                    i -> a.cv[i+1] * b.cv[i+1])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(a.cv, x -> x * x))
+                          AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(b.cv, x -> x * x))
+                            AS DOUBLE))), 6) AS centroid_cosine
+    FROM cents a JOIN cents b ON a.source < b.source
+    """,
+    defer=True,
+)
+def c59_source_centroid_drift(spark, sf_dir):
+    """Distribution-shift audit across corpus sources: each source's
+    embedding centroid (fixed-point round-half-up means, the c50
+    discipline -- so the centroids are bit-identical cross-engine)
+    and the pairwise cosine between source centroids. Centroids far
+    apart flag feeds that cover different content than the mixture
+    assumes -- the cheap drift check run before re-weighting (c36/c25)
+    and after every crawl refresh (c31). Shape at 100 TB: one
+    posexplode keyed (source, pos) -- shuffle volume sources x dims
+    regardless of corpus size -- then an all-pairs join over the
+    handful of source centroids."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    emb = _emb(spark, sf_dir)
+    de = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "source",
+        F.transform(
+            S.as_double_array("embedding"),
+            lambda x: F.round(x * 1_000_000).cast("long"),
+        ).alias("qv"),
+    )
+    comp = (
+        de.select("source", F.posexplode("qv").alias("pos", "x"))
+        .groupBy("source", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    cents = comp.withColumn(
+        "m",
+        F.floor((2.0 * F.col("s") + F.col("n")) / (2.0 * F.col("n"))).cast(
+            "long"
+        ),
+    ).groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s_: s_["m"],
+        ).alias("cv")
+    )
+    a = cents.select(
+        F.col("source").alias("source_a"), F.col("cv").alias("cva")
+    )
+    b = cents.select(
+        F.col("source").alias("source_b"), F.col("cv").alias("cvb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("cva"), F.col("cvb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    sq = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    return (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                dot / (sq(F.col("cva")) * sq(F.col("cvb"))), 6
+            ).alias("centroid_cosine"),
+        )
+    )
