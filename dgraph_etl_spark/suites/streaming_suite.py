@@ -1090,3 +1090,61 @@ def s20_stream_transform_with_state(spark, sf_dir):
         F.col("w.n_events").alias("n_events"),
         F.col("w.total_fp").alias("total_fp"),
     )
+
+
+@register(
+    "s21_stream_jdbc_exactly_once",
+    """
+    SELECT event_id, user_id FROM events
+    """,
+    defer=True,
+)
+def s21_stream_jdbc_exactly_once(spark, sf_dir):
+    """The exactly-once JDBC sink end-to-end (sinks/jdbc_sink.py): the
+    3-batch event replay streams through foreachBatch into an embedded
+    Derby table with the in-database epoch ledger, and the DESTINATION
+    TABLE read back over JDBC must equal the source exactly -- no
+    row lost, none duplicated, across 3 ledger-marked batches. (The
+    crash window between data append and commit marker is separately
+    fault-injected in tests/test_sinks.py; here the driver certifies
+    the happy-path content equivalence through a real database.)"""
+    import os
+    import tempfile
+
+    from ..sinks.jdbc_sink import (
+        ensure_sink_tables,
+        exactly_once_jdbc_writer,
+    )
+    from ..streaming.core import time_split_source
+
+    src = time_split_source(sf_dir)
+    root = tempfile.mkdtemp(prefix="s21_xonce_")
+    url = f"jdbc:derby:{root}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    ensure_sink_tables(
+        spark,
+        url,
+        "s21_events",
+        "s21_ledger",
+        '"event_id" BIGINT, "user_id" BIGINT, "batch_id" BIGINT',
+    )
+    ev = events_stream(spark, sf_dir, path=src).select(
+        "event_id", "user_id"
+    )
+    q = (
+        ev.writeStream.foreachBatch(
+            exactly_once_jdbc_writer(
+                url, "s21_events", "s21_ledger", "s21", properties=props
+            )
+        )
+        .option(
+            "checkpointLocation", os.path.join(root, "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.jdbc(url, "s21_events", properties=props)
+        .select("event_id", "user_id")
+    )
