@@ -4109,3 +4109,72 @@ def b100_recursive_sql(spark, sf_dir):
     per round; this certifies the SQL surface itself."""
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_WALK_SQL)
+
+
+@register(
+    "b101_dynamic_gap_sessions",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'purchase' THEN 1800000000
+                  ELSE 600000000 END AS gap_us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, ts_us, gap_us,
+             MAX(ts_us + gap_us) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_end
+      FROM ev
+    ),
+    brk AS (
+      SELECT user_id, event_id, ts_us, gap_us,
+             CASE WHEN prev_max_end IS NULL OR ts_us >= prev_max_end
+                  THEN 1 ELSE 0 END AS b
+      FROM marked
+    ),
+    grouped AS (
+      SELECT user_id, ts_us, gap_us,
+             SUM(b) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+      FROM brk
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us + gap_us) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM grouped GROUP BY user_id, sess
+    """,
+    defer=True,
+)
+def b101_dynamic_gap_sessions(spark, sf_dir):
+    """B37 dynamic form: session windows whose gap depends on the
+    EVENT (purchases hold a session open 30 minutes, everything else
+    10) -- the engagement model static gaps can't express. Each event
+    claims the interval [ts, ts+gap); overlapping claims union into a
+    session, end = the max claimed end. Spark's session_window with a
+    gap EXPRESSION implements exactly that interval-union; the oracle
+    replays it as a gaps-and-islands pass (running max of claimed
+    ends, break where an event starts at-or-after it -- session ends
+    are exclusive). One exchange keyed by user on both sides; total
+    ordering by (ts, event_id) keeps tied timestamps
+    engine-identical."""
+    ev = _t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )
