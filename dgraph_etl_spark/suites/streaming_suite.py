@@ -1148,3 +1148,67 @@ def s21_stream_jdbc_exactly_once(spark, sf_dir):
         spark.read.jdbc(url, "s21_events", properties=props)
         .select("event_id", "user_id")
     )
+
+
+@register(
+    "s22_stream_dynamic_sessions",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'purchase' THEN 1800000000
+                  ELSE 600000000 END AS gap_us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, ts_us, gap_us,
+             MAX(ts_us + gap_us) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_end
+      FROM ev
+    ),
+    brk AS (
+      SELECT user_id, event_id, ts_us, gap_us,
+             CASE WHEN prev_max_end IS NULL OR ts_us >= prev_max_end
+                  THEN 1 ELSE 0 END AS b
+      FROM marked
+    ),
+    grouped AS (
+      SELECT user_id, ts_us, gap_us,
+             SUM(b) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+      FROM brk
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us + gap_us) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM grouped GROUP BY user_id, sess
+    """,
+    defer=True,
+)
+def s22_stream_dynamic_sessions(spark, sf_dir):
+    """B37 dynamic form AS A STREAM: b101's event-dependent session
+    gaps (purchases hold 30 min, else 10) maintained in streaming
+    session-window state -- Spark merges overlapping per-event claims
+    incrementally in the state store instead of over a sorted
+    partition. Single-file source => one availableNow batch => no
+    mid-stream eviction, so the complete-mode result equals the batch
+    interval-union and the same gaps-and-islands oracle certifies
+    both (the s01/s11 stream-batch-equivalence discipline)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", _WM)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    agg = ev.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = run_to_memory(agg, "complete", "s22_dynsession")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias(
+            "session_start_us"
+        ),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        "n_events",
+    )
