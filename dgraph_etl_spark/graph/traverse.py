@@ -558,3 +558,63 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
             ).alias("avg_neighbor_degree"),
         )
     )
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    round_dp: int = 6,
+) -> DataFrame:
+    """PageRank with EDGE-WEIGHTED transition probabilities: a node
+    splits its rank over out-edges proportionally to their scores
+    (the reference's edge scores as random-walk affinities) instead
+    of uniformly -- rank flows along strong relationships. Same
+    two-shuffle power-iteration round as ``pagerank``; out-degree
+    becomes out-WEIGHT (one agg, reused every round), dangling mass
+    (nodes with no out-edges) redistributes uniformly as before.
+    Zero-weight out-edges contribute nothing but their node is still
+    non-dangling -- matching the share formula exactly."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates(["node"])
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_w = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("score").alias("out_w")
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    e = edges.select("src", "dst", "score").localCheckpoint()
+    for _ in range(n_iter):
+        contrib_src = ranks.join(out_w, "node", "left")
+        dangling = contrib_src.filter(F.col("out_w").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
+        )
+        contribs = (
+            e.join(
+                contrib_src.filter(F.col("out_w").isNotNull()).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("out_w")).alias("runit"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("runit") * F.col("score")).alias("in_share"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("mass") / F.lit(float(n))
+                    + F.lit(damping)
+                    * F.coalesce(F.col("in_share"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", round_dp).alias("rank"))

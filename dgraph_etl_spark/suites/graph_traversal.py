@@ -981,3 +981,59 @@ def g25_personalized_pagerank(spark, sf_dir):
     edges, team_member, _ = _graph_inputs(spark, sf_dir)
     seeds = G.team_seed(team_member, TEAM)
     return G.personalized_pagerank(edges, seeds, n_iter=10, round_dp=6)
+
+
+def _wpr_oracle_sql(n_iter: int = 10, d: float = 0.85) -> str:
+    """Weighted PageRank unrolled, mirroring traverse.weighted_pagerank
+    term-for-term: out-WEIGHT replaces out-degree and each edge
+    carries rank * score / out_w. Same unrolling and rounding
+    discipline as _pagerank_oracle_sql."""
+    parts = [
+        """
+, wnodes AS MATERIALIZED (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+wcnt AS MATERIALIZED (SELECT COUNT(*) AS n FROM wnodes),
+woutw AS MATERIALIZED (
+    SELECT src AS node, SUM(score) AS w FROM edges GROUP BY src
+),
+w0 AS MATERIALIZED (
+    SELECT node, 1.0 / (SELECT n FROM wcnt) AS rank FROM wnodes
+)
+"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+, w{i} AS MATERIALIZED (
+    SELECT n.node,
+           (1.0 - {d}) / (SELECT n FROM wcnt)
+           + {d} * (SELECT COALESCE(SUM(r.rank), 0.0)
+                    FROM w{i - 1} r LEFT JOIN woutw o ON r.node = o.node
+                    WHERE o.node IS NULL)
+                 / CAST((SELECT n FROM wcnt) AS DOUBLE)
+           + {d} * COALESCE(c.in_share, 0.0) AS rank
+    FROM wnodes n
+    LEFT JOIN (
+        SELECT e.dst AS node,
+               SUM((r.rank / o.w) * e.score) AS in_share
+        FROM edges e
+        JOIN w{i - 1} r ON e.src = r.node
+        JOIN woutw o ON e.src = o.node
+        GROUP BY e.dst
+    ) c ON n.node = c.node
+)
+""")
+    parts.append(f"SELECT node, ROUND(rank, 6) AS rank FROM w{n_iter}")
+    return V("".join(parts))
+
+
+@register("g26_weighted_pagerank", _wpr_oracle_sql(), defer=True)
+def g26_weighted_pagerank(spark, sf_dir):
+    """PageRank over the SCORED graph: each node splits its rank over
+    out-edges proportionally to their scores -- the reference's edge
+    scores as random-walk affinities, so rank flows along strong
+    relationships (vs g10's structure-only ranks and g25's
+    seed-proximity). Oracle: the weighted iteration unrolled as
+    chained CTEs, 6-dp rounded."""
+    edges, _, _ = _graph_inputs(spark, sf_dir)
+    return G.weighted_pagerank(edges, n_iter=10, round_dp=6)
