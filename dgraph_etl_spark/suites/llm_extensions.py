@@ -3125,3 +3125,66 @@ def c59_source_centroid_drift(spark, sf_dir):
             ).alias("centroid_cosine"),
         )
     )
+
+
+@register(
+    "c60_bpe_merge_pairs",
+    """
+    WITH words AS (
+      SELECT tok, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY tok
+    ),
+    chars AS (
+      SELECT tok, freq, i,
+             substr(tok, i, 1) AS a, substr(tok, i + 1, 1) AS b
+      FROM words, LATERAL (
+        SELECT unnest(range(1, length(tok))) AS i
+      )
+      WHERE length(tok) >= 2
+    )
+    SELECT a || b AS pair,
+           CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM chars
+    GROUP BY a || b
+    ORDER BY pair_count DESC, pair LIMIT 20
+    """,
+    defer=True,
+)
+def c60_bpe_merge_pairs(spark, sf_dir):
+    """The first BPE training iteration: adjacent-character pair
+    counts weighted by word frequency -- the statistic whose argmax
+    becomes the tokenizer's first merge rule (then re-count, merge,
+    repeat). The missing primitive between c35 (vocab coverage of an
+    EXISTING tokenizer) and c49 (fertility of one): this is where a
+    tokenizer comes FROM. Shape at 100 TB: the word-frequency table
+    (one token hash agg) is already tiny vs the corpus; character
+    pairs explode from IT, not from raw text -- each unique word
+    contributes its pairs once, weighted, so the pair count shuffle
+    is vocabulary-sized. Top-20 via TakeOrderedAndProject. Later
+    iterations re-run the same plan over the merged symbol stream."""
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("tok") >= 2)
+    )
+    # substring with a dynamic start needs the SQL expression form
+    # (the F.substring helper takes literal ints only)
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+    )
