@@ -108,3 +108,54 @@ def metadata_only_stats(media: DataFrame) -> DataFrame:
         F.sum("meta.n_bytes").alias("total_bytes"),
         F.max("meta.n_bytes").alias("max_bytes"),
     )
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, byte_off bigint, frame_md5 string"
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_size: int = 32,
+    stride: int = 64,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Video frame-sampling plumbing: every ``stride`` bytes, slice a
+    ``frame_size``-byte "frame" from the opaque media blob (up to
+    ``max_frames`` per asset) and emit its digest. The SLICE is the
+    deterministic stand-in for the codec's keyframe extraction -- a
+    real deployment swaps the slice for pyav/ffmpeg frame decode
+    without touching the dataflow, exactly like extract_features'
+    decoder injection.
+
+    The Spark-side machinery is the production shape: mapInPandas
+    streams Arrow batches (one batch of blobs in memory per task,
+    never the whole partition), the output is a narrow explode (rows
+    multiply ~max_frames x but carry digests, not frames), and
+    upstream metadata filters prune whole assets before any byte is
+    touched. Certified byte-exact: the oracle recomputes the same
+    slices from the source text the media table was staged from."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "byte_off": [],
+                "frame_md5": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                n = len(blob)
+                for idx in range(max_frames):
+                    off = idx * stride
+                    if off + frame_size > n:
+                        break
+                    frame = bytes(blob[off : off + frame_size])
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["byte_off"].append(off)
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media").mapInPandas(run, FRAME_SCHEMA)

@@ -3188,3 +3188,28 @@ def c60_bpe_merge_pairs(spark, sf_dir):
         .orderBy(F.desc("pair_count"), "pair")
         .limit(20)
     )
+
+
+@register(
+    "c61_frame_sampling",
+    """
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * 64 AS BIGINT) AS byte_off,
+           md5(substr(text, i * 64 + 1, 32)) AS frame_md5
+    FROM (SELECT doc_id, text, length(text) AS n FROM documents),
+         LATERAL (SELECT unnest(range(0, 4)) AS i)
+    WHERE i * 64 + 32 <= n
+    """,
+    defer=True,
+)
+def c61_frame_sampling(spark, sf_dir):
+    """C9 frame-sampling lane: fixed-stride 32-byte "frames" sliced
+    from each media blob (4 max) through the real mapInPandas batch
+    machinery -- the deterministic stand-in for keyframe extraction,
+    certified byte-exact against the text the media table is staged
+    from (the fixture is ASCII, so char offsets == byte offsets in
+    the oracle). functions/multimodal.py sample_frames documents the
+    pyav/ffmpeg swap-in."""
+    media = M.to_media_table(_docs(spark, sf_dir))
+    return M.sample_frames(media)
