@@ -159,3 +159,40 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "media").mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, orig_bytes bigint, resized_bytes bigint, "
+    "resized_md5 string"
+)
+
+
+def resize_media(media: DataFrame, factor: int = 4) -> DataFrame:
+    """Image-resize plumbing: downsample each blob by keeping every
+    ``factor``-th byte -- the deterministic stand-in for a real
+    Pillow/thumbnail resample (swap the slice for
+    ``Image.open(...).resize(...)`` without touching the dataflow).
+    Emits the resized payload's size and digest; the full resized
+    blob would flow the same way as a binary column. Same mapInPandas
+    Arrow-batch discipline as extract_features / sample_frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "orig_bytes": [],
+                "resized_bytes": [],
+                "resized_md5": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                small = b[::factor]
+                out["doc_id"].append(doc_id)
+                out["orig_bytes"].append(len(b))
+                out["resized_bytes"].append(len(small))
+                out["resized_md5"].append(hashlib.md5(small).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media").mapInPandas(run, RESIZE_SCHEMA)

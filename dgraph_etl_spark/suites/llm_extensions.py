@@ -3213,3 +3213,26 @@ def c61_frame_sampling(spark, sf_dir):
     pyav/ffmpeg swap-in."""
     media = M.to_media_table(_docs(spark, sf_dir))
     return M.sample_frames(media)
+
+
+@register(
+    "c62_media_resize",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS orig_bytes,
+           CAST((length(text) + 3) // 4 AS BIGINT) AS resized_bytes,
+           md5(array_to_string(
+             [substr(text, i, 1)
+              for i in range(1, length(text) + 1, 4)], '')) AS resized_md5
+    FROM documents
+    """,
+    defer=True,
+)
+def c62_media_resize(spark, sf_dir):
+    """C9 resize lane: each media blob downsampled 4x (every 4th
+    byte -- the deterministic stand-in for a Pillow resample, swap-in
+    point documented in functions/multimodal.py resize_media) through
+    the same mapInPandas Arrow-batch machinery; size + digest
+    certified byte-exact against the staged source."""
+    media = M.to_media_table(_docs(spark, sf_dir))
+    return M.resize_media(media)
