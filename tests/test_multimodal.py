@@ -74,3 +74,46 @@ def test_metadata_query_never_reads_blob_column(spark, sf_small):
     ]
     assert read_schema and all("media" not in ln for ln in read_schema), plan
     assert stats.collect()[0].n_items == media.count()
+
+
+def test_frame_sampling_offsets_and_caps(spark, sf_small):
+    """Frames start at exact stride multiples, never overrun the blob,
+    and cap at max_frames; a blob shorter than one frame yields no
+    rows (not a short frame)."""
+    from dgraph_etl_spark.functions.multimodal import sample_frames
+
+    media = _media(spark, sf_small)
+    frames = sample_frames(media, frame_size=32, stride=64, max_frames=4)
+    rows = frames.collect()
+    assert rows
+    sizes = {
+        r["doc_id"]: r["meta"]["n_bytes"] for r in media.collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.byte_off % 64 == 0
+        assert r.byte_off + 32 <= sizes[r.doc_id]
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for doc, idxs in per_doc.items():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense from 0
+        assert len(idxs) <= 4
+    for doc, n in sizes.items():
+        if n < 32:
+            assert doc not in per_doc
+
+
+def test_resize_preserves_every_kth_byte(spark, sf_small):
+    """The resized digest equals md5 of blob[::4] computed locally --
+    the plumbing moves exactly the bytes the stand-in defines."""
+    import hashlib
+
+    from dgraph_etl_spark.functions.multimodal import resize_media
+
+    media = _media(spark, sf_small)
+    out = {r.doc_id: r for r in resize_media(media, factor=4).collect()}
+    for r in media.limit(20).collect():
+        b = bytes(r["media"])
+        got = out[r["doc_id"]]
+        assert got.orig_bytes == len(b)
+        assert got.resized_bytes == len(b[::4])
+        assert got.resized_md5 == hashlib.md5(b[::4]).hexdigest()
