@@ -569,3 +569,45 @@ def b86_scroll_source_scan(spark, sf_dir):
         .alias("sum_raw_in"),
         F.max("last_update_us").alias("max_lu_us"),
     )
+
+
+@register(
+    "a27_rdf_roundtrip",
+    V("SELECT src, dst, score FROM edges"),
+    defer=True,
+)
+def a27_rdf_roundtrip(spark, sf_dir):
+    """EP2 closed end-to-end: the edge triples are WRITTEN as N-Quads
+    text (A18's actual sink, reference cmd/bulk/main.go's bulk-export
+    contract), read back through Spark's text source, and PARSED back
+    into (src, dst, score) -- which must equal the edges view exactly.
+    This certifies what a18's in-memory triple set cannot: that the
+    serialized file format itself round-trips losslessly (the property
+    the reference's downstream bulk loader depends on). Regex parsing
+    is JVM codegen (regexp_extract), the text scan splits by file like
+    any 100 TB export; scores are integral by construction (MAX over
+    int-cast raw scores) so the bigint facet rebuilds the double
+    exactly."""
+    import os
+    import tempfile
+
+    register_views(spark, sf_dir)
+    triples = R.edge_triples(spark.table("edges"))
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir))
+        + f"_{st.st_mtime_ns}_{st.st_size}"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"dgraph_etl_rdfrt_{tag}")
+    if not os.path.isdir(path):
+        R.write_rdf(triples, path)
+    lines = spark.read.text(path)
+    pat = r"^_:(\S+) <has_connection> _:(\S+) \(score=(-?\d+)\) \.$"
+    return lines.select(
+        F.regexp_extract("value", pat, 1).alias("src"),
+        F.regexp_extract("value", pat, 2).alias("dst"),
+        F.regexp_extract("value", pat, 3)
+        .cast("bigint")
+        .cast("double")
+        .alias("score"),
+    )
