@@ -4178,3 +4178,75 @@ def b101_dynamic_gap_sessions(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "b102_time_rollup_cascade",
+    """
+    WITH minutely AS (
+      SELECT event_type, time_bucket(INTERVAL 1 MINUTE, ts) AS bkt,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+               AS v_fp
+      FROM events GROUP BY 1, 2
+    ),
+    hourly AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, bkt) AS bkt,
+             CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(v_fp) AS BIGINT) AS v_fp
+      FROM minutely GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT event_type, time_bucket(INTERVAL 1 DAY, bkt) AS bkt,
+             CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(v_fp) AS BIGINT) AS v_fp
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT 'hour' AS lvl, event_type, epoch_us(bkt) AS bucket_us, n, v_fp
+    FROM hourly
+    UNION ALL
+    SELECT 'day' AS lvl, event_type, epoch_us(bkt) AS bucket_us, n, v_fp
+    FROM daily
+    """,
+    defer=True,
+)
+def b102_time_rollup_cascade(spark, sf_dir):
+    """Hypertable-style continuous-aggregate cascade: hourly rollups
+    re-aggregate the MINUTELY level and daily re-aggregates hourly --
+    raw events are read once, at the finest grain, and every coarser
+    resolution derives from the level below (the TSDB pattern that
+    makes a year of history queryable at any resolution without
+    rescanning facts; b70 is the incremental-refresh half, this is
+    the resolution ladder). Only re-aggregatable state climbs the
+    ladder -- counts and fixed-point sums here; avg derives at read
+    time, and the b59/b69 sketches slot in for distincts/percentiles.
+    The oracle computes the same cascade; equality with DIRECT
+    per-level aggregation holds by associativity and is what the
+    fixed-point representation guarantees cross-engine. Spark shape:
+    one fact shuffle (the minutely agg); each subsequent level
+    shuffles only the previous level's rows."""
+    ev = _t(spark, sf_dir, "events")
+    minutely = ev.groupBy(
+        "event_type",
+        F.date_trunc("minute", F.col("ts")).alias("bkt"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(ROUND(value * 1000000, 0) AS BIGINT)")).alias(
+            "v_fp"
+        ),
+    )
+    hourly = minutely.groupBy(
+        "event_type", F.date_trunc("hour", F.col("bkt")).alias("bkt")
+    ).agg(F.sum("n").alias("n"), F.sum("v_fp").alias("v_fp"))
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", F.col("bkt")).alias("bkt")
+    ).agg(F.sum("n").alias("n"), F.sum("v_fp").alias("v_fp"))
+
+    def lvl(df, name):
+        return df.select(
+            F.lit(name).alias("lvl"),
+            "event_type",
+            F.unix_micros("bkt").alias("bucket_us"),
+            "n",
+            "v_fp",
+        )
+
+    return lvl(hourly, "hour").unionByName(lvl(daily, "day"))
