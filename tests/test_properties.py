@@ -775,3 +775,33 @@ def test_c57_pq_recall_vs_brute_force(spark, sf_small):
     exact = {r.vec_id for r in brute_topk(emb, qv, k=10).collect()}
     approx = {r.vec_id for r in pq_topk(emb, qv, k=10).collect()}
     assert len(exact & approx) >= 5
+
+
+@given(
+    st.integers(0, 255),
+    st.integers(0, 255),
+    st.integers(0, 255),
+    st.integers(0, 255),
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_z_address_locality_and_bijection(spark, a1, b1, a2, b2):
+    """Z-address invariants that make footer-stat skipping work:
+    monotone in each dimension when the other is fixed (so a file's
+    zkey range bounds each dimension's range), and bijective over the
+    8-bit x 8-bit grid (no two cells collide)."""
+    from dgraph_etl_spark.sinks.layout import z_address
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(a1, b1), (a2, b2)], "a long, b long"
+    ).select(z_address(F.col("a"), F.col("b"), bits=8).alias("z"), "a", "b")
+    rows = {(r.a, r.b): r.z for r in df.collect()}
+    z1, z2 = rows[(a1, b1)], rows[(a2, b2)]
+    if (a1, b1) == (a2, b2):
+        assert z1 == z2
+    else:
+        assert z1 != z2  # bijection
+    if b1 == b2 and a1 < a2:
+        assert z1 < z2  # monotone in a with b fixed
+    if a1 == a2 and b1 < b2:
+        assert z1 < z2  # monotone in b with a fixed
