@@ -3236,3 +3236,68 @@ def c62_media_resize(spark, sf_dir):
     certified byte-exact against the staged source."""
     media = M.to_media_table(_docs(spark, sf_dir))
     return M.resize_media(media)
+
+
+@register(
+    "c63_ivfpq_topk",
+    "WITH "
+    + _kmeans_ctes(_KM_K, _KM_ITER, _KM_SCALE)
+    + ","
+    + S.pq_oracle_ctes()
+    + f"""
+    , ivfq AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT))
+             AS qint
+      FROM embeddings WHERE vec_id = 0
+    ),
+    ivfprobe AS (
+      SELECT cell FROM (
+        SELECT c.cell,
+               ROUND(
+                 CAST(list_sum(list_transform(range(len(c.cv)),
+                        i -> c.cv[i+1] * q.qint[i+1])) AS DOUBLE)
+                 / (sqrt(CAST(list_sum(list_transform(c.cv,
+                        x -> x * x)) AS DOUBLE))
+                    * sqrt(CAST(list_sum(list_transform(q.qint,
+                        x -> x * x)) AS DOUBLE))), 6) AS csim
+        FROM c{_KM_ITER} c CROSS JOIN ivfq q
+      ) t ORDER BY csim DESC, cell LIMIT {_KM_NPROBE}
+    ),
+    ivfpq_cands AS (
+      SELECT k.vec_id,
+             CAST(SUM(a.pdot) AS DOUBLE)
+             / (sqrt(CAST(GREATEST(SUM(a.pnorm), 1) AS DOUBLE))
+                * sqrt(CAST((SELECT qn FROM pqqnorm) AS DOUBLE)))
+               AS adc_sim
+      FROM pqcodes k
+      JOIN pqadc a ON k.m = a.m AND k.code = a.code
+      JOIN af ON af.vec_id = k.vec_id
+      WHERE af.cell IN (SELECT cell FROM ivfprobe)
+      GROUP BY k.vec_id
+      ORDER BY adc_sim DESC, k.vec_id LIMIT {S.IVFPQ_TOPC}
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        qv.qvec::DOUBLE[]), 4) AS sim
+    FROM embeddings e
+    JOIN ivfpq_cands c ON e.vec_id = c.vec_id
+    CROSS JOIN (SELECT embedding AS qvec FROM embeddings
+                WHERE vec_id = 0) qv
+    ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+    defer=True,
+)
+def c63_ivfpq_topk(spark, sf_dir):
+    """The production ANN composition (FAISS IVFPQ shape),
+    hash-certified: the learned k-means coarse quantizer prunes to
+    ~nprobe/ncells of the corpus, PQ codes ADC-score only the probed
+    cells, exact cosine re-ranks the top-30. Per-query byte cost:
+    (nprobe/ncells) x 8 bytes/vector + 30 floats -- IVF cuts WHAT is
+    scanned, PQ cuts how much each scanned row costs. All fixed-point
+    integer, so the composition certifies against the two unrolled
+    oracles JOINED (functions/similarity.py ivfpq_topk documents the
+    residual-encoding variant's drop-in point)."""
+    return S.ivfpq_topk(
+        _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10
+    )

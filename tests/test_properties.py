@@ -805,3 +805,28 @@ def test_z_address_locality_and_bijection(spark, a1, b1, a2, b2):
         assert z1 < z2  # monotone in a with b fixed
     if a1 == a2 and b1 < b2:
         assert z1 < z2  # monotone in b with a fixed
+
+
+def test_c63_ivfpq_recall_vs_brute_force(spark, sf_small):
+    """IVFPQ prunes twice: the coarse probe bounds achievable recall
+    (nprobe/ncells of the corpus is visible at all), and the PQ codes
+    may lose a little more within it. Assert both halves separately:
+    the composition recovers a meaningful share of the exact top-10,
+    AND the PQ stage costs at most 2 hits versus IVF-only over the
+    SAME probe (isolating what the codes add)."""
+    from dgraph_etl_spark.catalog import register_views
+    from dgraph_etl_spark.functions.similarity import (
+        ivf_kmeans_topk,
+        ivfpq_topk,
+    )
+
+    register_views(spark, sf_small)
+    emb = spark.table("embeddings")
+    qv = emb.filter("vec_id = 0").selectExpr("embedding AS qvec")
+    exact = {r.vec_id for r in brute_topk(emb, qv, k=10).collect()}
+    ivf_only = {
+        r.vec_id for r in ivf_kmeans_topk(emb, qv, k=10).collect()
+    }
+    composed = {r.vec_id for r in ivfpq_topk(emb, qv, k=10).collect()}
+    assert len(exact & composed) >= 3
+    assert len(exact & composed) >= len(exact & ivf_only) - 2
