@@ -4250,3 +4250,83 @@ def b102_time_rollup_cascade(spark, sf_dir):
         )
 
     return lvl(hourly, "hour").unionByName(lvl(daily, "day"))
+
+
+@register(
+    "b103_time_weighted_avg",
+    """
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             epoch_us(ts) // 1000000 AS t_s,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             event_id
+      FROM events
+    ),
+    stepped AS (
+      SELECT event_type, d, cents,
+             COALESCE(
+               LEAD(t_s) OVER (PARTITION BY event_type, d
+                               ORDER BY t_s, event_id),
+               epoch_us(CAST(d + INTERVAL 1 DAY AS TIMESTAMP)) // 1000000
+             ) - t_s AS dur_s
+      FROM ev
+    )
+    SELECT event_type, epoch_us(CAST(d AS TIMESTAMP)) AS day_us,
+           CAST(SUM(dur_s) AS BIGINT) AS covered_s,
+           CAST(SUM(cents * dur_s) AS BIGINT) AS weighted_cents_s,
+           ROUND(CAST(SUM(cents * dur_s) AS DOUBLE)
+                 / SUM(dur_s) / 100.0, 6) AS twa_value
+    FROM stepped GROUP BY event_type, d
+    """,
+    defer=True,
+)
+def b103_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average over IRREGULAR samples -- the gauge
+    statistic where the plain AVG lies (a value that held for 6 hours
+    must outweigh one that held for a second): each reading holds
+    until the next one in its (type, day) partition (step-function
+    integral; the day's last reading extends to midnight). All
+    arithmetic is integer cents x integer seconds -- products bounded
+    far under 2^63 -- so the integral and its final division are
+    engine-exact. Spark shape: ONE exchange keyed by (type, day)
+    serves both the LEAD window and the aggregation (the agg keys
+    extend the window partitioning); at 100 TB this is the same
+    one-shuffle discipline as sessionize."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        (F.unix_micros("ts") / 1_000_000).cast("long").alias("t_s"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    w = Wnd.partitionBy("event_type", "d").orderBy("t_s", "event_id")
+    day_end = (
+        F.unix_micros(
+            F.date_add(F.col("d"), 1).cast("timestamp")
+        )
+        / 1_000_000
+    ).cast("long")
+    stepped = ev.select(
+        "event_type",
+        "d",
+        "cents",
+        (
+            F.coalesce(F.lead("t_s").over(w), day_end) - F.col("t_s")
+        ).alias("dur_s"),
+    )
+    return stepped.groupBy("event_type", "d").agg(
+        F.sum("dur_s").alias("covered_s"),
+        F.sum(F.col("cents") * F.col("dur_s")).alias("weighted_cents_s"),
+        F.round(
+            F.sum(F.col("cents") * F.col("dur_s")).cast("double")
+            / F.sum("dur_s")
+            / 100.0,
+            6,
+        ).alias("twa_value"),
+    ).select(
+        "event_type",
+        F.unix_micros(F.col("d").cast("timestamp")).alias("day_us"),
+        "covered_s",
+        "weighted_cents_s",
+        "twa_value",
+    )
