@@ -4330,3 +4330,55 @@ def b103_time_weighted_avg(spark, sf_dir):
         "weighted_cents_s",
         "twa_value",
     )
+
+
+@register(
+    "b104_bag_set_ops",
+    """
+    WITH a AS (
+      SELECT l_suppkey AS k, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    b AS (
+      SELECT l_suppkey AS k, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem WHERE l_linestatus = 'F'
+    ),
+    ex AS (SELECT 'except_all' AS op, k, q FROM (
+             SELECT k, q FROM a EXCEPT ALL SELECT k, q FROM b)),
+    inx AS (SELECT 'intersect_all' AS op, k, q FROM (
+             SELECT k, q FROM a INTERSECT ALL SELECT k, q FROM b))
+    SELECT op, k, q, COUNT(*) AS multiplicity
+    FROM (SELECT * FROM ex UNION ALL SELECT * FROM inx)
+    GROUP BY op, k, q
+    """,
+    defer=True,
+)
+def b104_bag_set_ops(spark, sf_dir):
+    """B25/B26's BAG-semantics siblings: EXCEPT ALL and INTERSECT ALL
+    preserve multiplicities (a row occurring 5 times in A and 2 in B
+    survives EXCEPT ALL 3 times, INTERSECT ALL 2) -- the semantics
+    reconciliation and audit queries actually need (set-EXCEPT hides
+    duplicate-count drift entirely). Both engines implement the SQL
+    standard's max(m-n,0)/min(m,n) rule; the result is emitted as
+    (row, multiplicity) so the hash comparison pins the COUNTS, not
+    just membership. Spark plans these as a single hash aggregation
+    over tagged counts per side -- one shuffle each, no sort, no
+    join."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("k"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    b = li.filter(F.col("l_linestatus") == "F").select(
+        F.col("l_suppkey").alias("k"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    ex = a.exceptAll(b).select(F.lit("except_all").alias("op"), "k", "q")
+    inx = a.intersectAll(b).select(
+        F.lit("intersect_all").alias("op"), "k", "q"
+    )
+    return (
+        ex.unionByName(inx)
+        .groupBy("op", "k", "q")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )
