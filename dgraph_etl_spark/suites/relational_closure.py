@@ -4382,3 +4382,84 @@ def b104_bag_set_ops(spark, sf_dir):
         .groupBy("op", "k", "q")
         .agg(F.count(F.lit(1)).alias("multiplicity"))
     )
+
+
+@register(
+    "b105_cdc_apply",
+    """
+    WITH base AS (
+      SELECT doc_id, text, source FROM documents
+    ),
+    changes AS (
+      -- the deterministic change feed: updates, deletes, inserts
+      SELECT doc_id, 'U' AS op,
+             'rev2: ' || text AS text, source
+      FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id, 'D' AS op, NULL AS text, NULL AS source
+      FROM documents WHERE doc_id % 13 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'I' AS op,
+             'new: ' || text AS text, source
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+           COALESCE(c.text, b.text) AS text,
+           COALESCE(c.source, b.source) AS source
+    FROM base b
+    FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+    defer=True,
+)
+def b105_cdc_apply(spark, sf_dir):
+    """The APPLY half of change-data-capture (c31 computes diffs;
+    this consumes one): a keyed change feed of inserts / updates /
+    deletes folded into the base snapshot in ONE full-outer join --
+    updates take the change's columns, deletes drop the pair, inserts
+    survive as right-only rows, untouched rows pass through. The
+    b49-upsert/b48-SCD2 family's third member, and exactly what a
+    foreachBatch sink does per micro-batch against a lakehouse table
+    (s09). One shuffle on the key; at 100 TB the change feed is
+    day-partition-pruned so the outer join touches only affected
+    partitions. The feed here is derived deterministically from the
+    fixture so both engines fold the identical changes."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    upd = (
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0))
+        .select(
+            "doc_id",
+            F.lit("U").alias("op"),
+            F.concat(F.lit("rev2: "), F.col("text")).alias("text"),
+            "source",
+        )
+    )
+    dele = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    ins = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("new: "), F.col("text")).alias("text"),
+        "source",
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    b, c = docs.alias("b"), changes.alias("c")
+    return (
+        b.join(c, F.col("b.doc_id") == F.col("c.doc_id"), "full_outer")
+        .filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            F.coalesce(F.col("c.doc_id"), F.col("b.doc_id")).alias(
+                "doc_id"
+            ),
+            F.coalesce(F.col("c.text"), F.col("b.text")).alias("text"),
+            F.coalesce(F.col("c.source"), F.col("b.source")).alias(
+                "source"
+            ),
+        )
+    )
