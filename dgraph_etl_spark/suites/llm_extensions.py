@@ -3301,3 +3301,161 @@ def c63_ivfpq_topk(spark, sf_dir):
     return S.ivfpq_topk(
         _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10
     )
+
+
+@register(
+    "c64_containment_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+3], ' ')
+                            for i in range(1, greatest(len(t) - 3, 1) + 1)])
+               AS gs
+      FROM toks
+    ),
+    exploded AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exploded GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common, sa.sz AS size_a,
+           ROUND(CAST(i.n_common AS DOUBLE) / sa.sz, 4) AS containment
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+    WHERE ROUND(CAST(i.n_common AS DOUBLE) / sa.sz, 4) >= 0.8
+    """,
+    defer=True,
+)
+def c64_containment_pairs(spark, sf_dir):
+    """ASYMMETRIC near-dup detection: containment |A∩B| / |A| over
+    distinct 4-gram shingles -- the measure that catches "B quotes
+    all of A" (a short doc mirrored inside a long one), which
+    size-normalized Jaccard (c02) scores near zero. Ordered pairs,
+    both directions: A-contained-in-B and B-contains-A are different
+    facts. Shape: one shingle-keyed equi-join generates only pairs
+    that actually share a shingle (never all-pairs), one hash agg per
+    ordered pair, sizes broadcast back. At 100 TB the join key is the
+    shingle hash and hot boilerplate shingles are dropped first (the
+    c27/c32 screen) exactly as in cross-source overlap (c30)."""
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(t) - 3, F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 4)),
+            )
+        ).alias("gs"),
+    )
+    exploded = grams.select("doc_id", F.explode("gs").alias("g"))
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")),
+            "doc_a",
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common").cast("double") / F.col("sz"), 4),
+        )
+        .filter(F.col("containment") >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("sz").alias("size_a"),
+            "containment",
+        )
+    )
+
+
+@register(
+    "c65_lexical_retrieval",
+    """
+    WITH corpus AS (SELECT COUNT(*) AS n FROM documents),
+    qterms AS (
+      SELECT unnest(['table', 'scan', 'fast']) AS term
+    ),
+    tf AS (
+      SELECT d.doc_id, tok.t AS term, COUNT(*) AS tf
+      FROM documents d,
+           LATERAL (SELECT unnest(string_split(d.text, ' ')) AS t) tok
+      JOIN qterms q ON tok.t = q.term
+      GROUP BY d.doc_id, tok.t
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    )
+    SELECT t.doc_id,
+           CAST(SUM(CAST(ROUND(
+             (t.tf * CAST((SELECT n FROM corpus) AS DOUBLE) / f.df)
+             * 1000000, 0) AS BIGINT)) AS BIGINT) AS score_fp
+    FROM tf t JOIN df f ON t.term = f.term
+    GROUP BY t.doc_id
+    ORDER BY score_fp DESC, t.doc_id LIMIT 20
+    """,
+    defer=True,
+)
+def c65_lexical_retrieval(spark, sf_dir):
+    """SPARSE retrieval -- the lexical baseline next to the dense ANN
+    family (c04/c51/c57/c63): documents scored for a fixed term query
+    by tf x linear idf (N/df). Deliberately LINEAR idf, not log: ln()
+    is not correctly-rounded cross-engine (see bigram_plausibility),
+    and for a fixed small query the ranking is idf-monotone either
+    way; scores are fixed-point longs so the top-20 is hash-exact.
+    Shape at 100 TB: the corpus scan keeps ONLY postings matching the
+    broadcast query terms (an inverted index replaces the scan in a
+    serving deployment -- this is the query-time math on top of it),
+    df is a 3-row aggregate, one doc-keyed sum, top-k via
+    TakeOrderedAndProject. BM25's saturation/length terms drop into
+    the same expression."""
+    docs = _docs(spark, sf_dir)
+    qterms = ["table", "scan", "fast"]
+    n_corpus = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term").isin(qterms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(ROUND((tf * CAST(n AS DOUBLE) / df)"
+                    " * 1000000, 0) AS BIGINT)"
+                )
+            ).alias("score_fp")
+        )
+        .orderBy(F.desc("score_fp"), "doc_id")
+        .limit(20)
+    )
