@@ -3459,3 +3459,128 @@ def c65_lexical_retrieval(spark, sf_dir):
         .orderBy(F.desc("score_fp"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "c66_hybrid_rrf_fusion",
+    """
+    WITH dense AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(list_cosine_similarity(
+                 e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 4) DESC,
+               vec_id) AS rnk
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding AS qvec FROM embeddings
+                  WHERE vec_id = 0) q
+      ORDER BY rnk LIMIT 20
+    ),
+    corpus AS (SELECT COUNT(*) AS n FROM documents),
+    tf AS (
+      SELECT d.doc_id, tok.t AS term, COUNT(*) AS tf
+      FROM documents d,
+           LATERAL (SELECT unnest(string_split(d.text, ' ')) AS t) tok
+      JOIN (SELECT unnest(['table', 'scan', 'fast']) AS term) q
+        ON tok.t = q.term
+      GROUP BY d.doc_id, tok.t
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    sparse AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS rnk
+      FROM (
+        SELECT t.doc_id,
+               CAST(SUM(CAST(ROUND(
+                 (t.tf * CAST((SELECT n FROM corpus) AS DOUBLE) / f.df)
+                 * 1000000, 0) AS BIGINT)) AS BIGINT) AS score_fp
+        FROM tf t JOIN df f ON t.term = f.term
+        GROUP BY t.doc_id
+      ) s ORDER BY rnk LIMIT 20
+    )
+    SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id,
+           d.rnk AS dense_rank, s.rnk AS sparse_rank,
+           ROUND(COALESCE(1.0 / (60 + d.rnk), 0.0)
+                 + COALESCE(1.0 / (60 + s.rnk), 0.0), 6) AS rrf_score
+    FROM dense d FULL OUTER JOIN sparse s ON d.doc_id = s.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+    defer=True,
+)
+def c66_hybrid_rrf_fusion(spark, sf_dir):
+    """HYBRID retrieval: the modern serving stack's fusion step --
+    dense top-20 (exact cosine, c04's path) and sparse top-20 (tf x
+    linear idf, c65's path) merged by reciprocal-rank fusion,
+    score = Σ 1/(60 + rank). RRF needs only RANKS, so it composes any
+    retrievers without score calibration -- and ranks are integers,
+    making the fused ordering hash-exact where score-level fusion
+    would inherit both retrievers' float scales. Each leg's rank
+    window runs over its own top-k (20 rows), never the corpus; the
+    fusion join touches <= 40 rows. doc_id == vec_id links the
+    fixture's two modalities (the c02_embedding_neardup convention)."""
+    from pyspark.sql import Window as Wnd2
+
+    emb, qv = _emb(spark, sf_dir), _query_vec(spark, sf_dir)
+    dense = (
+        S.brute_topk(emb, qv, k=20)
+        .coalesce(1)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Wnd2.orderBy(F.desc("sim"), "vec_id"))
+            .alias("rnk"),
+        )
+    )
+    docs = _docs(spark, sf_dir)
+    qterms = ["table", "scan", "fast"]
+    n_corpus = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term").isin(qterms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    sparse = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(ROUND((tf * CAST(n AS DOUBLE) / df)"
+                    " * 1000000, 0) AS BIGINT)"
+                )
+            ).alias("score_fp")
+        )
+        .orderBy(F.desc("score_fp"), "doc_id")
+        .limit(20)
+        .coalesce(1)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Wnd2.orderBy(F.desc("score_fp"), "doc_id"))
+            .alias("rnk"),
+        )
+    )
+    d, s_ = dense.alias("d"), sparse.alias("s")
+    return (
+        d.join(s_, F.col("d.doc_id") == F.col("s.doc_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("d.doc_id"), F.col("s.doc_id")).alias(
+                "doc_id"
+            ),
+            F.col("d.rnk").alias("dense_rank"),
+            F.col("s.rnk").alias("sparse_rank"),
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("d.rnk")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("s.rnk")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+    )
