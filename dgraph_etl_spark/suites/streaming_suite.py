@@ -1212,3 +1212,122 @@ def s22_stream_dynamic_sessions(spark, sf_dir):
         F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
         "n_events",
     )
+
+
+@register(
+    "s23_stream_cdc_apply",
+    """
+    WITH base AS (
+      SELECT doc_id, text, source FROM documents
+    ),
+    changes AS (
+      SELECT doc_id, 'U' AS op, 'rev2: ' || text AS text, source
+      FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id, 'D' AS op, NULL, NULL
+      FROM documents WHERE doc_id % 13 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, 'I' AS op, 'new: ' || text, source
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+           COALESCE(c.text, b.text) AS text,
+           COALESCE(c.source, b.source) AS source
+    FROM base b
+    FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+    defer=True,
+)
+def s23_stream_cdc_apply(spark, sf_dir):
+    """b105's APPLY as a STREAM: the change feed arrives in
+    micro-batches (the documents replay stands in for a CDC topic;
+    each batch's changes derive from its own rows) and foreachBatch
+    folds each batch into the stored snapshot -- per batch one keyed
+    full-outer fold, exactly the lakehouse MERGE a production sink
+    issues. Batches touch DISJOINT keys here, so the accumulated
+    store must equal the one-shot batch apply bit-for-bit (s09's
+    stream-batch-equivalence discipline for max-merge, applied to
+    I/U/D semantics). CDC family complete: c31 computes diffs, b105
+    applies one, this applies a stream of them."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.core import docs_batched_source
+
+    src = docs_batched_source(sf_dir)
+    root = tempfile.mkdtemp(prefix="s23_cdc_")
+    store = os.path.join(root, "snapshot")
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.table("documents").select(
+        "doc_id", "text", "source"
+    ).write.mode("overwrite").parquet(store)
+    schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def apply_batch(batch_df, epoch_id):
+        sp = batch_df.sparkSession
+        d = batch_df.select("doc_id", "text", "source")
+        upd = d.filter(
+            (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0)
+        ).select(
+            "doc_id",
+            F.lit("U").alias("op"),
+            F.concat(F.lit("rev2: "), F.col("text")).alias("text"),
+            "source",
+        )
+        dele = d.filter(F.col("doc_id") % 13 == 0).select(
+            "doc_id",
+            F.lit("D").alias("op"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("source"),
+        )
+        ins = d.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("I").alias("op"),
+            F.concat(F.lit("new: "), F.col("text")).alias("text"),
+            "source",
+        )
+        changes = upd.unionByName(dele).unionByName(ins)
+        b = sp.read.parquet(store).alias("b")
+        c = changes.alias("c")
+        folded = (
+            b.join(
+                c, F.col("b.doc_id") == F.col("c.doc_id"), "full_outer"
+            )
+            .filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+            .select(
+                F.coalesce(F.col("c.doc_id"), F.col("b.doc_id")).alias(
+                    "doc_id"
+                ),
+                F.coalesce(F.col("c.text"), F.col("b.text")).alias(
+                    "text"
+                ),
+                F.coalesce(F.col("c.source"), F.col("b.source")).alias(
+                    "source"
+                ),
+            )
+        )
+        tmp = store + ".tmp"
+        folded.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(store, ignore_errors=True)
+        os.rename(tmp, store)
+
+    q = (
+        docs.writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="s23_ckpt_"), "offsets"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store)
