@@ -290,6 +290,187 @@ def srp_neardup_pairs(
     )
 
 
+def rademacher_planes(n_planes: int, dim: int, tag: str):
+    """Deterministic Rademacher (+/-1) hyperplane matrix derived from
+    md5 -- the ENGINE-PORTABLE SRP family. Entry (p, d) is +1 when the
+    first hex digit of md5("{tag}|{p}|{d}") is 0-7 (top bit clear),
+    else -1; d is 1-indexed to match SQL list subscripts, so a DuckDB
+    oracle regenerates the identical matrix with its own md5() and no
+    RNG. +/-1 projections are a valid SRP family (Achlioptas 2001,
+    'Database-friendly random projections'): sign(<v, r>) with
+    Rademacher r hashes cosine-similar vectors together with the same
+    collision-probability shape as Gaussian planes."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{tag}|{p}|{d}".encode()).hexdigest()[0] <= "7"
+            else -1
+            for d in range(1, dim + 1)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_bands_fixedpoint(
+    emb: DataFrame,
+    n_planes: int = 32,
+    n_bands: int = 4,
+    tag: str = "srp",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    scale: int = 1_000_000,
+    keep: tuple[str, ...] = ("vec_id",),
+) -> DataFrame:
+    """(row, band, band_val) LSH bucketing rows via the deterministic
+    Rademacher SRP family in EXACT integer arithmetic: component d is
+    quantized to round(x*scale) as a 64-bit int, bit p of the
+    signature is sign(sum_d r(p,d)*q_d) computed as an integer fold --
+    no float accumulation, so the buckets are bit-identical across
+    engines, partitionings and retries (the property that lets a
+    bucketed query keep a hash-exact SQL oracle; Gaussian
+    srp_signatures is rows-only-checkable). Planes are +/-1 literals
+    in the plan (n_planes*dim small ints -- fine at embedding dims up
+    to a few hundred; at 1536+ switch to the 1-row broadcast pattern
+    of srp_signatures, trading a benign BNLJ for plan size). One
+    projection + one posexplode: n_bands rows per input row, no
+    shuffle, no Python."""
+    if dim is None:
+        first = emb.select(vec_col).first()
+        dim = len(first[0])
+    bits_per_band = n_planes // n_bands
+    planes = rademacher_planes(n_planes, dim, tag)
+    qv = F.transform(
+        as_double_array(vec_col), lambda x: F.round(x * scale).cast("long")
+    )
+    base = emb.select(*keep, vec_col, qv.alias("_qv"))
+    band_vals = []
+    for b in range(n_bands):
+        val = F.lit(0).cast("long")
+        for i in range(bits_per_band):
+            p = b * bits_per_band + i
+            lits = F.array(
+                *[F.lit(x).cast("long") for x in planes[p]]
+            )
+            proj = F.aggregate(
+                F.zip_with(F.col("_qv"), lits, lambda a, r: a * r),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            val = val + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        band_vals.append(val)
+    return base.select(
+        *keep,
+        vec_col,
+        F.posexplode(F.array(*band_vals)).alias("band", "band_val"),
+    )
+
+
+def hard_negatives_srp(
+    emb: DataFrame,
+    n_planes: int = 32,
+    n_bands: int = 4,
+    tag: str = "c40srp",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining, scale form: candidates come from SRP
+    band buckets (same band + same band_val + different label), then
+    the exact-cosine per-anchor rank picks each anchor's hardest
+    in-bucket negative. The quadratic step is confined to signature
+    buckets -- at 100 TB the bucket join shuffles by (band, band_val)
+    and never cross-joins the corpus; the all-pairs exactness baseline
+    (suites' former c40 body) survives as the recall-floor oracle in
+    tests/test_properties.py. Deterministic end to end (Rademacher
+    planes + integer projections + 4dp-rounded cosine), so the DuckDB
+    oracle reproduces the exact output, not just row counts. Anchors
+    whose buckets hold no cross-label vector drop out -- the measured
+    fixture recall floor is pinned in the tests."""
+    bands = srp_bands_fixedpoint(
+        emb,
+        n_planes=n_planes,
+        n_bands=n_bands,
+        tag=tag,
+        vec_col=vec_col,
+        dim=dim,
+        keep=("vec_id", "label"),
+    ).localCheckpoint()
+    a = bands.alias("a")
+    b = bands.alias("b")
+    # cosine is computed BEFORE the pair dedup: a pair found by k
+    # bands costs k redundant 64-mult dot products (k <= n_bands,
+    # usually 1), but the dedup then shuffles 3 scalar columns keyed
+    # (anchor, negative) with a map-side partial_max instead of
+    # dragging both embedding arrays through the exchange -- at scale
+    # the shuffle bytes dominate the recompute by orders of magnitude.
+    scored = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        .select(
+            F.col("a.vec_id").alias("anchor_id"),
+            F.col("b.vec_id").alias("negative_id"),
+            F.round(
+                cosine(
+                    as_double_array("a." + vec_col),
+                    as_double_array("b." + vec_col),
+                ),
+                4,
+            ).alias("sim"),
+        )
+        .groupBy("anchor_id", "negative_id")
+        .agg(F.max("sim").alias("sim"))
+    )
+    from pyspark.sql import Window as Wnd
+    w = Wnd.partitionBy("anchor_id").orderBy(F.desc("sim"), F.col("negative_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("anchor_id", "negative_id", "sim")
+    )
+
+
+def hard_negatives_exact(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Hard-negative mining, exactness baseline: every anchor scored
+    against EVERY cross-label vector (BroadcastNestedLoop on the
+    label-inequality predicate -- deliberately quadratic). Not a
+    registered query any more: it is the oracle hard_negatives_srp's
+    recall floor is measured against in tests/test_properties.py, and
+    the shape a small eval set (thousands of anchors) can still
+    afford."""
+    from pyspark.sql import Window as Wnd
+
+    a = emb.select(
+        F.col("vec_id").alias("anchor_id"),
+        as_double_array(vec_col).alias("va"),
+        F.col("label").alias("la"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        as_double_array(vec_col).alias("vb"),
+        F.col("label").alias("lb"),
+    )
+    pairs = a.join(b, F.col("la") != F.col("lb")).select(
+        "anchor_id",
+        "negative_id",
+        F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"),
+    )
+    w = Wnd.partitionBy("anchor_id").orderBy(F.desc("sim"), F.col("negative_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("anchor_id", "negative_id", "sim")
+    )
+
+
 def quantize_vectors(
     emb: DataFrame, scale: int = 1_000_000, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -361,6 +361,11 @@ def personalized_pagerank(
         .dropDuplicates(["node"])
     )
     s_cnt = seed_nodes.count()  # index metadata, like pagerank's n
+    if s_cnt == 0:
+        raise ValueError(
+            "personalized_pagerank: empty seed set (no restart "
+            "distribution to teleport to)"
+        )
     tele = (
         nodes.join(
             F.broadcast(seed_nodes.withColumn("is_seed", F.lit(True))),

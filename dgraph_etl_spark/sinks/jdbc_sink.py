@@ -30,8 +30,26 @@ partition-parallel; the ledger stays one row per batch.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Names that reach SQL text (table/ledger identifiers, the ledger's
+# query_name value). The writer interpolates them into driver-side
+# DDL/DML, so they are locked to a safe identifier alphabet at
+# CONSTRUCTION time -- an exactly-once primitive others will reuse
+# must not be breakable (or injectable) by a quote in a name.
+_SAFE_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+
+
+def _check_name(kind: str, value: str) -> str:
+    if not _SAFE_NAME.match(value):
+        raise ValueError(
+            f"{kind} {value!r} must match [A-Za-z_][A-Za-z0-9_.]* "
+            "(it is interpolated into SQL statements)"
+        )
+    return value
 
 
 def jdbc_exec(spark: SparkSession, url: str, stmts: list[str]) -> None:
@@ -62,6 +80,8 @@ def ensure_sink_tables(
 ) -> None:
     """Create the data table (caller-supplied DDL body, must include a
     ``batch_id BIGINT`` column) and the epoch ledger if absent."""
+    table = _check_name("table", table)
+    ledger = _check_name("ledger", ledger)
     for name, ddl in [
         (table, f"CREATE TABLE {table} ({data_ddl})"),
         (
@@ -90,6 +110,9 @@ def exactly_once_jdbc_writer(
     the test hook: a mutable dict {"armed": True} makes the writer
     raise AFTER the data append but BEFORE the commit marker exactly
     once -- the crash window that breaks naive sinks."""
+    table = _check_name("table", table)
+    ledger = _check_name("ledger", ledger)
+    query_name = _check_name("query_name", query_name)
     props = dict(properties or {})
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -53,7 +53,7 @@ def zorder_write(
     path: str,
     zkey: str = "zkey",
     n_files: int = 16,
-    key_bits: int = 16,
+    key_bits: int = 32,
 ) -> None:
     """Cluster ``df`` into ``n_files`` parquet leaf files by Z-address
     range: each file covers one EXPLICIT, equal-width span of the
@@ -65,7 +65,14 @@ def zorder_write(
     skipping contract tests. sortWithinPartitions tightens row-group
     stats inside each file; one hash shuffle on the bucket id, the
     same cost as the single-dimension sort the table would get
-    anyway."""
+    anyway.
+
+    ``key_bits`` is the WIDTH OF THE ADDRESS, i.e. 2*bits of the
+    ``z_address`` that built ``zkey`` (defaults match: bits=16 ->
+    key_bits=32). An undersized key_bits silently fans the write out
+    to up to 2**(address_bits - key_bits) * n_files directories, so
+    pass it explicitly when the address builder used non-default
+    bits."""
     width = max((1 << key_bits) // n_files, 1)
     (
         df.withColumn(

@@ -2050,55 +2050,75 @@ def c39_label_centroids(spark, sf_dir):
 @register(
     "c40_hard_negatives",
     """
-    WITH pairs AS (
-      SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
-             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
-                                          b.embedding::DOUBLE[]), 4) AS sim
-      FROM embeddings a
-      JOIN embeddings b
-        ON a.label <> b.label
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+    planes AS (
+      SELECT pp.p, dims.d,
+             CASE WHEN substr(md5('c40srp|' || pp.p || '|' || dims.d), 1, 1)
+                       <= '7'
+                  THEN 1 ELSE -1 END AS r
+      FROM (SELECT unnest(generate_series(0, 31)) AS p) pp, dims
+    ),
+    comps AS (
+      SELECT vec_id, label, dims.d,
+             CAST(ROUND(CAST(embedding AS DOUBLE[])[dims.d] * 1000000, 0)
+                  AS BIGINT) AS qv
+      FROM embeddings, dims
+    ),
+    bits AS (
+      SELECT c.vec_id, c.label, pl.p,
+             CASE WHEN SUM(pl.r * c.qv) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM comps c JOIN planes pl ON pl.d = c.d
+      GROUP BY c.vec_id, c.label, pl.p
+    ),
+    bands AS (
+      SELECT vec_id, label, p // 8 AS band,
+             SUM(bit * (1 << (p % 8))) AS band_val
+      FROM bits GROUP BY vec_id, label, p // 8
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS negative_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.label <> b.label
+    ),
+    scored AS (
+      SELECT c.anchor_id, c.negative_id,
+             ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                          eb.embedding::DOUBLE[]), 4) AS sim
+      FROM cands c
+      JOIN embeddings ea ON ea.vec_id = c.anchor_id
+      JOIN embeddings eb ON eb.vec_id = c.negative_id
     )
     SELECT anchor_id, negative_id, sim FROM (
-      SELECT pairs.*,
+      SELECT scored.*,
              ROW_NUMBER() OVER (PARTITION BY anchor_id
                                 ORDER BY sim DESC, negative_id) AS rnk
-      FROM pairs
+      FROM scored
     ) r WHERE rnk = 1
     """,
 )
 def c40_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: each anchor's
-    most-similar vector from a DIFFERENT label (the negatives that
-    actually teach the model). Exact cross-label scan here (the
-    correctness baseline, rounded to 4dp before the deterministic
-    rank); at 100 TB the pair generation swaps to the SRP-bucket
-    candidates (c20) with this same rank epilogue -- mine within
-    buckets, not all pairs. Per-anchor window, never a global sort."""
-    from pyspark.sql import Window as Wnd
+    most-similar vector from a DIFFERENT label among its SRP-bucket
+    candidates (the negatives that actually teach the model). The
+    registered form is the SCALE path: candidates come from 4 bands x
+    8 bits of deterministic Rademacher SRP signatures (bucket
+    equi-join, shuffled by (band, band_val) -- never an all-pairs
+    cross-label join), then the exact-cosine per-anchor rank picks the
+    hardest in-bucket negative. Integer fixed-point projections make
+    the buckets bit-identical in DuckDB, so the oracle replays the
+    whole plan hash-exactly; the former all-pairs form survives as
+    similarity.hard_negatives_exact, the recall-floor baseline in
+    tests/test_properties.py. Per-anchor window over in-bucket
+    candidates only, never a global sort."""
+    from ..catalog import embedding_dim
 
-    emb = _emb(spark, sf_dir)
-    a = emb.select(
-        F.col("vec_id").alias("anchor_id"),
-        S.as_double_array("embedding").alias("va"),
-        F.col("label").alias("la"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("negative_id"),
-        S.as_double_array("embedding").alias("vb"),
-        F.col("label").alias("lb"),
-    )
-    pairs = a.join(b, F.col("la") != F.col("lb")).select(
-        "anchor_id",
-        "negative_id",
-        F.round(S.cosine(F.col("va"), F.col("vb")), 4).alias("sim"),
-    )
-    w = Wnd.partitionBy("anchor_id").orderBy(
-        F.desc("sim"), F.col("negative_id")
-    )
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("anchor_id", "negative_id", "sim")
+    return S.hard_negatives_srp(
+        _emb(spark, sf_dir),
+        n_planes=32,
+        n_bands=4,
+        tag="c40srp",
+        dim=embedding_dim(sf_dir),
     )
 
 

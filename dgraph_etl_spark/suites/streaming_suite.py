@@ -952,15 +952,14 @@ def s18_stream_scroll_pages(spark, sf_dir):
        AND p.purchase_ts >= c.click_ts
        AND p.purchase_ts <= c.click_ts + INTERVAL 4 HOUR
     ),
-    -- the final eviction watermark: availableNow runs a trailing
-    -- no-data micro-batch after the last file, so state is flushed
-    -- against the FULL stream's max event time minus the delay
-    -- (measured behavior, pinned here and in the docstring)
-    -- the final eviction watermark is the GLOBAL join watermark:
-    -- each input tracks its own max event time (clicks' max click_ts,
-    -- purchases' max purchase_ts) and the join advances at the MIN of
-    -- the two; Spark tracks watermarks in epoch MILLIS, so the max
-    -- truncates to ms before the 30-minute delay subtraction
+    -- the final eviction watermark is the GLOBAL join watermark over
+    -- the FULL stream: availableNow runs a trailing no-data
+    -- micro-batch after the last file, so each side's max event time
+    -- covers every batch (clicks' max click_ts, purchases' max
+    -- purchase_ts) and the join advances at the MIN of the two;
+    -- Spark tracks watermarks in epoch MILLIS, so the max truncates
+    -- to ms before the 30-minute delay subtraction (measured
+    -- behavior, pinned here and in the docstring)
     wm AS (
       SELECT (LEAST(
                 (SELECT epoch_us(MAX(click_ts)) FROM clicks),
@@ -988,9 +987,11 @@ def s19_stream_outer_join(spark, sf_dir):
     mid-stream; clicks near the stream's end stay in state when
     availableNow terminates and are correctly ABSENT from the output
     (no final flush). The oracle replays the protocol: inner matches
-    plus null-extended clicks older than the batch-3 eviction
-    watermark (computed from batches 1-2 -- same one-batch lag
-    late_data_source documents). At 100 TB both state stores stay
+    plus null-extended clicks older than the final eviction watermark
+    -- the MIN of each side's full-stream max event time (the
+    trailing no-data micro-batch availableNow appends advances both
+    sides past the last file), ms-truncated, minus the 30-minute
+    delay. At 100 TB both state stores stay
     bounded by watermark + range exactly as in s11."""
     from ..streaming.core import time_split_source
 

@@ -190,6 +190,14 @@ CONTRACTS += [
         "exact-k sampling windows per language stratum, never a global "
         "sort",
     ),
+    (
+        "c40_hard_negatives",
+        ["HashAggregate", "Window"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "hard-negative candidates come from the SRP band-bucket "
+        "equi-join (label inequality is a residual); an all-pairs "
+        "nested loop means the bucketing fell out of the join keys",
+    ),
 ]
 
 

@@ -830,3 +830,81 @@ def test_c63_ivfpq_recall_vs_brute_force(spark, sf_small):
     composed = {r.vec_id for r in ivfpq_topk(emb, qv, k=10).collect()}
     assert len(exact & composed) >= 3
     assert len(exact & composed) >= len(exact & ivf_only) - 2
+
+
+def test_c40_srp_hard_negatives_quality_floors(spark):
+    """The SRP-bucketed hard-negative miner (registered c40) against
+    the all-pairs exactness baseline it replaced, on the deterministic
+    fixture (md5-Rademacher planes: fixed numbers, not flaky samples).
+    Two floors, matching the two regimes:
+
+    1. Fixture regime (best cross-label sims ~0.37 -- SRP's worst
+       case): every anchor still gets SOME negative (coverage 1.0),
+       and for >=85% of anchors the mined negative sits in the hardest
+       10% of that anchor's full cross-label candidate set (measured
+       0.884 at 32 planes / 4 bands x 8 bits).
+    2. Production regime (a planted cross-label near-copy, sim~0.99 --
+       what hard-negative mining actually hunts): the miner must
+       return the planted vector as THE top negative for >=90% of the
+       planted anchors (collision prob ~0.99 at this banding).
+    """
+    import numpy as np
+
+    from dgraph_etl_spark.catalog import load_table
+    from dgraph_etl_spark.functions.similarity import (
+        hard_negatives_exact,
+        hard_negatives_srp,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        r.anchor_id: (r.negative_id, r.sim)
+        for r in hard_negatives_exact(emb).collect()
+    }
+    mined = {
+        r.anchor_id: (r.negative_id, r.sim)
+        for r in hard_negatives_srp(emb, dim=64).collect()
+    }
+    assert set(mined) == set(exact), "coverage below 1.0 on the fixture"
+
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    ids = np.array([r.vec_id for r in rows])
+    labels = np.array([r.label for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(mn @ mn.T, 4)
+    in_decile = 0
+    for i, a in enumerate(ids):
+        cross = sims[i][labels != labels[i]]
+        cutoff = np.quantile(cross, 0.9)
+        if mined[int(a)][1] >= cutoff:
+            in_decile += 1
+    share = in_decile / len(ids)
+    assert share >= 0.85, f"hardest-decile share {share:.3f} below floor"
+
+    # planted near-copies: clone 50 vectors with a tiny perturbation
+    # and a DIFFERENT label -- the planted clone is each anchor's true
+    # hard negative by a wide margin
+    rng = np.random.RandomState(11)
+    planted_rows, planted_truth = [], {}
+    for i in range(0, 500, 10):
+        v = m[i] + rng.normal(scale=0.02, size=m.shape[1]) * np.abs(m[i]).mean()
+        new_id = 100000 + int(ids[i])
+        planted_rows.append(
+            (new_id, [float(x) for x in v], int((labels[i] + 1) % 10))
+        )
+        planted_truth[int(ids[i])] = new_id
+    planted = spark.createDataFrame(
+        planted_rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(planted)
+    mined2 = {
+        r.anchor_id: r.negative_id
+        for r in hard_negatives_srp(corpus, dim=64).collect()
+    }
+    hits = sum(
+        1 for a, neg in planted_truth.items() if mined2.get(a) == neg
+    )
+    assert hits / len(planted_truth) >= 0.90, (
+        f"planted-near-dup recall {hits / len(planted_truth):.2f} below floor"
+    )

@@ -288,7 +288,7 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_small):
     n_files = 8
     zdir = tempfile.mkdtemp(prefix="dgraph_etl_z_") + "/z"
     ldir = tempfile.mkdtemp(prefix="dgraph_etl_z_") + "/linear"
-    zorder_write(zdf, zdir, n_files=n_files)
+    zorder_write(zdf, zdir, n_files=n_files, key_bits=16)
     # the baseline layout every time-series table already has -- the
     # same deterministic bucketing discipline, on day alone
     (
