@@ -82,24 +82,26 @@ def main() -> None:
     register_views(spark, SF_DIR, force=True)
     startup = time.perf_counter() - t0
 
-    # Best of 3 runs per query: (a) the container runs in a microVM
-    # where host steal time can multiply a single run's wall clock
-    # several-fold (observed 2.9s vs 66.9s for the identical plan);
-    # (b) HotSpot tiers compilation, so the FIRST sf-target execution
-    # of a plan routinely runs 2-6x slower than the C2-compiled third
-    # (measured: b19 3.8s -> 0.97 -> 0.66 in one session). The min of
-    # three executions measures the operators, not JIT warm-up or the
-    # neighbor's load.
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        q = REGISTRY[name]
-        best = float("inf")
-        for _ in range(3):
+    # Best of 4 INTERLEAVED rounds per query: (a) the container runs in
+    # a microVM where host steal time can multiply a single run's wall
+    # clock several-fold (observed 2.9s vs 66.9s for the identical
+    # plan); (b) HotSpot tiers compilation, so the FIRST sf-target
+    # execution of a plan routinely runs 2-6x slower than the
+    # C2-compiled third (measured: b19 3.8s -> 0.97 -> 0.66 in one
+    # session). Rounds are interleaved (run the whole set, then repeat)
+    # rather than back-to-back per query: a multi-second steal-time
+    # burst then poisons at most one SAMPLE of each query instead of
+    # all samples of one query, so the per-query min measures the
+    # operators, not the neighbor's load.
+    times: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(4):
+        for name in HEADLINE:
+            q = REGISTRY[name]
             t1 = time.perf_counter()
             df = q.fn(spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t1)
-        times[name] = round(best, 3)
+            times[name] = min(times[name], time.perf_counter() - t1)
+    times = {name: round(t, 3) for name, t in times.items()}
 
     total = round(sum(times.values()), 3)
     print(

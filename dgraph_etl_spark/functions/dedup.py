@@ -317,21 +317,42 @@ def contamination_screen(
     )
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """SimHash 64-bit signatures, fully JVM-side (no Python anywhere):
-    one xxhash64 per token, then the per-bit majority vote as 64
-    codegen'd conditional sums over the exploded (doc_id, token_hash)
-    relation.  Map-side partial aggregation means the shuffle carries
-    64 small longs per *document*, nothing per-token -- at 100 TB the
+def _portable_token_hash(t):
+    """60-bit integer token hash both engines compute identically:
+    the first 15 hex digits of md5, parsed as an integer (Spark:
+    conv(_, 16, 10); DuckDB: CAST('0x'||substr(md5(t),1,15) AS
+    BIGINT)). Slower per token than xxhash64 (crypto vs xx) but
+    engine-portable, which is what lets the SimHash queries carry a
+    hash-exact SQL oracle instead of a rows-only check."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash_bits(portable: bool) -> int:
+    return 60 if portable else 64
+
+
+def simhash_signatures(docs: DataFrame, portable: bool = False) -> DataFrame:
+    """SimHash signatures, fully JVM-side (no Python anywhere): one
+    hash per token, then the per-bit majority vote as n_bits codegen'd
+    conditional sums over the exploded (doc_id, token_hash) relation.
+    Map-side partial aggregation means the shuffle carries n_bits
+    small longs per *document*, nothing per-token -- at 100 TB the
     vote is a single hash-aggregate keyed by doc_id.  Bit i is set iff
     tokens with bit i set strictly outnumber those without (the classic
-    Charikar sum(+/-1) > 0 vote; ties -> 0).  Bit 63 contributes the
-    signed long MIN_VALUE so the assembled signature is the two's-
-    complement view of the 64-bit pattern (exact, no overflow: partial
-    sums of distinct powers 2^0..2^62 stay below 2^63)."""
+    Charikar sum(+/-1) > 0 vote; ties -> 0).
+
+    Default family: xxhash64, 64 bits; bit 63 contributes the signed
+    long MIN_VALUE so the assembled signature is the two's-complement
+    view of the 64-bit pattern (exact, no overflow: partial sums of
+    distinct powers 2^0..2^62 stay below 2^63).  ``portable=True``
+    swaps in the md5-derived 60-bit hash (_portable_token_hash) --
+    4 fewer signature bits, but bit-identical in any engine with md5,
+    so downstream queries are oracle-checkable value-for-value."""
+    n_bits = simhash_bits(portable)
+    hash_fn = _portable_token_hash if portable else F.xxhash64
     th = docs.select(
         "doc_id",
-        F.explode_outer(F.transform(tokens(), lambda t: F.xxhash64(t))).alias("h"),
+        F.explode_outer(F.transform(tokens(), lambda t: hash_fn(t))).alias("h"),
     )
     votes = [
         F.sum(
@@ -339,7 +360,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             .when(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
             .otherwise(F.lit(-1))
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = th.groupBy("doc_id").agg(*votes)
     contrib = [
@@ -347,7 +368,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             F.col(f"v{i}") > 0,
             F.lit((1 << i) if i < 63 else -(1 << 63)),
         ).otherwise(F.lit(0))
-        for i in range(64)
+        for i in range(n_bits)
     ]
     sig = contrib[0]
     for c in contrib[1:]:
@@ -355,11 +376,11 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_buckets(docs: DataFrame) -> DataFrame:
+def simhash_buckets(docs: DataFrame, portable: bool = False) -> DataFrame:
     """Exact-signature SimHash buckets -> candidate groups.  doc_ids is
     emitted as a sorted comma-joined string (scalar column) so results
     stay canonicalizable by flat row-sorting harnesses."""
-    sig = simhash_signatures(docs)
+    sig = simhash_signatures(docs, portable=portable)
     return sig.groupBy("simhash").agg(
         F.concat_ws(
             ",",
@@ -372,9 +393,11 @@ def simhash_buckets(docs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_hamming_pairs(docs: DataFrame, r: int = 3) -> DataFrame:
+def simhash_hamming_pairs(
+    docs: DataFrame, r: int = 3, portable: bool = False
+) -> DataFrame:
     """Hamming<=r SimHash candidate pairs via pigeonhole banding: split
-    the 64-bit signature into r+1 contiguous chunks -- any pair within
+    the n_bits signature into r+1 contiguous chunks -- any pair within
     Hamming distance r differs in at most r chunks, so it agrees
     EXACTLY on at least one chunk (pigeonhole) and the per-chunk bucket
     equi-join has recall 1.0.  The exact ``bit_count(a XOR b) <= r``
@@ -385,8 +408,9 @@ def simhash_hamming_pairs(docs: DataFrame, r: int = 3) -> DataFrame:
     (localCheckpoint) instead of recomputing the signature pipeline
     twice."""
     chunks = r + 1
-    bounds = [i * 64 // chunks for i in range(chunks + 1)]
-    sig = simhash_signatures(docs)
+    n_bits = simhash_bits(portable)
+    bounds = [i * n_bits // chunks for i in range(chunks + 1)]
+    sig = simhash_signatures(docs, portable=portable)
     chunk_cols = [
         F.shiftrightunsigned("simhash", bounds[i]).bitwiseAND(
             F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)

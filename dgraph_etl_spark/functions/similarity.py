@@ -436,6 +436,59 @@ def hard_negatives_srp(
     )
 
 
+def srp_neardup_pairs_portable(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    n_bands: int = 8,
+    tag: str = "c20srp",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """srp_neardup_pairs on the DETERMINISTIC Rademacher family
+    (srp_bands_fixedpoint) instead of seeded Gaussian planes: same
+    banding trade-off and the same exact-cosine precision-1.0 filter,
+    but the buckets are bit-identical in any engine with md5 -- so the
+    registered query carries a hash-exact SQL oracle where the
+    Gaussian form could only be rows-only-checked. Same scale shape:
+    bucket-local candidate join, cosine computed pre-dedup so the
+    (vec_a, vec_b) dedup shuffles three scalar columns with a map-side
+    partial_max, never the embedding arrays."""
+    bands = srp_bands_fixedpoint(
+        emb,
+        n_planes=n_planes,
+        n_bands=n_bands,
+        tag=tag,
+        vec_col=vec_col,
+        dim=dim,
+        keep=("vec_id",),
+    ).localCheckpoint()
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                cosine(
+                    as_double_array("a." + vec_col),
+                    as_double_array("b." + vec_col),
+                ),
+                4,
+            ).alias("sim"),
+        )
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("sim").alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def hard_negatives_exact(
     emb: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -82,22 +82,80 @@ def c02_minhash_lsh_pairs(spark, sf_dir):
     return D.lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
-@register("c02_simhash_buckets", None)
+_SIMHASH_SIG_SQL = """
+    WITH toks AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents) u
+    ),
+    bitpos AS (SELECT unnest(generate_series(0, 59)) AS i),
+    votes AS (
+      SELECT t.doc_id, b.i,
+             SUM(CASE WHEN (t.h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM toks t, bitpos b
+      GROUP BY t.doc_id, b.i
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0
+                           THEN (CAST(1 AS BIGINT) << i)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "c02_simhash_buckets",
+    _SIMHASH_SIG_SQL
+    + """
+    SELECT simhash,
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
+           COUNT(*) AS n_docs
+    FROM sigs GROUP BY simhash
+    """,
+)
 def c02_simhash_buckets(spark, sf_dir):
-    """SimHash-64 signature buckets (JVM xxhash64 token hashes + 64
-    codegen'd bit-vote sums; no Python) -- rows-only (the xxhash64 seed
-    is engine-specific). doc_ids is a sorted comma-joined string."""
-    return D.simhash_buckets(_docs(spark, sf_dir))
+    """SimHash signature buckets (md5-derived 60-bit token hashes + 60
+    codegen'd bit-vote sums; no Python). The portable hash family
+    makes the signature bit-identical in DuckDB, so this carries a
+    hash-exact oracle (it was rows-only when built on xxhash64; the
+    xxhash64 family remains the default in functions/dedup.py for
+    engines that don't need cross-engine parity). doc_ids is a sorted
+    comma-joined string."""
+    return D.simhash_buckets(_docs(spark, sf_dir), portable=True)
 
 
-@register("c02_simhash_hamming_pairs", None)
+@register(
+    "c02_simhash_hamming_pairs",
+    _SIMHASH_SIG_SQL
+    + """
+    , chunks AS (
+      SELECT s.doc_id, s.simhash, c.c AS chunk,
+             (s.simhash >> (c.c * 15)) & 32767 AS chunk_val
+      FROM sigs s, (SELECT unnest(generate_series(0, 3)) AS c) c
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS ha, b.simhash AS hb
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+)
 def c02_simhash_hamming_pairs(spark, sf_dir):
-    """SimHash Hamming<=3 near-dup pairs: pigeonhole banding (4 16-bit
-    chunks -> bucket-local join) + exact bit_count(xor) filter, so the
-    output is exactly the Hamming<=3 pair set -- rows-only (signature
-    depends on xxhash64); exactness vs brute-force is property-tested
+    """SimHash Hamming<=3 near-dup pairs: pigeonhole banding (4 15-bit
+    chunks of the portable 60-bit signature -> bucket-local join) +
+    exact bit_count(xor) filter, so the output is exactly the
+    Hamming<=3 pair set -- now hash-exact against the oracle (the
+    md5-derived hash family replays in SQL); exactness vs brute-force
+    Hamming is additionally property-tested
     (tests/test_properties.py)."""
-    return D.simhash_hamming_pairs(_docs(spark, sf_dir), r=3)
+    return D.simhash_hamming_pairs(_docs(spark, sf_dir), r=3, portable=True)
 
 
 @register(
@@ -993,25 +1051,73 @@ def c24_release_gate(spark, sf_dir):
     return sampled.select("doc_id", "lang").join(split, "doc_id")
 
 
-@register("c20_srp_neardup", None)
+@register(
+    "c20_srp_neardup",
+    """
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+    planes AS (
+      SELECT pp.p, dims.d,
+             CASE WHEN substr(md5('c20srp|' || pp.p || '|' || dims.d), 1, 1)
+                       <= '7'
+                  THEN 1 ELSE -1 END AS r
+      FROM (SELECT unnest(generate_series(0, 15)) AS p) pp, dims
+    ),
+    comps AS (
+      SELECT vec_id, dims.d,
+             CAST(ROUND(CAST(embedding AS DOUBLE[])[dims.d] * 1000000, 0)
+                  AS BIGINT) AS qv
+      FROM embeddings, dims
+    ),
+    bits AS (
+      SELECT c.vec_id, pl.p,
+             CASE WHEN SUM(pl.r * c.qv) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM comps c JOIN planes pl ON pl.d = c.d
+      GROUP BY c.vec_id, pl.p
+    ),
+    bands AS (
+      SELECT vec_id, p // 2 AS band,
+             SUM(bit * (1 << (p % 2))) AS band_val
+      FROM bits GROUP BY vec_id, p // 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]), 4) AS sim
+    FROM cands c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                       eb.embedding::DOUBLE[]), 4) >= 0.4
+    """,
+)
 def c20_srp_neardup(spark, sf_dir):
     """C20: embedding near-dup pairs via signed-random-projection LSH
     (cosine LSH family) + exact re-rank -- the scale path when no
     natural block column exists. Precision 1.0 by construction (exact
     cosine filter); recall is the banding trade-off, measured >=0.97 on
-    the fixture in tests/test_properties.py. Banding is tuned to the
-    similarity regime: the fixture's planted pairs sit near tau=0.4
-    (collision prob ~0.63/bit), so 8 bands x 2 bits; a production
-    near-dup screen at tau>=0.9 (~0.86/bit) wants fewer, wider bands
-    (e.g. 2 x 8). Rows-only: hyperplane signs aren't SQL-expressible."""
+    the fixture in tests/test_properties.py (both plane families).
+    Banding is tuned to the similarity regime: the fixture's planted
+    pairs sit near tau=0.4 (collision prob ~0.63/bit), so 8 bands x 2
+    bits; a production near-dup screen at tau>=0.9 (~0.86/bit) wants
+    fewer, wider bands (e.g. 2 x 8). The registered form uses the
+    deterministic md5-Rademacher planes with integer fixed-point
+    projections (similarity.srp_bands_fixedpoint), so the oracle
+    replays the buckets hash-exactly -- this was rows-only when the
+    hyperplanes were seeded Gaussians; that family remains available
+    as similarity.srp_neardup_pairs."""
     from ..catalog import embedding_dim
 
-    return S.srp_neardup_pairs(
+    return S.srp_neardup_pairs_portable(
         _emb(spark, sf_dir),
         threshold=0.4,
         n_planes=16,
         n_bands=8,
-        seed=7,
+        tag="c20srp",
         dim=embedding_dim(sf_dir),
     )
 

