@@ -73,12 +73,24 @@ def brute_topk(
 def label_centroids(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """IVF coarse quantizer: elementwise-mean centroid per cell (cell =
     label here; k-means offline at scale). posexplode + per-(cell,pos)
-    avg + re-assemble keeps everything JVM-side; the result is tiny
-    (ncells rows) and broadcastable."""
+    mean + re-assemble keeps everything JVM-side; the result is tiny
+    (ncells rows) and broadcastable.
+
+    The mean is computed in FIXED POINT (sum of round(x*1e6) as int64,
+    divided once at the end): integer sums are order-insensitive, so
+    the centroid -- and every probe ranking built on it -- is
+    bit-identical across partitionings, retries and engines. A float
+    avg() here would make the IVF probe set nondeterministic at the
+    4th decimal, which is what kept the c04 queries rows-only."""
     pos = emb.select(
         "label", F.posexplode(as_double_array(vec_col)).alias("pos", "x")
     )
-    means = pos.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    means = pos.groupBy("label", "pos").agg(
+        (
+            F.sum(F.round(F.col("x") * 1_000_000).cast("long")).cast("double")
+            / (F.lit(1_000_000.0) * F.count(F.lit(1)))
+        ).alias("m")
+    )
     return means.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
@@ -102,7 +114,14 @@ def ivf_topk(
     probed = (
         cents.crossJoin(F.broadcast(query))
         .withColumn(
-            "csim", cosine(as_double_array("centroid"), as_double_array("qvec"))
+            "csim",
+            # rounded before ranking (+ label tiebreak) so the probe
+            # set is reproducible across engines -- same convention as
+            # every certified cosine query
+            F.round(
+                cosine(as_double_array("centroid"), as_double_array("qvec")),
+                4,
+            ),
         )
         .orderBy(F.desc("csim"), "label")
         .limit(nprobe)
@@ -789,7 +808,11 @@ def ivf_persisted_topk(
         r["label"]
         for r in cents.crossJoin(F.broadcast(query))
         .withColumn(
-            "csim", cosine(as_double_array("centroid"), as_double_array("qvec"))
+            "csim",
+            F.round(
+                cosine(as_double_array("centroid"), as_double_array("qvec")),
+                4,
+            ),
         )
         .orderBy(F.desc("csim"), "label")
         .limit(nprobe)

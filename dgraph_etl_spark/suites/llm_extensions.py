@@ -322,20 +322,60 @@ def c04_topk_cosine(spark, sf_dir):
     return S.brute_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
 
 
-@register("c04_ivf_topk", None)
+_IVF_ORACLE_SQL = """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+    comps AS (
+      SELECT label, dims.d,
+             CAST(ROUND(CAST(embedding AS DOUBLE[])[dims.d] * 1000000, 0)
+                  AS BIGINT) AS qvi
+      FROM embeddings, dims
+    ),
+    cent AS (
+      SELECT label, d,
+             CAST(SUM(qvi) AS DOUBLE) / (1000000.0 * COUNT(*)) AS m
+      FROM comps GROUP BY label, d
+    ),
+    centv AS (
+      SELECT label, list(m ORDER BY d) AS centroid FROM cent GROUP BY label
+    ),
+    probed AS (
+      SELECT label
+      FROM centv, q
+      ORDER BY ROUND(list_cosine_similarity(centroid, q.qv), 4) DESC, label
+      LIMIT 3
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)
+             AS sim
+    FROM embeddings e JOIN probed p ON e.label = p.label, q
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 10
+"""
+
+
+@register("c04_ivf_topk", _IVF_ORACLE_SQL)
 def c04_ivf_topk(spark, sf_dir):
     """C4 scale path: IVF -- probe the 3 nearest label-cells, re-rank
-    inside. Rows-only (centroid averages are summation-order
-    dependent); recall vs brute force is asserted in tests."""
+    inside. Hash-exact against the oracle: the centroid means are
+    fixed-point integer sums (order-insensitive) and the probe ranking
+    rounds to 4dp with a label tiebreak, so the probe set and the
+    re-ranked top-k replay deterministically in SQL (this was
+    rows-only while the centroids were float avg()s); recall vs brute
+    force additionally asserted in tests."""
     return S.ivf_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10, nprobe=3)
 
 
-@register("c04_ivf_persisted", None)
+@register("c04_ivf_persisted", _IVF_ORACLE_SQL)
 def c04_ivf_persisted(spark, sf_dir):
     """C4 index lifecycle: build the partitioned-by-cell index table
     once, probe many -- unprobed cells are pruned at the file listing
-    (PartitionFilters, pinned in tests/test_plan_shapes.py). Rows-only;
-    result equivalence with the in-memory IVF is pinned in tests."""
+    (PartitionFilters, pinned in tests/test_plan_shapes.py). Same
+    deterministic probe as c04_ivf_topk, so it shares the same
+    hash-exact oracle; result equivalence with the in-memory IVF is
+    pinned in tests."""
     import os
     import tempfile
 
@@ -2633,15 +2673,77 @@ def c47_dataset_card(spark, sf_dir):
 
 @register(
     "c48_ann_recall_report",
-    None,
+    """
+    WITH qs AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+    comps AS (
+      SELECT label, dims.d,
+             CAST(ROUND(CAST(embedding AS DOUBLE[])[dims.d] * 1000000, 0)
+                  AS BIGINT) AS qvi
+      FROM embeddings, dims
+    ),
+    cent AS (
+      SELECT label, d,
+             CAST(SUM(qvi) AS DOUBLE) / (1000000.0 * COUNT(*)) AS m
+      FROM comps GROUP BY label, d
+    ),
+    centv AS (
+      SELECT label, list(m ORDER BY d) AS centroid FROM cent GROUP BY label
+    ),
+    cranked AS (
+      SELECT query_id, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(list_cosine_similarity(centroid, qv), 4) DESC,
+                        label) AS crnk
+      FROM centv, qs
+    ),
+    sims AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv), 4) AS sim
+      FROM embeddings e, qs q
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rnk
+        FROM sims) WHERE rnk <= 10
+    ),
+    approx AS (
+      SELECT query_id, nprobe, vec_id FROM (
+        SELECT s.query_id, np.nprobe, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id, np.nprobe
+                                  ORDER BY s.sim DESC, s.vec_id) AS rnk
+        FROM sims s
+        JOIN cranked cr ON cr.query_id = s.query_id AND cr.label = s.label,
+             (SELECT unnest([1, 3]) AS nprobe) np
+        WHERE cr.crnk <= np.nprobe) WHERE rnk <= 10
+    )
+    SELECT CAST(a.query_id AS INTEGER) AS query_id,
+           CAST(a.nprobe AS INTEGER) AS nprobe,
+           CAST(COUNT(e.vec_id) AS INTEGER) AS n_hits,
+           CAST(10 AS INTEGER) AS k,
+           ROUND(COUNT(e.vec_id) / 10.0, 6) AS recall
+    FROM approx a
+    LEFT JOIN exact e
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY a.query_id, a.nprobe
+    """,
 )
 def c48_ann_recall_report(spark, sf_dir):
     """ANN quality report: measured recall@10 of the IVF index against
     the exact brute-force top-10 for a panel of query vectors -- the
     index-tuning artifact (recall vs nprobe) produced by the engine
-    itself rather than an offline script. Rows-only (recall depends on
-    the index's centroid internals); the IVF path itself is
-    plan-contract- and property-tested elsewhere. Panel queries run
+    itself rather than an offline script. Hash-exact: with fixed-point
+    centroids and the rounded, tie-broken probe ranking the whole
+    panel is deterministic, so the oracle replays exact and probed
+    top-10 sets per (query, nprobe) and recomputes the same recall
+    (rows-only before the c04 determinism upgrade). Panel queries run
     sequentially over cached inputs; each is a bounded top-k."""
     from ..functions.similarity import brute_topk, ivf_topk
 
