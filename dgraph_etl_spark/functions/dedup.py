@@ -83,10 +83,14 @@ def token_ngrams(col: Column | str = "text", n: int = 3) -> Column:
 _MERSENNE31 = 2_147_483_647
 
 
-def token_hashes(col: Column | str = "text") -> Column:
-    """Per-token hash array: one xxhash64 per token, reduced mod P."""
+def token_hashes(col: Column | str = "text", portable: bool = False) -> Column:
+    """Per-token hash array reduced mod P: one xxhash64 per token by
+    default; ``portable=True`` swaps in the md5-derived 60-bit hash
+    (_portable_token_hash) so a SQL oracle can replay every downstream
+    MinHash value bit-for-bit."""
+    hash_fn = _portable_token_hash if portable else F.xxhash64
     return F.transform(
-        tokens(col), lambda x: F.pmod(F.xxhash64(x), F.lit(_MERSENNE31))
+        tokens(col), lambda x: F.pmod(hash_fn(x), F.lit(_MERSENNE31))
     )
 
 
@@ -113,30 +117,42 @@ def rolled_ngram_hashes(th: Column, n: int = 3) -> Column:
     )
 
 
+def minhash_mix_constants(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
+    """The deterministic (a_i, b_i) universal-hash seeds shared by the
+    Spark mixes AND the DuckDB oracle SQL (which interpolates them as
+    literals) -- single source of truth so the two engines compute the
+    identical (a*h + b) mod P family."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
 def _seeded_mixes(base: Column, num_hashes: int) -> list[Column]:
     """num_hashes affine mixes of one base hash: (a_i*h + b_i) mod P.
     Deterministic seeds; each mix is 2 integer ops in codegen (vs. one
     full string hash per seed -- ~num_hashes x cheaper per shingle)."""
-    import random
-
-    rng = random.Random(0x5EED)
-    out = []
-    for i in range(num_hashes):
-        a = rng.randrange(1, _MERSENNE31)
-        b = rng.randrange(0, _MERSENNE31)
-        out.append(F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE31)))
-    return out
+    return [
+        F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE31))
+        for a, b in minhash_mix_constants(num_hashes)
+    ]
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = NUM_HASHES, portable: bool = False
+) -> DataFrame:
     """C2: MinHash signature per document. One explode of the shingle
-    set, ONE xxhash64 per shingle, then num_hashes affine re-mixes
-    (universal hashing mod 2^31-1) min-aggregated in a single groupBy
-    pass (map-side partial mins -> tiny shuffle). At 100 TB the
+    set, ONE hash per shingle (xxhash64 by default; md5-derived when
+    ``portable`` so SQL oracles replay it), then num_hashes affine
+    re-mixes (universal hashing mod 2^31-1) min-aggregated in a single
+    groupBy pass (map-side partial mins -> tiny shuffle). At 100 TB the
     shuffle carries one 32-long row per document, nothing per-shingle."""
-    sh = docs.select("doc_id", token_hashes().alias("th")).select(
-        "doc_id", F.explode(rolled_ngram_hashes(F.col("th"))).alias("hb")
-    )
+    sh = docs.select(
+        "doc_id", token_hashes(portable=portable).alias("th")
+    ).select("doc_id", F.explode(rolled_ngram_hashes(F.col("th"))).alias("hb"))
     mixes = _seeded_mixes(F.col("hb"), num_hashes)
     return sh.groupBy("doc_id").agg(
         *[F.min(m).alias(f"h{i}") for i, m in enumerate(mixes)]
@@ -144,7 +160,10 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS
+    docs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    portable: bool = False,
 ) -> DataFrame:
     """C2: LSH banding -> candidate duplicate pairs. Documents agreeing
     on ALL hashes of any band collide in that band's bucket; the join
@@ -153,20 +172,26 @@ def lsh_candidate_pairs(
     and broadcast exchanges are never reused across sides, so it is
     materialized once (localCheckpoint) -- otherwise the whole
     signature pipeline (scan + shingle hashing + 32 mins) runs twice,
-    a 2x waste that only grows with corpus size."""
-    sig = minhash_signatures(docs, num_hashes)
+    a 2x waste that only grows with corpus size.
+
+    Band bucket key: xxhash64 over the band's hash tuple by default (8
+    bytes/row shuffled); ``portable=True`` keys on the ':'-joined
+    decimal tuple instead -- a wider key, but one a SQL oracle can
+    rebuild verbatim, which upgrades the query from rows-only to
+    hash-exact certification."""
+    sig = minhash_signatures(docs, num_hashes, portable=portable)
     per_band = num_hashes // num_bands
+
+    def _band_key(b: int) -> Column:
+        cols = [F.col(f"h{b * per_band + j}") for j in range(per_band)]
+        if portable:
+            return F.concat_ws(":", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols)
+
     bands = sig.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col(f"h{b * per_band + j}") for j in range(per_band)]
-                    )
-                    for b in range(num_bands)
-                ]
-            )
+            F.array(*[_band_key(b) for b in range(num_bands)])
         ).alias("band", "band_hash"),
     ).localCheckpoint()
     a = bands.alias("a")

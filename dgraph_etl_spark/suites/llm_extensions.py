@@ -74,12 +74,72 @@ def c01_prefix_dedup(spark, sf_dir):
     return D.prefix_key_dedup(_docs(spark, sf_dir), n_tokens=3)
 
 
-@register("c02_minhash_lsh_pairs", None)
+def _minhash_lsh_oracle(num_hashes: int = 32, num_bands: int = 8) -> str:
+    """DuckDB replay of the portable MinHash+LSH pipeline: md5-derived
+    token hashes mod P, rolled 3-gram shingle hashes, the SAME (a_i,b_i)
+    affine mixes (interpolated as literals from minhash_mix_constants),
+    min-folded signatures, ':'-joined band keys, bucket-local self-join.
+    Bit-identical to lsh_candidate_pairs(portable=True)."""
+    P = 2_147_483_647
+    mixes = D.minhash_mix_constants(num_hashes)
+    mins = ",\n             ".join(
+        f"MIN(({a} * hb + {b}) % {P}) AS h{i}" for i, (a, b) in enumerate(mixes)
+    )
+    per_band = num_hashes // num_bands
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + " || ':' || ".join(
+            f"CAST(h{b * per_band + j} AS VARCHAR)" for j in range(per_band)
+        )
+        + " AS band_key FROM sigs"
+        for b in range(num_bands)
+    )
+    return f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform(
+               string_split(text, ' '),
+               t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {P}
+             ) AS th
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, th,
+             unnest(range(1, greatest(len(th) - 2, 1) + 1)) AS i
+      FROM th
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             (((coalesce(th[i], 0) * 1000003 + coalesce(th[i+1], 0)) % {P})
+               * 1000003 + coalesce(th[i+2], 0)) % {P} AS hb
+      FROM pos
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """
+
+
+@register("c02_minhash_lsh_pairs", _minhash_lsh_oracle())
 def c02_minhash_lsh_pairs(spark, sf_dir):
-    """C2: MinHash(32) + LSH(8 bands) candidate duplicate pairs --
-    rows-only (xxhash64 seeds are engine-specific). The quadratic step
-    is bucket-local by construction."""
-    return D.lsh_candidate_pairs(_docs(spark, sf_dir))
+    """C2: MinHash(32) + LSH(8 bands) candidate duplicate pairs. The
+    quadratic step is bucket-local by construction (band-key equi-join).
+    Runs the portable md5-derived hash family so the oracle replays
+    shingle hashes, affine mixes, signatures and band keys
+    value-for-value in SQL (was rows-only on the xxhash64 family, which
+    remains the default for engines that don't need cross-engine
+    parity)."""
+    return D.lsh_candidate_pairs(_docs(spark, sf_dir), portable=True)
 
 
 _SIMHASH_SIG_SQL = """

@@ -199,11 +199,16 @@ def test_c02_lsh_recall_of_true_neardups(spark):
             docs, n=2, block_col="lang", threshold=0.8
         ).collect()
     }
-    lsh = {
-        (r.doc_a, r.doc_b) for r in D.lsh_candidate_pairs(docs).collect()
-    }
     assert truth, "fixture lost its planted near-duplicates"
-    assert truth <= lsh, f"LSH missed true pairs: {sorted(truth - lsh)}"
+    for portable in (False, True):
+        lsh = {
+            (r.doc_a, r.doc_b)
+            for r in D.lsh_candidate_pairs(docs, portable=portable).collect()
+        }
+        assert truth <= lsh, (
+            f"LSH (portable={portable}) missed true pairs: "
+            f"{sorted(truth - lsh)}"
+        )
 
 
 def test_c02_simhash_hamming_pairs_exact(spark):
