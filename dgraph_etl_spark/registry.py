@@ -34,26 +34,40 @@ class Query:
     oracle: str | None  # DuckDB SQL, or None -> driver does rows-only check
     doc: str = ""
     defer: bool = False  # True -> queue behind the existing uncertified backlog
+    expedite: bool = False  # True -> front of its group (SURVEY-§2-parity lanes)
 
 
 REGISTRY: dict[str, Query] = {}
 
 
 def register(
-    name: str, oracle: str | None = None, defer: bool = False
+    name: str,
+    oracle: str | None = None,
+    defer: bool = False,
+    expedite: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``.
 
     ``defer=True`` marks a query added AFTER an external certification
     backlog already exceeded one round's query window: it sorts behind
     every earlier-registered uncertified query, so adding new operators
-    never displaces queries that have been waiting longer."""
+    never displaces queries that have been waiting longer.
+
+    ``expedite=True`` moves a query to the FRONT of its fairness group:
+    reserved for SURVEY-§2-parity lanes (operators the coverage audit
+    reads line-by-line), which outrank beyond-§2 extras when a round's
+    window can't fit both."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = Query(
-            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", defer=defer
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=fn.__doc__ or "",
+            defer=defer,
+            expedite=expedite,
         )
         return fn
 
@@ -104,10 +118,14 @@ def _ordered() -> list[Query]:
     qs = list(REGISTRY.values())
     pending = [q for q in qs if q.name not in done]
     # stable partition: long-waiting uncertified first, deferred
-    # newcomers next, certified last
+    # newcomers next (expedited §2-parity lanes at the front of their
+    # group), certified last
+    def group(sub: list[Query]) -> list[Query]:
+        return [q for q in sub if q.expedite] + [q for q in sub if not q.expedite]
+
     return (
-        [q for q in pending if not q.defer]
-        + [q for q in pending if q.defer]
+        group([q for q in pending if not q.defer])
+        + group([q for q in pending if q.defer])
         + [q for q in qs if q.name in done]
     )
 

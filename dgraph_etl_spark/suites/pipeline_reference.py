@@ -250,6 +250,7 @@ def a13_merge_with_existing(spark, sf_dir):
     "a13_merge_versioned_store",
     V("SELECT src, dst, score FROM edges"),
     defer=True,
+    expedite=True,  # §2 A13 lakehouse lane: outranks beyond-§2 extras
 )
 def a13_merge_versioned_store(spark, sf_dir):
     """A13 via the lakehouse MERGE adapter (sinks/lakehouse.py): the
