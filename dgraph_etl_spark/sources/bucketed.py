@@ -22,8 +22,24 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
+from collections import defaultdict
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Concurrent queries in ONE session (a multi-threaded driver, or the
+# bench warm-up pool) may race to materialize the same table:
+# tableExists is false for both, and two simultaneous saveAsTable
+# writers share the output dir's _temporary staging, so one writer's
+# commit deletes the other's in-flight task files (observed:
+# FileNotFoundException under .../_temporary/0/task_*). One lock per
+# (session, table) serializes creation; losers find tableExists true
+# and return the finished table. Cross-PROCESS isolation is the
+# pid-keyed scratch path, unchanged.
+_CREATE_LOCKS: dict[tuple[int, str], threading.Lock] = defaultdict(
+    threading.Lock
+)
+_LOCKS_GUARD = threading.Lock()
 
 
 def bucketed_table(
@@ -47,20 +63,24 @@ def bucketed_table(
         import re
 
         name = f"{name}_v{re.sub(r'[^A-Za-z0-9]', '_', version)}"
-    if not spark.catalog.tableExists(name):
-        path = os.path.join(
-            tempfile.gettempdir(), f"dgraph_etl_bucketed_{os.getpid()}", name
-        )
-        (
-            # repartition by the bucket key first: each bucket's rows land
-            # in ONE task -> one file per bucket, which is what lets the
-            # reader trust the per-bucket sort order and skip the Sort
-            # before a sort-merge join (multi-file buckets are re-sorted)
-            df.repartition(n_buckets, key)
-            .write.bucketBy(n_buckets, key)
-            .sortBy(key)
-            .option("path", path)
-            .mode("overwrite")
-            .saveAsTable(name)
-        )
+    with _LOCKS_GUARD:
+        lock = _CREATE_LOCKS[(id(spark), name)]
+    with lock:
+        if not spark.catalog.tableExists(name):
+            path = os.path.join(
+                tempfile.gettempdir(), f"dgraph_etl_bucketed_{os.getpid()}", name
+            )
+            (
+                # repartition by the bucket key first: each bucket's rows
+                # land in ONE task -> one file per bucket, which is what
+                # lets the reader trust the per-bucket sort order and skip
+                # the Sort before a sort-merge join (multi-file buckets
+                # are re-sorted)
+                df.repartition(n_buckets, key)
+                .write.bucketBy(n_buckets, key)
+                .sortBy(key)
+                .option("path", path)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
     return spark.table(name)

@@ -1,0 +1,54 @@
+"""Certification-priority ordering contract of registry._ordered().
+
+The external driver certifies the FIRST ~50 entries of queries() each
+round; these invariants are what make that window converge: pending
+queries sort before certified ones, deferred newcomers never displace
+longer-waiting pending queries, and expedited §2-parity lanes lead
+their fairness group.
+"""
+
+from dgraph_etl_spark.registry import (
+    REGISTRY,
+    _certified_names,
+    _load_suites,
+    _ordered,
+)
+
+
+def test_pending_sort_before_certified():
+    _load_suites()
+    names = [q.name for q in _ordered()]
+    done = _certified_names()
+    pend_idx = [i for i, n in enumerate(names) if n not in done]
+    cert_idx = [i for i, n in enumerate(names) if n in done]
+    assert len(names) == len(set(names)) == len(REGISTRY)
+    if pend_idx and cert_idx:
+        assert max(pend_idx) < min(cert_idx)
+
+
+def test_defer_groups_and_expedite_front():
+    _load_suites()
+    order = _ordered()
+    done = _certified_names()
+    pending = [q for q in order if q.name not in done]
+    # within pending: all non-defer before all defer
+    defer_flags = [q.defer for q in pending]
+    if True in defer_flags and False in defer_flags:
+        assert defer_flags.index(True) > max(
+            i for i, d in enumerate(defer_flags) if not d
+        )
+    # within each defer group: expedited entries lead
+    for flag in (False, True):
+        grp = [q.expedite for q in pending if q.defer is flag]
+        if True in grp and False in grp:
+            assert grp.index(False) > max(
+                i for i, e in enumerate(grp) if e
+            ), "expedited query sorted behind a non-expedited one"
+
+
+def test_expedited_a13_inside_certification_window():
+    _load_suites()
+    done = _certified_names()
+    pending = [q.name for q in _ordered() if q.name not in done]
+    if "a13_merge_versioned_store" in pending:
+        assert pending.index("a13_merge_versioned_store") < 50
