@@ -52,6 +52,17 @@ HEADLINE = [
     "b92_cube_rollup",        # CUBE margins: one Expand, one hash agg
 ]
 
+# Optional subset filter (comma-separated names): lets the scale soak
+# run only the heavy queries at large replication factors without
+# changing what a bare `python bench.py` measures.
+_SUBSET = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+if _SUBSET:
+    wanted = [n.strip() for n in _SUBSET.split(",") if n.strip()]
+    unknown = sorted(set(wanted) - set(HEADLINE))
+    if unknown:
+        raise SystemExit(f"unknown bench queries: {unknown}")
+    HEADLINE = [n for n in HEADLINE if n in wanted]
+
 
 def _sf_label(sf_dir: str) -> float:
     base = os.path.basename(os.path.normpath(sf_dir))
