@@ -74,15 +74,30 @@ def register(
     return deco
 
 
+# Queries whose SEMANTICS changed after an external run certified an
+# earlier form: green rows from rounds <= the listed round are stale
+# and do not count, so the query re-enters the certification window.
+# (A rows-only query that merely GAINS an oracle is handled generically
+# below; this map is for result-changing rewrites of oracle-carrying
+# queries.)
+RECERTIFY: dict[str, int] = {
+    # round 4 certified the all-pairs exactness baseline; the registered
+    # form became SRP-bucketed (different candidate set) post-run
+    "c40_hard_negatives": 4,
+}
+
+
 def _certified_names() -> set[str]:
     """Query names already end-to-end certified by a previous external
     correctness run (CORRECTNESS_r*.json in the repo root): a green
     hash match, or a completed rows-only run for queries that declare
-    no oracle. Everything else -- never-run, errored, or mismatched --
-    counts as uncertified."""
+    no oracle. Everything else -- never-run, errored, mismatched, or
+    certified only in a round predating a semantic rewrite (RECERTIFY)
+    -- counts as uncertified."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
@@ -92,7 +107,11 @@ def _certified_names() -> set[str]:
                 data = json.load(f)
         except Exception:
             continue
+        m = re.search(r"CORRECTNESS_r0*(\d+)", os.path.basename(p))
+        rnd = int(m.group(1)) if m else 0
         for name, row in data.items():
+            if rnd <= RECERTIFY.get(name, 0):
+                continue
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match") is True:
