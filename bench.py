@@ -114,14 +114,25 @@ def main() -> None:
     # burst then poisons at most one SAMPLE of each query instead of
     # all samples of one query, so the per-query min measures the
     # operators, not the neighbor's load.
+    # Rounds are ADAPTIVE (4 minimum, 8 cap): on a quiet host the mins
+    # stabilize by round 3-4 and the loop stops; under contention extra
+    # rounds keep sampling until a full round improves the summed mins
+    # by <2%, so a steal-time burst during the early rounds doesn't
+    # become the recorded number.
     times: dict[str, float] = {name: float("inf") for name in HEADLINE}
-    for _ in range(4):
+    rounds_run = 0
+    for rnd in range(8):
+        before = sum(times.values())
         for name in HEADLINE:
             q = REGISTRY[name]
             t1 = time.perf_counter()
             df = q.fn(spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
             times[name] = min(times[name], time.perf_counter() - t1)
+        rounds_run = rnd + 1
+        after = sum(times.values())
+        if rnd >= 3 and after > 0 and (before - after) / after < 0.02:
+            break
     times = {name: round(t, 3) for name, t in times.items()}
 
     total = round(sum(times.values()), 3)
@@ -135,6 +146,7 @@ def main() -> None:
                 "sf": _sf_label(SF_DIR),
                 "startup_sec": round(startup, 3),
                 "n_queries": len(times),
+                "rounds": rounds_run,
             }
         )
     )
