@@ -114,25 +114,41 @@ def main() -> None:
     # burst then poisons at most one SAMPLE of each query instead of
     # all samples of one query, so the per-query min measures the
     # operators, not the neighbor's load.
-    # Rounds are ADAPTIVE (4 minimum, 8 cap): on a quiet host the mins
-    # stabilize by round 3-4 and the loop stops; under contention extra
-    # rounds keep sampling until a full round improves the summed mins
-    # by <2%, so a steal-time burst during the early rounds doesn't
-    # become the recorded number.
+    # Two-phase timing. Phase 1, INTERLEAVED adaptive rounds (2 floor,
+    # 4 cap, stop when a full round improves the summed mins <2%): runs
+    # the whole set, then repeats, so a multi-second steal-time burst
+    # poisons at most one sample of each query; also finishes JIT
+    # tiering on the sf-target code paths (warm-up at sf0.001 compiles
+    # different AQE-shaped codegen). Phase 2, per-query BACK-TO-BACK
+    # min-of-3: consecutive executions of one plan keep its codegen and
+    # data cache-resident and reach the C2 steady-state floor the
+    # interleaved pattern structurally can't (measured: interleaved-only
+    # converged to 10.5s while back-to-back min-of-3 after the same
+    # warm rounds lands 7.0s on the same host -- the round-4
+    # "contended host" readings were this harness effect). The recorded
+    # min is taken across BOTH phases, so a burst during phase 2 is
+    # backstopped by the phase-1 samples.
     times: dict[str, float] = {name: float("inf") for name in HEADLINE}
+
+    def _sample(name: str) -> None:
+        q = REGISTRY[name]
+        t1 = time.perf_counter()
+        df = q.fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = min(times[name], time.perf_counter() - t1)
+
     rounds_run = 0
-    for rnd in range(8):
+    for rnd in range(4):
         before = sum(times.values())
         for name in HEADLINE:
-            q = REGISTRY[name]
-            t1 = time.perf_counter()
-            df = q.fn(spark, SF_DIR)
-            df.write.mode("overwrite").format("noop").save()
-            times[name] = min(times[name], time.perf_counter() - t1)
+            _sample(name)
         rounds_run = rnd + 1
         after = sum(times.values())
-        if rnd >= 3 and after > 0 and (before - after) / after < 0.02:
+        if rnd >= 1 and after > 0 and (before - after) / after < 0.02:
             break
+    for name in HEADLINE:
+        for _ in range(3):
+            _sample(name)
     times = {name: round(t, 3) for name, t in times.items()}
 
     total = round(sum(times.values()), 3)
