@@ -163,7 +163,8 @@ def main() -> None:
         "sf0.1 fact tables (lineitem 600k, orders 150k, events, documents,",
         "embeddings) key-remapped-replicated 10x into scratch, dimensions",
         "held fixed; the UNMODIFIED `bench.py` headline set run at both",
-        "scales on the same host, min-of-4 interleaved per query.",
+        "scales on the same host, two-phase timing per query",
+        "(interleaved warm rounds, then back-to-back min-of-3).",
         "",
         "ratio = t(10x) / t(1x). A ratio near 1 means the query is still",
         "inside fixed per-stage overhead at this size (the work fits the",
