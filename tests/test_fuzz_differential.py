@@ -89,11 +89,65 @@ def engines(spark):
 
     register_views(spark, SF)
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM '{table_path(SF, 'lineitem')}'"
-    )
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(SF, t)}'"
+        )
     yield spark, con
     con.close()
+
+
+@st.composite
+def window_queries(draw) -> str:
+    """Ranking/offset windows over a TOTAL order ((l_orderkey,
+    l_linenumber) is unique), so results are deterministic in any
+    engine; the partition key and frame function vary."""
+    pred = draw(predicates())
+    part = draw(st.sampled_from(STR_COLS))
+    fn = draw(
+        st.sampled_from(
+            [
+                "ROW_NUMBER()",
+                "RANK()",
+                "DENSE_RANK()",
+                "LAG(l_orderkey, 1, -1)",
+                "LEAD(l_linenumber, 2, 0)",
+                "SUM(l_linenumber)",
+                "MIN(l_orderkey)",
+            ]
+        )
+    )
+    return (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"{fn} OVER (PARTITION BY {part} "
+        f"ORDER BY l_orderkey, l_linenumber) AS w "
+        f"FROM lineitem WHERE {pred}"
+    )
+
+
+@st.composite
+def join_queries(draw) -> str:
+    """Inner/left joins lineitem-orders with independent predicates on
+    both sides; aggregates stay integer-exact."""
+    jt = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    lpred = draw(predicates())
+    opred = draw(st.sampled_from([
+        "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+        "o_custkey % 3 = 0",
+        "o_orderkey < 3000",
+        "o_custkey BETWEEN 10 AND 900",
+    ]))
+    return (
+        "SELECT l.l_returnflag, "
+        "COUNT(*) AS n, "
+        "COUNT(o.o_orderkey) AS n_matched, "
+        "SUM(l.l_linenumber) AS s1, "
+        "SUM(COALESCE(o.o_custkey % 101, -7)) AS s2 "
+        f"FROM (SELECT * FROM lineitem WHERE {lpred}) l "
+        f"{jt} (SELECT * FROM orders WHERE {opred}) o "
+        "ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY l.l_returnflag"
+    )
 
 
 @settings(max_examples=40, deadline=None, derandomize=True)
@@ -114,6 +168,36 @@ def test_random_query_matches_duckdb(engines, sql):
     )
     # empty results legitimately differ in dtype inference; compare as
     # value tuples with exact integer equality
+    s_rows = [tuple(r) for r in s.itertuples(index=False, name=None)]
+    o_rows = [tuple(r) for r in o.itertuples(index=False, name=None)]
+    assert s_rows == o_rows, f"divergence on:\n{sql}\nspark={s_rows}\nduck={o_rows}"
+
+
+def _exact_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(int(v) if v == v else None for v in rec)
+        for rec in df[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort(key=lambda t: tuple((x is None, x) for x in t))
+    return rows
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(sql=window_queries())
+def test_random_window_matches_duckdb(engines, sql):
+    spark, con = engines
+    assert _exact_rows(spark.sql(sql).toPandas()) == _exact_rows(
+        con.execute(sql).df()
+    ), f"divergence on:\n{sql}"
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(sql=join_queries())
+def test_random_join_matches_duckdb(engines, sql):
+    spark, con = engines
+    s = spark.sql(sql).toPandas().sort_values("l_returnflag").reset_index(drop=True)
+    o = con.execute(sql).df().sort_values("l_returnflag").reset_index(drop=True)
     s_rows = [tuple(r) for r in s.itertuples(index=False, name=None)]
     o_rows = [tuple(r) for r in o.itertuples(index=False, name=None)]
     assert s_rows == o_rows, f"divergence on:\n{sql}\nspark={s_rows}\nduck={o_rows}"
