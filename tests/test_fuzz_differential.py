@@ -192,6 +192,74 @@ def test_random_window_matches_duckdb(engines, sql):
     ), f"divergence on:\n{sql}"
 
 
+@st.composite
+def setop_queries(draw) -> str:
+    """Bag-vs-set semantics corner: UNION [ALL] / INTERSECT [ALL] /
+    EXCEPT [ALL] between two filtered projections of the same table --
+    multiplicity rules are where engines classically diverge."""
+    op = draw(
+        st.sampled_from(
+            ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+             "EXCEPT", "EXCEPT ALL"]
+        )
+    )
+    a = draw(predicates())
+    b = draw(predicates())
+    proj = draw(
+        st.sampled_from(
+            ["l_returnflag, l_linestatus", "l_linenumber % 4, l_returnflag"]
+        )
+    )
+    return (
+        f"SELECT {proj} FROM lineitem WHERE {a} "
+        f"{op} "
+        f"SELECT {proj} FROM lineitem WHERE {b}"
+    )
+
+
+@st.composite
+def agg_queries(draw) -> str:
+    """Aggregate-function battery over random predicates: MIN/MAX on
+    ints and strings, COUNT(DISTINCT), FILTER clauses -- all
+    integer/string-exact in both engines."""
+    pred = draw(predicates())
+    f1 = draw(predicates())
+    return (
+        "SELECT l_linestatus, "
+        "MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx, "
+        "MIN(l_returnflag) AS mns, MAX(l_returnflag) AS mxs, "
+        "COUNT(DISTINCT l_suppkey) AS cd, "
+        f"COUNT(*) FILTER (WHERE {f1}) AS cf "
+        f"FROM lineitem WHERE {pred} GROUP BY l_linestatus"
+    )
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(sql=setop_queries())
+def test_random_setop_matches_duckdb(engines, sql):
+    spark, con = engines
+    s = spark.sql(sql).toPandas()
+    o = con.execute(sql).df()
+    s_rows = sorted(
+        tuple(str(v) for v in r) for r in s.itertuples(index=False, name=None)
+    )
+    o_rows = sorted(
+        tuple(str(v) for v in r) for r in o.itertuples(index=False, name=None)
+    )
+    assert s_rows == o_rows, f"divergence on:\n{sql}"
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(sql=agg_queries())
+def test_random_aggregates_match_duckdb(engines, sql):
+    spark, con = engines
+    s = spark.sql(sql).toPandas().sort_values("l_linestatus").reset_index(drop=True)
+    o = con.execute(sql).df().sort_values("l_linestatus").reset_index(drop=True)
+    s_rows = [tuple(str(v) for v in r) for r in s.itertuples(index=False, name=None)]
+    o_rows = [tuple(str(v) for v in r) for r in o.itertuples(index=False, name=None)]
+    assert s_rows == o_rows, f"divergence on:\n{sql}\nspark={s_rows}\nduck={o_rows}"
+
+
 @settings(max_examples=30, deadline=None, derandomize=True)
 @given(sql=join_queries())
 def test_random_join_matches_duckdb(engines, sql):
