@@ -17,10 +17,16 @@ flakes; bump max_examples locally to fuzz harder.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
 from hypothesis import given, settings, strategies as st
+
+# default example counts keep CI fast; FUZZ_SCALE=5 multiplies every
+# family for a deep local pass (python -m pytest ... with FUZZ_SCALE set)
+_SCALE = int(os.environ.get("FUZZ_SCALE", "1"))
 
 from dgraph_etl_spark.catalog import table_path
 
@@ -150,7 +156,7 @@ def join_queries(draw) -> str:
     )
 
 
-@settings(max_examples=40, deadline=None, derandomize=True)
+@settings(max_examples=_SCALE * 40, deadline=None, derandomize=True)
 @given(sql=queries())
 def test_random_query_matches_duckdb(engines, sql):
     spark, con = engines
@@ -183,7 +189,7 @@ def _exact_rows(df: pd.DataFrame) -> list[tuple]:
     return rows
 
 
-@settings(max_examples=30, deadline=None, derandomize=True)
+@settings(max_examples=_SCALE * 30, deadline=None, derandomize=True)
 @given(sql=window_queries())
 def test_random_window_matches_duckdb(engines, sql):
     spark, con = engines
@@ -234,7 +240,7 @@ def agg_queries(draw) -> str:
     )
 
 
-@settings(max_examples=30, deadline=None, derandomize=True)
+@settings(max_examples=_SCALE * 30, deadline=None, derandomize=True)
 @given(sql=setop_queries())
 def test_random_setop_matches_duckdb(engines, sql):
     spark, con = engines
@@ -249,7 +255,7 @@ def test_random_setop_matches_duckdb(engines, sql):
     assert s_rows == o_rows, f"divergence on:\n{sql}"
 
 
-@settings(max_examples=30, deadline=None, derandomize=True)
+@settings(max_examples=_SCALE * 30, deadline=None, derandomize=True)
 @given(sql=agg_queries())
 def test_random_aggregates_match_duckdb(engines, sql):
     spark, con = engines
@@ -260,7 +266,7 @@ def test_random_aggregates_match_duckdb(engines, sql):
     assert s_rows == o_rows, f"divergence on:\n{sql}\nspark={s_rows}\nduck={o_rows}"
 
 
-@settings(max_examples=30, deadline=None, derandomize=True)
+@settings(max_examples=_SCALE * 30, deadline=None, derandomize=True)
 @given(sql=join_queries())
 def test_random_join_matches_duckdb(engines, sql):
     spark, con = engines
