@@ -930,3 +930,27 @@ def test_c40_srp_hard_negatives_quality_floors(spark):
     assert hits / len(planted_truth) >= 0.90, (
         f"planted-near-dup recall {hits / len(planted_truth):.2f} below floor"
     )
+
+
+def test_c04_arrow_lane_equals_jvm_lane(spark):
+    """brute_topk_arrow (the large-N mapInPandas lane) must return the
+    IDENTICAL (vec_id, sim) rows as brute_topk (the JVM expression
+    lane) -- same round-4dp sims, same vec_id tiebreak -- on both
+    small fixtures, so swapping lanes by corpus size never changes an
+    answer."""
+    from pyspark.sql import functions as F
+
+    from dgraph_etl_spark.catalog import load_table
+    from dgraph_etl_spark.functions import similarity as S
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = load_table(spark, sf, "embeddings")
+        query = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qvec")
+        )
+        jvm = [(r.vec_id, r.sim) for r in S.brute_topk(emb, query, 25).collect()]
+        arrow = [
+            (r.vec_id, r.sim)
+            for r in S.brute_topk_arrow(emb, query, 25).collect()
+        ]
+        assert jvm == arrow
