@@ -159,7 +159,14 @@ def ivf_topk(
     similar to the query, then exact re-rank inside those cells only.
     At 100 TB with the corpus PARTITIONED BY cell id, the unprobed
     cells are pruned at the scan (partition pruning) -- the whole query
-    touches ~nprobe/ncells of the data."""
+    touches ~nprobe/ncells of the data.
+
+    Cell-count caveat, measured (SCALE.md, 5M x 64d): with few coarse
+    cells (the fixture's 8 labels) the <=ncells/nprobe pruning factor
+    does not recoup the probe path's assignment-join overhead, and
+    brute_topk / brute_topk_arrow stay faster; IVF pays once cells are
+    ~sqrt(N) (the k-means codebook, kmeans_cells(k=...)) so pruning
+    removes >90% of the scan."""
     cents = label_centroids(emb, vec_col)
     probed = (
         cents.crossJoin(F.broadcast(query))
