@@ -58,6 +58,11 @@ HEADLINE = [
 _SUBSET = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
 if _SUBSET:
     wanted = [n.strip() for n in _SUBSET.split(",") if n.strip()]
+    if not wanted:
+        raise SystemExit(
+            "SPARK_GRAFT_BENCH_QUERIES parsed to an empty subset: "
+            f"{_SUBSET!r}"
+        )
     unknown = sorted(set(wanted) - set(HEADLINE))
     if unknown:
         raise SystemExit(f"unknown bench queries: {unknown}")

@@ -43,7 +43,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; a zero-norm side yields NULL (try_divide),
+    never a DIVIDE_BY_ZERO error (ANSI mode) or NaN (non-ANSI) --
+    NULLs sort last under desc, so degenerate rows can't win a top-k.
+    try_divide returns NULL for a 0 divisor under BOTH ANSI settings,
+    so the contract is config-independent."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def with_query_similarity(
@@ -82,7 +87,20 @@ def brute_topk_arrow(
     amortizes it across the batch). Prefer brute_topk below ~1M
     vectors (no Arrow transfer, stays in whole-stage codegen) and this
     lane above it. The query vector ships via broadcast; top-k remains
-    TakeOrderedAndProject, so per-partition state is O(k)."""
+    TakeOrderedAndProject, so per-partition state is O(k).
+
+    Edge-case parity with the JVM lane: zero-norm corpus rows score
+    NULL in BOTH lanes (cosine uses try_divide; this lane maps the
+    0/0 NaN to NULL) -- NULLs sort last under desc, so degenerate
+    rows can't displace real neighbors -- and rounding is HALF_UP
+    (sign * floor(|x|*1e4 + 0.5) / 1e4) to match Spark's F.round,
+    not numpy's half-to-even. Residual caveat:
+    BLAS matvec accumulation order differs from the JVM lane's
+    left-to-right fold, so a sim whose 5th decimal sits EXACTLY on a
+    rounding boundary can still round differently -- the lane-equality
+    property test pins agreement on the real fixtures; for adversarial
+    boundary vectors the lanes agree to 1 ulp pre-round, not
+    bit-exactly post-round."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -106,11 +124,13 @@ def brute_topk_arrow(
         for pdf in batches:
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
-            sims = (m @ qv) / norms
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].values, "sim": np.round(sims, 4)}
-            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (m @ qv) / norms
+            # HALF_UP to 4dp (Spark F.round), not numpy half-to-even
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+            # zero norm -> NULL, matching the JVM lane's try_divide
+            sims = np.where(np.isnan(sims), None, sims)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].values, "sim": sims})
 
     return (
         emb.select("vec_id", vec_col)

@@ -954,3 +954,39 @@ def test_c04_arrow_lane_equals_jvm_lane(spark):
             for r in S.brute_topk_arrow(emb, query, 25).collect()
         ]
         assert jvm == arrow
+
+
+def test_c04_arrow_lane_edge_case_parity(spark):
+    """The Arrow lane must agree with the JVM lane on degenerate
+    inputs too: a zero-norm corpus vector scores NULL sim in BOTH
+    lanes (cosine uses try_divide -- under ANSI mode a bare division
+    would ERROR, under non-ANSI it would make NaN sort first; NULL
+    sorts last under desc in both configs), and sims round HALF_UP
+    like F.round, not numpy half-to-even. Guards the divergences
+    flagged in round-5 advice: coercing zero norms to 1.0 (sim 0.0)
+    or np.round (banker's rounding) would let a corpus-size-based
+    lane swap change an answer."""
+    import math
+
+    from dgraph_etl_spark.functions import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # the query itself: sim 1.0
+        (1, [0.0, 0.0, 0.0, 0.0]),   # zero norm: NULL in both lanes
+        (2, [0.5, 0.5, 0.5, 0.5]),   # sim 0.5
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # sim -1.0
+        # 4dp half-boundary: cos = 0.12345 -> HALF_UP gives 0.1235
+        # (numpy half-to-even would give 0.1234)
+        (4, [0.12345, math.sqrt(1 - 0.12345**2), 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    query = spark.createDataFrame([([1.0, 0.0, 0.0, 0.0],)], "qvec array<float>")
+
+    jvm = [(r.vec_id, r.sim) for r in S.brute_topk(emb, query, 5).collect()]
+    arrow = [
+        (r.vec_id, r.sim) for r in S.brute_topk_arrow(emb, query, 5).collect()
+    ]
+    assert jvm == arrow
+    assert jvm[-1] == (1, None)  # NULL sim sorts last under desc
+    sims = dict(jvm)
+    assert sims[4] == 0.1235  # HALF_UP at the boundary

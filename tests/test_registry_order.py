@@ -52,3 +52,31 @@ def test_expedited_a13_inside_certification_window():
     pending = [q.name for q in _ordered() if q.name not in done]
     if "a13_merge_versioned_store" in pending:
         assert pending.index("a13_merge_versioned_store") < 50
+
+
+def test_recertify_rounds_not_in_future():
+    """RECERTIFY maps query name -> last round whose green rows are
+    stale after a semantic rewrite. A round number beyond the latest
+    recorded CORRECTNESS_r*.json would claim to invalidate runs that
+    have not happened -- i.e. a rewrite shipped without re-entering
+    the certification window. Pin: every entry names a registered
+    query and a round <= the latest recorded one."""
+    import glob
+    import os
+    import re
+
+    from dgraph_etl_spark.registry import RECERTIFY, REGISTRY
+
+    _load_suites()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(re.search(r"CORRECTNESS_r0*(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
+    latest = max(rounds) if rounds else 0
+    for name, rnd in RECERTIFY.items():
+        assert name in REGISTRY, f"RECERTIFY names unknown query {name}"
+        assert rnd <= latest, (
+            f"RECERTIFY[{name!r}] = {rnd} exceeds latest recorded round "
+            f"{latest}: a semantic rewrite is shipping uncertified"
+        )

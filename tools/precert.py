@@ -5,7 +5,11 @@ green row in any CORRECTNESS_r*.json yet — so harness-side surprises
 (sf-dependent ties, canonicalization, timing) surface BEFORE the
 external run burns a round's 50-query window on them.
 
-Usage: python tools/precert.py [N]   (default: all pending)
+Usage: python tools/precert.py [N]             (default: all pending)
+       python tools/precert.py --only a,b,c    (named queries, even if
+                                                already certified -- for
+                                                re-checking a query a
+                                                library change touches)
 """
 
 from __future__ import annotations
@@ -25,10 +29,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main() -> None:
-    cap = int(sys.argv[1]) if len(sys.argv) > 1 else 10**9
     order = _ordered()
-    done = _certified_names()
-    pending = [q for q in order if q.name not in done][:cap]
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        wanted = {n.strip() for n in sys.argv[2].split(",") if n.strip()}
+        unknown = wanted - {q.name for q in order}
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        pending = [q for q in order if q.name in wanted]
+    else:
+        cap = int(sys.argv[1]) if len(sys.argv) > 1 else 10**9
+        done = _certified_names()
+        pending = [q for q in order if q.name not in done][:cap]
     spark = get_spark(app_name="precert")
     spark.sparkContext.setLogLevel("ERROR")
     failures = []

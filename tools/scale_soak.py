@@ -50,6 +50,11 @@ SCRATCH = os.path.join(os.environ.get("TMPDIR", "/tmp"), "dgraph_etl_scale")
 
 DIM_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
+# Everything the tool auto-generates sits ABOVE this marker; hand-added
+# sections below it (100x soak, streaming, ANN panels, graph decades)
+# survive a re-run verbatim.
+AUTO_END = "<!-- scale-soak:auto-end — sections below are preserved on re-run -->"
+
 
 def build_fixture(
     replicas: int, src_sf: str = SRC_SF, dest: str | None = None
@@ -194,10 +199,25 @@ def main() -> None:
         "  replica) while the 50 hub endpoints are shared, so hub",
         "  degrees densify with the corpus -- traversal ratios are",
         "  measured under a harsher regime than disjoint cloning.",
+        "",
+        AUTO_END,
     ]
-    with open(os.path.join(ROOT, "SCALE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("wrote SCALE.md", flush=True)
+    path = os.path.join(ROOT, "SCALE.md")
+    extra = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        if AUTO_END in old:
+            extra = old.split(AUTO_END, 1)[1]
+        else:
+            # legacy file without the marker: keep any sections that
+            # were appended after the auto-written interpretation notes
+            cut = old.find("\n## ")
+            if cut != -1:
+                extra = "\n" + old[cut + 1:]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n" + extra)
+    print("wrote SCALE.md (preserved post-marker sections)", flush=True)
 
 
 if __name__ == "__main__":
