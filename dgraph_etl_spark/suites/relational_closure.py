@@ -1533,6 +1533,71 @@ def b50_bucketed_join(spark, sf_dir):
 
 
 @register(
+    "b07_join_inner_bucketed",
+    f"""
+    SELECT c.c_mktsegment,
+           {fpsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    defer=True,
+)
+def b07_join_inner_bucketed(spark, sf_dir):
+    """B7 bucketed lane: byte-identical result to b07_join_inner, but
+    lineitem and orders are materialized bucketed+sorted by orderkey
+    (32 buckets each side), so the fact-fact equi-join plans with ZERO
+    exchanges (SelectedBucketsCount 32/32) -- the shuffle moves to
+    ingest time, once, instead of every query. This is the measured
+    remedy for the engine's only above-decade scale ratio (b07 at 36x
+    on 100x data, SCALE.md): locally the gain is modest because the
+    shuffle is in-memory, but on a 1000-executor cluster the elided
+    exchange is the network-bound term. Registered as a headline twin
+    so every BENCH/SCALE snapshot records both lanes side by side."""
+    import os
+    import re
+
+    from ..sources.bucketed import bucketed_table
+
+    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+
+    def _ver(table):
+        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+        return f"{st.st_mtime_ns}_{st.st_size}"
+
+    li = bucketed_table(
+        spark,
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        f"bkt_lineitem_ok_{tag}",
+        "l_orderkey",
+        n_buckets=32,
+        version=_ver("lineitem"),
+    )
+    o = bucketed_table(
+        spark,
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        f"bkt_orders_ok_{tag}",
+        "o_orderkey",
+        n_buckets=32,
+        version=_ver("orders"),
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            fpsum("l_extendedprice * (1 - l_discount)", "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
     "b51_tpch_q3",
     f"""
     SELECT l.l_orderkey,

@@ -391,6 +391,43 @@ def test_bucketed_join_zero_exchange_zero_sort(spark, sf_small):
     assert not re.search(r"\) Sort\b(?!MergeJoin)", plan), plan
 
 
+def test_b07_bucketed_twin_contract(spark, sf_small):
+    """The b07 headline twin's scale contract: (a) values identical to
+    the shuffle lane b07_join_inner, (b) the lineitem<->orders join
+    reads both sides bucketed (Bucketed: true, SelectedBucketsCount
+    32/32) with no exchange between the scans and the join -- the
+    shuffle that costs 36x at 100x data (SCALE.md) is elided by
+    layout."""
+    import re
+
+    from dgraph_etl_spark.registry import REGISTRY, _load_suites
+
+    _load_suites()
+    plain = REGISTRY["b07_join_inner"].fn(spark, sf_small)
+    bucketed = REGISTRY["b07_join_inner_bucketed"].fn(spark, sf_small)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bucketed.collect())
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = bucketed._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("Bucketed: true") >= 2, plan
+    assert "SelectedBucketsCount: 32 out of 32" in plan, plan
+    # exactly one exchange total: the final per-segment aggregate
+    # (plus the dimension broadcast); never one feeding the SMJ
+    smj = plan.split("SortMergeJoin")[0]
+    assert "Exchange" not in smj.split("== Physical Plan ==")[-1] or not re.search(
+        r"Exchange hashpartitioning\(\w*orderkey", plan
+    ), plan
+
+
 def test_cube_one_expand_one_agg(spark, sf_small):
     """B92 scale contract: the CUBE is ONE Expand feeding a single
     shared-scan hash agg (partial+final) -- never a Union of separate
