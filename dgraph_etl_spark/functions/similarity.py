@@ -1441,3 +1441,179 @@ def pq_oracle_ctes(
   )"""
     )
     return ",".join(parts)
+
+
+# ------------------------------------------------------------------ c51 scale
+# The registered c51 (ivf_kmeans_topk) is the CORRECTNESS form: exact
+# fixed-point Lloyd over every vector, hash-certified against an
+# unrolled-CTE oracle. Past ~1M vectors nobody trains that way -- the
+# standard serving design (what FAISS does) trains the coarse codebook
+# on a SAMPLE, assigns the full corpus with one BLAS pass, persists
+# partitioned by cell, and probes with partition pruning. These three
+# functions are that lane; SCALE.md records the measured 5M-vector
+# numbers next to the brute/Arrow lanes.
+
+
+def sampled_codebook(
+    emb,
+    k: int,
+    sample_size: int = 100_000,
+    n_iter: int = 10,
+    vec_col: str = "embedding",
+):
+    """Train a k-cell codebook driver-side on a deterministic sample.
+
+    Sample = the ``sample_size`` vectors with the smallest
+    md5(vec_id) -- content-independent and engine-portable (the same
+    convention as the exact loop's seeding), planned as
+    TakeOrderedAndProject so no global sort materializes. Lloyd runs in
+    numpy with argmin over a chunked distance matmul; empty cells keep
+    their previous centroid. Returns a (k, dim) float64 ndarray.
+
+    At 100 TB this is the only part of IVF that is NOT distributed --
+    deliberately: a 100k-row sample bounds driver memory at ~50 MB and
+    codebook quality does not improve with corpus-scale training
+    (quantizer distortion is a property of the distribution, not the
+    row count)."""
+    import numpy as np
+
+    rows = (
+        emb.select("vec_id", vec_col)
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    n = x.shape[0]
+    k = min(k, n)
+    cents = x[:k].copy()
+    for _ in range(n_iter):
+        # chunked argmin over squared L2: |x|^2 - 2 x.c + |c|^2
+        c2 = (cents * cents).sum(axis=1)
+        assign = np.empty(n, dtype=np.int64)
+        for lo in range(0, n, 65536):
+            chunk = x[lo : lo + 65536]
+            d = c2[None, :] - 2.0 * (chunk @ cents.T)
+            assign[lo : lo + len(chunk)] = np.argmin(d, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def assign_cells_arrow(emb, codebook, vec_col: str = "embedding"):
+    """Assign every corpus vector to its nearest codebook cell in one
+    Arrow/BLAS pass (mapInPandas; one argmin-matmul per batch). The
+    codebook ships via broadcast; output is (vec_id, cell) + the
+    original vector so the result can be written partitioned by cell
+    directly. Shuffle-free: assignment is a narrow map."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    bc = emb.sparkSession.sparkContext.broadcast(
+        np.asarray(codebook, dtype=np.float64)
+    )
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField(vec_col, ArrayType(FloatType())),
+            StructField("cell", IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        cents = bc.value
+        c2 = (cents * cents).sum(axis=1)
+        for pdf in batches:
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d = c2[None, :] - 2.0 * (m @ cents.T)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    vec_col: pdf[vec_col].values,
+                    "cell": np.argmin(d, axis=1).astype(np.int32),
+                }
+            )
+
+    return emb.select("vec_id", vec_col).mapInPandas(assign, schema)
+
+
+def build_ivf_kmeans_index(
+    spark,
+    emb,
+    path: str,
+    ncells: int,
+    sample_size: int = 100_000,
+    n_iter: int = 10,
+    vec_col: str = "embedding",
+):
+    """One-time c51-scale index build: sampled codebook -> Arrow
+    assignment -> corpus persisted PARTITIONED BY cell (same
+    atomic-rename protocol as build_ivf_index). The codebook is saved
+    next to the partitions (centroids.npy) so probing never retrains.
+    Returns the codebook."""
+    import os
+    import shutil
+    import uuid
+
+    import numpy as np
+
+    done = os.path.join(path, "_SUCCESS")
+    cb_path = os.path.join(path, "centroids.npy")
+    if os.path.exists(done) and os.path.exists(cb_path):
+        return np.load(cb_path)
+    codebook = sampled_codebook(emb, ncells, sample_size, n_iter, vec_col)
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    assign_cells_arrow(emb, codebook, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(tmp)
+    np.save(os.path.join(tmp, "centroids.npy"), codebook)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not (os.path.exists(done) and os.path.exists(cb_path)):
+            raise
+    return np.load(cb_path)
+
+
+def ivf_kmeans_scale_topk(
+    spark,
+    query,
+    k: int,
+    path: str,
+    nprobe: int,
+    vec_col: str = "embedding",
+):
+    """Probe a build_ivf_kmeans_index index: rank cells driver-side
+    against the saved codebook (index metadata, numpy), scan ONLY the
+    nprobe winning partitions (`isin` on the partition column =
+    partition pruning at file listing), exact cosine re-rank inside --
+    brute_topk's contract (round-4dp sim, vec_id tiebreak, NULL for
+    zero norms) over the candidate set."""
+    import os
+
+    import numpy as np
+
+    cents = np.load(os.path.join(path, "centroids.npy"))
+    q = np.asarray(query.select("qvec").first()["qvec"], dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = (cents @ q) / (
+            np.linalg.norm(cents, axis=1) * np.linalg.norm(q)
+        )
+    sims = np.nan_to_num(sims, nan=-np.inf)
+    probed = [int(c) for c in np.argsort(-sims)[:nprobe]]
+    index = spark.read.parquet(path)
+    candidates = index.filter(F.col("cell").isin(probed))
+    return brute_topk(candidates, query, k, vec_col)

@@ -349,3 +349,47 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_small):
         == li.count()
         == spark.read.parquet(ldir).count()
     )
+
+
+def test_ivf_kmeans_scale_lane(spark, sf_oracle, tmp_path):
+    """The c51 SCALE lane (sampled codebook -> Arrow cell assignment ->
+    partitioned index -> pruned probe) must (a) prune unprobed cell
+    partitions at the scan, (b) reach a recall@10 floor vs the exact
+    brute lane, (c) return rows in brute_topk's contract (4dp sims,
+    vec_id tiebreak). The registered c51 stays the hash-certified
+    correctness form; this lane is what runs past ~1M vectors."""
+    from dgraph_etl_spark.catalog import load_table
+    from dgraph_etl_spark.functions import similarity as S
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    n = emb.count()
+    ncells = max(2, int(n**0.5))
+    path = str(tmp_path / "ivf_scale")
+    cb = S.build_ivf_kmeans_index(
+        spark, emb, path, ncells, sample_size=n, n_iter=5
+    )
+    assert cb.shape[0] <= ncells
+
+    nprobe = max(2, ncells // 3)
+    got = S.ivf_kmeans_scale_topk(spark, query, 10, path, nprobe)
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[.*cell.*\]", plan)
+    assert m, plan  # probe prunes at the partition column
+
+    truth = {r.vec_id for r in S.brute_topk(emb, query, 10).collect()}
+    hits = {r.vec_id for r in got.collect()}
+    recall = len(truth & hits) / 10
+    assert recall >= 0.8, f"recall@10 {recall} below floor"
+
+    # idempotent rebuild: second call loads, never retrains
+    cb2 = S.build_ivf_kmeans_index(spark, emb, path, ncells)
+    assert (cb == cb2).all()

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""ANN serving-lane panel at 5M vectors: where each C4 lane pays.
+
+Round-5 measured the brute JVM lane, the Arrow/BLAS lane, and the
+8-cell IVF at 5M x 64-dim (SCALE.md "ANN lanes at 5M vectors") and
+found 8 coarse cells cannot beat brute force. This tool runs the
+POST-5M design point the docstrings promise: the c51 k-means codebook
+lane at cells ~ sqrt(N) (= 2,236 at 5M), sample-trained
+(similarity.sampled_codebook), Arrow-assigned, persisted partitioned
+by cell, probed with partition pruning
+(similarity.ivf_kmeans_scale_topk). Records steady-state probe time
+(min-of-3 after a warm run) at several nprobe settings plus recall@10
+against the exact brute lane, and the one-time build cost.
+
+Usage: python tools/ann_panel.py [--fixture /tmp/dgraph_etl_scale/emb5m]
+Prints a markdown table to paste into SCALE.md's ANN section.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fixture", default="/tmp/dgraph_etl_scale/emb5m")
+    ap.add_argument("--ncells", type=int, default=0)  # 0 -> sqrt(N)
+    ap.add_argument("--nprobes", default="8,32,64,128")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from dgraph_etl_spark.catalog import load_table  # noqa: E402
+    from dgraph_etl_spark.functions import similarity as S  # noqa: E402
+    from dgraph_etl_spark.session import get_spark  # noqa: E402
+
+    spark = get_spark(app_name="ann_panel")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = load_table(spark, args.fixture, "embeddings")
+    n = emb.count()
+    ncells = args.ncells or max(2, int(n**0.5))
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    print(f"corpus {n:,} vectors, ncells={ncells}", flush=True)
+
+    truth = {r.vec_id for r in S.brute_topk(emb, query, 10).collect()}
+
+    idx = os.path.join(
+        os.path.dirname(args.fixture.rstrip("/")), f"ivf_kmeans_{n}_{ncells}"
+    )
+    t0 = time.perf_counter()
+    S.build_ivf_kmeans_index(spark, emb, idx, ncells)
+    build_s = time.perf_counter() - t0
+    print(f"index build (or load): {build_s:.1f}s at {idx}", flush=True)
+
+    def steady(df_fn) -> float:
+        df_fn().write.mode("overwrite").format("noop").save()
+        best = float("inf")
+        for _ in range(3):
+            t = time.perf_counter()
+            df_fn().write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t)
+        return best
+
+    rows = []
+    for nprobe in [int(x) for x in args.nprobes.split(",")]:
+        t = steady(
+            lambda: S.ivf_kmeans_scale_topk(spark, query, 10, idx, nprobe)
+        )
+        hits = {
+            r.vec_id
+            for r in S.ivf_kmeans_scale_topk(
+                spark, query, 10, idx, nprobe
+            ).collect()
+        }
+        recall = len(truth & hits) / 10
+        rows.append((nprobe, t, recall))
+        print(f"nprobe={nprobe:4d}  t={t:.3f}s  recall@10={recall:.2f}",
+              flush=True)
+
+    t_brute = steady(lambda: S.brute_topk(emb, query, 10))
+    t_arrow = steady(lambda: S.brute_topk_arrow(emb, query, 10))
+    print(f"brute JVM {t_brute:.3f}s, brute Arrow {t_arrow:.3f}s", flush=True)
+
+    print("\n| lane | t at 5M | recall@10 |")
+    print("|---|---|---|")
+    print(f"| brute cosine, JVM expressions | {t_brute:.2f} s | 1.00 |")
+    print(f"| brute cosine, Arrow+numpy | {t_arrow:.2f} s | 1.00 |")
+    for nprobe, t, recall in rows:
+        print(
+            f"| IVF k-means {ncells} cells, nprobe={nprobe} "
+            f"(c51 scale lane) | {t:.2f} s | {recall:.2f} |"
+        )
+    print(f"\none-time build: {build_s:.1f}s (sampled codebook + Arrow "
+          f"assignment + partitioned write)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
