@@ -73,6 +73,31 @@ def unavailable_decoder(blob: bytes) -> list[float]:
     )
 
 
+def pillow_decoder(blob: bytes) -> list[float]:
+    """The REAL image lane, gated on Pillow being installed: decode the
+    blob, resize to 8x8 grayscale (Image.resize -- the real resample
+    the stubs stand in for), return the 64 pixel intensities as the
+    feature vector (the classic average-hash embedding). Slots into
+    extract_features(decoder=pillow_decoder) without touching the
+    dataflow; tests/test_multimodal.py runs it under
+    skipif(find_spec('PIL') is None) so the lane certifies itself the
+    moment the dependency lands in the image."""
+    import importlib.util
+    import io
+
+    if importlib.util.find_spec("PIL") is None:
+        raise NotImplementedError(
+            "pillow_decoder requires Pillow; this container has no "
+            "package installs -- use stub_decoder for the plumbing tests"
+        )
+    from PIL import Image
+
+    if blob is None:
+        return [0.0] * 64
+    img = Image.open(io.BytesIO(bytes(blob))).convert("L").resize((8, 8))
+    return [float(p) for p in img.getdata()]
+
+
 def extract_features(
     media: DataFrame,
     decoder: Callable[[bytes], list[float]] = stub_decoder,

@@ -1477,9 +1477,21 @@ def sampled_codebook(
     row count)."""
     import numpy as np
 
+    # Two-step deterministic sample. A bare orderBy(h).limit(S) plans as
+    # TakeOrderedAndProject, which ships EVERY task's per-partition
+    # top-S to the driver -- at 5M x 32 partitions that is 31 x S rows
+    # and blows spark.driver.maxResultSize. Pre-filtering on a hash
+    # threshold (scan-side, no shuffle) cuts the candidate set to
+    # ~1.25 x S first; the exact top-S by md5 then runs over only that.
+    n = emb.count()
+    cand = emb.select("vec_id", vec_col)
+    if n > sample_size:
+        keep_ppm = min(1_000_000, int(1_250_000 * sample_size / n))
+        cand = cand.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1_000_000)) < keep_ppm
+        )
     rows = (
-        emb.select("vec_id", vec_col)
-        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        cand.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("_h", "vec_id")
         .limit(sample_size)
         .select(vec_col)

@@ -117,3 +117,47 @@ def test_resize_preserves_every_kth_byte(spark, sf_small):
         assert got.orig_bytes == len(b)
         assert got.resized_bytes == len(b[::4])
         assert got.resized_md5 == hashlib.md5(b[::4]).hexdigest()
+
+
+_HAS_PIL = __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="PIL present: the real lane runs instead")
+def test_pillow_decoder_gates_loudly_without_pil():
+    """Without Pillow the real image lane must fail LOUDLY at first use
+    (NotImplementedError naming the dependency), never degrade to fake
+    features -- the same honest-gating contract as unavailable_decoder."""
+    from dgraph_etl_spark.functions.multimodal import pillow_decoder
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        pillow_decoder(b"\x89PNG")
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not in this container")
+def test_pillow_decoder_real_lane(spark):
+    """With Pillow installed, the real lane self-certifies: a generated
+    PNG flows through extract_features(decoder=pillow_decoder) and the
+    64-dim 8x8-grayscale feature matches a driver-side PIL reference.
+    This test starts running the moment the dependency lands in the
+    image (round-5 verdict ask #8) -- no code change needed."""
+    import io
+
+    from PIL import Image
+
+    from dgraph_etl_spark.functions.multimodal import (
+        extract_features,
+        pillow_decoder,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (31, 17), (200, 10, 60)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, png, ("image/png", len(png), "image"))],
+        "doc_id bigint, media binary, "
+        "meta struct<mime: string, n_bytes: bigint, kind: string>",
+    )
+    out = extract_features(media, decoder=pillow_decoder).collect()
+    assert len(out) == 1 and len(out[0].feature) == 64
+    ref = Image.open(io.BytesIO(png)).convert("L").resize((8, 8))
+    assert out[0].feature == [float(p) for p in ref.getdata()]
