@@ -3872,80 +3872,3 @@ def c66_hybrid_rrf_fusion(spark, sf_dir):
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(10)
     )
-
-
-@register(
-    "c67_decontaminate",
-    """
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ),
-    grams AS (
-      SELECT doc_id,
-             list_distinct([array_to_string(t[i:i+4], ' ')
-                            for i in range(1, greatest(len(t) - 4, 1) + 1)])
-               AS gs
-      FROM toks
-    ),
-    exploded AS (SELECT doc_id, unnest(gs) AS g FROM grams),
-    bench AS (
-      SELECT DISTINCT doc_id AS bench_id, g FROM exploded
-      WHERE doc_id % 17 = 3
-    ),
-    train AS (SELECT doc_id, g FROM exploded WHERE doc_id % 17 <> 3)
-    SELECT t.doc_id,
-           COUNT(DISTINCT t.g) AS n_hit_grams,
-           COUNT(DISTINCT b.bench_id) AS n_bench_docs
-    FROM train t JOIN bench b ON t.g = b.g
-    GROUP BY t.doc_id
-    ORDER BY n_hit_grams DESC, doc_id
-    """,
-    defer=True,
-)
-def c67_decontaminate(spark, sf_dir):
-    """Benchmark DECONTAMINATION (the GPT-3/Pile preprocessing step):
-    flag training documents sharing any 5-gram with a held-out
-    benchmark set (here: the deterministic doc_id%17==3 slice standing
-    in for an eval suite), reporting how many distinct benchmark
-    5-grams each contaminated doc contains and how many benchmark docs
-    it collides with. Distinct from c64 (containment ranks near-dup
-    PAIRS by overlap fraction): decontamination is a one-vs-set screen
-    whose output is the drop list.
-
-    Scale shape -- the property that makes this 100 TB-safe: the
-    benchmark side is SMALL (eval suites are MBs; the corpus is TBs),
-    so its distinct gram set builds once and BROADCASTS; the corpus
-    side streams map-side through the broadcast hash join and the only
-    exchange is the final per-doc count aggregation. The corpus is
-    never shuffled by gram. (Asserted broadcast-side in the plan
-    contract test.) At real scale the gram would be a 64-bit hash
-    (c02's rolled shingles) rather than a string -- strings kept here
-    for oracle parity."""
-    docs = _docs(spark, sf_dir)
-    t = F.split(F.col("text"), " ")
-    exploded = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size(t) - 4, F.lit(1))),
-                    lambda i: F.concat_ws(" ", F.slice(t, i, 5)),
-                )
-            )
-        ).alias("g"),
-    )
-    bench = (
-        exploded.filter(F.col("doc_id") % 17 == 3)
-        .select(F.col("doc_id").alias("bench_id"), "g")
-        .distinct()
-    )
-    train = exploded.filter(F.col("doc_id") % 17 != 3)
-    return (
-        train.join(F.broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("g").alias("n_hit_grams"),
-            F.countDistinct("bench_id").alias("n_bench_docs"),
-        )
-        .orderBy(F.desc("n_hit_grams"), "doc_id")
-    )

@@ -477,14 +477,3 @@ def test_interpolate_exchange_budget(spark, sf_small):
     plan = plan_of(spark, sf_small, "b96_linear_interpolate")
     assert plan.count(") Exchange") <= 3, plan
     assert plan.count("SortMergeJoin") == 0, plan
-
-
-def test_decontaminate_broadcasts_benchmark_side(spark, sf_small):
-    """C67 scale contract: the benchmark gram set (small by nature --
-    eval suites are MBs, the corpus is TBs) must be on the BROADCAST
-    side of the collision join, so the corpus is never shuffled by
-    gram; the only exchange is the final per-doc aggregate."""
-    plan = plan_of(spark, sf_small, "c67_decontaminate")
-    assert "BroadcastHashJoin" in plan, plan
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
