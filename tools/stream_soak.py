@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Streaming scale soak: real Structured Streaming jobs at 10x/100x.
+
+Round-5 measured four streaming jobs at 10x with an ad-hoc script;
+this makes the probe reproducible and extends it to the 100x fixture.
+Each registered s-query runs a REAL streaming job end-to-end (file
+source staged by the suite, trigger(availableNow), memory sink), so
+the measured time includes source staging -- it is the honest whole-
+job number, not just the micro-batch loop. Watermarked/keyed state
+is the thing being tested: jobs whose state is bounded (per-window,
+per-key) should stay nearly flat as events grow; jobs whose OUTPUT
+grows with the corpus (dedup emits every distinct row) should track
+their output growth, never their input growth squared.
+
+Usage: python tools/stream_soak.py [--replicas 10] [--jobs s01,...]
+Appends/replaces the stream-soak section in SCALE.md (own markers,
+coexists with the scale-soak/graph-soak markers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+DEFAULT_JOBS = [
+    "s01_tumbling_counts",      # state = fixed window count
+    "s05_streaming_max_per_key",  # state = per-key max
+    "s04_stream_dedup",         # output grows with distinct rows
+    "s12_stream_span_dedup",    # output grows with docs
+]
+
+SECTION_START = "<!-- stream-soak:start -->"
+SECTION_END = "<!-- stream-soak:end -->"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--jobs", default=",".join(DEFAULT_JOBS))
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+    jobs = [j.strip() for j in args.jobs.split(",") if j.strip()]
+
+    from scale_soak import SCRATCH, build_fixture  # noqa: E402
+
+    from dgraph_etl_spark.registry import REGISTRY, _load_suites  # noqa: E402
+    from dgraph_etl_spark.session import get_spark  # noqa: E402
+
+    big = (
+        build_fixture(args.replicas)
+        if not args.skip_build
+        else os.path.join(
+            SCRATCH, "sf1" if args.replicas == 10 else f"x{args.replicas}"
+        )
+    )
+    print(f"fixture: {big}", flush=True)
+    _load_suites()
+    spark = get_spark(app_name="stream_soak")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    SRC = "/root/testdata/sf0.1"
+
+    def run_job(name: str, sf_dir: str) -> float:
+        # best of 2 full-job runs: a streaming job's first run also
+        # pays codegen; the second is the steady number, but staging
+        # is always included (it is part of the job)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    results = {}
+    for name in jobs:
+        t1 = run_job(name, SRC)
+        t_big = run_job(name, big)
+        results[name] = (t1, t_big)
+        print(f"{name:28s} {t1:6.2f}s -> {t_big:6.2f}s  "
+              f"ratio {t_big / max(t1, 1e-9):4.1f}", flush=True)
+    spark.stop()
+
+    lines = [
+        SECTION_START,
+        "",
+        f"## Streaming jobs at {args.replicas}x (tools/stream_soak.py)",
+        "",
+        "Real Structured Streaming jobs (file source staged by the",
+        "suite, trigger(availableNow), memory sink, full job runtime",
+        "including source staging; best of 2):",
+        "",
+        f"| job | t(sf0.1) s | t({args.replicas}x) s | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, (t1, t_big) in results.items():
+        lines.append(
+            f"| {name} | {t1:.2f} | {t_big:.2f} | "
+            f"{t_big / max(t1, 1e-9):.1f} |"
+        )
+    lines += [
+        "",
+        "Watermarked/keyed state is bounded by construction, so jobs",
+        "whose state is per-window or per-key barely move as events",
+        "grow; jobs whose OUTPUT grows with the corpus (dedup emits",
+        "every distinct row, span-dedup re-screens every doc) track",
+        "their output growth and stay under their decade.",
+        "",
+        SECTION_END,
+    ]
+
+    path = os.path.join(ROOT, "SCALE.md")
+    with open(path) as f:
+        doc = f.read()
+    block = "\n".join(lines) + "\n"
+    if SECTION_START in doc:
+        pre = doc.split(SECTION_START, 1)[0]
+        post = doc.split(SECTION_END, 1)[1] if SECTION_END in doc else ""
+        doc = pre + block + post.lstrip("\n")
+    else:
+        doc = doc.rstrip("\n") + "\n\n" + block
+    with open(path, "w") as f:
+        f.write(doc)
+    print("updated SCALE.md stream-soak section", flush=True)
+
+
+if __name__ == "__main__":
+    main()
