@@ -35,8 +35,13 @@ DEFAULT_JOBS = [
     "s12_stream_span_dedup",    # output grows with docs
 ]
 
-SECTION_START = "<!-- stream-soak:start -->"
-SECTION_END = "<!-- stream-soak:end -->"
+def _markers(replicas: int) -> tuple[str, str]:
+    """Per-replicas markers so the 10x and 100x sections coexist and
+    each re-run replaces only its own decade."""
+    return (
+        f"<!-- stream-soak-{replicas}x:start -->",
+        f"<!-- stream-soak-{replicas}x:end -->",
+    )
 
 
 def main() -> None:
@@ -86,6 +91,7 @@ def main() -> None:
               f"ratio {t_big / max(t1, 1e-9):4.1f}", flush=True)
     spark.stop()
 
+    SECTION_START, SECTION_END = _markers(args.replicas)
     lines = [
         SECTION_START,
         "",
@@ -109,7 +115,13 @@ def main() -> None:
         "whose state is per-window or per-key barely move as events",
         "grow; jobs whose OUTPUT grows with the corpus (dedup emits",
         "every distinct row, span-dedup re-screens every doc) track",
-        "their output growth and stay under their decade.",
+        "their output growth and stay under their decade. Caveat on",
+        "the output-bound rows: the probe's MEMORY sink materializes",
+        "the full output on the driver, so at large scale a chunk of",
+        "their time is sink collection, not operator cost -- a",
+        "production file/Kafka sink writes distributed and the",
+        "stateful operator's own cost is the bounded-state story the",
+        "flat jobs show.",
         "",
         SECTION_END,
     ]
