@@ -146,11 +146,114 @@ def run_bench(sf_dir: str) -> dict:
     raise RuntimeError(f"bench produced no JSON at {sf_dir}:\n{out.stderr[-2000:]}")
 
 
+# Heavy subset for the second decade: the queries whose input grows
+# 100x (fact scans, fact-fact joins, dedup/LSH over documents) --
+# the light dimension/graph lookups are already covered at 10x and at
+# 100x they just re-measure fixed overhead.
+HEAVY_100X = [
+    "b07_join_inner",
+    "b07_join_inner_bucketed",
+    "c27_span_dedup",
+    "b87_tpch_q21",
+    "b52_tpch_q5",
+    "c02_minhash_lsh_pairs",
+    "b14_agg_tpch_q1",
+    "a12_max_score_per_edge",
+    "b51_tpch_q3",
+    "c07_term_stats",
+    "c04_topk_cosine",
+    "c01_exact_dedup",
+    "b67_tpch_q6",
+]
+
+
+def _second_decade(args) -> None:
+    """--replicas >= 100 path: run the heavy subset at both scales and
+    replace SCALE.md's marker-delimited 100x section (the 10x auto
+    section above the AUTO_END marker is untouched)."""
+    start = f"<!-- scale-soak-{args.replicas}x:start -->"
+    end = f"<!-- scale-soak-{args.replicas}x:end -->"
+    big = (
+        build_fixture(args.replicas)
+        if not args.skip_build
+        else os.path.join(SCRATCH, f"x{args.replicas}")
+    )
+    print(f"fixture: {big}", flush=True)
+    os.environ["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(HEAVY_100X)
+    base = run_bench(SRC_SF)
+    print(f"sf0.1 subset total {base['value']}s", flush=True)
+    scaled = run_bench(big)
+    print(f"{args.replicas}x subset total {scaled['value']}s", flush=True)
+
+    lines = [
+        start,
+        "",
+        f"## Second decade: heavy subset at {args.replicas}x "
+        "(tools/scale_soak.py)",
+        "",
+        f"Same builder at `--replicas {args.replicas}` (lineitem "
+        f"{600_000 * args.replicas // 1_000_000}M rows), heavy-query "
+        "subset, same two-phase harness:",
+        "",
+        f"| query | t(sf0.1) s | t({args.replicas}x) s | ratio on "
+        f"{args.replicas}x data |",
+        "|---|---|---|---|",
+    ]
+    for name, t1 in sorted(
+        base["queries"].items(), key=lambda kv: -scaled["queries"][kv[0]]
+    ):
+        t_big = scaled["queries"][name]
+        lines.append(
+            f"| {name} | {t1:.3f} | {t_big:.3f} | "
+            f"{t_big / max(t1, 1e-9):.1f} |"
+        )
+    ratio = scaled["value"] / base["value"]
+    lines += [
+        "",
+        f"Subset total {scaled['value']:.1f} s vs {base['value']:.2f} s at "
+        f"sf0.1: {args.replicas}x the data for {ratio:.1f}x the time.",
+    ]
+    plain = scaled["queries"].get("b07_join_inner")
+    bucketed = scaled["queries"].get("b07_join_inner_bucketed")
+    if plain and bucketed:
+        lines += [
+            "",
+            "The shuffle join and its bucketed twin run side by side: "
+            "the one-time bucketed ingest moves the fact-fact exchange "
+            "out of the recurring query, which at this scale runs "
+            f"{plain / bucketed:.1f}x faster than the shuffle lane "
+            f"({bucketed:.2f} s vs {plain:.2f} s) EVEN LOCALLY, where "
+            "the shuffle is in-memory -- on a real cluster the elided "
+            "exchange is additionally the network-bound term. The "
+            "recurring-query number is the steady state against the "
+            "maintained layout; the ingest itself is a one-time cost "
+            "paid at write time.",
+        ]
+    lines += ["", end]
+    path = os.path.join(ROOT, "SCALE.md")
+    with open(path) as f:
+        doc = f.read()
+    block = "\n".join(lines) + "\n"
+    if start in doc:
+        pre = doc.split(start, 1)[0]
+        post = doc.split(end, 1)[1] if end in doc else ""
+        doc = pre + block + post.lstrip("\n")
+    else:
+        doc = doc.rstrip("\n") + "\n\n" + block
+    with open(path, "w") as f:
+        f.write(doc)
+    print(f"updated SCALE.md {args.replicas}x section", flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--skip-build", action="store_true")
     args = ap.parse_args()
+
+    if args.replicas >= 100:
+        _second_decade(args)
+        return
 
     big = build_fixture(args.replicas) if not args.skip_build else os.path.join(
         SCRATCH, "sf1"
