@@ -82,15 +82,15 @@ def pillow_decoder(blob: bytes) -> list[float]:
     dataflow; tests/test_multimodal.py runs it under
     skipif(find_spec('PIL') is None) so the lane certifies itself the
     moment the dependency lands in the image."""
-    import importlib.util
     import io
 
-    if importlib.util.find_spec("PIL") is None:
+    try:
+        from PIL import Image
+    except ImportError:
         raise NotImplementedError(
             "pillow_decoder requires Pillow; this container has no "
             "package installs -- use stub_decoder for the plumbing tests"
-        )
-    from PIL import Image
+        ) from None
 
     if blob is None:
         return [0.0] * 64

@@ -1465,12 +1465,18 @@ def sampled_codebook(
 ):
     """Train a k-cell codebook driver-side on a deterministic sample.
 
-    Sample = the ``sample_size`` vectors with the smallest
-    md5(vec_id) -- content-independent and engine-portable (the same
-    convention as the exact loop's seeding), planned as
-    TakeOrderedAndProject so no global sort materializes. Lloyd runs in
-    numpy with argmin over a chunked distance matmul; empty cells keep
-    their previous centroid. Returns a (k, dim) float64 ndarray.
+    Sample = two deterministic steps: a scan-side xxhash64(vec_id)
+    threshold keeps ~1.25 x sample_size candidates (no shuffle, no
+    per-partition driver collection -- see the in-function comment),
+    then the exact ``sample_size`` smallest-md5(vec_id) rows of that
+    candidate set are taken (TakeOrderedAndProject). Content-
+    independent and reproducible for a given Spark build, but NOT
+    engine-portable (xxhash64 is a Spark builtin): this is a serving
+    lane, pinned by its own tests, not an oracle-certified path --
+    cross-engine reproduction is the registered c50/c51 fixed-point
+    loop's job. Lloyd runs in numpy with argmin over a chunked
+    distance matmul; empty cells keep their previous centroid.
+    Returns a (k, dim) float64 ndarray.
 
     At 100 TB this is the only part of IVF that is NOT distributed --
     deliberately: a 100k-row sample bounds driver memory at ~50 MB and
@@ -1488,7 +1494,10 @@ def sampled_codebook(
     n = emb.count()
     cand = emb.select("vec_id", vec_col)
     if n > sample_size:
-        keep_ppm = min(1_000_000, int(1_250_000 * sample_size / n))
+        # floor at 1 ppm: past ~10^11 rows the threshold would round to
+        # zero and silently empty the sample; 1 ppm of any such corpus
+        # still clears sample_size
+        keep_ppm = max(1, min(1_000_000, int(1_250_000 * sample_size / n)))
         cand = cand.filter(
             F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1_000_000)) < keep_ppm
         )
@@ -1607,6 +1616,9 @@ def build_ivf_kmeans_index(
         shutil.rmtree(tmp, ignore_errors=True)
         if not (os.path.exists(done) and os.path.exists(cb_path)):
             raise
+    # an in-process rebuild at the same path must not serve the old
+    # file listing: evict any opened-index cache entry for this path
+    _OPEN_INDEXES.pop((id(spark), os.path.abspath(path)), None)
     return np.load(cb_path)
 
 
@@ -1615,11 +1627,24 @@ def build_ivf_kmeans_index(
 # (partition discovery re-lists every cell directory -- a multi-second
 # Spark job at thousands of cells); reusing the analyzed DataFrame
 # keeps the listing in memory so a probe plans straight to the pruned
-# scan. Keyed by (session, path); an index rebuild uses a new path.
+# scan. Keyed by (id(session), path); safe against id() reuse because
+# each cached DataFrame strongly references its session, so a live
+# entry pins the session object and its address can't be recycled.
+# Entries whose session has been STOPPED are lazily evicted on the
+# next open (otherwise they'd pin the dead session forever and a probe
+# against one raises on a stopped context); an in-process rebuild at
+# the same path evicts through build_ivf_kmeans_index.
 _OPEN_INDEXES: dict[tuple[int, str], "DataFrame"] = {}
 
 
+def _session_stopped(df) -> bool:
+    sc = getattr(df.sparkSession, "_sc", None)
+    return sc is None or getattr(sc, "_jsc", None) is None
+
+
 def open_ivf_kmeans_index(spark, path: str):
+    for k in [k for k, v in _OPEN_INDEXES.items() if _session_stopped(v)]:
+        del _OPEN_INDEXES[k]
     key = (id(spark), os.path.abspath(path))
     df = _OPEN_INDEXES.get(key)
     if df is None:

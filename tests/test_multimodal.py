@@ -119,7 +119,9 @@ def test_resize_preserves_every_kth_byte(spark, sf_small):
         assert got.resized_md5 == hashlib.md5(b[::4]).hexdigest()
 
 
-_HAS_PIL = __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is not None
+import importlib.util
+
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
 
 
 @pytest.mark.skipif(_HAS_PIL, reason="PIL present: the real lane runs instead")

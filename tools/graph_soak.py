@@ -192,18 +192,14 @@ def main() -> None:
         SECTION_END,
     ]
 
-    path = os.path.join(ROOT, "SCALE.md")
-    with open(path) as f:
-        doc = f.read()
-    block = "\n".join(lines) + "\n"
-    if SECTION_START in doc:
-        pre = doc.split(SECTION_START, 1)[0]
-        post = doc.split(SECTION_END, 1)[1] if SECTION_END in doc else ""
-        doc = pre + block + post.lstrip("\n")
-    else:
-        doc = doc.rstrip("\n") + "\n\n" + block
-    with open(path, "w") as f:
-        f.write(doc)
+    from md_sections import replace_section
+
+    replace_section(
+        os.path.join(ROOT, "SCALE.md"),
+        SECTION_START,
+        SECTION_END,
+        "\n".join(lines) + "\n",
+    )
     print("updated SCALE.md graph section", flush=True)
 
 

@@ -213,9 +213,29 @@ def _second_decade(args) -> None:
         f"Subset total {scaled['value']:.1f} s vs {base['value']:.2f} s at "
         f"sf0.1: {args.replicas}x the data for {ratio:.1f}x the time.",
     ]
+    # derive the above-decade call-outs from the data, never prose:
+    # a hand-written "the only above-decade query is X" goes stale the
+    # moment a ratio crosses 10 between runs
+    over = sorted(
+        (
+            (n, scaled["queries"][n] / max(t1, 1e-9))
+            for n, t1 in base["queries"].items()
+            if scaled["queries"][n] / max(t1, 1e-9) > 10
+        ),
+        key=lambda kv: -kv[1],
+    )
+    if over:
+        worst = ", ".join(f"{n} {r:.1f}x" for n, r in over)
+        lines += [
+            "",
+            f"Ratios above one decade on {args.replicas}x data: {worst} "
+            "(everything else is a decade or more sublinear).",
+        ]
     plain = scaled["queries"].get("b07_join_inner")
     bucketed = scaled["queries"].get("b07_join_inner_bucketed")
     if plain and bucketed:
+        b_ratio = bucketed / max(base["queries"]["b07_join_inner_bucketed"], 1e-9)
+        p_ratio = plain / max(base["queries"]["b07_join_inner"], 1e-9)
         lines += [
             "",
             "The shuffle join and its bucketed twin run side by side: "
@@ -224,24 +244,19 @@ def _second_decade(args) -> None:
             f"{plain / bucketed:.1f}x faster than the shuffle lane "
             f"({bucketed:.2f} s vs {plain:.2f} s) EVEN LOCALLY, where "
             "the shuffle is in-memory -- on a real cluster the elided "
-            "exchange is additionally the network-bound term. The "
-            "recurring-query number is the steady state against the "
-            "maintained layout; the ingest itself is a one-time cost "
-            "paid at write time.",
+            f"exchange is additionally the network-bound term. The "
+            f"bucketed lane's scale ratio is {b_ratio:.1f}x vs the "
+            f"shuffle lane's {p_ratio:.1f}x. The recurring-query number "
+            "is the steady state against the maintained layout; the "
+            "ingest itself is a one-time cost paid at write time.",
         ]
     lines += ["", end]
-    path = os.path.join(ROOT, "SCALE.md")
-    with open(path) as f:
-        doc = f.read()
-    block = "\n".join(lines) + "\n"
-    if start in doc:
-        pre = doc.split(start, 1)[0]
-        post = doc.split(end, 1)[1] if end in doc else ""
-        doc = pre + block + post.lstrip("\n")
-    else:
-        doc = doc.rstrip("\n") + "\n\n" + block
-    with open(path, "w") as f:
-        f.write(doc)
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from md_sections import replace_section
+
+    replace_section(
+        os.path.join(ROOT, "SCALE.md"), start, end, "\n".join(lines) + "\n"
+    )
     print(f"updated SCALE.md {args.replicas}x section", flush=True)
 
 

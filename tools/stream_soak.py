@@ -52,7 +52,7 @@ def main() -> None:
     args = ap.parse_args()
     jobs = [j.strip() for j in args.jobs.split(",") if j.strip()]
 
-    from scale_soak import SCRATCH, build_fixture  # noqa: E402
+    from scale_soak import SCRATCH, SRC_SF, build_fixture  # noqa: E402
 
     from dgraph_etl_spark.registry import REGISTRY, _load_suites  # noqa: E402
     from dgraph_etl_spark.session import get_spark  # noqa: E402
@@ -69,7 +69,7 @@ def main() -> None:
     spark = get_spark(app_name="stream_soak")
     spark.sparkContext.setLogLevel("ERROR")
 
-    SRC = "/root/testdata/sf0.1"
+    SRC = SRC_SF
 
     def run_job(name: str, sf_dir: str) -> float:
         # best of 2 full-job runs: a streaming job's first run also
@@ -80,6 +80,13 @@ def main() -> None:
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
+            # the memory sink pins each job's full output on the
+            # driver until its temp view is dropped; 4 jobs x 2
+            # scales x 2 runs of 100x outputs held simultaneously is
+            # a driver-OOM risk, so drop them as we go
+            for t in spark.catalog.listTables():
+                if t.name.startswith("stream_result"):
+                    spark.catalog.dropTempView(t.name)
         return best
 
     results = {}
@@ -126,18 +133,14 @@ def main() -> None:
         SECTION_END,
     ]
 
-    path = os.path.join(ROOT, "SCALE.md")
-    with open(path) as f:
-        doc = f.read()
-    block = "\n".join(lines) + "\n"
-    if SECTION_START in doc:
-        pre = doc.split(SECTION_START, 1)[0]
-        post = doc.split(SECTION_END, 1)[1] if SECTION_END in doc else ""
-        doc = pre + block + post.lstrip("\n")
-    else:
-        doc = doc.rstrip("\n") + "\n\n" + block
-    with open(path, "w") as f:
-        f.write(doc)
+    from md_sections import replace_section
+
+    replace_section(
+        os.path.join(ROOT, "SCALE.md"),
+        SECTION_START,
+        SECTION_END,
+        "\n".join(lines) + "\n",
+    )
     print("updated SCALE.md stream-soak section", flush=True)
 
 
