@@ -864,6 +864,11 @@ def build_ivf_index(emb: DataFrame, path: str) -> None:
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 raise
+        # a rebuild at the same path (dir was removed) must not serve a
+        # stale cached file listing in this process
+        _OPEN_INDEXES.pop(
+            (id(emb.sparkSession), os.path.abspath(path)), None
+        )
 
 
 def ivf_persisted_topk(
@@ -879,9 +884,12 @@ def ivf_persisted_topk(
     query-similar cells from the (tiny, collected) centroid table --
     index metadata, like any ANN library's -- then scan ONLY those
     partitions (`isin` over the partition column = partition pruning,
-    asserted in tests/test_plan_shapes.py) and exact re-rank inside."""
+    asserted in tests/test_plan_shapes.py) and exact re-rank inside.
+    The index reader goes through the same session-scoped opened-index
+    cache as the c51 scale lane: open once, probe many -- repeated
+    probes never re-run partition discovery."""
     build_ivf_index(emb, path)
-    index = spark.read.parquet(path)
+    index = open_ivf_kmeans_index(spark, path)
     cents = label_centroids(index, vec_col)
     probed = [
         r["label"]
