@@ -1056,3 +1056,71 @@ def g26_weighted_pagerank(spark, sf_dir):
     chained CTEs, 6-dp rounded."""
     edges, _, _ = _graph_inputs(spark, sf_dir)
     return G.weighted_pagerank(edges, n_iter=10, round_dp=6)
+
+
+@register(
+    "g27_weighted_shortest_path",
+    V(_HOPS + """
+      , d1 AS (
+        SELECT e.dst AS id, MIN(e.score) AS dist
+        FROM edges e JOIN seeds s ON e.src = s.id
+        GROUP BY e.dst
+      ),
+      d2 AS (
+        SELECT id, MIN(dist) AS dist FROM (
+          SELECT id, dist FROM d1
+          UNION ALL
+          SELECT e.dst AS id, p.dist + e.score AS dist
+          FROM d1 p JOIN edges e ON e.src = p.id
+        ) u GROUP BY id
+      ),
+      d3 AS (
+        SELECT id, MIN(dist) AS dist FROM (
+          SELECT id, dist FROM d2
+          UNION ALL
+          SELECT e.dst AS id, p.dist + e.score AS dist
+          FROM d2 p JOIN edges e ON e.src = p.id
+        ) u GROUP BY id
+      )
+      SELECT id, dist AS cost FROM d3
+      WHERE id NOT IN (SELECT id FROM seeds)
+    """),
+    defer=True,
+)
+def g27_weighted_shortest_path(spark, sf_dir):
+    """Weighted shortest path (min-plus semiring), 3 relaxation rounds:
+    for every non-seed vertex, the CHEAPEST total edge cost along any
+    path of <= 3 hops from the seed team -- the missing third semiring
+    next to g13's BFS reachability (boolean) and g24's widest path
+    (max-min). Same pregel-superstep shape as g24: each round is one
+    edges join + one min hash agg, frontier broadcast on round one,
+    lineage checkpointed per round. Bounded hops = bounded rounds --
+    the distributed Bellman-Ford discipline that replaces Dijkstra's
+    sequential priority queue at scale. Cross-engine exact WITHOUT
+    rounding: scores are integers carried in doubles (< 2^53), each
+    candidate distance sums <= 3 of them in path order in BOTH
+    engines, and MIN over exact values has no accumulation-order
+    ambiguity -- unlike the PageRank family, no epsilon is needed."""
+    edges, team_member, _ = _graph_inputs(spark, sf_dir)
+    seeds = G.team_seed(team_member, TEAM)
+    e = edges
+    best = (
+        F.broadcast(seeds)
+        .join(e, F.col("id") == e["src"])
+        .groupBy(F.col("dst").alias("did"))
+        .agg(F.min("score").alias("dist"))
+    )
+    for _ in range(2):
+        ext = best.join(e, best["did"] == e["src"]).select(
+            F.col("dst").alias("did"),
+            (F.col("dist") + F.col("score")).alias("dist"),
+        )
+        best = (
+            best.unionByName(ext)
+            .groupBy("did")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return best.join(seeds, best["did"] == seeds["id"], "left_anti").select(
+        F.col("did").alias("id"), F.col("dist").alias("cost")
+    )
