@@ -1124,3 +1124,78 @@ def g27_weighted_shortest_path(spark, sf_dir):
     return best.join(seeds, best["did"] == seeds["id"], "left_anti").select(
         F.col("did").alias("id"), F.col("dist").alias("cost")
     )
+
+
+@register(
+    "g28_temporal_reachability",
+    V(f"""
+      , tseeds AS (
+        SELECT DISTINCT person_id AS id FROM team_member
+        WHERE team_id = '{TEAM}'
+      ),
+      tedges AS (
+        SELECT from_person_id AS src, to_person_id AS dst,
+               epoch_us(last_update) AS ts
+        FROM user_relationship
+      ),
+      t1 AS (
+        SELECT e.dst AS id, MIN(e.ts) AS arrival
+        FROM tedges e JOIN tseeds s ON e.src = s.id
+        GROUP BY e.dst
+      ),
+      t2 AS (
+        SELECT id, MIN(arrival) AS arrival FROM (
+          SELECT id, arrival FROM t1
+          UNION ALL
+          SELECT e.dst AS id, e.ts AS arrival
+          FROM t1 p JOIN tedges e ON e.src = p.id AND e.ts >= p.arrival
+        ) u GROUP BY id
+      )
+      SELECT id, arrival AS earliest_arrival_us FROM t2
+      WHERE id NOT IN (SELECT id FROM tseeds)
+    """),
+    defer=True,
+)
+def g28_temporal_reachability(spark, sf_dir):
+    """TEMPORAL reachability with earliest arrival, 2 hops: which
+    nodes can the seed team's messages reach when a path is only valid
+    if each edge fires AT OR AFTER the previous one arrived -- the
+    time-respecting constraint every static traversal (g02/g03)
+    ignores, and the difference between 'there is a path' and 'a
+    message could actually have propagated'. Earliest-arrival
+    semantics: MIN over valid paths of the last edge's timestamp.
+
+    Uses the RAW timestamped relationship stream (user_relationship),
+    not the time-collapsed edges view -- temporal ops need the event
+    grain. Shape per hop: one equi-join on the node key with the time
+    constraint as a residual predicate (never a range join driving
+    the shuffle), then a MIN hash agg; arrival times are integer
+    epoch-micros so MIN is cross-engine exact. At 100 TB the stream
+    is time-partitioned (pipeline/watermark.py), so each hop's scan
+    prunes to the relevant time range before the join."""
+    register_views(spark, sf_dir)
+    rel = spark.table("user_relationship")
+    tedges = rel.select(
+        F.col("from_person_id").alias("src"),
+        F.col("to_person_id").alias("dst"),
+        F.unix_micros("last_update").alias("ts"),
+    )
+    seeds = G.team_seed(spark.table("team_member"), TEAM)
+    t1 = (
+        F.broadcast(seeds)
+        .join(tedges, F.col("id") == tedges["src"])
+        .groupBy(F.col("dst").alias("tid"))
+        .agg(F.min("ts").alias("arrival"))
+    )
+    ext = t1.join(
+        tedges,
+        (t1["tid"] == tedges["src"]) & (tedges["ts"] >= t1["arrival"]),
+    ).select(F.col("dst").alias("tid"), F.col("ts").alias("arrival"))
+    t2 = (
+        t1.unionByName(ext)
+        .groupBy("tid")
+        .agg(F.min("arrival").alias("arrival"))
+    )
+    return t2.join(seeds, t2["tid"] == seeds["id"], "left_anti").select(
+        F.col("tid").alias("id"), F.col("arrival").alias("earliest_arrival_us")
+    )
