@@ -3619,7 +3619,15 @@ def b92_cube_rollup(spark, sf_dir):
     per task -- at 100 TB this beats 4 separate aggs by sharing the
     one lineitem scan. Flag/status cardinality is tiny (3 x 2), so
     the Expand fan-out (4x rows map-side) collapses immediately into
-    partial aggregates."""
+    partial aggregates.
+
+    Known upstream divergence (surfaced by the grouping-sets fuzzer,
+    tests/test_fuzz_differential.py): on EMPTY input the SQL standard
+    emits one zero-count grand-total row for the () grouping set
+    (DuckDB/PostgreSQL do); Spark's Expand-based cube emits zero rows.
+    This query's fixtures are non-empty, so the oracle is unaffected;
+    users filtering to an empty set under CUBE/ROLLUP get Spark's
+    behavior."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
