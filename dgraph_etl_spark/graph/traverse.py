@@ -577,9 +577,13 @@ def weighted_pagerank(
     of uniformly -- rank flows along strong relationships. Same
     two-shuffle power-iteration round as ``pagerank``; out-degree
     becomes out-WEIGHT (one agg, reused every round), dangling mass
-    (nodes with no out-edges) redistributes uniformly as before.
-    Zero-weight out-edges contribute nothing but their node is still
-    non-dangling -- matching the share formula exactly."""
+    redistributes uniformly as before. Dangling = no out-edges OR
+    zero total out-weight: a node whose out-edge scores sum to 0 has
+    no defined split (rank/0 errors under ANSI, makes inf in IEEE
+    engines), so its mass redistributes like a sink's -- the random
+    surfer can't follow a zero-probability edge. The oracle applies
+    the identical rule (HAVING SUM(score) > 0 on the out-weight
+    table)."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -587,8 +591,12 @@ def weighted_pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
-    out_w = edges.groupBy(F.col("src").alias("node")).agg(
-        F.sum("score").alias("out_w")
+    out_w = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.sum("score").alias("out_w"))
+        # zero total out-weight = dangling (see docstring): drop the
+        # row so the isNull branch below routes its mass uniformly
+        .filter(F.col("out_w") > 0)
     )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     e = edges.select("src", "dst", "score").localCheckpoint()

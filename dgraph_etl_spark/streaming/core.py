@@ -19,7 +19,9 @@ from __future__ import annotations
 
 import itertools
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,16 +54,50 @@ def events_schema(spark: SparkSession, sf_dir: str):
     return spark.read.parquet(table_path(sf_dir, "events")).schema
 
 
+def _stage_atomic(d: str, write_batches) -> str:
+    """Stage a batch-file directory ATOMICALLY: build in a tmp sibling,
+    os.rename into place. Directory presence == staging complete, so a
+    concurrent reader can never observe a half-written batch file, and
+    concurrent stagers race benignly (first rename wins, losers discard
+    their tmp). The per-file existence checks this replaces were a real
+    race: process B saw process A's batch3.parquet exist mid-write and
+    handed Spark a truncated parquet."""
+    if os.path.exists(d):
+        return d
+    tmp = f"{d}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp)
+    write_batches(tmp)
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(d):
+            raise
+    return d
+
+
 def _scratch_stream_dir(sf_dir: str) -> str:
     """File streaming sources need a *directory*; the fixture is a
     single file. Stage a scratch dir holding a symlink to it (no data
-    copy; fixture stays read-only)."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    copy; fixture stays read-only). Keyed by _source_tag (mtime+size),
+    NOT the bare basename -- two fixtures named sf0.001 under different
+    parents must not share a staged dir -- and the symlink is
+    re-pointed if a tag collision ever pairs it with a different
+    target path."""
+    tag = _source_tag(sf_dir, "events")
     d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_streamsrc_{tag}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(table_path(sf_dir, "events"), link)
+    target = table_path(sf_dir, "events")
+    try:
+        if os.path.lexists(link):
+            if os.readlink(link) != target:
+                os.remove(link)
+                os.symlink(target, link)
+        else:
+            os.symlink(target, link)
+    except FileExistsError:
+        pass  # concurrent stager won the symlink; same tag, same data
     return d
 
 
@@ -121,26 +157,12 @@ def time_split_source(sf_dir: str) -> str:
     drops). Same epoch-micros cut discipline and mtime-pinned replay
     order; the oracle reconstructs the batch boundaries from the same
     integer cuts."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    def masks(t, ts_us, c1, c2, pc):
+        in1 = pc.less(ts_us, c1)
+        in2 = pc.and_(pc.greater_equal(ts_us, c1), pc.less(ts_us, c2))
+        return [in1, in2, pc.invert(pc.or_(in1, in2))]
 
-    tag = _source_tag(sf_dir, "events")
-    d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_tsplit3_{tag}")
-    paths = [os.path.join(d, f"batch{i}.parquet") for i in (1, 2, 3)]
-    if all(os.path.exists(p) for p in paths):
-        return d
-    os.makedirs(d, exist_ok=True)
-    t = pq.read_table(table_path(sf_dir, "events"))
-    ts_us = _events_ts_micros(t, sf_dir)
-    lo, hi = pc.min(ts_us).as_py(), pc.max(ts_us).as_py()
-    c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
-    in1 = pc.less(ts_us, c1)
-    in2 = pc.and_(pc.greater_equal(ts_us, c1), pc.less(ts_us, c2))
-    in3 = pc.invert(pc.or_(in1, in2))
-    for i, mask in enumerate([in1, in2, in3]):
-        pq.write_table(t.filter(mask), paths[i])
-        os.utime(paths[i], ((i + 1) * 1_000_000, (i + 1) * 1_000_000))
-    return d
+    return _stage_event_thirds(sf_dir, "dgraph_etl_tsplit3", masks)
 
 
 def late_data_source(sf_dir: str) -> str:
@@ -164,37 +186,68 @@ def late_data_source(sf_dir: str) -> str:
     see (Spark truncates the nanos column, DuckDB reads TIMESTAMP_NS as
     TIMESTAMP); a nanos-precision cut could disagree at the boundary.
     """
+    def masks(t, ts_us, c1, c2, pc):
+        straggler = pc.equal(
+            pc.subtract(
+                t.column("event_id"),
+                pc.multiply(pc.divide(t.column("event_id"), 97), 97),
+            ),
+            0,
+        )  # event_id % 97 == 0 (pyarrow has no modulo kernel)
+        in1 = pc.and_(pc.less(ts_us, c1), pc.invert(straggler))
+        in2 = pc.and_(
+            pc.and_(pc.greater_equal(ts_us, c1), pc.less(ts_us, c2)),
+            pc.invert(straggler),
+        )
+        return [in1, in2, pc.invert(pc.or_(in1, in2))]
+
+    return _stage_event_thirds(sf_dir, "dgraph_etl_late3", masks)
+
+
+def _stage_event_thirds(sf_dir: str, prefix: str, mask_fn) -> str:
+    """Shared stager for the event-time-thirds replay sources: computes
+    the epoch-micros cuts ONCE here (the bit-exact-vs-oracle discipline
+    lives in one place), delegates the batch membership to ``mask_fn``,
+    pins replay order via mtimes, and stages atomically."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     tag = _source_tag(sf_dir, "events")
-    d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_late3_{tag}")
-    paths = [os.path.join(d, f"batch{i}.parquet") for i in (1, 2, 3)]
-    if all(os.path.exists(p) for p in paths):
-        return d
-    os.makedirs(d, exist_ok=True)
-    t = pq.read_table(table_path(sf_dir, "events"))
-    ts_us = _events_ts_micros(t, sf_dir)
-    lo, hi = pc.min(ts_us).as_py(), pc.max(ts_us).as_py()
-    c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
-    straggler = pc.equal(
-        pc.subtract(
-            t.column("event_id"),
-            pc.multiply(pc.divide(t.column("event_id"), 97), 97),
-        ),
-        0,
-    )  # event_id % 97 == 0 (pyarrow has no modulo kernel)
-    in1 = pc.and_(pc.less(ts_us, c1), pc.invert(straggler))
-    in2 = pc.and_(
-        pc.and_(pc.greater_equal(ts_us, c1), pc.less(ts_us, c2)),
-        pc.invert(straggler),
-    )
-    in3 = pc.invert(pc.or_(in1, in2))
-    for i, mask in enumerate([in1, in2, in3]):
-        pq.write_table(t.filter(mask), paths[i])
-        # file source replays in mtime order; pin it explicitly
-        os.utime(paths[i], ((i + 1) * 1_000_000, (i + 1) * 1_000_000))
-    return d
+    d = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+
+    def write(tmp: str) -> None:
+        t = pq.read_table(table_path(sf_dir, "events"))
+        ts_us = _events_ts_micros(t, sf_dir)
+        lo, hi = pc.min(ts_us).as_py(), pc.max(ts_us).as_py()
+        c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
+        for i, mask in enumerate(mask_fn(t, ts_us, c1, c2, pc)):
+            p = os.path.join(tmp, f"batch{i + 1}.parquet")
+            pq.write_table(t.filter(mask), p)
+            # file source replays in mtime order; pin it explicitly
+            os.utime(p, ((i + 1) * 1_000_000, (i + 1) * 1_000_000))
+
+    return _stage_atomic(d, write)
+
+
+# memory-sink names per session, so a long-running probe (the soak
+# tools run 16+ jobs in one session) can drop the driver-side sink
+# tables it has already consumed -- the names vary by name_prefix, so
+# no pattern match over the catalog can find them reliably
+_MEM_SINKS: dict[int, list[str]] = {}
+
+
+def drop_memory_sinks(spark: SparkSession) -> int:
+    """Drop every memory-sink temp view run_to_memory has registered in
+    this session and forget them; returns how many were dropped. Only
+    call after the returned DataFrames have been consumed -- they are
+    lazy views over the dropped tables."""
+    names = _MEM_SINKS.pop(id(spark), [])
+    for n in names:
+        try:
+            spark.catalog.dropTempView(n)
+        except Exception:
+            pass  # sink already gone; freeing memory is best-effort
+    return len(names)
 
 
 def run_to_memory(
@@ -203,6 +256,7 @@ def run_to_memory(
     """Execute a streaming DataFrame to completion (availableNow) into
     a memory sink; return the sink contents as a batch DataFrame."""
     name = f"{name_prefix}_{next(_MEM_IDS)}"
+    _MEM_SINKS.setdefault(id(sdf.sparkSession), []).append(name)
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     q = (
         sdf.writeStream.format("memory")
@@ -216,33 +270,12 @@ def run_to_memory(
     return sdf.sparkSession.table(name)
 
 
-def docs_batched_source(sf_dir: str, n_batches: int = 3) -> tuple[str, str]:
+def docs_batched_source(sf_dir: str, n_batches: int = 3) -> str:
     """Stage the documents table as an n-file streaming source split by
-    doc_id range (deterministic batch = arrival order), mtimes pinned so
-    the file source replays batches in id order. Returns (dir, schema
-    ddl is read by the caller via a batch peek)."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    tag = _source_tag(sf_dir, "documents")
-    d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_docs{n_batches}_{tag}")
-    paths = [os.path.join(d, f"batch{i}.parquet") for i in range(n_batches)]
-    if not all(os.path.exists(p) for p in paths):
-        os.makedirs(d, exist_ok=True)
-        t = pq.read_table(table_path(sf_dir, "documents"))
-        lo = pc.min(t.column("doc_id")).as_py()
-        hi = pc.max(t.column("doc_id")).as_py() + 1
-        step = max(1, (hi - lo) // n_batches)
-        for i in range(n_batches):
-            a = lo + i * step
-            b = hi if i == n_batches - 1 else lo + (i + 1) * step
-            mask = pc.and_(
-                pc.greater_equal(t.column("doc_id"), a),
-                pc.less(t.column("doc_id"), b),
-            )
-            pq.write_table(t.filter(mask), paths[i])
-            os.utime(paths[i], ((i + 1) * 1_000_000, (i + 1) * 1_000_000))
-    return d
+    doc_id range; returns the staged directory. One-line wrapper over
+    table_batched_source (kept for the existing call sites) -- the two
+    used to be line-for-line copies that had to be fixed twice."""
+    return table_batched_source(sf_dir, "documents", "doc_id", n_batches)
 
 
 def table_batched_source(
@@ -256,12 +289,12 @@ def table_batched_source(
     import pyarrow.parquet as pq
 
     tag = _source_tag(sf_dir, table)
+    prefix = "docs" if table == "documents" else table
     d = os.path.join(
-        tempfile.gettempdir(), f"dgraph_etl_{table}{n_batches}_{tag}"
+        tempfile.gettempdir(), f"dgraph_etl_{prefix}{n_batches}_{tag}"
     )
-    paths = [os.path.join(d, f"batch{i}.parquet") for i in range(n_batches)]
-    if not all(os.path.exists(p) for p in paths):
-        os.makedirs(d, exist_ok=True)
+
+    def write(tmp: str) -> None:
         t = pq.read_table(table_path(sf_dir, table))
         lo = pc.min(t.column(id_col)).as_py()
         hi = pc.max(t.column(id_col)).as_py() + 1
@@ -273,6 +306,8 @@ def table_batched_source(
                 pc.greater_equal(t.column(id_col), a),
                 pc.less(t.column(id_col), b),
             )
-            pq.write_table(t.filter(mask), paths[i])
-            os.utime(paths[i], ((i + 1) * 1_000_000, (i + 1) * 1_000_000))
-    return d
+            p = os.path.join(tmp, f"batch{i}.parquet")
+            pq.write_table(t.filter(mask), p)
+            os.utime(p, ((i + 1) * 1_000_000, (i + 1) * 1_000_000))
+
+    return _stage_atomic(d, write)

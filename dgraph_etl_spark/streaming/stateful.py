@@ -46,16 +46,22 @@ def _profile_fn(
     n, mn, mx = 0, None, None
     types: set[str] = set()
     if state.exists:
-        n, mn, mx, types_csv = state.get
-        types = set(types_csv.split(",")) if types_csv else set()
+        n, mn, mx, stored_types = state.get
+        types = set(stored_types or [])
     for pdf in pdfs:
         n += len(pdf)
         ts = pdf["ts_us"]
         lo, hi = int(ts.min()), int(ts.max())
         mn = lo if mn is None else min(mn, lo)
         mx = hi if mx is None else max(mx, hi)
-        types.update(pdf["event_type"].unique().tolist())
-    state.update((n, mn, mx, ",".join(sorted(types))))
+        # drop NULL event types before set arithmetic: None is not a
+        # type, and it breaks the sorted() below
+        types.update(
+            t for t in pdf["event_type"].unique().tolist() if t is not None
+        )
+    # list-typed state, NOT a joined CSV string: a comma inside an
+    # event_type value would split into phantom types on restore
+    state.update((n, mn, mx, sorted(types)))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
@@ -72,14 +78,14 @@ def user_profiles(events: DataFrame) -> DataFrame:
     One shuffle by user_id into the state store; per-batch output is
     the keys touched in that batch (update semantics)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StringType
+    from pyspark.sql.types import ArrayType, StringType
 
     state_schema = StructType(
         [
             StructField("n", LongType()),
             StructField("min_ts", LongType()),
             StructField("max_ts", LongType()),
-            StructField("types_csv", StringType()),
+            StructField("types", ArrayType(StringType())),
         ]
     )
     prepared = events.select(

@@ -55,6 +55,7 @@ def main() -> None:
     from scale_soak import SCRATCH, SRC_SF, build_fixture  # noqa: E402
 
     from dgraph_etl_spark.registry import REGISTRY, _load_suites  # noqa: E402
+    from dgraph_etl_spark.streaming.core import drop_memory_sinks  # noqa: E402
     from dgraph_etl_spark.session import get_spark  # noqa: E402
 
     big = (
@@ -83,10 +84,10 @@ def main() -> None:
             # the memory sink pins each job's full output on the
             # driver until its temp view is dropped; 4 jobs x 2
             # scales x 2 runs of 100x outputs held simultaneously is
-            # a driver-OOM risk, so drop them as we go
-            for t in spark.catalog.listTables():
-                if t.name.startswith("stream_result"):
-                    spark.catalog.dropTempView(t.name)
+            # a driver-OOM risk, so drop them as we go (by the sink
+            # registry -- suite queries use per-job name prefixes, so
+            # no catalog pattern match can find them reliably)
+            drop_memory_sinks(spark)
         return best
 
     results = {}
