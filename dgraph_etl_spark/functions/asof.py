@@ -42,23 +42,40 @@ def asof_join(
     ``right`` must be unique per (on, ts) — pre-aggregate if not.
     """
     left_payload = [c for c in left.columns if c not in (on, ts)]
-    ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
+    clash = set(left_payload) & set(right_cols)
+    if clash:
+        raise ValueError(
+            f"right_cols {sorted(clash)} collide with left columns; "
+            "rename one side before the as-of join (duplicate names "
+            "would make the carry-forward references ambiguous)"
+        )
+    ltypes = dict(left.dtypes)
+    # the matched right row travels as ONE struct, so every carried
+    # right field comes from the SAME row. Carrying fields separately
+    # with last(ignorenulls) per column built franken-rows: a matched
+    # right row with a NULL payload value was skipped for that column
+    # only, pairing an older row's value with the newer matched_ts --
+    # DuckDB ASOF (the stated semantics) returns the matched row's
+    # NULL. The struct is non-NULL whenever a right row exists (its ts
+    # field is), so last(ignorenulls) finds exactly the latest row.
+    r_struct = F.struct(
+        F.col(ts).alias(matched_ts), *[F.col(c) for c in right_cols]
+    )
     l_tagged = left.select(
         on,
         ts,
         F.lit(1).alias(_TAG),
         *left_payload,
-        *[F.lit(None).cast(rtypes[c]).alias(c) for c in right_cols],
-        F.lit(None).cast(rtypes[ts]).alias(matched_ts),
+        F.lit(None)
+        .cast(right.select(r_struct.alias("_r")).schema["_r"].dataType)
+        .alias("_r"),
     )
-    # right side: null out the left payload, carry its own values
     r_tagged = right.select(
         on,
         ts,
         F.lit(0).alias(_TAG),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_payload],
-        *right_cols,
-        F.col(ts).alias(matched_ts),
+        r_struct.alias("_r"),
     )
     combined = l_tagged.unionByName(r_tagged)
     # right rows (tag 0) sort before left rows (tag 1) at equal ts, so
@@ -73,9 +90,15 @@ def asof_join(
         ts,
         _TAG,
         *left_payload,
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(c)
-            for c in [*right_cols, matched_ts]
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return carried.filter(F.col(_TAG) == 1).drop(_TAG)
+    return (
+        carried.filter(F.col(_TAG) == 1)
+        .select(
+            on,
+            ts,
+            *left_payload,
+            *[F.col(f"_r.{c}") for c in right_cols],
+            F.col(f"_r.{matched_ts}").alias(matched_ts),
+        )
+    )

@@ -171,6 +171,9 @@ def sample_frames(
                 "frame_md5": [],
             }
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                if blob is None:
+                    continue  # NULL media: no frames (same dataflow
+                    # tolerance as extract_features' None guard)
                 n = len(blob)
                 for idx in range(max_frames):
                     off = idx * stride
@@ -212,6 +215,8 @@ def resize_media(media: DataFrame, factor: int = 4) -> DataFrame:
                 "resized_md5": [],
             }
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                if blob is None:
+                    continue  # NULL media: nothing to resize
                 b = bytes(blob)
                 small = b[::factor]
                 out["doc_id"].append(doc_id)

@@ -26,10 +26,19 @@ _HEX_WIDTH = 8  # 32 bits of the md5 -> rate granularity 1/2^32
 
 
 def rate_threshold_hex(rate: float) -> str:
-    """The 8-hex-char cut for a keep-rate in [0, 1]."""
+    """The 8-hex-char cut for a keep-rate in [0, 1].
+
+    rate=1.0 (or a float rounding up to 16^8) must keep EVERYTHING:
+    the naive format would emit the 9-char '100000000', which sorts
+    BEFORE 'ffffffff' lexicographically and silently kept only the
+    '0'-prefixed ~6% of rows. 'g' sorts after every hex character, so
+    every 8-hex-char prefix passes `prefix < 'g'`."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
-    return format(int(rate * (16**_HEX_WIDTH)), f"0{_HEX_WIDTH}x")
+    cut = int(rate * (16**_HEX_WIDTH))
+    if cut >= 16**_HEX_WIDTH:
+        return "g"
+    return format(cut, f"0{_HEX_WIDTH}x")
 
 
 def _bucket(key: Column, seed: str) -> Column:

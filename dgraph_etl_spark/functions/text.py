@@ -140,14 +140,19 @@ def pii_scrub(
     whole-stage codegen'd, embarrassingly parallel at 100 TB (no
     shuffle: the scrub is a map over the scan)."""
     c = F.col(col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(c, EMAIL_REGEX, "<EMAIL>"), ID_RUN_REGEX, "<ID>"
-    )
+    email_scrubbed = F.regexp_replace(c, EMAIL_REGEX, "<EMAIL>")
+    scrubbed = F.regexp_replace(email_scrubbed, ID_RUN_REGEX, "<ID>")
     return df.select(
         F.col(id_col),
         scrubbed.alias("scrubbed"),
         F.regexp_count(c, F.lit(EMAIL_REGEX)).cast("bigint").alias("n_emails"),
-        F.regexp_count(c, F.lit(ID_RUN_REGEX)).cast("bigint").alias("n_ids"),
+        # count ID runs on the EMAIL-SCRUBBED string -- the same string
+        # the <ID> replace runs over -- so n_ids equals the number of
+        # <ID> tokens actually emitted; counting on the original
+        # double-counted digit runs inside redacted emails
+        F.regexp_count(email_scrubbed, F.lit(ID_RUN_REGEX))
+        .cast("bigint")
+        .alias("n_ids"),
     )
 
 

@@ -95,18 +95,29 @@ def merge_max_into(
 
     # versioned-parquet fallback: union + re-max against the latest
     # version, then an atomic rename publish (crash-safe: a partial
-    # write never becomes the latest version)
-    existing = read_edge_store(spark, root)
-    merged = (
-        merge_max_with_existing(batch, existing) if existing is not None else batch
+    # write never becomes the latest version). A lost publish race is
+    # RETRIED against the new latest version, never dropped: the loser
+    # re-merges its batch (max is idempotent/associative, so replaying
+    # it on top of the winner's table is exact) -- without the retry a
+    # concurrent writer's batch silently vanished from the store.
+    for _ in range(10):
+        existing = read_edge_store(spark, root)
+        merged = (
+            merge_max_with_existing(batch, existing)
+            if existing is not None
+            else batch
+        )
+        os.makedirs(root, exist_ok=True)
+        n = len(_versions(root))
+        tmp = os.path.join(root, f".tmp-{uuid.uuid4().hex[:8]}")
+        merged.write.mode("overwrite").parquet(tmp)
+        dest = os.path.join(root, f"v{n:05d}")
+        try:
+            os.rename(tmp, dest)
+            return read_edge_store(spark, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race; retry
+    raise RuntimeError(
+        f"merge_max_into lost the publish race 10 times at {root}; "
+        "a writer storm is starving this merge -- serialize writers"
     )
-    os.makedirs(root, exist_ok=True)
-    n = len(_versions(root))
-    tmp = os.path.join(root, f".tmp-{uuid.uuid4().hex[:8]}")
-    merged.write.mode("overwrite").parquet(tmp)
-    dest = os.path.join(root, f"v{n:05d}")
-    try:
-        os.rename(tmp, dest)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost a publish race
-    return read_edge_store(spark, root)

@@ -114,8 +114,12 @@ def stage_scroll_pages(
         manifest.append(
             {
                 "file": fname,
-                "min_lu": int(chunk["lu"].min()),
-                "max_lu": int(chunk["lu"].max()),
+                # an empty source still emits one (empty) page so the
+                # scan has a partition to plan; its bounds are the
+                # empty range [0, -1] (min > max), which every range
+                # predicate correctly prunes -- int(NaN) would raise
+                "min_lu": int(chunk["lu"].min()) if len(chunk) else 0,
+                "max_lu": int(chunk["lu"].max()) if len(chunk) else -1,
                 "n": int(len(chunk)),
             }
         )

@@ -667,7 +667,9 @@ def c06_length_percentiles(spark, sf_dir):
              CAST(len(regexp_extract_all(name,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
                  AS n_emails,
-             CAST(len(regexp_extract_all(name, '[0-9]{3,}')) AS BIGINT) AS n_ids
+             CAST(len(regexp_extract_all(regexp_replace(name,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{3,}')) AS BIGINT) AS n_ids
       FROM person
     """),
 )

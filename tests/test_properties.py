@@ -990,3 +990,63 @@ def test_c04_arrow_lane_edge_case_parity(spark):
     assert jvm[-1] == (1, None)  # NULL sim sorts last under desc
     sims = dict(jvm)
     assert sims[4] == 0.1235  # HALF_UP at the boundary
+
+
+def test_asof_join_null_payload_matches_duckdb_semantics(spark):
+    """A matched right row whose PAYLOAD is NULL must be returned as-is
+    (DuckDB ASOF semantics): the old per-column last(ignorenulls) carry
+    skipped the NULL and paired an OLDER row's value with the newer
+    matched_ts -- a franken-row. The struct carry pins the fix."""
+    from dgraph_etl_spark.functions.asof import asof_join
+
+    left = spark.createDataFrame([("k", 3, "L")], "k string, ts int, lval string")
+    right = spark.createDataFrame(
+        [("k", 1, 5), ("k", 2, None)], "k string, ts int, v int"
+    )
+    row = asof_join(left, right, on="k", ts="ts", right_cols=["v"]).first()
+    assert row.matched_ts == 2  # ts=2 row is the as-of match...
+    assert row.v is None  # ...and its NULL value comes with it
+
+
+def test_asof_join_rejects_colliding_right_cols(spark):
+    import pytest as _pytest
+
+    from dgraph_etl_spark.functions.asof import asof_join
+
+    left = spark.createDataFrame([("k", 1, 1.0)], "k string, ts int, v double")
+    right = spark.createDataFrame([("k", 1, 2.0)], "k string, ts int, v double")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", ts="ts", right_cols=["v"])
+
+
+def test_c04_arrow_lane_zero_norm_query_parity(spark):
+    """A zero-norm QUERY vector must produce NULL sims in BOTH lanes
+    (the JVM lane's try_divide does; the Arrow lane previously scored
+    everything 0.0 and returned a fake top-k)."""
+    from dgraph_etl_spark.functions import similarity as S
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5])], "vec_id bigint, embedding array<float>"
+    )
+    query = spark.createDataFrame([([0.0, 0.0],)], "qvec array<float>")
+    jvm = [(r.vec_id, r.sim) for r in S.brute_topk(emb, query, 2).collect()]
+    arrow = [
+        (r.vec_id, r.sim) for r in S.brute_topk_arrow(emb, query, 2).collect()
+    ]
+    assert jvm == arrow
+    assert all(sim is None for _, sim in jvm)
+
+
+def test_hash_sample_boundary_rates(spark, sf_small):
+    """rate=1.0 must keep EVERY row and rate=0.0 none: the naive hex
+    threshold for 1.0 is the 9-char '100000000', which sorts before
+    'ffffffff' and silently kept only the '0'-prefixed ~6% of rows."""
+    from dgraph_etl_spark.catalog import load_table
+    from dgraph_etl_spark.functions.sampling import hash_sample
+
+    docs = load_table(spark, sf_small, "documents")
+    n = docs.count()
+    assert hash_sample(docs, rate=1.0).count() == n
+    assert hash_sample(docs, rate=0.0).count() == 0
+    kept = hash_sample(docs, rate=0.5).count()
+    assert 0 < kept < n
