@@ -109,7 +109,11 @@ def quality_score(docs: DataFrame) -> DataFrame:
         ((n_chars - n_tok + 1) / n_tok).alias("mean_token_len"),
         (sw / n_tok).alias("stopword_ratio"),
         ((n_chars - alpha) / n_chars).alias("non_alpha_ratio"),
-        ((n_tok >= 5) & (sw / n_tok >= 0.0)).alias("passes_gate"),
+        # >= 0.05: a real fluency floor. The earlier >= 0.0 was
+        # vacuously true (sw and n_tok are non-negative), which made
+        # the stopword criterion dead code and the "quality gate"
+        # length-only
+        ((n_tok >= 5) & (sw / n_tok >= 0.05)).alias("passes_gate"),
     )
 
 

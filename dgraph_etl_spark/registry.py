@@ -84,6 +84,9 @@ RECERTIFY: dict[str, int] = {
     # round 4 certified the all-pairs exactness baseline; the registered
     # form became SRP-bucketed (different candidate set) post-run
     "c40_hard_negatives": 4,
+    # round 6 gave the quality gate a real stopword floor (>= 0.05; the
+    # certified form's >= 0.0 was vacuously true), changing passes_gate
+    "c06_quality_score": 5,
 }
 
 

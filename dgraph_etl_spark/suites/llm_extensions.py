@@ -386,7 +386,8 @@ _IVF_ORACLE_SQL = """
     WITH q AS (
       SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
     ),
-    dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+    dims AS (SELECT unnest(generate_series(1,
+      (SELECT len(embedding) FROM embeddings LIMIT 1))) AS d),
     comps AS (
       SELECT label, dims.d,
              CAST(ROUND(CAST(embedding AS DOUBLE[])[dims.d] * 1000000, 0)
@@ -587,7 +588,7 @@ def c06_language_id(spark, sf_dir):
            (n_chars_actual - n_tokens + 1) / n_tokens AS mean_token_len,
            sw / n_tokens AS stopword_ratio,
            (n_chars_actual - alpha) / n_chars_actual AS non_alpha_ratio,
-           (n_tokens >= 5 AND sw / n_tokens >= 0.0) AS passes_gate
+           (n_tokens >= 5 AND sw / n_tokens >= 0.05) AS passes_gate
     FROM base
     """,
 )
@@ -1124,7 +1125,7 @@ def c24_release_gate(spark, sf_dir):
     the benchmark slice and every document contaminated by it (shared
     3-gram), thinned by a deterministic 50% content-hash sample, with
     train/val/test labels attached. Composes c23 + c21 + c19 + c11:
-    one lang-keyed window, one broadcast anti-join against the
+    one lang-keyed window, one anti-join against the
     contaminated id set, and per-row hash expressions -- nothing in the
     gate shuffles the corpus more than the quality window already
     does."""
@@ -1146,7 +1147,7 @@ def c24_release_gate(spark, sf_dir):
     contaminated = D.contamination_screen(train, eval_set, n=3).select("doc_id")
     kept = (
         ranked.filter(F.col("doc_id") % 50 != 0)
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
     )
     sampled = SP.hash_sample(kept, key="doc_id", rate=0.5, seed="s0")
     split = X.hash_split(sampled, key="doc_id").select("doc_id", "split")
@@ -1156,7 +1157,8 @@ def c24_release_gate(spark, sf_dir):
 @register(
     "c20_srp_neardup",
     """
-    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+    WITH dims AS (SELECT unnest(generate_series(1,
+      (SELECT len(embedding) FROM embeddings LIMIT 1))) AS d),
     planes AS (
       SELECT pp.p, dims.d,
              CASE WHEN substr(md5('c20srp|' || pp.p || '|' || dims.d), 1, 1)
@@ -1310,8 +1312,11 @@ def c17_full_curation(spark, sf_dir):
     identical texts are jaccard-1 pairs), passes the quality gate,
     is language-identifiable, and gets its deterministic split label.
     Plan shape at scale: the pair graph + label propagation dominate;
-    the gates are per-row expressions fused into one pass; the final
-    join set is broadcast-size (cluster canonicals)."""
+    the gates are per-row expressions fused into one pass. The
+    canonical-id semi-join is NOT hinted broadcast: most documents are
+    their own canonical, so the set is O(corpus) -- AQE broadcasts it
+    at small scale and falls back to a shuffle semi-join at 100 TB
+    (a forced hint here was a measured driver bomb)."""
     docs = _docs(spark, sf_dir)
     pairs = D.ngram_jaccard_pairs(docs, n=2, block_col="lang", threshold=0.5)
     comp = D.neardup_components(docs, pairs)
@@ -1324,7 +1329,7 @@ def c17_full_curation(spark, sf_dir):
     lang = X.language_id(docs).select("doc_id", "lang_guess")
     split = X.hash_split(docs).select("doc_id", "split")
     return (
-        quality.join(F.broadcast(canonical), "doc_id", "left_semi")
+        quality.join(canonical, "doc_id", "left_semi")
         .join(lang, "doc_id")
         .join(split, "doc_id")
         .filter(
@@ -1611,7 +1616,7 @@ def c10_curation_pipeline(spark, sf_dir):
     )
     lang = X.language_id(docs)
     return (
-        quality.join(F.broadcast(winners), "doc_id", "left_semi")
+        quality.join(winners, "doc_id", "left_semi")
         .join(lang.select("doc_id", "lang_guess"), "doc_id")
         .filter(
             (F.col("n_tokens") >= 5)
@@ -2258,7 +2263,8 @@ def c39_label_centroids(spark, sf_dir):
 @register(
     "c40_hard_negatives",
     """
-    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+    WITH dims AS (SELECT unnest(generate_series(1,
+      (SELECT len(embedding) FROM embeddings LIMIT 1))) AS d),
     planes AS (
       SELECT pp.p, dims.d,
              CASE WHEN substr(md5('c40srp|' || pp.p || '|' || dims.d), 1, 1)
@@ -2530,7 +2536,11 @@ def c43_language_purity(spark, sf_dir):
       FROM documents
     ),
     cut AS (
-      SELECT quantile_cont(n_tokens, 0.9) AS p90 FROM sized
+      -- rounded to 6dp before the compare: Spark's percentile and
+      -- DuckDB's quantile_cont interpolate in different orders, and a
+      -- 1-ulp difference at an integer-valued p90 would classify
+      -- boundary docs differently (the c06 percentile convention)
+      SELECT ROUND(quantile_cont(n_tokens, 0.9), 6) AS p90 FROM sized
     )
     SELECT COUNT(*) AS n_docs,
            CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
@@ -2555,7 +2565,9 @@ def c44_token_concentration(spark, sf_dir):
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
     )
-    cut = sized.agg(F.expr("percentile(n_tokens, 0.9)").alias("p90"))
+    cut = sized.agg(
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias("p90")
+    )
     return (
         sized.crossJoin(F.broadcast(cut))
         .agg(
@@ -2740,7 +2752,8 @@ def c47_dataset_card(spark, sf_dir):
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
       FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
     ),
-    dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+    dims AS (SELECT unnest(generate_series(1,
+      (SELECT len(embedding) FROM embeddings LIMIT 1))) AS d),
     comps AS (
       SELECT label, dims.d,
              CAST(ROUND(CAST(embedding AS DOUBLE[])[dims.d] * 1000000, 0)
@@ -2811,23 +2824,25 @@ def c48_ann_recall_report(spark, sf_dir):
 
     emb = _emb(spark, sf_dir).cache()
     rows = []
-    for qid in (0, 1, 2, 3, 4):
-        qv = emb.filter(F.col("vec_id") == qid).select(
-            F.col("embedding").alias("qvec")
-        )
-        exact = {r["vec_id"] for r in brute_topk(emb, qv, k=10).collect()}
-        for nprobe in (1, 3):
-            approx = {
-                r["vec_id"]
-                for r in ivf_topk(emb, qv, k=10, nprobe=nprobe).collect()
-            }
-            rows.append(
-                (qid, nprobe, len(exact & approx), len(exact))
+    try:
+        for qid in (0, 1, 2, 3, 4):
+            qv = emb.filter(F.col("vec_id") == qid).select(
+                F.col("embedding").alias("qvec")
             )
-    # drop the panel cache before returning: a lingering cached
-    # embeddings relation would hijack every later query's parquet
-    # scan (and its pushed filters) in the shared session
-    emb.unpersist(blocking=False)
+            exact = {r["vec_id"] for r in brute_topk(emb, qv, k=10).collect()}
+            for nprobe in (1, 3):
+                approx = {
+                    r["vec_id"]
+                    for r in ivf_topk(emb, qv, k=10, nprobe=nprobe).collect()
+                }
+                rows.append(
+                    (qid, nprobe, len(exact & approx), len(exact))
+                )
+    finally:
+        # drop the panel cache even on a failed collect: a lingering
+        # cached embeddings relation would hijack every later query's
+        # parquet scan (and its pushed filters) in the shared session
+        emb.unpersist(blocking=False)
     out = spark.createDataFrame(
         rows, "query_id int, nprobe int, n_hits int, k int"
     )
@@ -3662,7 +3677,7 @@ def c64_containment_pairs(spark, sf_dir):
     )
     return (
         inter.join(
-            F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")),
+            sizes.withColumnRenamed("doc_id", "doc_a"),
             "doc_a",
         )
         .withColumn(

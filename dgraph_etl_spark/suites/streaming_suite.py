@@ -298,11 +298,29 @@ def s08_stateful_user_profiles(spark, sf_dir):
     engine's extension point for stateful semantics the built-ins
     lack (the reference's equivalent is an unbounded in-RAM hashmap,
     cmd/bulk/main.go:29-53). The per-key reducer is order-insensitive,
-    so the stream result hash-matches the batch GROUP BY oracle."""
+    so the stream result hash-matches the batch GROUP BY oracle.
+
+    Update-mode sinks hold one row per key per touched micro-batch;
+    the final profile per user is the one with the largest n_events
+    (monotone under accumulation) -- the same last-emission dedup s20
+    applies, so the result does not depend on the source happening to
+    stage a single file."""
     from ..streaming.stateful import user_profiles
 
     ev = events_stream(spark, sf_dir)
-    return run_to_memory(user_profiles(ev), "update", "s08_profiles")
+    out = run_to_memory(user_profiles(ev), "update", "s08_profiles")
+    final = out.groupBy("user_id").agg(
+        F.max(
+            F.struct("n_events", "first_ts_us", "last_ts_us", "n_event_types")
+        ).alias("w")
+    )
+    return final.select(
+        "user_id",
+        F.col("w.n_events").alias("n_events"),
+        F.col("w.first_ts_us").alias("first_ts_us"),
+        F.col("w.last_ts_us").alias("last_ts_us"),
+        F.col("w.n_event_types").alias("n_event_types"),
+    )
 
 
 @register(
@@ -503,10 +521,23 @@ def s12_stream_span_dedup(spark, sf_dir):
     )
 
     def screen_batch(batch_df, epoch_id):
+        # IDEMPOTENT under at-least-once replay: every write targets a
+        # per-epoch directory with mode=overwrite, so a replayed batch
+        # rewrites its own outputs instead of double-appending (the
+        # prior epochs' dirs are immutable inputs). The store screen
+        # reads only epochs BEFORE this one -- a replayed batch sees
+        # exactly the state it saw the first time.
+        import glob as _glob
+
         sp = batch_df.sparkSession
         spans = doc_span_hashes(batch_df.select("doc_id", "text"))
-        if os.path.exists(store):
-            seen = sp.read.parquet(store).select(
+        prior = [
+            d
+            for d in _glob.glob(os.path.join(store, "e*"))
+            if int(os.path.basename(d)[1:]) < epoch_id
+        ]
+        if prior:
+            seen = sp.read.parquet(*prior).select(
                 F.col("h").alias("seen_h")
             )
             flagged = spans.join(
@@ -520,12 +551,14 @@ def s12_stream_span_dedup(spark, sf_dir):
                 "n_novel_spans"
             ),
         )
-        per_doc.write.mode("append").parquet(result)
-        # append only the batch's NOVEL hashes: keeps the store a SET
+        per_doc.write.mode("overwrite").parquet(
+            os.path.join(result, f"e{epoch_id}")
+        )
+        # store only the batch's NOVEL hashes: keeps the store a SET
         # (a re-appended hash would fan out the next batch's left join)
         flagged.filter(F.col("novel")).select("h").dropDuplicates(
             ["h"]
-        ).write.mode("append").parquet(store)
+        ).write.mode("overwrite").parquet(os.path.join(store, f"e{epoch_id}"))
 
     q = (
         docs.writeStream.foreachBatch(screen_batch)
@@ -537,7 +570,7 @@ def s12_stream_span_dedup(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(result)
+    return spark.read.parquet(os.path.join(result, "e*"))
 
 
 @register(
@@ -647,7 +680,6 @@ def s15_stream_source_quota(spark, sf_dir):
     QUOTA = 40
     src = docs_batched_source(sf_dir)
     root = tempfile.mkdtemp(prefix="s15_quota_")
-    counts_dir = os.path.join(root, "counts")
     accepted_dir = os.path.join(root, "accepted")
     schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
     docs = (
@@ -657,6 +689,18 @@ def s15_stream_source_quota(spark, sf_dir):
     )
 
     def admit_batch(batch_df, epoch_id):
+        # IDEMPOTENT under at-least-once replay, and no mutable counter
+        # state at all: each epoch's admissions land in their own
+        # overwrite-mode directory, and the per-source quota "used so
+        # far" is derived from STRICTLY EARLIER epochs' immutable dirs
+        # -- a replayed batch recomputes against exactly the state it
+        # saw first time. (The old rmtree+rename counter swap could
+        # crash between the two calls and re-admit up to QUOTA extra
+        # docs per source.) The recount is bounded by the quota itself
+        # -- accepted holds at most QUOTA x |sources| rows ever -- so
+        # per-batch cost is O(quota), not O(stream).
+        import glob as _glob
+
         from pyspark.sql import Window as Wnd
 
         sp = batch_df.sparkSession
@@ -664,8 +708,17 @@ def s15_stream_source_quota(spark, sf_dir):
         ranked = batch_df.select("doc_id", "source").withColumn(
             "rnk", F.row_number().over(w)
         )
-        if os.path.exists(counts_dir):
-            counts = sp.read.parquet(counts_dir)
+        prior = [
+            d
+            for d in _glob.glob(os.path.join(accepted_dir, "e*"))
+            if int(os.path.basename(d)[1:]) < epoch_id
+        ]
+        if prior:
+            counts = (
+                sp.read.parquet(*prior)
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("used"))
+            )
             ranked = ranked.join(F.broadcast(counts), "source", "left").withColumn(
                 "used", F.coalesce(F.col("used"), F.lit(0))
             )
@@ -674,18 +727,9 @@ def s15_stream_source_quota(spark, sf_dir):
         admitted = ranked.filter(
             F.col("rnk") + F.col("used") <= QUOTA
         ).select("doc_id", "source")
-        admitted.write.mode("append").parquet(accepted_dir)
-        new_counts = (
-            sp.read.parquet(accepted_dir)
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("used"))
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(accepted_dir, f"e{epoch_id}")
         )
-        tmp = counts_dir + ".tmp"
-        new_counts.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        shutil.rmtree(counts_dir, ignore_errors=True)
-        os.rename(tmp, counts_dir)
 
     q = (
         docs.writeStream.foreachBatch(admit_batch)
@@ -697,7 +741,7 @@ def s15_stream_source_quota(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(accepted_dir)
+    return spark.read.parquet(os.path.join(accepted_dir, "e*"))
 
 
 @register(
@@ -733,7 +777,12 @@ def s16_stream_fingerprint(spark, sf_dir):
     )
 
     def update_fp(batch_df, epoch_id):
-        sp = batch_df.sparkSession
+        # IDEMPOTENT under at-least-once replay: each epoch writes its
+        # own partial (overwrite) instead of folding into one mutable
+        # state file -- a replayed batch rewrites the same partial, so
+        # it can never XOR itself out or double its count. XOR and SUM
+        # are associative, so the final fold over partials below is
+        # exactly the incremental fold.
         h = F.conv(
             F.substring(
                 F.md5(F.concat_ws("|", "doc_id", "text")), 1, 15
@@ -741,25 +790,12 @@ def s16_stream_fingerprint(spark, sf_dir):
             16,
             10,
         ).cast("bigint")
-        part = batch_df.select(h.alias("h")).agg(
+        batch_df.select(h.alias("h")).agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.expr("bit_xor(h)").alias("fingerprint"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"e{epoch_id}")
         )
-        if os.path.exists(state_dir):
-            prev = sp.read.parquet(state_dir)
-            part = (
-                part.unionByName(prev)
-                .agg(
-                    F.sum("n_rows").alias("n_rows"),
-                    F.expr("bit_xor(fingerprint)").alias("fingerprint"),
-                )
-            )
-        tmp = state_dir + ".tmp"
-        part.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        shutil.rmtree(state_dir, ignore_errors=True)
-        os.rename(tmp, state_dir)
 
     q = (
         docs.writeStream.foreachBatch(update_fp)
@@ -771,7 +807,11 @@ def s16_stream_fingerprint(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(state_dir)
+    parts = spark.read.parquet(os.path.join(state_dir, "e*"))
+    return parts.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.expr("bit_xor(fingerprint)").alias("fingerprint"),
+    )
 
 
 @register(
@@ -790,8 +830,10 @@ def s17_stream_ann_ingest(spark, sf_dir):
     is trained offline (c50's k-means over the reference corpus) and
     ingest only ever assigns + appends. Each batch is a narrow map
     against the broadcast k-row centroid table (no shuffle, no state
-    beyond the index itself); the partition-by-cell append is what
-    keeps later probes partition-pruned. The accumulated index must
+    beyond the index itself); epoch slices land cell-as-column and the
+    compaction step (build_ivf_index) lays them out partition-by-cell
+    for pruned probes -- the same pass that fixes streaming ingest's
+    small-files problem. The accumulated index must
     equal the batch-built assignment bit-for-bit (same unrolled-Lloyd
     oracle as c50) -- integer distances make that exact, not
     approximate."""
@@ -834,7 +876,17 @@ def s17_stream_ann_ingest(spark, sf_dir):
                 .alias("cell")
             )
         )
-        assigned.write.mode("append").partitionBy("cell").parquet(index_dir)
+        # per-epoch overwrite: a replayed batch rewrites its own slice
+        # of the index instead of appending duplicate (vec_id, cell)
+        # rows under at-least-once delivery. Epoch slices keep cell as
+        # a DATA column (nested per-epoch cell=N dirs make Spark's
+        # partition discovery reject the glob read); the serving
+        # layout's partition-by-cell is the compaction step's job
+        # (build_ivf_index), which also solves streaming ingest's
+        # small-files problem in the same pass.
+        assigned.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"e{epoch_id}")
+        )
 
     sq = (
         stream.writeStream.foreachBatch(ingest)
@@ -846,7 +898,7 @@ def s17_stream_ann_ingest(spark, sf_dir):
         .start()
     )
     sq.awaitTermination()
-    return spark.read.parquet(index_dir).select(
+    return spark.read.parquet(os.path.join(index_dir, "e*")).select(
         "vec_id", F.col("cell").cast("int").alias("cell")
     )
 
@@ -913,15 +965,28 @@ def s18_stream_scroll_pages(spark, sf_dir):
         .start()
     )
     deadline = time.monotonic() + 300
+    drained = False
     while time.monotonic() < deadline:
         try:
             if spark.read.parquet(out_dir).count() >= expected:
+                drained = True
                 break
         except Exception:
             pass  # sink not created yet
         time.sleep(0.3)
     q.stop()
     q.awaitTermination()
+    if not drained:
+        # a partial sink must never reach the certifier as an answer:
+        # raise loudly instead of aggregating whatever was committed
+        got = -1
+        try:
+            got = spark.read.parquet(out_dir).count()
+        except Exception:
+            pass
+        raise TimeoutError(
+            f"s18 scroll stream drained {got}/{expected} rows in 300s"
+        )
     return (
         spark.read.parquet(out_dir)
         .groupBy("from_person_id")
