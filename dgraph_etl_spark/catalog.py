@@ -218,7 +218,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 # session-id -> last sf_dir whose views are registered (temp views are
 # overwrite-in-place, so only the most recent registration is live)
-_REGISTERED: dict[int, str] = {}
+_REGISTERED: dict[int, tuple] = {}  # id(session) -> (weakref, sf_dir)
 
 
 def pin_session_confs(spark: SparkSession) -> None:
@@ -236,16 +236,29 @@ def pin_session_confs(spark: SparkSession) -> None:
 
 def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
     """Register base tables and reference-domain derived views as temp
-    views. Idempotent per (session, sf_dir); cheap to call per query."""
+    views. Idempotent per (session, sf_dir); cheap to call per query.
+
+    The idempotence cache stores a WEAK reference to the session next
+    to the sf_dir: id() alone is recyclable after a session is
+    garbage-collected, and a new session allocated at the recycled
+    address would be wrongly treated as registered (its first
+    spark.table() would raise TABLE_OR_VIEW_NOT_FOUND). A dead weakref
+    also marks the entry for eviction, so long-lived drivers don't
+    accumulate orphans."""
+    import weakref
+
     sf_dir = os.path.abspath(sf_dir)
-    if _REGISTERED.get(id(spark)) == sf_dir and not force:
+    for k in [k for k, (ref, _) in _REGISTERED.items() if ref() is None]:
+        del _REGISTERED[k]
+    hit = _REGISTERED.get(id(spark))
+    if hit is not None and hit[0]() is spark and hit[1] == sf_dir and not force:
         return
     pin_session_confs(spark)
     for t in BASE_TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     for name, sql in VIEW_SQL.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
-    _REGISTERED[id(spark)] = sf_dir
+    _REGISTERED[id(spark)] = (weakref.ref(spark), sf_dir)
 
 
 def view(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

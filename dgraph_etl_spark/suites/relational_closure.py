@@ -51,13 +51,6 @@ def fpsum_sql(expr: str, alias: str) -> str:
     )
 
 
-def davg(col, alias):
-    c = col if not isinstance(col, str) else F.col(col)
-    return (
-        F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c)
-    ).alias(alias)
-
-
 # ---------------------------------------------------------------- scans
 
 
@@ -99,12 +92,40 @@ def b06_filter_predicates(spark, sf_dir):
     ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
 
 
-def _scratch(sf_dir: str, name: str) -> str:
+def _staged_io(sf_dir: str, name: str, table: str, write_fn) -> str:
+    """Content-keyed, atomically-staged IO directory for the format
+    round-trip queries (jsonl/csv/orc copies, partitioned sinks,
+    schema-evolution parts): the tag carries the SOURCE table's
+    mtime+size (a regenerated fixture under the same dir name never
+    reuses stale staging -- catalog._compacted_source's convention),
+    the write lands in a tmp sibling and renames into place
+    (directory presence == staging complete, so a concurrent process
+    can never read a half-written or mid-overwrite copy -- the old
+    per-call mode('overwrite') deleted the dir out from under a
+    concurrent reader), and subsequent calls reuse the staged copy.
+    Concurrent stagers race benignly: first rename wins."""
     import os
+    import shutil
     import tempfile
+    import uuid
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(tempfile.gettempdir(), f"dgraph_etl_io_{tag}_{name}")
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
+    )
+    d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_io_{tag}_{name}")
+    if os.path.exists(d):
+        return d
+    tmp = f"{d}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    write_fn(tmp)
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(d):
+            raise
+    return d
 
 
 @register(
@@ -117,8 +138,12 @@ def b02_jsonl_scan(spark, sf_dir):
     the ES hits the reference decodes (A4, elastic.go:81) are exactly
     this shape."""
     docs = _t(spark, sf_dir, "documents")
-    path = _scratch(sf_dir, "docs_jsonl")
-    docs.write.mode("overwrite").json(path)
+    path = _staged_io(
+        sf_dir,
+        "docs_jsonl",
+        "documents",
+        lambda p: docs.write.mode("overwrite").json(p),
+    )
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
     return spark.read.schema(schema).json(path).select(
         "doc_id", "text", "lang", "source", "n_chars"
@@ -134,8 +159,12 @@ def b02_csv_scan(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    path = _scratch(sf_dir, "docs_csv")
-    docs.write.mode("overwrite").option("header", True).csv(path)
+    path = _staged_io(
+        sf_dir,
+        "docs_csv",
+        "documents",
+        lambda p: docs.write.mode("overwrite").option("header", True).csv(p),
+    )
     schema = "doc_id bigint, lang string, source string, n_chars bigint"
     return (
         spark.read.schema(schema).option("header", True).csv(path)
@@ -155,8 +184,12 @@ def b02_orc_scan(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    path = _scratch(sf_dir, "docs_orc")
-    docs.write.mode("overwrite").orc(path)
+    path = _staged_io(
+        sf_dir,
+        "docs_orc",
+        "documents",
+        lambda p: docs.write.mode("overwrite").orc(p),
+    )
     return spark.read.orc(path).select("doc_id", "lang", "source", "n_chars")
 
 
@@ -175,8 +208,14 @@ def b04_partitioned_sink(spark, sf_dir):
     (PartitionFilters in explain, zero non-matching files opened) —
     the scan-side contract that makes 100 TB tables usable."""
     o = _t(spark, sf_dir, "orders")
-    path = _scratch(sf_dir, "orders_part")
-    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    path = _staged_io(
+        sf_dir,
+        "orders_part",
+        "orders",
+        lambda p: o.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(p),
+    )
     back = spark.read.parquet(path)
     return (
         back.filter(F.col("o_orderstatus") == "F")
@@ -2075,21 +2114,18 @@ def b62_schema_evolution(spark, sf_dir):
     reads footers only (schema union on the driver), the data pages
     are untouched."""
     import os
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents")
-    tag = os.path.basename(os.path.normpath(os.path.abspath(sf_dir)))
-    d = os.path.join(
-        tempfile.gettempdir(), f"dgraph_etl_schemaevo_{os.getpid()}_{tag}"
-    )
-    if not os.path.exists(os.path.join(d, "_done")):
+
+    def write(p):
         docs.filter(F.col("doc_id") % 2 == 0).select(
             "doc_id", "n_chars"
-        ).write.mode("overwrite").parquet(os.path.join(d, "part=old"))
+        ).write.mode("overwrite").parquet(os.path.join(p, "part=old"))
         docs.filter(F.col("doc_id") % 2 == 1).select(
             "doc_id", F.col("lang").alias("lang_code")
-        ).write.mode("overwrite").parquet(os.path.join(d, "part=new"))
-        open(os.path.join(d, "_done"), "w").close()
+        ).write.mode("overwrite").parquet(os.path.join(p, "part=new"))
+
+    d = _staged_io(sf_dir, "schemaevo", "documents", write)
     merged = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(d, "part=old"), os.path.join(d, "part=new")
     )
@@ -2149,7 +2185,7 @@ def b63_forward_fill(spark, sf_dir):
              AS n_purchases,
            CAST(list_sum(list_transform(
                   list_filter(events, e -> e.et = 'purchase'),
-                  e -> CAST(e.v * 1000000 AS BIGINT))) AS BIGINT)
+                  e -> CAST(ROUND(e.v * 1000000, 0) AS BIGINT))) AS BIGINT)
              AS purchase_micros,
            events[1].t AS first_ts_us
     FROM ev
@@ -2500,13 +2536,15 @@ def b71_null_semantics(spark, sf_dir):
     SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
            bit_xor(CAST(concat('0x', substr(md5(
              concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
-                       o_totalprice, epoch_us(o_orderdate),
+                       CAST(ROUND(o_totalprice * 1000000, 0) AS BIGINT),
+                       epoch_us(o_orderdate),
                        o_orderpriority)), 1, 15)) AS BIGINT)) AS fingerprint
     FROM orders
     UNION ALL
     SELECT 'customer', COUNT(*),
            bit_xor(CAST(concat('0x', substr(md5(
-             concat_ws('|', c_custkey, c_name, c_nationkey, c_acctbal,
+             concat_ws('|', c_custkey, c_name, c_nationkey,
+                       CAST(ROUND(c_acctbal * 1000000, 0) AS BIGINT),
                        c_mktsegment)), 1, 15)) AS BIGINT))
     FROM customer
     """,
@@ -2519,7 +2557,12 @@ def b72_table_fingerprint(spark, sf_dir):
     terabytes, and XOR's commutativity makes the result partitioning-
     independent -- a plain map + one combine, no shuffle of data rows.
     15 hex digits (60 bits) keep the parse inside BIGINT in both
-    engines."""
+    engines. Double columns enter the hash as fixed-point micros
+    bigints, never as strings: Spark (Java) renders doubles in
+    scientific notation outside (1e-3, 1e7) while DuckDB renders them
+    positionally, so a raw double in concat_ws would fingerprint the
+    FORMATTING, not the value (the registry's doubles-never-to-strings
+    rule)."""
 
     def fp(df, name, cols):
         row_hash = F.conv(
@@ -2543,7 +2586,7 @@ def b72_table_fingerprint(spark, sf_dir):
             "o_orderkey",
             "o_custkey",
             "o_orderstatus",
-            "o_totalprice",
+            F.round(F.col("o_totalprice") * 1_000_000, 0).cast("bigint"),
             F.unix_micros("o_orderdate"),
             "o_orderpriority",
         ],
@@ -2551,7 +2594,13 @@ def b72_table_fingerprint(spark, sf_dir):
         fp(
             c,
             "customer",
-            ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+            [
+                "c_custkey",
+                "c_name",
+                "c_nationkey",
+                F.round(F.col("c_acctbal") * 1_000_000, 0).cast("bigint"),
+                "c_mktsegment",
+            ],
         )
     )
 
@@ -4063,11 +4112,18 @@ def _binary_stage_dir(sf_dir):
         + f"_{st.st_mtime_ns}_{st.st_size}"
     )
     d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_bin_{tag}")
-    if os.path.isdir(d) and len(os.listdir(d)) == 16:
+    # atomic staging (tmp sibling + rename), same discipline as
+    # _staged_io: in-place per-file open('wb') writes were readable
+    # half-truncated by a concurrent binaryFile scan
+    if os.path.isdir(d):
         return d
-    os.makedirs(d, exist_ok=True)
+    import shutil
+    import uuid
+
     import duckdb
 
+    tmp = f"{d}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp)
     con = duckdb.connect()
     rows = con.execute(
         "SELECT doc_id, text FROM read_parquet(?) ORDER BY doc_id LIMIT 16",
@@ -4075,8 +4131,14 @@ def _binary_stage_dir(sf_dir):
     ).fetchall()
     con.close()
     for doc_id, text in rows:
-        with open(os.path.join(d, f"doc_{doc_id:06d}.bin"), "wb") as f:
+        with open(os.path.join(tmp, f"doc_{doc_id:06d}.bin"), "wb") as f:
             f.write(text.encode("utf-8"))
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(d):
+            raise
     return d
 
 
