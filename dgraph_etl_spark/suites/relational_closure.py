@@ -355,25 +355,15 @@ def b11_join_anti(spark, sf_dir):
 )
 def b12_join_range(spark, sf_dir):
     """B12: theta/range join (the reference's shard routing,
-    mysql.go:22-37, is exactly this shape). Small range table ->
-    broadcast nested loop; at scale, bucketize + equi-join instead."""
-    p = _t(spark, sf_dir, "part")
-    buckets = spark.createDataFrame(
-        [("low", 0.0, 925.0), ("mid", 925.0, 975.0), ("high", 975.0, 10000.0)],
-        schema="bucket_name string, lo double, hi double",
-    )
-    return (
-        p.join(
-            F.broadcast(buckets),
-            (p["p_retailprice"] >= buckets["lo"])
-            & (p["p_retailprice"] < buckets["hi"]),
-        )
-        .groupBy("bucket_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_parts"),
-            dsum("p_retailprice", "total_price"),
-        )
-    )
+    mysql.go:22-37, is exactly this shape). The naive translation is a
+    broadcast nested-loop join (every probe row compared against every
+    interval); this engine plans the interval join as the binned
+    EQUI-join instead -- identical results, and the plan survives both
+    a 100x probe side and an interval table too large to compare
+    row-by-row. b58_binned_range_join documents the rewrite itself;
+    b12 is the operator surface, and it ships the scale-safe plan by
+    default (plan contract: no BroadcastNestedLoopJoin)."""
+    return b58_binned_range_join(spark, sf_dir)
 
 
 @register(

@@ -170,6 +170,13 @@ CONTRACTS += [
         "predicate is a residual, not the join itself",
     ),
     (
+        "b12_join_range",
+        ["BroadcastHashJoin"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "the B12 operator surface ships the binned equi-join plan by "
+        "default -- the naive nested-loop translation never plans",
+    ),
+    (
         "b63_forward_fill",
         ["Window"],
         ["Exchange rangepartitioning", "Join"],
