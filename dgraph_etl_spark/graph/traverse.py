@@ -565,6 +565,72 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
     )
 
 
+def hits(
+    edges: DataFrame,
+    n_iter: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """HITS hubs-and-authorities: the mutual-reinforcement ranking
+    family next to the PageRank power iterations (g10/g25/g26). Each
+    round, a node's AUTHORITY is the sum of the hub scores pointing at
+    it and its HUB score is the sum of the authority scores it points
+    at, each vector L1-normalized after its update (positive scores,
+    so the L1 norm is one SUM -- a 1-row broadcast, the same device as
+    the dangling-mass scalar in ``pagerank``).
+
+    Scale shape per round: two edge-keyed hash aggs (in-sum, out-sum)
+    + two 1-row broadcast normalizations; lineage cut per round.
+    Fixed ``n_iter`` keeps the operator deterministic so the oracle
+    can unroll the identical rounds as chained CTEs, 6-dp rounded --
+    the same discipline as the PageRank oracles. Sequential
+    dependence note: auth updates from h_{i-1}, hub from the FRESH
+    auth (classic Kleinberg ordering), mirrored term-for-term in the
+    oracle."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates(["node"])
+        .localCheckpoint()
+    )
+    e = edges.select("src", "dst").localCheckpoint()
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(n_iter):
+        in_sum = (
+            e.join(hub.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("v"))
+        )
+        auth_raw = nodes.join(in_sum, "node", "left").select(
+            "node", F.coalesce(F.col("v"), F.lit(0.0)).alias("auth")
+        )
+        a_norm = auth_raw.agg(F.sum("auth").alias("a_tot"))
+        auth = (
+            auth_raw.crossJoin(F.broadcast(a_norm))
+            .select("node", (F.col("auth") / F.col("a_tot")).alias("auth"))
+            .localCheckpoint(eager=False)
+        )
+        out_sum = (
+            e.join(auth.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("v"))
+        )
+        hub_raw = nodes.join(out_sum, "node", "left").select(
+            "node", F.coalesce(F.col("v"), F.lit(0.0)).alias("hub")
+        )
+        h_norm = hub_raw.agg(F.sum("hub").alias("h_tot"))
+        hub = (
+            hub_raw.crossJoin(F.broadcast(h_norm))
+            .select("node", (F.col("hub") / F.col("h_tot")).alias("hub"))
+            .localCheckpoint(eager=False)
+        )
+    return hub.join(auth, "node").select(
+        "node",
+        F.round("hub", round_dp).alias("hub"),
+        F.round("auth", round_dp).alias("auth"),
+    )
+
+
 def weighted_pagerank(
     edges: DataFrame,
     n_iter: int = 10,

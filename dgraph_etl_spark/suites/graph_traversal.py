@@ -1201,3 +1201,67 @@ def g28_temporal_reachability(spark, sf_dir):
     return t2.join(seeds, t2["tid"] == seeds["id"], "left_anti").select(
         F.col("tid").alias("id"), F.col("arrival").alias("earliest_arrival_us")
     )
+
+
+def _hits_oracle_sql(n_iter: int = 5) -> str:
+    """HITS unrolled, mirroring traverse.hits term-for-term: per round
+    an in-sum (auth from hubs) then L1-normalize, an out-sum (hub from
+    the FRESH auth) then L1-normalize. Same unrolling and 6-dp
+    rounding discipline as the PageRank oracles; every CTE referenced
+    twice is MATERIALIZED (the norm subquery re-reads its round)."""
+    parts = [
+        """
+, knodes AS MATERIALIZED (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+kh0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM knodes)
+"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+, ka{i} AS MATERIALIZED (
+    SELECT n.node, COALESCE(s.v, 0.0) AS auth
+    FROM knodes n
+    LEFT JOIN (
+        SELECT e.dst AS node, SUM(h.hub) AS v
+        FROM edges e JOIN kh{i - 1} h ON e.src = h.node
+        GROUP BY e.dst
+    ) s ON n.node = s.node
+),
+kan{i} AS MATERIALIZED (
+    SELECT node, auth / (SELECT SUM(auth) FROM ka{i}) AS auth FROM ka{i}
+),
+kb{i} AS MATERIALIZED (
+    SELECT n.node, COALESCE(s.v, 0.0) AS hub
+    FROM knodes n
+    LEFT JOIN (
+        SELECT e.src AS node, SUM(a.auth) AS v
+        FROM edges e JOIN kan{i} a ON e.dst = a.node
+        GROUP BY e.src
+    ) s ON n.node = s.node
+),
+kh{i} AS MATERIALIZED (
+    SELECT node, hub / (SELECT SUM(hub) FROM kb{i}) AS hub FROM kb{i}
+)
+""")
+    parts.append(f"""
+SELECT h.node, ROUND(h.hub, 6) AS hub, ROUND(a.auth, 6) AS auth
+FROM kh{n_iter} h JOIN kan{n_iter} a ON h.node = a.node
+""")
+    return V("".join(parts))
+
+
+@register("g29_hits", _hits_oracle_sql(), defer=True)
+def g29_hits(spark, sf_dir):
+    """HITS hubs and authorities over the relationship graph: the
+    mutual-reinforcement ranking family the PageRank power iterations
+    (g10/g25/g26) don't cover -- good hubs point at good authorities
+    and vice versa, so the two scores are coupled fixed-point vectors
+    rather than one random-walk distribution. Directed edges matter:
+    a person who initiates many strong connections ranks as a hub, a
+    person many hubs point AT ranks as an authority (the reference's
+    bidirectional explode, pipeline/edges.py, preserves exactly this
+    directionality). Oracle: the identical 5 rounds unrolled as
+    chained CTEs, both sides rounded to 6 dp."""
+    edges, _, _ = _graph_inputs(spark, sf_dir)
+    return G.hits(edges, n_iter=5, round_dp=6)

@@ -4588,3 +4588,59 @@ def b105_cdc_apply(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "b106_salted_skew_join",
+    f"""
+    SELECT o.o_orderpriority,
+           {fpsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    defer=True,
+)
+def b106_salted_skew_join(spark, sf_dir):
+    """Salted SHUFFLE JOIN: the explicit skew remedy for a hash join
+    whose key distribution is power-law (one hot orderkey lands a
+    whole reducer's worth of probe rows on a single task). The probe
+    (fact) side gets a deterministic salt in [0, S) from a hash of its
+    full row key; the build side is replicated once per salt value;
+    the join key becomes (key, salt), so a hot key's rows spread over
+    S tasks. Result is byte-identical to the plain join (same oracle
+    text as the unsalted shape), cost is an S-times replicated build
+    side through the shuffle -- the documented trade.
+
+    When to reach for it at 100 TB: AQE's skew-split
+    (OptimizeSkewedJoin) is the first line and needs no code change,
+    but it only engages on sort-merge/shuffled-hash plans it can
+    re-plan at runtime. Explicit salting is the remedy where AQE
+    cannot see or act -- bucketed zero-exchange layouts (b50),
+    stream-static joins, and skewed AGGREGATION keys (a12's salted
+    twin). Salt fans out with `explode` of a literal array (JVM-side,
+    no Python), S=8 here; real deployments size S to the hot key's
+    row count / target partition size."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    n_salt = 8
+    lis = li.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt)),
+    )
+    os_ = o.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        lis.join(
+            os_,
+            (lis["l_orderkey"] == os_["o_orderkey"])
+            & (lis["salt"] == os_["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            fpsum("l_extendedprice * (1 - l_discount)", "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -177,6 +177,13 @@ CONTRACTS += [
         "default -- the naive nested-loop translation never plans",
     ),
     (
+        "b106_salted_skew_join",
+        ["salt"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "the salt column is a join key: a hot orderkey's probe rows "
+        "hash across S tasks instead of one",
+    ),
+    (
         "b63_forward_fill",
         ["Window"],
         ["Exchange rangepartitioning", "Join"],
