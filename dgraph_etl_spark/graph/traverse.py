@@ -594,7 +594,8 @@ def hits(
     )
     e = edges.select("src", "dst").localCheckpoint()
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
-    auth = None
+    # n_iter=0 degrades to the initial vectors, like pagerank
+    auth = nodes.select("node", F.lit(1.0).alias("auth"))
     for _ in range(n_iter):
         in_sum = (
             e.join(hub.select(F.col("node").alias("src"), "hub"), "src")

@@ -1211,8 +1211,12 @@ def _hits_oracle_sql(n_iter: int = 5) -> str:
     twice is MATERIALIZED (the norm subquery re-reads its round)."""
     parts = [
         """
-, knodes AS MATERIALIZED (
-    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+, dedges AS MATERIALIZED (
+    SELECT DISTINCT from_person_id AS src, to_person_id AS dst
+    FROM user_relationship
+),
+knodes AS MATERIALIZED (
+    SELECT src AS node FROM dedges UNION SELECT dst FROM dedges
 ),
 kh0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM knodes)
 """
@@ -1224,7 +1228,7 @@ kh0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM knodes)
     FROM knodes n
     LEFT JOIN (
         SELECT e.dst AS node, SUM(h.hub) AS v
-        FROM edges e JOIN kh{i - 1} h ON e.src = h.node
+        FROM dedges e JOIN kh{i - 1} h ON e.src = h.node
         GROUP BY e.dst
     ) s ON n.node = s.node
 ),
@@ -1236,7 +1240,7 @@ kb{i} AS MATERIALIZED (
     FROM knodes n
     LEFT JOIN (
         SELECT e.src AS node, SUM(a.auth) AS v
-        FROM edges e JOIN kan{i} a ON e.dst = a.node
+        FROM dedges e JOIN kan{i} a ON e.dst = a.node
         GROUP BY e.src
     ) s ON n.node = s.node
 ),
@@ -1253,15 +1257,25 @@ FROM kh{n_iter} h JOIN kan{n_iter} a ON h.node = a.node
 
 @register("g29_hits", _hits_oracle_sql(), defer=True)
 def g29_hits(spark, sf_dir):
-    """HITS hubs and authorities over the relationship graph: the
-    mutual-reinforcement ranking family the PageRank power iterations
-    (g10/g25/g26) don't cover -- good hubs point at good authorities
-    and vice versa, so the two scores are coupled fixed-point vectors
-    rather than one random-walk distribution. Directed edges matter:
-    a person who initiates many strong connections ranks as a hub, a
-    person many hubs point AT ranks as an authority (the reference's
-    bidirectional explode, pipeline/edges.py, preserves exactly this
-    directionality). Oracle: the identical 5 rounds unrolled as
-    chained CTEs, both sides rounded to 6 dp."""
-    edges, _, _ = _graph_inputs(spark, sf_dir)
-    return G.hits(edges, n_iter=5, round_dp=6)
+    """HITS hubs and authorities: the mutual-reinforcement ranking
+    family the PageRank power iterations (g10/g25/g26) don't cover --
+    good hubs point at good authorities and vice versa, so the two
+    scores are coupled fixed-point vectors rather than one random-walk
+    distribution. Runs on the RAW DIRECTED relationship pairs
+    (initiator -> target, distinct), NOT the post-pipeline edges view:
+    the A9 bidirectional explode symmetrizes that view's edge set, and
+    on a symmetric graph both HITS vectors collapse to the same
+    principal eigenvector -- the raw stream is where initiating many
+    connections (hub) and being targeted by many initiators
+    (authority) are genuinely different signals. Oracle: the identical
+    5 rounds unrolled as chained CTEs, both sides rounded to 6 dp."""
+    register_views(spark, sf_dir)
+    dedges = (
+        spark.table("user_relationship")
+        .select(
+            F.col("from_person_id").alias("src"),
+            F.col("to_person_id").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    return G.hits(dedges, n_iter=5, round_dp=6)

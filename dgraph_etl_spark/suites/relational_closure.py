@@ -4619,25 +4619,23 @@ def b106_salted_skew_join(spark, sf_dir):
     re-plan at runtime. Explicit salting is the remedy where AQE
     cannot see or act -- bucketed zero-exchange layouts (b50),
     stream-static joins, and skewed AGGREGATION keys (a12's salted
-    twin). Salt fans out with `explode` of a literal array (JVM-side,
-    no Python), S=8 here; real deployments size S to the hot key's
-    row count / target partition size."""
+    twin). The mechanism is the library's pipeline/edges.salted_join
+    (deterministic xxhash64 salt + explode-replicated build side,
+    left-preserving-join and column-collision guards, its own
+    equality tests); the build side carries a shuffle_hash hint
+    because salting exists precisely for builds too large to
+    broadcast -- at test scale AQE would otherwise broadcast the
+    replicated orders and the plan would never show the salted
+    exchange the contract pins. S=8 here; real deployments size S to
+    the hot key's row count / target partition size."""
+    from ..pipeline.edges import salted_join
+
     li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    n_salt = 8
-    lis = li.withColumn(
-        "salt",
-        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt)),
-    )
-    os_ = o.withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    o = _t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
     )
     return (
-        lis.join(
-            os_,
-            (lis["l_orderkey"] == os_["o_orderkey"])
-            & (lis["salt"] == os_["salt"]),
-        )
+        salted_join(li, o.hint("shuffle_hash"), "l_orderkey", buckets=8)
         .groupBy("o_orderpriority")
         .agg(
             fpsum("l_extendedprice * (1 - l_discount)", "revenue"),

@@ -178,10 +178,11 @@ CONTRACTS += [
     ),
     (
         "b106_salted_skew_join",
-        ["salt"],
+        ["ShuffledHashJoin"],
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
-        "the salt column is a join key: a hot orderkey's probe rows "
-        "hash across S tasks instead of one",
+        "the salted join exercises the shuffle lane it exists for "
+        "(a broadcast build would make salting a no-op); the salt-"
+        "in-partitioning property has its own dedicated test",
     ),
     (
         "b63_forward_fill",
@@ -491,3 +492,21 @@ def test_interpolate_exchange_budget(spark, sf_small):
     plan = plan_of(spark, sf_small, "b96_linear_interpolate")
     assert plan.count(") Exchange") <= 3, plan
     assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_salted_join_salt_drives_partitioning(spark, sf_small):
+    """B106 scale contract: the salt is a PARTITIONING key, not just a
+    projected column -- both shuffle exchanges hash on (key, _salt),
+    so a hot orderkey's probe rows land on S different tasks. A bare
+    substring check would pass even if the salt fell out of the join
+    condition (the explode still projects it); this pins it inside
+    hashpartitioning(...)."""
+    import re
+
+    plan = plan_of(spark, sf_small, "b106_salted_skew_join")
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    salted = [p for p in parts if "_salt" in p and "l_orderkey" in p]
+    assert len(salted) >= 2, (
+        f"expected both join-side exchanges keyed by (l_orderkey, _salt); "
+        f"hashpartitioning args seen: {parts}"
+    )

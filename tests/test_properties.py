@@ -160,6 +160,25 @@ def test_c12_components_equal_union_find(spark, pairs):
     assert got == want
 
 
+def test_g29_hits_closed_forms(spark):
+    from dgraph_etl_spark.graph.traverse import hits
+
+    # star (leaves -> center): leaves are pure equal hubs, the center
+    # is the sole authority (L1-normalized: auth(c)=1, hub(l)=1/4)
+    star = spark.createDataFrame(
+        [(f"l{i}", "c", 1.0) for i in range(4)], ["src", "dst", "score"]
+    )
+    got = {r.node: (r.hub, r.auth) for r in hits(star, n_iter=3).collect()}
+    assert got["c"] == (0.0, 1.0), got
+    for i in range(4):
+        assert got[f"l{i}"] == (0.25, 0.0), got
+
+    # n_iter=0 degrades to the initial vectors (like pagerank), not a
+    # crash: uniform 1.0 hub/auth for every node
+    got0 = {r.node: (r.hub, r.auth) for r in hits(star, n_iter=0).collect()}
+    assert all(v == (1.0, 1.0) for v in got0.values()), got0
+
+
 def test_g10_pagerank_closed_forms(spark):
     from dgraph_etl_spark.graph.traverse import pagerank
 
