@@ -53,8 +53,25 @@ def main() -> None:
 
     truth = {r.vec_id for r in S.brute_topk(emb, query, 10).collect()}
 
+    # content-key the persisted index to the fixture's embeddings data
+    # (mtime_ns+size), not just (row count, ncells): a rebuilt 5M
+    # fixture with the same count must NOT reuse a stale index while
+    # ground truth is computed on the fresh vectors -- the recall
+    # table would be garbage with no error
+    src = os.path.join(args.fixture.rstrip("/"), "embeddings.parquet")
+    if os.path.isfile(src):
+        st = os.stat(src)
+        tag = f"{st.st_mtime_ns}_{st.st_size}"
+    else:
+        mx = tot = 0
+        for root_, _, files in os.walk(src):
+            for fn in files:
+                s_ = os.stat(os.path.join(root_, fn))
+                mx, tot = max(mx, s_.st_mtime_ns), tot + s_.st_size
+        tag = f"{mx}_{tot}"
     idx = os.path.join(
-        os.path.dirname(args.fixture.rstrip("/")), f"ivf_kmeans_{n}_{ncells}"
+        os.path.dirname(args.fixture.rstrip("/")),
+        f"ivf_kmeans_{n}_{ncells}_{tag}",
     )
     t0 = time.perf_counter()
     S.build_ivf_kmeans_index(spark, emb, idx, ncells)

@@ -66,13 +66,13 @@ def main() -> None:
     ap.add_argument("--skip-build", action="store_true")
     args = ap.parse_args()
 
-    from scale_soak import SCRATCH, build_fixture  # noqa: E402
-
     sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from scale_soak import build_fixture, fixture_dest  # noqa: E402
+
     big = (
         build_fixture(args.replicas)
         if not args.skip_build
-        else os.path.join(SCRATCH, f"x{args.replicas}")
+        else fixture_dest(args.replicas)
     )
     print(f"fixture: {big}", flush=True)
 

@@ -30,14 +30,28 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 def main() -> None:
     order = _ordered()
-    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+    if len(sys.argv) > 1 and sys.argv[1] == "--only":
+        if len(sys.argv) != 3:
+            raise SystemExit(
+                "usage: precert.py --only name1,name2  (one comma-"
+                "separated list; got "
+                f"{len(sys.argv) - 2} argument(s) after --only)"
+            )
         wanted = {n.strip() for n in sys.argv[2].split(",") if n.strip()}
+        if not wanted:
+            raise SystemExit("--only parsed to an empty query list")
         unknown = wanted - {q.name for q in order}
         if unknown:
             raise SystemExit(f"unknown queries: {sorted(unknown)}")
         pending = [q for q in order if q.name in wanted]
     else:
-        cap = int(sys.argv[1]) if len(sys.argv) > 1 else 10**9
+        try:
+            cap = int(sys.argv[1]) if len(sys.argv) > 1 else 10**9
+        except ValueError:
+            raise SystemExit(
+                f"usage: precert.py [N | --only name1,name2]; got "
+                f"{sys.argv[1]!r}"
+            ) from None
         done = _certified_names()
         pending = [q for q in order if q.name not in done][:cap]
     spark = get_spark(app_name="precert")
@@ -50,7 +64,9 @@ def main() -> None:
                 df = q.fn(spark, SF_DIR)
                 n = df.count()
                 assert len(df.schema.fields) > 0
-                problems = [] if n >= 0 else ["negative count?"]
+                # the driver's own smoke standard: a no-oracle query
+                # that regresses to zero rows is a failure, not "ok"
+                problems = [] if n > 0 else ["no-oracle query returned 0 rows"]
             else:
                 problems = check_query(spark, SF_DIR, q.name, q.fn, q.oracle)
         except Exception as exc:  # pragma: no cover - diagnostic tool

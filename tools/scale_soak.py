@@ -42,7 +42,6 @@ import os
 import shutil
 import subprocess
 import sys
-import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC_SF = "/root/testdata/sf0.1"
@@ -56,18 +55,42 @@ DIM_TABLES = ["region", "nation", "customer", "supplier", "part"]
 AUTO_END = "<!-- scale-soak:auto-end — sections below are preserved on re-run -->"
 
 
+def fixture_dest(replicas: int) -> str:
+    """The one place the scaled-fixture directory name is decided --
+    graph_soak/stream_soak and --skip-build paths must resolve through
+    this, not re-implement the naming (a copied 'sf1 if 10 else xN'
+    rule silently pointed --replicas 20 --skip-build at the 10x dir)."""
+    return os.path.join(
+        SCRATCH, f"sf{replicas // 10}" if replicas == 10 else f"x{replicas}"
+    )
+
+
+def _src_tag(src_sf: str) -> str:
+    """Content key of the source fixture (mtime_ns+size per parquet):
+    a regenerated /root/testdata/sf0.1 must invalidate the scaled
+    replica, or ratios would compare new base data against a stale
+    scratch build -- same content-keyed-staging rule as _staged_io."""
+    parts = []
+    for fn in sorted(os.listdir(src_sf)):
+        if fn.endswith(".parquet"):
+            st = os.stat(os.path.join(src_sf, fn))
+            parts.append(f"{fn}:{st.st_mtime_ns}:{st.st_size}")
+    return ";".join(parts)
+
+
 def build_fixture(
     replicas: int, src_sf: str = SRC_SF, dest: str | None = None
 ) -> str:
     import duckdb
 
     if dest is None:
-        dest = os.path.join(
-            SCRATCH, f"sf{replicas // 10}" if replicas == 10 else f"x{replicas}"
-        )
+        dest = fixture_dest(replicas)
     stamp = os.path.join(dest, "_BUILT")
+    tag = _src_tag(src_sf)
     if os.path.exists(stamp):
-        return dest
+        with open(stamp) as f:
+            if f.read() == tag:
+                return dest
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
@@ -127,7 +150,7 @@ def build_fixture(
     )
     con.close()
     with open(stamp, "w") as f:
-        f.write(str(int(time.time())))
+        f.write(tag)
     return dest
 
 
@@ -176,7 +199,7 @@ def _second_decade(args) -> None:
     big = (
         build_fixture(args.replicas)
         if not args.skip_build
-        else os.path.join(SCRATCH, f"x{args.replicas}")
+        else fixture_dest(args.replicas)
     )
     print(f"fixture: {big}", flush=True)
     os.environ["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(HEAVY_100X)
@@ -270,8 +293,10 @@ def main() -> None:
         _second_decade(args)
         return
 
-    big = build_fixture(args.replicas) if not args.skip_build else os.path.join(
-        SCRATCH, "sf1"
+    big = (
+        build_fixture(args.replicas)
+        if not args.skip_build
+        else fixture_dest(args.replicas)
     )
     print(f"fixture: {big}", flush=True)
     base = run_bench(SRC_SF)
@@ -329,9 +354,19 @@ def main() -> None:
             extra = old.split(AUTO_END, 1)[1]
         else:
             # legacy file without the marker: keep any sections that
-            # were appended after the auto-written interpretation notes
-            cut = old.find("\n## ")
-            if cut != -1:
+            # were appended after the auto-written interpretation
+            # notes. Cut at the earliest of a section heading or an
+            # HTML marker comment -- the soak tools append their
+            # "<!-- *-soak-*:start -->" marker BEFORE the heading, and
+            # cutting at "## " alone would orphan it (replace_section
+            # then errors on end-without-start forever after)
+            cands = [
+                i
+                for i in (old.find("\n<!-- "), old.find("\n## "))
+                if i != -1
+            ]
+            if cands:
+                cut = min(cands)
                 extra = "\n" + old[cut + 1:]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n" + extra)

@@ -52,21 +52,28 @@ def main() -> None:
     args = ap.parse_args()
     jobs = [j.strip() for j in args.jobs.split(",") if j.strip()]
 
-    from scale_soak import SCRATCH, SRC_SF, build_fixture  # noqa: E402
+    from scale_soak import SRC_SF, build_fixture, fixture_dest  # noqa: E402
 
     from dgraph_etl_spark.registry import REGISTRY, _load_suites  # noqa: E402
     from dgraph_etl_spark.streaming.core import drop_memory_sinks  # noqa: E402
     from dgraph_etl_spark.session import get_spark  # noqa: E402
 
+    # validate the job list BEFORE the (expensive) fixture build: a
+    # typo'd name must fail in milliseconds, not after minutes of
+    # 100x replication
+    _load_suites()
+    if not jobs:
+        raise SystemExit("--jobs parsed to an empty list")
+    unknown = [j for j in jobs if j not in REGISTRY]
+    if unknown:
+        raise SystemExit(f"unknown --jobs names: {', '.join(unknown)}")
+
     big = (
         build_fixture(args.replicas)
         if not args.skip_build
-        else os.path.join(
-            SCRATCH, "sf1" if args.replicas == 10 else f"x{args.replicas}"
-        )
+        else fixture_dest(args.replicas)
     )
     print(f"fixture: {big}", flush=True)
-    _load_suites()
     spark = get_spark(app_name="stream_soak")
     spark.sparkContext.setLogLevel("ERROR")
 
