@@ -43,6 +43,13 @@ def _canon_cell(v):
         return ("arr", tuple(_canon_cell(x) for x in v))
     if isinstance(v, dict):
         return ("map", tuple(sorted((k, _canon_cell(x)) for k, x in v.items())))
+    if isinstance(v, str):
+        # tag strings distinctly from non-string scalars: a measure
+        # drifting to a stringified value ("1.5" vs Decimal 1.5, both
+        # in object columns) must NOT compare equal -- while numeric
+        # cross-type equality (int 5 vs Decimal 5 from a DuckDB SUM)
+        # stays intentional under the shared "v" tag
+        return ("s", v)
     return (type(v).__name__ if isinstance(v, (bytes,)) else "v", str(v))
 
 
@@ -101,3 +108,15 @@ def check_query(spark, sf_dir: str, name: str, fn, oracle: str) -> list[str]:
     odf = con.execute(oracle).df()
     con.close()
     return compare_frames(sdf, odf)
+
+
+def formatted_plan(df) -> str:
+    """The JVM formatted-explain incantation, shared by every test
+    that asserts on a hand-built DataFrame's physical plan (plan_of
+    covers registry queries; this covers everything else)."""
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )

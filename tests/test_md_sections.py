@@ -5,12 +5,9 @@ deleting every later section."""
 
 from __future__ import annotations
 
-import sys
-
 import pytest
 
-sys.path.insert(0, "tools")
-from md_sections import replace_section  # noqa: E402
+from tools.md_sections import replace_section
 
 S, E = "<!-- x:start -->", "<!-- x:end -->"
 

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from dgraph_etl_spark.catalog import register_views
+from tests.oracle_utils import formatted_plan
 from dgraph_etl_spark.functions.multimodal import (
     extract_features,
     metadata_only_stats,
@@ -64,11 +65,7 @@ def test_metadata_query_never_reads_blob_column(spark, sf_small):
     media.write.mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
     stats = metadata_only_stats(back)
-    plan = stats._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+    plan = formatted_plan(stats)
     read_schema = [
         ln for ln in plan.splitlines() if "ReadSchema" in ln
     ]

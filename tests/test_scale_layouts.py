@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from dgraph_etl_spark.catalog import register_views
+from tests.oracle_utils import formatted_plan
 
 
 @pytest.fixture(scope="module")
@@ -98,11 +99,7 @@ def test_time_partitioned_layout_prunes_incremental_scan(spark, sf_small):
     wm = "2024-01-15"
     back = spark.read.parquet(out)
     scan = back.filter(F.col("event_date") >= wm)  # watermark, on layout
-    plan = scan._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+    plan = formatted_plan(scan)
     assert "PartitionFilters" in plan and "event_date" in plan
     n_all = back.count()
     n_kept = scan.count()
@@ -276,7 +273,6 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_small):
     import pyarrow.parquet as pq
 
     from dgraph_etl_spark.sinks.layout import zorder_write
-
     from dgraph_etl_spark.registry import REGISTRY, _load_suites
 
     _load_suites()
@@ -375,11 +371,7 @@ def test_ivf_kmeans_scale_lane(spark, sf_oracle, tmp_path):
 
     nprobe = max(2, ncells // 3)
     got = S.ivf_kmeans_scale_topk(spark, query, 10, path, nprobe)
-    plan = got._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+    plan = formatted_plan(got)
     import re
 
     m = re.search(r"PartitionFilters: \[.*cell.*\]", plan)
