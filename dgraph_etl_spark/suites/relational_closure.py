@@ -4622,12 +4622,14 @@ def b106_salted_skew_join(spark, sf_dir):
     twin). The mechanism is the library's pipeline/edges.salted_join
     (deterministic xxhash64 salt + explode-replicated build side,
     left-preserving-join and column-collision guards, its own
-    equality tests); the build side carries a shuffle_hash hint
-    because salting exists precisely for builds too large to
-    broadcast -- at test scale AQE would otherwise broadcast the
-    replicated orders and the plan would never show the salted
-    exchange the contract pins. S=8 here; real deployments size S to
-    the hot key's row count / target partition size."""
+    equality tests); the replicated side carries a merge hint: at
+    test scale AQE would otherwise broadcast the replicated orders
+    and the plan would never show the salted exchange the contract
+    pins, and sort-merge (not shuffled-hash) is the honest 100 TB
+    plan -- both sides are fact-sized, and SMJ spills where a
+    shuffled-hash build of a fact-sized side would not. S=8 here;
+    real deployments size S to the hot key's row count / target
+    partition size."""
     from ..pipeline.edges import salted_join
 
     li = _t(spark, sf_dir, "lineitem")
@@ -4635,7 +4637,7 @@ def b106_salted_skew_join(spark, sf_dir):
         "o_orderkey", "l_orderkey"
     )
     return (
-        salted_join(li, o.hint("shuffle_hash"), "l_orderkey", buckets=8)
+        salted_join(li, o.hint("merge"), "l_orderkey", buckets=8)
         .groupBy("o_orderpriority")
         .agg(
             fpsum("l_extendedprice * (1 - l_discount)", "revenue"),

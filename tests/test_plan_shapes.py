@@ -175,11 +175,12 @@ CONTRACTS += [
     ),
     (
         "b106_salted_skew_join",
-        ["ShuffledHashJoin"],
-        ["BroadcastNestedLoopJoin", "CartesianProduct"],
-        "the salted join exercises the shuffle lane it exists for "
-        "(a broadcast build would make salting a no-op); the salt-"
-        "in-partitioning property has its own dedicated test",
+        ["SortMergeJoin"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct", "ShuffledHashJoin"],
+        "the salted join exercises the sort-merge shuffle lane it "
+        "exists for (a broadcast build makes salting a no-op; a "
+        "shuffled-hash build of a fact-sized side cannot spill); the "
+        "salt-in-partitioning property has its own dedicated test",
     ),
     (
         "b63_forward_fill",
