@@ -128,8 +128,22 @@ def ts_bigint_unit(path: str) -> str:
         if unit in ("ns", "us", "ms", "s"):
             return unit
         raise ValueError(f"unsupported parquet timestamp unit {unit!r} in {path}")
-    idx = pf.schema_arrow.get_field_index("ts")
-    stats = pf.metadata.row_group(0).column(idx).statistics
+    # resolve the PARQUET LEAF index by path: the arrow top-level
+    # field index diverges from leaf numbering as soon as any nested
+    # (list/struct) column precedes ts -- the stats would then be read
+    # from a different column and misclassify the unit
+    rg = pf.metadata.row_group(0)
+    idx = next(
+        (
+            i
+            for i in range(rg.num_columns)
+            if rg.column(i).path_in_schema.split(".")[0] == "ts"
+        ),
+        None,
+    )
+    if idx is None:
+        raise ValueError(f"no parquet leaf column for ts in {path}")
+    stats = rg.column(idx).statistics
     if stats is None or stats.min is None:
         raise ValueError(f"int64 ts column without footer statistics in {path}")
     mag = abs(int(stats.min))

@@ -120,8 +120,17 @@ def argmax_row_per_edge(edges: DataFrame, *extra_cols: str) -> DataFrame:
     Prefer max_score_per_edge when only the score is needed (hash agg
     beats a per-key sort at scale); use this when payload columns of
     the winning record must survive.
+
+    When no ``extra_cols`` are given, ALL remaining columns break ties
+    (in schema order): row_number over a non-total order would keep
+    whichever tied row arrived first after the shuffle -- a different
+    winner per run / stage retry, violating the engine's determinism
+    contract.
     """
-    order = [F.col("score").desc()] + [F.col(c) for c in extra_cols]
+    tiebreak = list(extra_cols) or [
+        c for c in edges.columns if c not in ("src", "dst", "score")
+    ]
+    order = [F.col("score").desc()] + [F.col(c) for c in tiebreak]
     w = Window.partitionBy("src", "dst").orderBy(*order)
     return (
         edges.withColumn("_rn", F.row_number().over(w))

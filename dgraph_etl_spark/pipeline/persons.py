@@ -92,6 +92,15 @@ def with_uid(persons: DataFrame) -> DataFrame:
 def validate_decimal_ids(df: DataFrame, col: str = "person_id") -> DataFrame:
     """A22: keep rows whose id parses as an unsigned decimal integer
     (reference skips rows big.Int can't parse). DECIMAL(38,0) covers
-    the uint64 key space the reference shards at 2^63."""
-    parsed = F.col(col).try_cast("decimal(38,0)")  # NULL on malformed (ANSI-safe)
+    the uint64 key space the reference shards at 2^63.
+
+    Digits-only by REGEX first: a bare decimal try_cast would also
+    accept (and silently rewrite) values the reference's base-10
+    big.Int parser rejects -- '1.5' rounds to 2, '1e3' expands to
+    1000, '-5' violates the unsigned contract. Those rows must be
+    SKIPPED, not fabricated into colliding ids."""
+    parsed = F.when(
+        F.col(col).rlike("^[0-9]{1,38}$"),
+        F.col(col).try_cast("decimal(38,0)"),
+    )
     return df.filter(parsed.isNotNull()).withColumn(col + "_num", parsed)

@@ -29,7 +29,11 @@ from pyspark.sql.column import Column
 
 
 def _blank(col: Column) -> Column:
-    return F.concat(F.lit("_:"), col)
+    # NULL-safe: the reference decodes a missing JSON field into Go's
+    # zero value ("" / 0) and formats it -- it never drops the triple.
+    # A raw concat would instead null the WHOLE line (write.text then
+    # emits a bare empty line and the triple vanishes).
+    return F.concat(F.lit("_:"), F.coalesce(col, F.lit("")))
 
 
 def team_triples(team_member: DataFrame) -> DataFrame:
@@ -39,7 +43,7 @@ def team_triples(team_member: DataFrame) -> DataFrame:
         F.concat(
             _blank(F.col("team_id")),
             F.lit(' <team_id> "'),
-            F.col("team_id"),
+            F.coalesce(F.col("team_id"), F.lit("")),
             F.lit('" .'),
         ).alias("value")
     )
@@ -64,7 +68,10 @@ def person_triples(persons_flagged: DataFrame) -> DataFrame:
     pid = F.col("person_id")
     flag = F.when(F.col("is_trove_user"), "true").otherwise("false")
     id_triple = F.concat(
-        _blank(pid), F.lit(' <person_id> "'), pid, F.lit('" .')
+        _blank(pid),
+        F.lit(' <person_id> "'),
+        F.coalesce(pid, F.lit("")),
+        F.lit('" .'),
     )
     trove_triple = F.concat(
         _blank(pid),
@@ -87,7 +94,11 @@ def edge_triples(edges: DataFrame) -> DataFrame:
             F.lit(" <has_connection> "),
             _blank(F.col("dst")),
             F.lit(" (score="),
-            F.col("score").cast("bigint").cast("string"),
+            # Go's json.Unmarshal decodes a missing stats field to the
+            # int zero value: NULL score formats as 0, the edge stays
+            F.coalesce(F.col("score").cast("bigint"), F.lit(0)).cast(
+                "string"
+            ),
             F.lit(") ."),
         ).alias("value")
     )

@@ -88,8 +88,6 @@ def observed_scan(df: DataFrame, observation, ts_col: str = "last_update") -> Da
     action with zero extra pass; the caller reads them from the
     Observation after the action (or a QueryExecutionListener in a
     long-running service)."""
-    from pyspark.sql import functions as F
-
     return df.observe(
         observation,
         F.count(F.lit(1)).alias("rows_read"),

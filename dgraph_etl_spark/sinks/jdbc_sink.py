@@ -78,8 +78,12 @@ def jdbc_query_long(spark: SparkSession, url: str, sql: str) -> int:
 def ensure_sink_tables(
     spark: SparkSession, url: str, table: str, ledger: str, data_ddl: str
 ) -> None:
-    """Create the data table (caller-supplied DDL body, must include a
-    ``batch_id BIGINT`` column) and the epoch ledger if absent."""
+    """Create the data table (caller-supplied DDL body, which must
+    include a QUOTED ``"batch_id" BIGINT`` column -- Derby uppercases
+    unquoted identifiers to BATCH_ID, while the writer's replay-DELETE
+    and Spark's dialect-quoting INSERT both address lowercase
+    ``"batch_id"``; an unquoted DDL makes every micro-batch fail) and
+    the epoch ledger if absent."""
     table = _check_name("table", table)
     ledger = _check_name("ledger", ledger)
     for name, ddl in [

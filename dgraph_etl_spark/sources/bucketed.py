@@ -53,7 +53,10 @@ def bucketed_table(
     """Materialize ``df`` as a bucketed+sorted catalog table (idempotent
     per session) and return it. The table name is reused if it already
     exists in this session's catalog; the backing files live in scratch
-    keyed by pid so concurrent sessions never clobber each other.
+    keyed by (pid, session id) so concurrent processes AND concurrent
+    sessions within one process never clobber each other (two live
+    sessions cannot share an id(); a recycled id after a session stop
+    is safe because saveAsTable overwrites).
 
     ``version`` is a content tag for the SOURCE of ``df`` (e.g. the
     fixture file's mtime+size): it is folded into the table name, so a
@@ -67,8 +70,15 @@ def bucketed_table(
         lock = _CREATE_LOCKS[(id(spark), name)]
     with lock:
         if not spark.catalog.tableExists(name):
+            # path keyed per (pid, SESSION): the creation lock is per
+            # session, and two sessions in one process each see
+            # tableExists false in their OWN catalog -- a pid-only path
+            # would let both saveAsTable writers share one _temporary
+            # staging dir and clobber each other
             path = os.path.join(
-                tempfile.gettempdir(), f"dgraph_etl_bucketed_{os.getpid()}", name
+                tempfile.gettempdir(),
+                f"dgraph_etl_bucketed_{os.getpid()}_{id(spark)}",
+                name,
             )
             (
                 # repartition by the bucket key first: each bucket's rows

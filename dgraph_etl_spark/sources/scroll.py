@@ -97,12 +97,20 @@ def stage_scroll_pages(
         .orderBy("lu", "_id")
         .toPandas()
     )
-    os.makedirs(d, exist_ok=True)
+    # stage into a process-unique sibling and rename the WHOLE dir at
+    # the end: writing page files straight into `d` would let one
+    # stager truncate pages a concurrent stager already published
+    # (manifest present => every page final -- same atomic-dir rule as
+    # catalog._compacted_source)
+    import uuid
+
+    d_tmp = f"{d}.tmp_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    os.makedirs(d_tmp, exist_ok=True)
     manifest = []
     for p in range(0, max(len(rows), 1), page_size):
         chunk = rows.iloc[p : p + page_size]
         fname = f"page{p // page_size:05d}.jsonl"
-        with open(os.path.join(d, fname), "w") as f:
+        with open(os.path.join(d_tmp, fname), "w") as f:
             for lu, hid, src in chunk.itertuples(index=False, name=None):
                 f.write(
                     json.dumps(
@@ -123,9 +131,17 @@ def stage_scroll_pages(
                 "n": int(len(chunk)),
             }
         )
-    with open(manifest_path + ".tmp", "w") as f:
+    with open(os.path.join(d_tmp, "manifest.json"), "w") as f:
         json.dump(manifest, f)
-    os.rename(manifest_path + ".tmp", manifest_path)
+    try:
+        os.rename(d_tmp, d)
+    except OSError:
+        # a concurrent stager won the rename; its dir is complete
+        import shutil
+
+        shutil.rmtree(d_tmp, ignore_errors=True)
+        if not os.path.exists(manifest_path):
+            raise
     return d
 
 
@@ -190,6 +206,12 @@ def register_scroll_source(spark) -> None:
             return [_PagePartition(p["file"], self.watermark) for p in pages]
 
         def read(self, partition):
+            # when the pushed watermark prunes EVERY page, partitions()
+            # returns [] and pyspark plans a single None partition
+            # (plan_data_source_read.py) -- the no-new-data resume case
+            # must yield 0 rows, not crash on partition.fname
+            if partition is None:
+                return iter(())
             return _read_page(self.path, partition.fname, partition.min_lu)
 
     class _ScrollStreamReader(SimpleDataSourceStreamReader):

@@ -410,8 +410,11 @@ def a17_live_upsert(spark, sf_dir):
         SELECT person_id FROM person
         UNION ALL SELECT '18446744073709551615'
         UNION ALL SELECT 'not-a-number'
+        UNION ALL SELECT '1.5'
+        UNION ALL SELECT '1e3'
+        UNION ALL SELECT '-5'
       ) ids
-      WHERE TRY_CAST(person_id AS DECIMAL(38,0)) IS NOT NULL
+      WHERE regexp_matches(person_id, '^[0-9]{1,38}$')
     """),
 )
 def a22_decimal_validate(spark, sf_dir):
@@ -421,7 +424,16 @@ def a22_decimal_validate(spark, sf_dir):
     engine-internal type stays DECIMAL(38,0)."""
     register_views(spark, sf_dir)
     junk = spark.createDataFrame(
-        [("18446744073709551615",), ("not-a-number",)], ["person_id"]
+        [
+            ("18446744073709551615",),
+            ("not-a-number",),
+            # the reference's big.Int parser REJECTS all three of
+            # these; a naive decimal cast would keep and rewrite them
+            ("1.5",),
+            ("1e3",),
+            ("-5",),
+        ],
+        ["person_id"],
     )
     ids = spark.table("person").select("person_id").unionByName(junk)
     validated = P.validate_decimal_ids(ids)
