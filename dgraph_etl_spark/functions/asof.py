@@ -49,6 +49,17 @@ def asof_join(
             "rename one side before the as-of join (duplicate names "
             "would make the carry-forward references ambiguous)"
         )
+    # matched_ts becomes a field of the carried struct AND an output
+    # column; a name shared with right_cols gives the struct duplicate
+    # field names (ambiguous _r.matched_ts resolution), and one shared
+    # with left's columns duplicates an output column -- both produce
+    # wrong output silently, so reject them as loudly as right clashes.
+    if matched_ts in right_cols or matched_ts in left.columns:
+        raise ValueError(
+            f"matched_ts name {matched_ts!r} collides with "
+            f"{'right_cols' if matched_ts in right_cols else 'a left column'};"
+            " pick a distinct matched_ts output name"
+        )
     ltypes = dict(left.dtypes)
     # the matched right row travels as ONE struct, so every carried
     # right field comes from the SAME row. Carrying fields separately

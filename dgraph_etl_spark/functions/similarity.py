@@ -878,7 +878,7 @@ def build_ivf_index(emb: DataFrame, path: str) -> None:
             for k in _PERSISTED_CENTROIDS
             if k[0] == id(emb.sparkSession) and k[1] == os.path.abspath(path)
         ]:
-            del _PERSISTED_CENTROIDS[k]
+            _evict_centroid(k)
 
 
 def ivf_persisted_topk(
@@ -1536,6 +1536,25 @@ def sampled_codebook(
         .select(vec_col)
         .collect()
     )
+    if len(rows) < min(sample_size, n):
+        # the 1.25x ppm margin undershot (sample_size within a few
+        # hundred of n, or tiny samples with unlucky hash variance):
+        # retrain on the unfiltered exact top-S rather than silently
+        # degrading codebook quality with a smaller sample. Bounded:
+        # this path only triggers when sample_size ~ n, so the
+        # TakeOrdered candidate set is ~n rows, not a 5M corpus.
+        rows = (
+            emb.select("vec_id", vec_col)
+            .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("_h", "vec_id")
+            .limit(sample_size)
+            .select(vec_col)
+            .collect()
+        )
+        assert len(rows) >= min(sample_size, n), (
+            f"codebook sample undershot even unfiltered: got {len(rows)}"
+            f" of min({sample_size}, {n})"
+        )
     x = np.array([r[0] for r in rows], dtype=np.float64)
     n = x.shape[0]
     k = min(k, n)
@@ -1675,13 +1694,27 @@ def _session_stopped(df) -> bool:
     return sc is None or getattr(sc, "_jsc", None) is None
 
 
+def _evict_centroid(key) -> None:
+    """Drop a cached centroid entry AND release its storage: the
+    DataFrames in _PERSISTED_CENTROIDS are .cache()'d, so deleting the
+    dict entry alone leaks the cached relation in Spark storage memory
+    for the life of the session (one leak per rebuild). unpersist is
+    guarded -- a stopped session has no context to unpersist against."""
+    df = _PERSISTED_CENTROIDS.pop(key, None)
+    if df is not None and not _session_stopped(df):
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session died between the check and the call
+
+
 def open_ivf_kmeans_index(spark, path: str):
     for k in [k for k, v in _OPEN_INDEXES.items() if _session_stopped(v)]:
         del _OPEN_INDEXES[k]
     for k in [
         k for k, v in _PERSISTED_CENTROIDS.items() if _session_stopped(v)
     ]:
-        del _PERSISTED_CENTROIDS[k]
+        _evict_centroid(k)
     key = (id(spark), os.path.abspath(path))
     df = _OPEN_INDEXES.get(key)
     if df is None:

@@ -95,20 +95,21 @@ RECERTIFY: dict[str, int] = {
 }
 
 
-def _certified_names() -> set[str]:
-    """Query names already end-to-end certified by a previous external
-    correctness run (CORRECTNESS_r*.json in the repo root): a green
-    hash match, or a completed rows-only run for queries that declare
-    no oracle. Everything else -- never-run, errored, mismatched, or
-    certified only in a round predating a semantic rewrite (RECERTIFY)
-    -- counts as uncertified."""
+def _certified_rounds() -> dict[str, int]:
+    """For every query end-to-end certified by a previous external
+    correctness run (CORRECTNESS_r*.json in the repo root), the LATEST
+    round that certified it: a green hash match, or a completed
+    rows-only run for queries that declare no oracle. Queries absent
+    from the map -- never-run, errored, mismatched, or certified only
+    in a round predating a semantic rewrite (RECERTIFY) -- count as
+    uncertified."""
     import glob
     import json
     import os
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
             with open(p) as f:
@@ -122,38 +123,51 @@ def _certified_names() -> set[str]:
                 continue
             if not isinstance(row, dict):
                 continue
+            ok = False
             if row.get("hash_match") is True:
-                seen.add(name)
+                ok = True
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
                 # a completed rows-only run only counts if the query
                 # STILL has no oracle -- one registered since (e.g.
                 # pagerank's unrolled-CTE oracle) deserves a re-run
                 q = REGISTRY.get(name)
-                if q is not None and q.oracle is None:
-                    seen.add(name)
+                ok = q is not None and q.oracle is None
+            if ok:
+                seen[name] = max(seen.get(name, 0), rnd)
     return seen
+
+
+def _certified_names() -> set[str]:
+    return set(_certified_rounds())
 
 
 def _ordered() -> list[Query]:
     """Registry in certification-priority order: queries with no green
     row in any prior external run come FIRST (registration order within
-    each group). External runs cap how many queries they check per
-    round, so front-loading the unchecked ones converges every query to
-    certified across rounds without manual reordering."""
+    each group), then certified queries STALEST-FIRST (ascending last
+    driver-certified round; registration order within a round).
+    External runs cap how many queries they check per round, so
+    front-loading the unchecked ones converges every query to certified
+    across rounds, and the freshness rotation behind them continuously
+    re-certifies the rows whose green evidence is oldest -- shared-code
+    hardening in later rounds is re-proven against the queries certified
+    earliest, without manual reordering."""
     _load_suites()
-    done = _certified_names()
+    rounds = _certified_rounds()
     qs = list(REGISTRY.values())
-    pending = [q for q in qs if q.name not in done]
+    pending = [q for q in qs if q.name not in rounds]
     # stable partition: long-waiting uncertified first, deferred
     # newcomers next (expedited §2-parity lanes at the front of their
-    # group), certified last
+    # group), certified last in stalest-first rotation
     def group(sub: list[Query]) -> list[Query]:
         return [q for q in sub if q.expedite] + [q for q in sub if not q.expedite]
 
+    certified = [q for q in qs if q.name in rounds]
+    certified.sort(key=lambda q: rounds[q.name])  # stable: keeps reg order
     return (
         group([q for q in pending if not q.defer])
         + group([q for q in pending if q.defer])
-        + [q for q in qs if q.name in done]
+        + certified
     )
 
 

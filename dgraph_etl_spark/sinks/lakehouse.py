@@ -101,14 +101,23 @@ def merge_max_into(
     # it on top of the winner's table is exact) -- without the retry a
     # concurrent writer's batch silently vanished from the store.
     for _ in range(10):
-        existing = read_edge_store(spark, root)
+        # ONE version listing per attempt: both the merge input (vs[-1])
+        # and the publish target (v{len(vs)}) derive from the same
+        # snapshot. Listing twice was a TOCTOU -- a writer publishing
+        # between the listings made this attempt merge against a stale
+        # latest yet target a fresh name, so the rename SUCCEEDED and
+        # the concurrent batch was silently dropped.
+        os.makedirs(root, exist_ok=True)
+        vs = _versions(root)
+        existing = (
+            spark.read.parquet(os.path.join(root, vs[-1])) if vs else None
+        )
         merged = (
             merge_max_with_existing(batch, existing)
             if existing is not None
             else batch
         )
-        os.makedirs(root, exist_ok=True)
-        n = len(_versions(root))
+        n = len(vs)
         tmp = os.path.join(root, f".tmp-{uuid.uuid4().hex[:8]}")
         merged.write.mode("overwrite").parquet(tmp)
         dest = os.path.join(root, f"v{n:05d}")

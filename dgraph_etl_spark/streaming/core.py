@@ -54,24 +54,47 @@ def events_schema(spark: SparkSession, sf_dir: str):
     return spark.read.parquet(table_path(sf_dir, "events")).schema
 
 
+_STAGE_MARKER = "_STAGED"
+
+
 def _stage_atomic(d: str, write_batches) -> str:
     """Stage a batch-file directory ATOMICALLY: build in a tmp sibling,
-    os.rename into place. Directory presence == staging complete, so a
-    concurrent reader can never observe a half-written batch file, and
-    concurrent stagers race benignly (first rename wins, losers discard
-    their tmp). The per-file existence checks this replaces were a real
-    race: process B saw process A's batch3.parquet exist mid-write and
-    handed Spark a truncated parquet."""
+    write a completion marker LAST, os.rename into place. A reader can
+    never observe a half-written batch file, and concurrent stagers race
+    benignly (first rename wins, losers discard their tmp). The per-file
+    existence checks this replaces were a real race: process B saw
+    process A's batch3.parquet exist mid-write and handed Spark a
+    truncated parquet.
+
+    Dir presence alone is NOT trusted: these /tmp names predate the
+    atomic stager, and a partial legacy dir left by a crashed per-file
+    run would otherwise be accepted as complete and served forever
+    (silently dropping batches from every replay). The marker -- written
+    after write_batches returns, inside the tmp sibling, so it exists
+    iff staging finished -- distinguishes complete from abandoned; a
+    marker-less dir is renamed aside and restaged."""
     if os.path.exists(d):
-        return d
+        if os.path.exists(os.path.join(d, _STAGE_MARKER)):
+            return d
+        stale = f"{d}.stale.{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(d, stale)
+        except OSError:
+            pass  # concurrent stager already moved/replaced it
+        else:
+            shutil.rmtree(stale, ignore_errors=True)
+        if os.path.exists(os.path.join(d, _STAGE_MARKER)):
+            return d  # a concurrent stager published a complete dir
     tmp = f"{d}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp)
     write_batches(tmp)
+    with open(os.path.join(tmp, _STAGE_MARKER), "w") as fh:
+        fh.write("complete\n")
     try:
         os.rename(tmp, d)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(d):
+        if not os.path.exists(os.path.join(d, _STAGE_MARKER)):
             raise
     return d
 

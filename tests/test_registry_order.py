@@ -54,6 +54,22 @@ def test_expedited_a13_inside_certification_window():
         assert pending.index("a13_merge_versioned_store") < 50
 
 
+def test_certified_rotation_stalest_first():
+    """Within the certified group, queries sort by ascending last
+    driver-certified round (freshness rotation): each round's ~50-query
+    window re-certifies the rows whose green evidence is OLDEST, so
+    shared-code hardening in later rounds is continuously re-proven
+    against the earliest-certified queries."""
+    from dgraph_etl_spark.registry import _certified_rounds
+
+    _load_suites()
+    rounds = _certified_rounds()
+    certified_rounds_in_order = [
+        rounds[q.name] for q in _ordered() if q.name in rounds
+    ]
+    assert certified_rounds_in_order == sorted(certified_rounds_in_order)
+
+
 def test_recertify_rounds_not_in_future():
     """RECERTIFY maps query name -> last round whose green rows are
     stale after a semantic rewrite. A round number beyond the latest
