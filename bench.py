@@ -84,6 +84,23 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(total_ticks, steal_ticks) from /proc/stat's aggregate cpu line;
+    (0, 0) where unavailable. The delta across the run gives the steal
+    fraction the host imposed on THIS snapshot -- the attributability
+    marker that separates a real regression from a noisy-neighbor
+    burst (documented envelope: identical builds measured 7.0-9.9 s
+    under observed multi-second steal bursts)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return sum(vals), steal
+    except Exception:
+        return 0, 0
+
+
 def main() -> None:
     t0 = time.perf_counter()
     spark = get_spark(app_name="dgraph_etl_spark_bench")
@@ -140,28 +157,41 @@ def main() -> None:
     # "contended host" readings were this harness effect). The recorded
     # min is taken across BOTH phases, so a burst during phase 2 is
     # backstopped by the phase-1 samples.
-    times: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    # Per-phase minimums are recorded SEPARATELY so a snapshot is
+    # self-attributing: back_to_back_sec far above interleaved_sec
+    # means the steady-state phase ate a noise burst (phase-1 samples
+    # backstop it); both phases slow together with a high steal delta
+    # means the host, not the build.
+    load_before = os.getloadavg()
+    ticks0, steal0 = _cpu_ticks()
+    phase1: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    phase2: dict[str, float] = {name: float("inf") for name in HEADLINE}
 
-    def _sample(name: str) -> None:
+    def _sample(name: str, into: dict[str, float]) -> None:
         q = REGISTRY[name]
         t1 = time.perf_counter()
         df = q.fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
-        times[name] = min(times[name], time.perf_counter() - t1)
+        into[name] = min(into[name], time.perf_counter() - t1)
 
     rounds_run = 0
     for rnd in range(4):
-        before = sum(times.values())
+        before = sum(phase1.values())
         for name in HEADLINE:
-            _sample(name)
+            _sample(name, phase1)
         rounds_run = rnd + 1
-        after = sum(times.values())
+        after = sum(phase1.values())
         if rnd >= 1 and after > 0 and (before - after) / after < 0.02:
             break
     for name in HEADLINE:
         for _ in range(3):
-            _sample(name)
-    times = {name: round(t, 3) for name, t in times.items()}
+            _sample(name, phase2)
+    times = {
+        name: round(min(phase1[name], phase2[name]), 3) for name in HEADLINE
+    }
+    ticks1, steal1 = _cpu_ticks()
+    load_after = os.getloadavg()
+    dticks = ticks1 - ticks0
 
     total = round(sum(times.values()), 3)
     print(
@@ -175,6 +205,19 @@ def main() -> None:
                 "startup_sec": round(startup, 3),
                 "n_queries": len(times),
                 "rounds": rounds_run,
+                "phase_sums": {
+                    "interleaved_sec": round(sum(phase1.values()), 3),
+                    "back_to_back_sec": round(sum(phase2.values()), 3),
+                },
+                "host": {
+                    "loadavg_before": [round(x, 2) for x in load_before],
+                    "loadavg_after": [round(x, 2) for x in load_after],
+                    "steal_pct": round(
+                        100.0 * (steal1 - steal0) / dticks, 3
+                    )
+                    if dticks > 0
+                    else None,
+                },
             }
         )
     )

@@ -1511,6 +1511,16 @@ def sampled_codebook(
     codebook quality does not improve with corpus-scale training
     (quantizer distortion is a property of the distribution, not the
     row count)."""
+    return _lloyd_np(
+        _det_sample_rows(emb, sample_size, vec_col), k, n_iter
+    )
+
+
+def _det_sample_rows(emb, sample_size: int, vec_col: str):
+    """The deterministic training sample shared by every learned-index
+    builder (IVF coarse codebook, PQ subspace codebooks): float64
+    ndarray of ``sample_size`` vectors. See sampled_codebook for the
+    determinism/scale rationale."""
     import numpy as np
 
     # Two-step deterministic sample. A bare orderBy(h).limit(S) plans as
@@ -1555,7 +1565,16 @@ def sampled_codebook(
             f"codebook sample undershot even unfiltered: got {len(rows)}"
             f" of min({sample_size}, {n})"
         )
-    x = np.array([r[0] for r in rows], dtype=np.float64)
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def _lloyd_np(x, k: int, n_iter: int):
+    """Driver-side Lloyd loop over a (n, dim) float64 sample: seeds are
+    the first k sample rows (the sample is md5-ordered, so seeding is
+    deterministic), argmin over a chunked distance matmul, empty cells
+    keep their previous centroid. Returns (k, dim) float64."""
+    import numpy as np
+
     n = x.shape[0]
     k = min(k, n)
     cents = x[:k].copy()
@@ -1750,3 +1769,216 @@ def ivf_kmeans_scale_topk(
     index = open_ivf_kmeans_index(spark, path)
     candidates = index.filter(F.col("cell").isin(probed))
     return brute_topk(candidates, query, k, vec_col)
+
+
+def build_ivfpq_index(
+    spark,
+    emb,
+    path: str,
+    ncells: int,
+    m_sub: int = 8,
+    k_codes: int = 256,
+    sample_size: int = 100_000,
+    n_iter: int = 10,
+    vec_col: str = "embedding",
+):
+    """One-time PQ / IVFPQ serving-index build (the scale twin of the
+    hash-certified c57/c63 fixed-point lanes, exactly as
+    build_ivf_kmeans_index is c51's scale twin): train the coarse
+    codebook AND the m_sub per-subspace PQ codebooks driver-side on
+    one deterministic sample (_det_sample_rows), then encode the whole
+    corpus in ONE Arrow pass -- each vector becomes its coarse cell +
+    m_sub uint8 codes -- and persist the code table partitioned by
+    cell (one compacted file per cell; see build_ivf_kmeans_index for
+    why). ``ncells=1`` builds a flat PQ index: no coarse quantizer, no
+    partitioning, no shuffle before the write.
+
+    The persisted table stores ONLY (vec_id, codes[m_sub]) + the cell
+    partition column -- m_sub bytes of payload per vector vs
+    4*dim for the float corpus (32x at dim=64, m_sub=8): this is the
+    measured artifact behind the '32x-smaller index' claim, and the
+    per-probe scan cost is what tools/ann_panel.py records.
+    Codebooks are saved beside the partitions (pq_codebooks.npy,
+    centroids.npy when ncells > 1), so probing never retrains.
+    Returns (coarse_codebook | None, pq_codebooks)."""
+    import shutil
+    import uuid
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
+
+    done = os.path.join(path, "_SUCCESS")
+    pq_path = os.path.join(path, "_pq_codebooks.npy")
+    cb_path = os.path.join(path, "_centroids.npy")
+    if os.path.exists(done) and os.path.exists(pq_path):
+        coarse = np.load(cb_path) if os.path.exists(cb_path) else None
+        return coarse, np.load(pq_path)
+
+    x = _det_sample_rows(emb, sample_size, vec_col)
+    dim = x.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sd = dim // m_sub
+    coarse = _lloyd_np(x, ncells, n_iter) if ncells > 1 else None
+    pq = np.stack(
+        [
+            _lloyd_np(
+                np.ascontiguousarray(x[:, m * sd : (m + 1) * sd]),
+                k_codes,
+                n_iter,
+            )
+            for m in range(m_sub)
+        ]
+    )
+
+    bc = spark.sparkContext.broadcast((coarse, pq))
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("codes", ArrayType(ShortType())),
+            StructField("cell", IntegerType()),
+        ]
+    )
+
+    def encode(batches):
+        co, cbs = bc.value
+        co2 = (co * co).sum(axis=1) if co is not None else None
+        cb2 = [(cb * cb).sum(axis=1) for cb in cbs]
+        for pdf in batches:
+            mvec = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cell = (
+                np.argmin(
+                    co2[None, :] - 2.0 * (mvec @ co.T), axis=1
+                ).astype(np.int32)
+                if co is not None
+                else np.zeros(len(mvec), dtype=np.int32)
+            )
+            codes = np.empty((len(mvec), len(cbs)), dtype=np.int16)
+            for m, cb in enumerate(cbs):
+                sub = mvec[:, m * sd : (m + 1) * sd]
+                codes[:, m] = np.argmin(
+                    cb2[m][None, :] - 2.0 * (sub @ cb.T), axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "codes": list(codes),
+                    "cell": cell,
+                }
+            )
+
+    encoded = emb.select("vec_id", vec_col).mapInPandas(encode, schema)
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    if coarse is not None:
+        # one compacted file per cell -- same 70k-small-files lesson as
+        # build_ivf_kmeans_index
+        encoded.repartition(int(coarse.shape[0]), "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(tmp)
+    else:
+        encoded.drop("cell").write.mode("overwrite").parquet(tmp)
+    # underscore prefix: Spark/Hadoop file listing skips _-prefixed
+    # files, so the sidecars never surface as data files (the flat PQ
+    # layout has no partition dirs to hide them behind)
+    np.save(os.path.join(tmp, "_pq_codebooks.npy"), pq)
+    if coarse is not None:
+        np.save(os.path.join(tmp, "_centroids.npy"), coarse)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not (os.path.exists(done) and os.path.exists(pq_path)):
+            raise
+    _OPEN_INDEXES.pop((id(spark), os.path.abspath(path)), None)
+    return coarse, pq
+
+
+def ivfpq_scale_topk(
+    spark,
+    query,
+    k: int,
+    path: str,
+    nprobe: int = 0,
+    topc: int = 200,
+    rerank_emb=None,
+    vec_col: str = "embedding",
+):
+    """Probe a build_ivfpq_index index: rank cells driver-side against
+    the saved coarse codebook (skipped for a flat PQ index), scan ONLY
+    the probed partitions, ADC-score the codes in one Arrow pass
+    against the query's per-(subspace, code) lookup tables (a
+    numpy gather -- the scan reads m_sub bytes per vector and touches
+    no floats), take the ``topc`` best approximate candidates, and
+    exact-rerank them against ``rerank_emb`` (the float corpus) under
+    brute_topk's contract. With rerank_emb=None the raw ADC ranking is
+    returned -- recall is then the pure code-table quality, which is
+    what the panel's no-rerank rows measure."""
+    import numpy as np
+
+    pq = np.load(os.path.join(path, "_pq_codebooks.npy"))
+    cb_path = os.path.join(path, "_centroids.npy")
+    index = open_ivf_kmeans_index(spark, path)
+    q = np.asarray(query.select("qvec").first()["qvec"], dtype=np.float64)
+    if os.path.exists(cb_path) and nprobe > 0:
+        cents = np.load(cb_path)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (cents @ q) / (
+                np.linalg.norm(cents, axis=1) * np.linalg.norm(q)
+            )
+        sims = np.nan_to_num(sims, nan=-np.inf)
+        probed = [int(c) for c in np.argsort(-sims)[:nprobe]]
+        index = index.filter(F.col("cell").isin(probed))
+
+    m_sub, k_codes, sd = pq.shape
+    lut_dot = np.stack(
+        [pq[m] @ q[m * sd : (m + 1) * sd] for m in range(m_sub)]
+    )
+    lut_norm = (pq * pq).sum(axis=2)
+    qn = float(np.linalg.norm(q))
+    bc = spark.sparkContext.broadcast((lut_dot, lut_norm, qn))
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("adc_sim", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        ld, ln, qnorm = bc.value
+        rows = np.arange(ld.shape[0])
+        for pdf in batches:
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            dots = ld[rows[None, :], codes].sum(axis=1)
+            norms = np.sqrt(
+                np.maximum(ln[rows[None, :], codes].sum(axis=1), 1e-30)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "adc_sim": dots / (norms * qnorm) if qnorm else np.nan,
+                }
+            )
+
+    approx = index.select("vec_id", "codes").mapInPandas(score, schema)
+    cands = approx.orderBy(F.desc("adc_sim"), "vec_id").limit(topc)
+    if rerank_emb is None:
+        return cands.limit(k)
+    reranked = rerank_emb.join(F.broadcast(cands), "vec_id", "left_semi")
+    return brute_topk(reranked, query, k, vec_col)

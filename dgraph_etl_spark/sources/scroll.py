@@ -67,78 +67,146 @@ def stage_scroll_pages(
     if os.path.exists(manifest_path):
         return d
     register_views(spark, sf_dir)
+    import glob
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    rows = (
-        spark.table("events")
-        .select(
-            F.unix_micros("ts").alias("lu"),
-            F.col("event_id").cast("string").alias("_id"),
-            F.to_json(
+    hits = spark.table("events").select(
+        F.unix_micros("ts").alias("lu"),
+        F.col("event_id").cast("string").alias("_id"),
+        F.to_json(
+            F.struct(
+                F.unix_micros("ts").alias("last_update"),
+                F.col("user_id").cast("string").alias("from_person_id"),
+                (F.col("event_id") % 50).cast("string").alias("to_person_id"),
                 F.struct(
-                    F.unix_micros("ts").alias("last_update"),
-                    F.col("user_id").cast("string").alias("from_person_id"),
-                    (F.col("event_id") % 50)
-                    .cast("string")
-                    .alias("to_person_id"),
-                    F.struct(
-                        # ROUND before the int cast: Spark truncates
-                        # double->int while DuckDB rounds (see views.py)
-                        F.round(F.col("value") * 100, 0)
-                        .cast("int")
-                        .alias("raw_score_in"),
-                        F.round(F.col("value") * 37, 0)
-                        .cast("int")
-                        .alias("raw_score_out"),
-                    ).alias("stats"),
-                )
-            ).alias("src"),
+                    # ROUND before the int cast: Spark truncates
+                    # double->int while DuckDB rounds (see views.py)
+                    F.round(F.col("value") * 100, 0)
+                    .cast("int")
+                    .alias("raw_score_in"),
+                    F.round(F.col("value") * 37, 0)
+                    .cast("int")
+                    .alias("raw_score_out"),
+                ).alias("stats"),
+            )
+        ).alias("src"),
+    )
+    # DISTRIBUTED page assignment: global position in (lu, _id) order
+    # comes from a range-repartition + per-partition row numbers + a
+    # broadcast of per-partition COUNTS (one int per partition reaches
+    # the driver -- never the rows; the old toPandas() stager shipped
+    # the whole relation through the driver). page = position div
+    # page_size, and each page is then written by exactly one task.
+    # localCheckpoint pins ONE materialization: three actions consume
+    # srt (counts, page write, manifest stats), and repartitionByRange
+    # re-SAMPLES its bounds per execution -- without the pin the three
+    # could disagree on which partition a row landed in, silently
+    # mis-sizing pages against the offsets computed from action one
+    srt = (
+        hits.repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 1), "lu", "_id"
         )
-        .orderBy("lu", "_id")
-        .toPandas()
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in srt.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        "_pid INT, _off LONG",
+    )
+    wrn = F.row_number().over(
+        Window.partitionBy("_pid").orderBy("lu", "_id")
+    )
+    paged = (
+        srt.withColumn("_wrn", wrn)
+        .join(F.broadcast(off_df), "_pid")
+        .select(
+            "lu",
+            "_id",
+            "src",
+            F.expr(
+                f"(_off + _wrn - 1) DIV {int(page_size)}"
+            ).alias("page"),
+        )
     )
     # stage into a process-unique sibling and rename the WHOLE dir at
     # the end: writing page files straight into `d` would let one
     # stager truncate pages a concurrent stager already published
     # (manifest present => every page final -- same atomic-dir rule as
     # catalog._compacted_source)
-    import uuid
-
     d_tmp = f"{d}.tmp_{os.getpid()}_{uuid.uuid4().hex[:8]}"
-    os.makedirs(d_tmp, exist_ok=True)
-    manifest = []
-    for p in range(0, max(len(rows), 1), page_size):
-        chunk = rows.iloc[p : p + page_size]
-        fname = f"page{p // page_size:05d}.jsonl"
-        with open(os.path.join(d_tmp, fname), "w") as f:
-            for lu, hid, src in chunk.itertuples(index=False, name=None):
-                f.write(
-                    json.dumps(
-                        {"_id": hid, "_lu": int(lu), "_source": src},
-                        separators=(",", ":"),
-                    )
-                    + "\n"
+    spark_out = os.path.join(d_tmp, "_spark_pages")
+    n_pages = max((acc + page_size - 1) // page_size, 1)
+    (
+        paged.repartition(n_pages, "page")
+        .sortWithinPartitions("page", "lu", "_id")
+        .select(
+            "page",
+            F.to_json(
+                F.struct(
+                    F.col("_id"),
+                    F.col("lu").alias("_lu"),
+                    F.col("src").alias("_source"),
                 )
+            ).alias("value"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("page")
+        .text(spark_out)
+    )
+    # per-page stats for the manifest: one row PER PAGE, not per hit
+    stats = {
+        r["page"]: r
+        for r in paged.groupBy("page")
+        .agg(
+            F.min("lu").alias("min_lu"),
+            F.max("lu").alias("max_lu"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    manifest = []
+    for p in range(n_pages):
+        fname = f"page{p:05d}.jsonl"
+        parts = sorted(
+            glob.glob(os.path.join(spark_out, f"page={p}", "part-*"))
+        )
+        with open(os.path.join(d_tmp, fname), "w") as out:
+            for part in parts:  # 1 file (one task per page); keep order
+                with open(part) as f:
+                    shutil.copyfileobj(f, out)
+        s = stats.get(p)
         manifest.append(
             {
                 "file": fname,
                 # an empty source still emits one (empty) page so the
                 # scan has a partition to plan; its bounds are the
                 # empty range [0, -1] (min > max), which every range
-                # predicate correctly prunes -- int(NaN) would raise
-                "min_lu": int(chunk["lu"].min()) if len(chunk) else 0,
-                "max_lu": int(chunk["lu"].max()) if len(chunk) else -1,
-                "n": int(len(chunk)),
+                # predicate correctly prunes
+                "min_lu": int(s["min_lu"]) if s else 0,
+                "max_lu": int(s["max_lu"]) if s else -1,
+                "n": int(s["n"]) if s else 0,
             }
         )
+    shutil.rmtree(spark_out, ignore_errors=True)
     with open(os.path.join(d_tmp, "manifest.json"), "w") as f:
         json.dump(manifest, f)
     try:
         os.rename(d_tmp, d)
     except OSError:
         # a concurrent stager won the rename; its dir is complete
-        import shutil
-
         shutil.rmtree(d_tmp, ignore_errors=True)
         if not os.path.exists(manifest_path):
             raise

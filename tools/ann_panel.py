@@ -27,12 +27,27 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
+def _dir_size(path: str) -> int:
+    tot = 0
+    for root_, _, files in os.walk(path):
+        for fn in files:
+            tot += os.path.getsize(os.path.join(root_, fn))
+    return tot
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fixture", default="/tmp/dgraph_etl_scale/emb5m")
     ap.add_argument("--ncells", type=int, default=0)  # 0 -> sqrt(N)
     ap.add_argument("--nprobes", default="8,32,64,128")
+    ap.add_argument(
+        "--lanes",
+        default="ivf,pq,ivfpq",
+        help="comma subset of ivf,pq,ivfpq",
+    )
+    ap.add_argument("--topc", type=int, default=1000)
     args = ap.parse_args()
+    lanes = set(args.lanes.split(","))
 
     from pyspark.sql import functions as F  # noqa: E402
 
@@ -69,15 +84,6 @@ def main() -> None:
                 s_ = os.stat(os.path.join(root_, fn))
                 mx, tot = max(mx, s_.st_mtime_ns), tot + s_.st_size
         tag = f"{mx}_{tot}"
-    idx = os.path.join(
-        os.path.dirname(args.fixture.rstrip("/")),
-        f"ivf_kmeans_{n}_{ncells}_{tag}",
-    )
-    t0 = time.perf_counter()
-    S.build_ivf_kmeans_index(spark, emb, idx, ncells)
-    build_s = time.perf_counter() - t0
-    print(f"index build (or load): {build_s:.1f}s at {idx}", flush=True)
-
     def steady(df_fn) -> float:
         df_fn().write.mode("overwrite").format("noop").save()
         best = float("inf")
@@ -87,37 +93,118 @@ def main() -> None:
             best = min(best, time.perf_counter() - t)
         return best
 
-    rows = []
-    for nprobe in [int(x) for x in args.nprobes.split(",")]:
-        t = steady(
-            lambda: S.ivf_kmeans_scale_topk(spark, query, 10, idx, nprobe)
+    def recall_of(df) -> float:
+        return len(truth & {r.vec_id for r in df.collect()}) / 10
+
+    corpus_bytes = _dir_size(src) if os.path.isdir(src) else (
+        os.path.getsize(src)
+    )
+    table_rows = []  # (lane, t, recall, size_note)
+    builds = []
+
+    if "ivf" in lanes:
+        idx = os.path.join(
+            os.path.dirname(args.fixture.rstrip("/")),
+            f"ivf_kmeans_{n}_{ncells}_{tag}",
         )
-        hits = {
-            r.vec_id
-            for r in S.ivf_kmeans_scale_topk(
-                spark, query, 10, idx, nprobe
-            ).collect()
-        }
-        recall = len(truth & hits) / 10
-        rows.append((nprobe, t, recall))
-        print(f"nprobe={nprobe:4d}  t={t:.3f}s  recall@10={recall:.2f}",
+        t0 = time.perf_counter()
+        S.build_ivf_kmeans_index(spark, emb, idx, ncells)
+        build_s = time.perf_counter() - t0
+        builds.append(("IVF", build_s, _dir_size(idx)))
+        print(f"IVF build (or load): {build_s:.1f}s at {idx}", flush=True)
+        for nprobe in [int(x) for x in args.nprobes.split(",")]:
+            t = steady(
+                lambda: S.ivf_kmeans_scale_topk(spark, query, 10, idx, nprobe)
+            )
+            recall = recall_of(
+                S.ivf_kmeans_scale_topk(spark, query, 10, idx, nprobe)
+            )
+            table_rows.append(
+                (f"IVF k-means {ncells} cells, nprobe={nprobe} "
+                 f"(c51 scale lane)", t, recall, "")
+            )
+            print(f"IVF nprobe={nprobe:4d}  t={t:.3f}s  "
+                  f"recall@10={recall:.2f}", flush=True)
+
+    if "pq" in lanes:
+        idx = os.path.join(
+            os.path.dirname(args.fixture.rstrip("/")),
+            f"pq_{n}_{tag}",
+        )
+        t0 = time.perf_counter()
+        S.build_ivfpq_index(spark, emb, idx, ncells=1)
+        build_s = time.perf_counter() - t0
+        sz = _dir_size(idx)
+        builds.append(("PQ flat", build_s, sz))
+        print(f"PQ build (or load): {build_s:.1f}s, index "
+              f"{sz/1e6:.1f} MB vs corpus {corpus_bytes/1e6:.1f} MB "
+              f"({corpus_bytes/max(sz,1):.1f}x smaller)", flush=True)
+        t = steady(
+            lambda: S.ivfpq_scale_topk(
+                spark, query, 10, idx, topc=args.topc, rerank_emb=emb
+            )
+        )
+        recall = recall_of(
+            S.ivfpq_scale_topk(
+                spark, query, 10, idx, topc=args.topc, rerank_emb=emb
+            )
+        )
+        table_rows.append(
+            (f"PQ flat ADC scan, topc={args.topc} + exact rerank "
+             f"(c57 scale lane)", t, recall,
+             f"{sz/1e6:.0f} MB codes")
+        )
+        print(f"PQ topc={args.topc}  t={t:.3f}s  recall@10={recall:.2f}",
               flush=True)
+
+    if "ivfpq" in lanes:
+        idx = os.path.join(
+            os.path.dirname(args.fixture.rstrip("/")),
+            f"ivfpq_{n}_{ncells}_{tag}",
+        )
+        t0 = time.perf_counter()
+        S.build_ivfpq_index(spark, emb, idx, ncells=ncells)
+        build_s = time.perf_counter() - t0
+        sz = _dir_size(idx)
+        builds.append(("IVFPQ", build_s, sz))
+        print(f"IVFPQ build (or load): {build_s:.1f}s, index "
+              f"{sz/1e6:.1f} MB", flush=True)
+        for nprobe in [int(x) for x in args.nprobes.split(",")]:
+            t = steady(
+                lambda: S.ivfpq_scale_topk(
+                    spark, query, 10, idx, nprobe=nprobe,
+                    topc=args.topc, rerank_emb=emb,
+                )
+            )
+            recall = recall_of(
+                S.ivfpq_scale_topk(
+                    spark, query, 10, idx, nprobe=nprobe,
+                    topc=args.topc, rerank_emb=emb,
+                )
+            )
+            table_rows.append(
+                (f"IVFPQ {ncells} cells, nprobe={nprobe}, "
+                 f"topc={args.topc} + exact rerank (c63 scale lane)",
+                 t, recall, f"{sz/1e6:.0f} MB codes")
+            )
+            print(f"IVFPQ nprobe={nprobe:4d}  t={t:.3f}s  "
+                  f"recall@10={recall:.2f}", flush=True)
 
     t_brute = steady(lambda: S.brute_topk(emb, query, 10))
     t_arrow = steady(lambda: S.brute_topk_arrow(emb, query, 10))
     print(f"brute JVM {t_brute:.3f}s, brute Arrow {t_arrow:.3f}s", flush=True)
 
-    print("\n| lane | t at 5M | recall@10 |")
-    print("|---|---|---|")
-    print(f"| brute cosine, JVM expressions | {t_brute:.2f} s | 1.00 |")
-    print(f"| brute cosine, Arrow+numpy | {t_arrow:.2f} s | 1.00 |")
-    for nprobe, t, recall in rows:
-        print(
-            f"| IVF k-means {ncells} cells, nprobe={nprobe} "
-            f"(c51 scale lane) | {t:.2f} s | {recall:.2f} |"
-        )
-    print(f"\none-time build: {build_s:.1f}s (sampled codebook + Arrow "
-          f"assignment + partitioned write)")
+    print(f"\n| lane | t at {n/1e6:g}M | recall@10 | index |")
+    print("|---|---|---|---|")
+    print(f"| brute cosine, JVM expressions | {t_brute:.2f} s | 1.00 | "
+          f"{corpus_bytes/1e6:.0f} MB floats |")
+    print(f"| brute cosine, Arrow+numpy | {t_arrow:.2f} s | 1.00 | "
+          f"{corpus_bytes/1e6:.0f} MB floats |")
+    for lane, t, recall, size_note in table_rows:
+        print(f"| {lane} | {t:.2f} s | {recall:.2f} | {size_note} |")
+    for name, b, sz in builds:
+        print(f"\n{name} one-time build: {b:.1f}s, on-disk "
+              f"{sz/1e6:.1f} MB ({corpus_bytes/max(sz,1):.1f}x vs floats)")
     spark.stop()
 
 
