@@ -403,3 +403,171 @@ def test_random_grouping_sets_match_duckdb(engines, sql):
         # should expect Spark's behavior.
         return
     assert s_rows == o_rows, f"divergence on:\n{sql}\nspark={s_rows}\nduck={o_rows}"
+
+
+# ---------------------------------------------------------------------
+# Families 8 + 9 (round-7): nested types and null-ordering / decimal
+# edges. These two generate PAIRED SQL texts from one random spec --
+# struct/array constructors and list functions have different names in
+# the two engines (named_struct/array/element_at/array_sort/collect_list
+# vs struct_pack/[..]/arr[i]/list_sort/list), so a shared text cannot
+# reach this space; everything AFTER construction (field access,
+# arithmetic, grouping, ordering) is the semantics under test.
+
+
+@st.composite
+def nested_specs(draw):
+    """Struct + array round-trip through a shuffle: build nested values
+    in a subquery, push them through GROUP BY (and optionally a join),
+    extract scalars back out, and aggregate them integer-exactly. The
+    corners this reaches: struct field access after Exchange, 1-based
+    array indexing, array re-sorting of an aggregated list (order-
+    insensitive by construction: collect_list order is nondeterministic,
+    so both engines sort before comparing)."""
+    pred = draw(predicates())
+    a = draw(st.sampled_from(INT_COLS))
+    b = draw(st.sampled_from(INT_COLS))
+    k = draw(st.integers(2, 97))
+    idx = draw(st.integers(1, 3))
+    joined = draw(st.booleans())
+    base = f"(SELECT * FROM lineitem WHERE {pred})"
+    if joined:
+        base = (
+            f"(SELECT l.* FROM lineitem l JOIN orders o "
+            f"ON l.l_orderkey = o.o_orderkey AND o.o_custkey % 7 <> "
+            f"{draw(st.integers(0, 6))} WHERE {pred.replace('l_', 'l.l_')})"
+        )
+    spark_inner = (
+        f"SELECT l_returnflag, "
+        f"named_struct('a', {a} % {k}, 'b', {b} + 1) AS s, "
+        f"array({a} % {k}, {b} % {k}, ({a} + {b}) % {k}) AS arr, "
+        f"l_linenumber FROM {base} t"
+    )
+    duck_inner = (
+        f"SELECT l_returnflag, "
+        f"struct_pack(a := {a} % {k}, b := {b} + 1) AS s, "
+        f"[{a} % {k}, {b} % {k}, ({a} + {b}) % {k}] AS arr, "
+        f"l_linenumber FROM {base} t"
+    )
+    spark_sql = (
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        "SUM(s.a) AS sa, SUM(s.b) AS sb, MIN(s.a) AS mna, "
+        f"SUM(element_at(arr, {idx})) AS se, "
+        "SUM(size(arr)) AS sz, "
+        "array_sort(collect_list(s.a % 5)) AS lst "
+        f"FROM ({spark_inner}) GROUP BY l_returnflag"
+    )
+    duck_sql = (
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        "SUM(s.a) AS sa, SUM(s.b) AS sb, MIN(s.a) AS mna, "
+        f"SUM(arr[{idx}]) AS se, "
+        "SUM(len(arr)) AS sz, "
+        "list_sort(list(s.a % 5)) AS lst "
+        f"FROM ({duck_inner}) t2 GROUP BY l_returnflag"
+    )
+    return spark_sql, duck_sql
+
+
+def _canon_nested(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if v != v:
+            return "∅"
+        if v.is_integer():
+            return str(int(v))
+        return str(v)
+    # numpy array (Spark toPandas) or python list (DuckDB df)
+    if hasattr(v, "tolist"):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_nested(x) for x in v) + "]"
+    return str(v)
+
+
+@settings(max_examples=_SCALE * 30, deadline=None, derandomize=True)
+@given(spec=nested_specs())
+def test_random_nested_matches_duckdb(engines, spec):
+    spark, con = engines
+    spark_sql, duck_sql = spec
+    s = spark.sql(spark_sql).toPandas()
+    o = con.execute(duck_sql).df()
+    s_rows = sorted(
+        tuple(_canon_nested(v) for v in r)
+        for r in s.itertuples(index=False, name=None)
+    )
+    o_rows = sorted(
+        tuple(_canon_nested(v) for v in r)
+        for r in o.itertuples(index=False, name=None)
+    )
+    assert s_rows == o_rows, (
+        f"divergence on:\n{spark_sql}\nvs\n{duck_sql}\n"
+        f"spark={s_rows}\nduck={o_rows}"
+    )
+
+
+@st.composite
+def null_order_specs(draw):
+    """NULL ordering + decimal-edge battery (same SQL text for both
+    engines). A CASE expression manufactures NULLs data-dependently;
+    the ORDER BY exercises every ASC/DESC x NULLS FIRST/LAST corner
+    with a unique tiebreak so the row ORDER (not a sorted multiset) is
+    the assertion. The decimal column rides along: same-scale
+    DECIMAL(18,2) sums and a ROUND at a coarser scale probe the
+    half-up-vs-half-even and widening rules -- 2dp money values make
+    .x5 rounding ties COMMON, so a divergence cannot hide."""
+    pred = draw(predicates())
+    nullpred = draw(predicates())
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    nulls = draw(st.sampled_from(["NULLS FIRST", "NULLS LAST"]))
+    rscale = draw(st.integers(0, 1))
+    lim = draw(st.integers(5, 40))
+    sql = (
+        "SELECT l_orderkey, l_linenumber, "
+        f"CASE WHEN {nullpred} THEN l_suppkey % 19 END AS nk, "
+        "CAST(l_extendedprice AS DECIMAL(18,2)) + "
+        "CAST(l_quantity AS DECIMAL(18,2)) AS dsum, "
+        f"ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), {rscale}) AS dr "
+        f"FROM lineitem WHERE {pred} "
+        # tiebreak over EVERY projected column: the fixture's
+        # (l_orderkey, l_linenumber) is not unique, and any tie left
+        # under the LIMIT would flag engine-legal row swaps as
+        # divergence; with all output columns in the sort, residual
+        # ties are identical tuples and compare equal either way
+        f"ORDER BY nk {direction} {nulls}, l_orderkey, l_linenumber, "
+        f"dsum, dr LIMIT {lim}"
+    )
+    return sql
+
+
+def _canon_ordered(v) -> str:
+    """Decimal-safe canonicalization: engines hand back DECIMAL cells
+    as decimal.Decimal or float depending on width; compare on the
+    exact numeric value with trailing zeros dropped."""
+    import decimal
+
+    if v is None or (isinstance(v, float) and v != v):
+        return "∅"
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
+    if isinstance(v, float):
+        return str(decimal.Decimal(str(v)).normalize())
+    return str(v)
+
+
+@settings(max_examples=_SCALE * 30, deadline=None, derandomize=True)
+@given(sql=null_order_specs())
+def test_random_null_ordering_matches_duckdb(engines, sql):
+    spark, con = engines
+    s_rows = [
+        tuple(_canon_ordered(v) for v in r)
+        for r in spark.sql(sql).toPandas().itertuples(index=False, name=None)
+    ]
+    o_rows = [
+        tuple(_canon_ordered(v) for v in r)
+        for r in con.execute(sql).df().itertuples(index=False, name=None)
+    ]
+    # ORDER of rows is the assertion -- no sorting here
+    assert s_rows == o_rows, (
+        f"divergence on:\n{sql}\nspark={s_rows}\nduck={o_rows}"
+    )
