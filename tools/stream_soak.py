@@ -44,11 +44,142 @@ def _markers(replicas: int) -> tuple[str, str]:
     )
 
 
+def _du(path: str) -> int:
+    tot = 0
+    for root_, _, files in os.walk(path):
+        for fn in files:
+            try:
+                tot += os.path.getsize(os.path.join(root_, fn))
+            except OSError:
+                pass
+    return tot
+
+
+def _stateful_probe(spark, sf_dir: str) -> dict:
+    """The round-7 stateful-pair measurements: the
+    applyInPandasWithState fold (s08's operator; s20 runs the IDENTICAL
+    fold while transformWithState is protobuf-gated, so one probe
+    covers both) and the exactly-once JDBC sink (s21's writer).
+
+    For the fold, the probe does what the registered query cannot
+    (run_to_memory makes a fresh checkpoint per run): split events
+    into two halves, fold half 1 against a FIXED checkpoint (cold
+    time + on-disk state size), then RESTART from that checkpoint
+    with half 2 newly arrived (recovery + one-batch catch-up time +
+    final state size). For the sink, run the 3-batch replay cold,
+    then restart against the same checkpoint and ledger -- the rerun
+    must no-op (ledger-skip) and its time is the recovery floor."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dgraph_etl_spark.sinks.jdbc_sink import (
+        ensure_sink_tables,
+        exactly_once_jdbc_writer,
+    )
+    from dgraph_etl_spark.streaming.core import (
+        events_schema,
+        events_stream,
+        table_batched_source,
+        time_split_source,
+    )
+    from dgraph_etl_spark.streaming.stateful import user_profiles
+
+    out: dict = {}
+    staged = table_batched_source(sf_dir, "events", "event_id", 2)
+    work = tempfile.mkdtemp(prefix="stateful_soak_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    ckpt = os.path.join(work, "ckpt")
+
+    def run_fold(tag: str) -> float:
+        # foreachBatch count sink: the memory sink refuses checkpoint
+        # RECOVERY (the thing under test), foreachBatch supports it in
+        # any output mode; the count forces full batch materialization
+        # with zero sink-side work
+        q = (
+            user_profiles(events_stream(spark, sf_dir, path=src))
+            .writeStream.foreachBatch(lambda df, _eid: df.count())
+            .queryName(f"soak_fold_{tag}_{uuid.uuid4().hex[:6]}")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        t0 = time.perf_counter()
+        q.awaitTermination()
+        return time.perf_counter() - t0
+
+    os.symlink(
+        os.path.join(staged, "batch0.parquet"),
+        os.path.join(src, "batch0.parquet"),
+    )
+    out["fold_initial_s"] = run_fold("cold")
+    out["state_bytes_half"] = _du(os.path.join(ckpt, "state"))
+    os.symlink(
+        os.path.join(staged, "batch1.parquet"),
+        os.path.join(src, "batch1.parquet"),
+    )
+    out["fold_restore_s"] = run_fold("restore")
+    out["state_bytes_full"] = _du(os.path.join(ckpt, "state"))
+
+    # exactly-once JDBC sink: cold 3-batch replay, then ledger-skip
+    # restart from the same checkpoint
+    root = os.path.join(work, "xonce")
+    url = f"jdbc:derby:{root}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    ensure_sink_tables(
+        spark,
+        url,
+        "soak_events",
+        "soak_ledger",
+        '"event_id" BIGINT, "user_id" BIGINT, "batch_id" BIGINT',
+    )
+    tsrc = time_split_source(sf_dir)
+
+    def run_sink() -> float:
+        ev = events_stream(spark, sf_dir, path=tsrc).select(
+            "event_id", "user_id"
+        )
+        q = (
+            ev.writeStream.foreachBatch(
+                exactly_once_jdbc_writer(
+                    url, "soak_events", "soak_ledger", "soak",
+                    properties=props,
+                )
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        t0 = time.perf_counter()
+        q.awaitTermination()
+        return time.perf_counter() - t0
+
+    out["sink_initial_s"] = run_sink()
+    out["sink_rerun_s"] = run_sink()
+    n_sunk = (
+        spark.read.jdbc(url, "soak_events", properties=props).count()
+    )
+    n_src = spark.read.schema(events_schema(spark, sf_dir)).parquet(
+        tsrc
+    ).count()
+    out["sink_exact"] = bool(n_sunk == n_src)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--jobs", default=",".join(DEFAULT_JOBS))
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument(
+        "--stateful",
+        action="store_true",
+        help="run the s08/s20 fold + s21 sink state/recovery probe "
+        "instead of the job-runtime table",
+    )
     args = ap.parse_args()
     jobs = [j.strip() for j in args.jobs.split(",") if j.strip()]
 
@@ -78,6 +209,78 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     SRC = SRC_SF
+
+    if args.stateful:
+        res = {}
+        for label, sf in (("sf0.1", SRC), (f"{args.replicas}x", big)):
+            res[label] = _stateful_probe(spark, sf)
+            r = res[label]
+            print(
+                f"{label}: fold {r['fold_initial_s']:.2f}s cold / "
+                f"{r['fold_restore_s']:.2f}s restore+catchup, state "
+                f"{r['state_bytes_half']/1e6:.2f} -> "
+                f"{r['state_bytes_full']/1e6:.2f} MB; sink "
+                f"{r['sink_initial_s']:.2f}s cold / "
+                f"{r['sink_rerun_s']:.2f}s ledger-skip rerun, "
+                f"exact={r['sink_exact']}",
+                flush=True,
+            )
+        spark.stop()
+        S, E = (
+            f"<!-- stream-soak-stateful-{args.replicas}x:start -->",
+            f"<!-- stream-soak-stateful-{args.replicas}x:end -->",
+        )
+        lines = [
+            S,
+            "",
+            f"## Stateful pair at {args.replicas}x "
+            "(tools/stream_soak.py --stateful)",
+            "",
+            "The applyInPandasWithState fold (s08's operator; s20 runs",
+            "the identical fold while transformWithState stays",
+            "protobuf-gated) measured against a FIXED checkpoint:",
+            "half the events folded cold, then a RESTART from that",
+            "checkpoint with the second half newly arrived (recovery +",
+            "one-batch catch-up). The exactly-once JDBC sink (s21's",
+            "writer) replays 3 batches cold, then restarts against the",
+            "same checkpoint + ledger -- the rerun must no-op.",
+            "",
+            "| scale | fold cold s | fold restore+catchup s | "
+            "state MB (half -> full) | sink cold s | sink ledger-skip "
+            "rerun s | sink exact |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for label, r in res.items():
+            lines.append(
+                f"| {label} | {r['fold_initial_s']:.2f} | "
+                f"{r['fold_restore_s']:.2f} | "
+                f"{r['state_bytes_half']/1e6:.2f} -> "
+                f"{r['state_bytes_full']/1e6:.2f} | "
+                f"{r['sink_initial_s']:.2f} | {r['sink_rerun_s']:.2f} | "
+                f"{r['sink_exact']} |"
+            )
+        lines += [
+            "",
+            "State is per-key and content-bounded (one profile row per",
+            "user), so the store grows with distinct users, not with",
+            "events; checkpoint recovery is dominated by the one",
+            "catch-up batch, not by state reload; and the ledger-skip",
+            "rerun pins the sink's recovery floor at the cost of the",
+            "no-op replay scan. Caveat: the probes run in ONE session",
+            "in table order, so the first fold cold number also pays",
+            "Python-worker + codegen startup (why sf0.1 cold can read",
+            "ABOVE the 10x cold); restore+catchup and rerun are the",
+            "steady metrics.",
+            "",
+            E,
+        ]
+        from md_sections import replace_section
+
+        replace_section(
+            os.path.join(ROOT, "SCALE.md"), S, E, "\n".join(lines) + "\n"
+        )
+        print("updated SCALE.md stateful stream-soak section", flush=True)
+        return
 
     def run_job(name: str, sf_dir: str) -> float:
         # best of 2 full-job runs: a streaming job's first run also
