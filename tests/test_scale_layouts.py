@@ -385,3 +385,63 @@ def test_ivf_kmeans_scale_lane(spark, sf_oracle, tmp_path):
     # idempotent rebuild: second call loads, never retrains
     cb2 = S.build_ivf_kmeans_index(spark, emb, path, ncells)
     assert (cb == cb2).all()
+
+
+def test_ivfpq_scale_lane(spark, sf_oracle, tmp_path):
+    """The c57/c63 SCALE lanes (sample-trained subspace codebooks ->
+    one Arrow encode pass -> persisted uint8 code table -> numpy-LUT
+    ADC probe + exact rerank) must (a) store only codes (the
+    compression claim: no float vector column in the index), (b) hide
+    the codebook sidecars from Spark's file listing in BOTH layouts
+    (the flat table has no partition dirs to mask them), (c) reach a
+    rerank-recall floor vs exact brute, (d) prune cell partitions in
+    the IVFPQ layout, and (e) reload rather than retrain on rebuild."""
+    import numpy as np
+
+    from dgraph_etl_spark.catalog import load_table
+    from dgraph_etl_spark.functions import similarity as S
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    n = emb.count()
+    truth = {r.vec_id for r in S.brute_topk(emb, query, 10).collect()}
+
+    # flat PQ (ncells=1): no partition dirs, sidecars must stay hidden
+    flat = str(tmp_path / "pq_flat")
+    co, pq = S.build_ivfpq_index(
+        spark, emb, flat, ncells=1, k_codes=32, sample_size=n, n_iter=5
+    )
+    assert co is None and pq.shape[0] == 8
+    idx = spark.read.parquet(flat)
+    assert sorted(idx.columns) == ["codes", "vec_id"]  # codes only
+    assert idx.count() == n
+    got = S.ivfpq_scale_topk(
+        spark, query, 10, flat, topc=max(50, n // 5), rerank_emb=emb
+    )
+    recall = len(truth & {r.vec_id for r in got.collect()}) / 10
+    assert recall >= 0.6, f"flat PQ rerank recall@10 {recall}"
+
+    # IVFPQ: partitioned by learned cell, pruned at the scan
+    ncells = max(4, int(n**0.5) // 2)
+    ivfpq = str(tmp_path / "ivfpq")
+    co, pq = S.build_ivfpq_index(
+        spark, emb, ivfpq, ncells=ncells, k_codes=32,
+        sample_size=n, n_iter=5,
+    )
+    assert co is not None and co.shape[0] <= ncells
+    got = S.ivfpq_scale_topk(
+        spark, query, 10, ivfpq, nprobe=max(2, ncells // 2),
+        topc=max(50, n // 5), rerank_emb=emb,
+    )
+    plan = formatted_plan(got)
+    import re
+
+    assert re.search(r"PartitionFilters: \[.*cell.*\]", plan), plan
+    recall = len(truth & {r.vec_id for r in got.collect()}) / 10
+    assert recall >= 0.6, f"IVFPQ rerank recall@10 {recall}"
+
+    # rebuild loads the SAME codebooks (content equality, not retrain)
+    co2, pq2 = S.build_ivfpq_index(spark, emb, ivfpq, ncells=ncells)
+    assert np.array_equal(pq, pq2) and np.array_equal(co, co2)
