@@ -1532,10 +1532,16 @@ def _det_sample_rows(emb, sample_size: int, vec_col: str):
     n = emb.count()
     cand = emb.select("vec_id", vec_col)
     if n > sample_size:
+        # margin: 1.25x expected plus a 6-sigma binomial cushion + 64.
+        # The multiplicative 1.25x alone undershoots small samples with
+        # real probability (S=16 -> expected 20 kept, P(<16) ~ 15%);
+        # the additive cushion drives undershoot to ~0 at every S while
+        # staying negligible at the default 100k (~2% extra candidates).
+        target = sample_size * 1.25 + 6 * sample_size**0.5 + 64
         # floor at 1 ppm: past ~10^11 rows the threshold would round to
         # zero and silently empty the sample; 1 ppm of any such corpus
         # still clears sample_size
-        keep_ppm = max(1, min(1_000_000, int(1_250_000 * sample_size / n)))
+        keep_ppm = max(1, min(1_000_000, -(-int(target) * 1_000_000 // n)))
         cand = cand.filter(
             F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1_000_000)) < keep_ppm
         )
@@ -1547,12 +1553,12 @@ def _det_sample_rows(emb, sample_size: int, vec_col: str):
         .collect()
     )
     if len(rows) < min(sample_size, n):
-        # the 1.25x ppm margin undershot (sample_size within a few
-        # hundred of n, or tiny samples with unlucky hash variance):
-        # retrain on the unfiltered exact top-S rather than silently
-        # degrading codebook quality with a smaller sample. Bounded:
-        # this path only triggers when sample_size ~ n, so the
-        # TakeOrdered candidate set is ~n rows, not a 5M corpus.
+        # the ppm margin undershot: retrain on the unfiltered exact
+        # top-S rather than silently degrading codebook quality with a
+        # smaller sample. This pays a full-corpus TakeOrdered -- with
+        # the 6-sigma additive cushion above it is a last-resort safety
+        # net (expected only when sample_size ~ n, where the corpus is
+        # ~sample_size rows anyway), not a probable path.
         rows = (
             emb.select("vec_id", vec_col)
             .withColumn("_h", F.md5(F.col("vec_id").cast("string")))

@@ -74,8 +74,25 @@ def stage_scroll_pages(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # a null ts must die LOUDLY at stage time: F.to_json drops null
+    # struct fields (spark.sql.jsonGenerator.ignoreNullFields default),
+    # so a null lu would stage a page line with no "_lu" key -- a
+    # poisoned page that KeyErrors on every later scan and is invisible
+    # to the manifest's min/max pruning bounds. Per-row raise_error
+    # keeps the check distributed and free when no nulls exist.
+    _lu = F.unix_micros("ts")
     hits = spark.table("events").select(
-        F.unix_micros("ts").alias("lu"),
+        F.when(
+            _lu.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("scroll stager: null ts for event_id="),
+                    F.col("event_id").cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(_lu)
+        .alias("lu"),
         F.col("event_id").cast("string").alias("_id"),
         F.to_json(
             F.struct(

@@ -72,7 +72,20 @@ def _stage_atomic(d: str, write_batches) -> str:
     (silently dropping batches from every replay). The marker -- written
     after write_batches returns, inside the tmp sibling, so it exists
     iff staging finished -- distinguishes complete from abandoned; a
-    marker-less dir is renamed aside and restaged."""
+    marker-less dir is renamed aside and restaged. (A marker-less dir
+    that was in fact complete -- staged by a pre-marker commit -- is
+    indistinguishable from an abandoned one and is restaged too; the
+    restage republishes identical content under the same path, so only
+    a concurrent reader FROM THAT OLD COMMIT sharing this /tmp could
+    observe the gap. Mixed-commit concurrent runs are out of contract.)
+
+    The rename-aside itself re-checks for the marker AFTER the rename:
+    between our marker check and our os.rename a concurrent stager can
+    legitimately rename the stale dir aside and publish a fresh
+    COMPLETE dir at ``d`` -- which our rename would then grab. Deleting
+    that would leave ``d`` missing while the concurrent stager's caller
+    already holds the path, so a renamed-aside dir that turns out to
+    carry the marker is renamed straight back instead of rmtree'd."""
     if os.path.exists(d):
         if os.path.exists(os.path.join(d, _STAGE_MARKER)):
             return d
@@ -82,7 +95,17 @@ def _stage_atomic(d: str, write_batches) -> str:
         except OSError:
             pass  # concurrent stager already moved/replaced it
         else:
-            shutil.rmtree(stale, ignore_errors=True)
+            if os.path.exists(os.path.join(stale, _STAGE_MARKER)):
+                # we grabbed a COMPLETE dir a concurrent stager
+                # published after our marker check: put it back
+                try:
+                    os.rename(stale, d)
+                    return d
+                except OSError:
+                    # d reappeared meanwhile (another complete publish)
+                    shutil.rmtree(stale, ignore_errors=True)
+            else:
+                shutil.rmtree(stale, ignore_errors=True)
         if os.path.exists(os.path.join(d, _STAGE_MARKER)):
             return d  # a concurrent stager published a complete dir
     tmp = f"{d}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"

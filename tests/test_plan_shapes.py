@@ -133,10 +133,13 @@ CONTRACTS += [
     ),
     (
         "c27_span_dedup",
-        ["HashAggregate", "partial_min"],
-        ["Expand", "Window"],
-        "span duplication screen is min!=max in one plain hash agg -- "
-        "never a count-distinct Expand or a per-hash window",
+        ["HashAggregate", "windowspecdefinition(h#"],
+        ["Expand", "Join"],
+        "span duplication screen is a linear pipeline: distinct "
+        "(h, doc) pairs, then a count window keyed by span hash -- "
+        "never a count-distinct Expand and never a join back onto the "
+        "exploded spans (the join form planned the explode+md5 subtree "
+        "twice; 2.8x slower at 100x)",
     ),
     (
         "c28_token_commonness",
@@ -223,6 +226,16 @@ def test_plan_shape(spark, sf_small, name, must, must_not, why):
         assert frag in plan, f"{name}: expected `{frag}` in plan ({why})"
     for frag in must_not:
         assert frag not in plan, f"{name}: `{frag}` must not appear ({why})"
+
+
+def test_span_dedup_single_explode(spark, sf_small):
+    """C27 scale contract: the explode+md5 span subtree is planned
+    EXACTLY ONCE. The pre-rewrite groupBy-then-join form planned it
+    twice (agg branch + join branch need differently-projected
+    exchanges, so Catalyst cannot reuse one) and the duplicated span
+    materialization was the superlinear term in the 100x soak."""
+    plan = plan_of(spark, sf_small, "c27_span_dedup")
+    assert plan.count(") Generate") == 1, plan
 
 
 def test_asof_join_exchange_budget(spark, sf_small):

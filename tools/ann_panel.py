@@ -27,12 +27,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def _dir_size(path: str) -> int:
-    tot = 0
-    for root_, _, files in os.walk(path):
-        for fn in files:
-            tot += os.path.getsize(os.path.join(root_, fn))
-    return tot
+from tools.md_sections import dir_size as _dir_size  # noqa: E402
 
 
 def main() -> None:

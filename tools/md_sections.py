@@ -39,3 +39,17 @@ def replace_section(path: str, start: str, end: str, block: str) -> None:
         doc = doc.rstrip("\n") + "\n\n" + block.strip("\n") + "\n"
     with open(path, "w") as f:
         f.write(doc)
+
+
+def dir_size(path: str) -> int:
+    """Recursive on-disk byte count, tolerant of files vanishing
+    mid-walk (Spark temp/.part files being committed or cleaned while
+    a soak tool measures a live directory)."""
+    tot = 0
+    for root_, _, files in os.walk(path):
+        for fn in files:
+            try:
+                tot += os.path.getsize(os.path.join(root_, fn))
+            except OSError:
+                pass
+    return tot

@@ -44,15 +44,7 @@ def _markers(replicas: int) -> tuple[str, str]:
     )
 
 
-def _du(path: str) -> int:
-    tot = 0
-    for root_, _, files in os.walk(path):
-        for fn in files:
-            try:
-                tot += os.path.getsize(os.path.join(root_, fn))
-            except OSError:
-                pass
-    return tot
+from tools.md_sections import dir_size as _du  # noqa: E402
 
 
 def _stateful_probe(spark, sf_dir: str) -> dict:
