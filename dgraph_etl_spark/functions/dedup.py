@@ -31,14 +31,25 @@ NUM_BANDS = 8  # 4 hashes per band
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """C1: exact dedup by sha256(text); winner = min doc_id. Returns
-    (content_hash, doc_id, n_copies)."""
+    (content_hash, doc_id, n_copies). sha2(NULL) is NULL and groupBy
+    treats NULLs as equal, which would silently merge every NULL-text
+    document into one "duplicate" cluster whose losers a curation
+    pipeline then drops -- contents that were never compared. A
+    secondary null-only group key keeps each NULL-text doc its own
+    singleton (mirrored in the SQL oracle)."""
     return (
         docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_hash"))
-        .groupBy("content_hash")
+        .groupBy(
+            "content_hash",
+            F.when(F.col("content_hash").isNull(), F.col("doc_id")).alias(
+                "_null_key"
+            ),
+        )
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
+        .select("content_hash", "doc_id", "n_copies")
     )
 
 
@@ -50,19 +61,6 @@ def prefix_key_dedup(docs: DataFrame, n_tokens: int = 3) -> DataFrame:
         docs.select(F.md5(key).alias("prefix_key"), "doc_id")
         .groupBy("prefix_key")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_docs"))
-    )
-
-
-def char_shingles(col: Column | str = "text", k: int = 9) -> Column:
-    """k-character shingle set: sliding substrings via transform over a
-    position sequence (expression-only, no UDF)."""
-    c = F.col(col) if isinstance(col, str) else col
-    n = F.length(c) - (k - 1)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-            lambda i: c.substr(i, F.lit(k)),
-        )
     )
 
 
@@ -179,6 +177,13 @@ def lsh_candidate_pairs(
     decimal tuple instead -- a wider key, but one a SQL oracle can
     rebuild verbatim, which upgrades the query from rows-only to
     hash-exact certification."""
+    if num_hashes % num_bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} does not divide into "
+            f"num_bands={num_bands}: the {num_hashes % num_bands} "
+            "trailing hashes would be min-aggregated but never banded, "
+            "silently lowering recall below what the parameters imply"
+        )
     sig = minhash_signatures(docs, num_hashes, portable=portable)
     per_band = num_hashes // num_bands
 
@@ -218,9 +223,12 @@ def ngram_jaccard_pairs(
     from exploded shingle sets via a grouped equi-join -- set sizes and
     intersection counts are exact integers, the final division is one
     IEEE op."""
+    # sh feeds BOTH self-join sides and the sizes agg; materialize it
+    # once (same rationale as lsh_candidate_pairs) -- otherwise the
+    # per-doc shingle explode is planned three times
     sh = docs.select(
         "doc_id", F.col(block_col).alias("blk"), F.explode(token_ngrams(n=n)).alias("g")
-    )
+    ).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -335,10 +343,14 @@ def contamination_screen(
         eval_set.select(F.explode(token_ngrams(n=n)).alias("g"))
         .dropDuplicates(["g"])
     )
+    # token_ngrams is array_distinct'd and e is deduped, so the join
+    # output is already unique per (doc_id, g): a plain count IS the
+    # distinct count, without forcing the two-phase distinct-aggregate
+    # exchange on the corpus-sized side
     return (
         t.join(F.broadcast(e), "g")
         .groupBy("doc_id")
-        .agg(F.count_distinct("g").alias("n_shared_grams"))
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
 
 
@@ -436,9 +448,18 @@ def simhash_hamming_pairs(
     n_bits = simhash_bits(portable)
     bounds = [i * n_bits // chunks for i in range(chunks + 1)]
     sig = simhash_signatures(docs, portable=portable)
+
+    def _mask(width: int) -> Column:
+        # (1 << 64) - 1 exceeds Long.MaxValue and cannot be a Catalyst
+        # long literal (r=0, non-portable: ONE 64-bit chunk); the
+        # all-ones 64-bit mask is -1 in two's complement
+        if width == 64:
+            return F.lit(-1).cast("long")
+        return F.lit((1 << width) - 1)
+
     chunk_cols = [
         F.shiftrightunsigned("simhash", bounds[i]).bitwiseAND(
-            F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+            _mask(bounds[i + 1] - bounds[i])
         )
         for i in range(chunks)
     ]

@@ -286,12 +286,7 @@ def srp_signatures(
     # codegen'd transform/aggregate chain over the broadcast planes col
     plane_bit = lambda pl, i: (  # noqa: E731
         F.when(
-            F.aggregate(
-                F.zip_with(F.col("_v"), pl, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
+            dot(F.col("_v"), pl) >= 0,
             # call_function: the Python shiftleft wrapper only takes an
             # int literal for numBits, but the SQL function shifts by a
             # column -- here the plane index from transform()
@@ -750,29 +745,6 @@ def kmeans_cells(
     q = quantize_vectors(emb, scale, vec_col).localCheckpoint()
     _, assign = _kmeans_loop(q, k, n_iter)
     return assign
-
-
-def kmeans_centroids(
-    emb: DataFrame,
-    k: int = 4,
-    n_iter: int = 2,
-    scale: int = 1_000_000,
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """The learned codebook as double vectors (cell, centroid) --
-    de-quantized back to unit scale so it plugs into ivf_topk's
-    cosine-probe path exactly where label_centroids does."""
-    cells = kmeans_cells(emb, k, n_iter, scale, vec_col)
-    assigned = emb.join(cells, "vec_id")
-    pos = assigned.select(
-        "cell", F.posexplode(as_double_array(vec_col)).alias("pos", "x")
-    )
-    means = pos.groupBy("cell", "pos").agg(F.avg("x").alias("m"))
-    return means.groupBy("cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("centroid")
-    )
 
 
 def _int_cosine(a: Column, b: Column) -> Column:
@@ -1608,8 +1580,6 @@ def assign_cells_arrow(emb, codebook, vec_col: str = "embedding"):
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
-        ArrayType,
-        FloatType,
         IntegerType,
         LongType,
         StructField,
@@ -1619,10 +1589,14 @@ def assign_cells_arrow(emb, codebook, vec_col: str = "embedding"):
     bc = emb.sparkSession.sparkContext.broadcast(
         np.asarray(codebook, dtype=np.float64)
     )
+    # carry the INPUT vector type through: hardcoding array<float>
+    # would silently truncate a float64 corpus in the persisted index,
+    # and the probe's "exact re-rank" would then round differently
+    # from brute_topk over the original vectors
     schema = StructType(
         [
             StructField("vec_id", LongType()),
-            StructField(vec_col, ArrayType(FloatType())),
+            StructField(vec_col, emb.schema[vec_col].dataType),
             StructField("cell", IntegerType()),
         ]
     )
@@ -1971,15 +1945,21 @@ def ivfpq_scale_topk(
         rows = np.arange(ld.shape[0])
         for pdf in batches:
             codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            dots = ld[rows[None, :], codes].sum(axis=1)
-            norms = np.sqrt(
-                np.maximum(ln[rows[None, :], codes].sum(axis=1), 1e-30)
-            )
+            if qnorm:
+                dots = ld[rows[None, :], codes].sum(axis=1)
+                norms = np.sqrt(
+                    np.maximum(ln[rows[None, :], codes].sum(axis=1), 1e-30)
+                )
+                sims = dots / (norms * qnorm)
+                sims = np.where(np.isnan(sims), None, sims)
+            else:
+                # zero-norm query -> NULL sims (sort LAST under desc),
+                # the module-wide try_divide contract. A NaN here would
+                # sort FIRST under Spark's desc ordering and hand the
+                # no-rerank caller k arbitrary NaN-scored "top" rows.
+                sims = np.full(len(pdf), None, dtype=object)
             yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].values,
-                    "adc_sim": dots / (norms * qnorm) if qnorm else np.nan,
-                }
+                {"vec_id": pdf["vec_id"].values, "adc_sim": sims}
             )
 
     approx = index.select("vec_id", "codes").mapInPandas(score, schema)

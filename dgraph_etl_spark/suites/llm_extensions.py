@@ -48,7 +48,8 @@ def _query_vec(spark, sf_dir):
     """
     SELECT content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
     FROM (SELECT sha256(text) AS content_hash, doc_id FROM documents) h
-    GROUP BY content_hash
+    GROUP BY content_hash,
+             CASE WHEN content_hash IS NULL THEN doc_id END
     """,
 )
 def c01_exact_dedup(spark, sf_dir):

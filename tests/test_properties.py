@@ -1069,3 +1069,52 @@ def test_hash_sample_boundary_rates(spark, sf_small):
     assert hash_sample(docs, rate=0.0).count() == 0
     kept = hash_sample(docs, rate=0.5).count()
     assert 0 < kept < n
+
+
+def test_c01_exact_dedup_null_text_singletons(spark):
+    """sha2(NULL) is NULL and groupBy treats NULLs as equal, which
+    would merge every NULL-text doc into one "duplicate" cluster whose
+    losers a winners-only pipeline silently drops. Each NULL-text doc
+    must stay its own singleton; real duplicates still merge."""
+    from dgraph_etl_spark.functions.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None)],
+        "doc_id bigint, text string",
+    )
+    rows = exact_dedup(docs).collect()
+    null_rows = [r for r in rows if r.content_hash is None]
+    assert len(null_rows) == 2, rows
+    assert all(r.n_copies == 1 for r in null_rows), rows
+    dup = [r for r in rows if r.content_hash is not None]
+    assert len(dup) == 1 and dup[0].doc_id == 1 and dup[0].n_copies == 2
+
+
+def test_c02_simhash_r0_exact_signature_pairs(spark):
+    """r=0 (exact-signature pairs) is legal: one 64-bit chunk, whose
+    all-ones mask cannot be the (1<<64)-1 literal (exceeds Long range)
+    -- it must plan and return exactly the equal-signature pairs."""
+    from dgraph_etl_spark.functions.dedup import simhash_hamming_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "something else entirely here")],
+        "doc_id bigint, text string",
+    )
+    pairs = simhash_hamming_pairs(docs, r=0).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_c02_lsh_rejects_nondivisible_bands(spark):
+    """num_hashes % num_bands != 0 silently dropped the trailing
+    hashes from every band key (paid for, never banded -- recall
+    quietly below the requested parameters); it must raise instead."""
+    import pytest
+
+    from dgraph_etl_spark.functions.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="num_bands"):
+        lsh_candidate_pairs(docs, num_hashes=32, num_bands=5)

@@ -445,3 +445,43 @@ def test_ivfpq_scale_lane(spark, sf_oracle, tmp_path):
     # rebuild loads the SAME codebooks (content equality, not retrain)
     co2, pq2 = S.build_ivfpq_index(spark, emb, ivfpq, ncells=ncells)
     assert np.array_equal(pq, pq2) and np.array_equal(co, co2)
+
+
+def test_ivfpq_zero_norm_query_null_sims(spark, sf_oracle, tmp_path):
+    """A zero-norm query through the no-rerank IVFPQ lane must return
+    NULL adc_sims ordered deterministically by vec_id -- NaN would
+    sort FIRST under desc and hand back arbitrary 'top' rows (every
+    other lane maps the degenerate query to NULL via try_divide)."""
+    from dgraph_etl_spark.catalog import load_table
+    from dgraph_etl_spark.functions import similarity as S
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    flat = str(tmp_path / "pq_zero")
+    S.build_ivfpq_index(
+        spark, emb, flat, ncells=1, k_codes=16,
+        sample_size=emb.count(), n_iter=2,
+    )
+    zq = spark.createDataFrame([([0.0] * dim,)], "qvec array<float>")
+    got = S.ivfpq_scale_topk(spark, zq, 5, flat, topc=20).collect()
+    assert all(r.adc_sim is None for r in got), got
+    assert [r.vec_id for r in got] == sorted(r.vec_id for r in got), got
+
+
+def test_assign_cells_arrow_preserves_vector_type(spark):
+    """The Arrow cell-assignment pass must carry the INPUT vector type
+    through to the persisted index: hardcoding array<float> silently
+    truncated a float64 corpus, breaking the probe's exact-rerank
+    parity with brute_topk over the original vectors."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from dgraph_etl_spark.functions.similarity import assign_cells_arrow
+
+    emb = spark.createDataFrame(
+        [(1, [0.1234567890123456, 1.0]), (2, [1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = assign_cells_arrow(emb, [[0.0, 1.0], [1.0, 0.0]])
+    assert out.schema["embedding"].dataType == ArrayType(DoubleType())
+    v = {r.vec_id: r.embedding for r in out.collect()}
+    assert v[1][0] == 0.1234567890123456  # no float32 truncation
