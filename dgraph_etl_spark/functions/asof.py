@@ -40,6 +40,15 @@ def asof_join(
     ``on`` is the equality key, ``ts`` the ordering column (any
     comparable type; epoch-micros longs keep oracles exact). Rows of
     ``right`` must be unique per (on, ts) — pre-aggregate if not.
+
+    NULL semantics follow SQL/DuckDB ASOF: a right row with NULL ts or
+    NULL key never matches anything (``r.ts <= l.ts`` and ``r.k = l.k``
+    are never true for NULL), and a left row with NULL ts or NULL key
+    matches nothing (all-NULL right fields). Without the explicit
+    right-side filter below, Spark's NULLS FIRST ascending sort would
+    place NULL-ts right rows at the window start and carry them into
+    every left row of the partition — a silent divergence from the
+    stated oracle semantics.
     """
     left_payload = [c for c in left.columns if c not in (on, ts)]
     clash = set(left_payload) & set(right_cols)
@@ -48,6 +57,24 @@ def asof_join(
             f"right_cols {sorted(clash)} collide with left columns; "
             "rename one side before the as-of join (duplicate names "
             "would make the carry-forward references ambiguous)"
+        )
+    # the output carries left's on/ts plus right_cols: a right_col
+    # named like on/ts duplicates an output column just as silently as
+    # a left-payload clash, so reject it the same way. The internal
+    # names are reserved too (a left column named _r/__asof_tag would
+    # be shadowed by the carry struct / tag).
+    bad = set(right_cols) & {on, ts}
+    if bad:
+        raise ValueError(
+            f"right_cols {sorted(bad)} collide with the join's on/ts "
+            "columns (both are emitted from the left side); alias the "
+            "right column before the as-of join"
+        )
+    reserved = {_TAG, "_r"} & set(left.columns)
+    if reserved:
+        raise ValueError(
+            f"left columns {sorted(reserved)} collide with asof_join "
+            "internals; rename them before the join"
         )
     # matched_ts becomes a field of the carried struct AND an output
     # column; a name shared with right_cols gives the struct duplicate
@@ -81,7 +108,9 @@ def asof_join(
         .cast(right.select(r_struct.alias("_r")).schema["_r"].dataType)
         .alias("_r"),
     )
-    r_tagged = right.select(
+    r_tagged = right.filter(
+        F.col(ts).isNotNull() & F.col(on).isNotNull()
+    ).select(
         on,
         ts,
         F.lit(0).alias(_TAG),

@@ -106,8 +106,14 @@ def extract_features(
     """Decode/feature-extract over Arrow batches (mapInPandas). The
     iterator contract keeps memory at one record batch per task."""
     if size_balance_partitions:
+        # spread rows uniformly by a per-row hash: keying on blob SIZE
+        # (the previous pmod(n_bytes, 64)) co-located every same-size
+        # blob -- a fixed-resolution image corpus all landed on ONE
+        # straggler task, and >64 requested partitions sat idle. A
+        # uniform random spread is the size-balance a decode stage
+        # wants (expected bytes per partition equalize).
         media = media.repartition(
-            size_balance_partitions, F.pmod(F.col("meta.n_bytes"), F.lit(64))
+            size_balance_partitions, F.xxhash64(F.col("doc_id"))
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

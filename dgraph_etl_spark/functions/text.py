@@ -108,7 +108,11 @@ def quality_score(docs: DataFrame) -> DataFrame:
         n_tok.alias("n_tokens"),
         ((n_chars - n_tok + 1) / n_tok).alias("mean_token_len"),
         (sw / n_tok).alias("stopword_ratio"),
-        ((n_chars - alpha) / n_chars).alias("non_alpha_ratio"),
+        # try_divide: text='' has n_chars=0 and a plain division would
+        # abort the whole job under ANSI mode -- empty docs are routine
+        # in crawl curation and must score NULL, not kill the query.
+        # (n_tok is safe: split('') yields [''] so size >= 1.)
+        F.try_divide(n_chars - alpha, n_chars).alias("non_alpha_ratio"),
         # >= 0.05: a real fluency floor. The earlier >= 0.0 was
         # vacuously true (sw and n_tok are non-negative), which made
         # the stopword criterion dead code and the "quality gate"
@@ -173,10 +177,14 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(n2, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
     )
+    # n_tokens rides along in the gram branch: a third doc-keyed branch
+    # would re-plan the tokenize subtree and add one more join exchange
+    # (the duplicated-subtree cost span_dup_stats measured at 100x)
     gram_stats = docs.select(
         "doc_id",
         F.size(grams).alias("n_grams"),
         F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
+        F.size(t).cast("bigint").alias("n_tokens"),
     )
     tok_counts = (
         docs.select("doc_id", F.explode(t).alias("token"))
@@ -186,12 +194,8 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     tok_stats = tok_counts.groupBy("doc_id").agg(
         F.max("cnt").alias("top_cnt"), F.count(F.lit(1)).alias("n_distinct_toks")
     )
-    n_toks = docs.select(
-        "doc_id", F.size(t).cast("bigint").alias("n_tokens")
-    )
     return (
         gram_stats.join(tok_stats, "doc_id")
-        .join(n_toks, "doc_id")
         .select(
             "doc_id",
             F.round(
@@ -211,8 +215,6 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     last-ulp differs). Ranking window is per-document (partitioned --
     no global sort); ties broken by token so results are total-ordered
     and oracle-checkable."""
-    from pyspark.sql import Window
-
     tok = tokenized(docs)
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
@@ -312,9 +314,19 @@ def sequence_chunks(
     base = docs.select("doc_id", tokens().alias("toks")).withColumn(
         "n_tokens", F.size("toks").cast("bigint")
     )
-    n_chunks = 1 + F.floor(
-        (F.greatest(F.col("n_tokens") - seq_len, F.lit(0)) + (stride - 1))
-        / stride
+    # coverage count (enough chunks that the last one reaches the end)
+    # capped by the start-position count (no chunk may START past the
+    # last token): for stride <= seq_len the cap is never the minimum
+    # (old behavior unchanged), but gap-sampling strides > seq_len
+    # previously emitted a phantom chunk starting past the end with
+    # negative n_chunk_tokens and empty text
+    n_chunks = F.least(
+        1
+        + F.floor(
+            (F.greatest(F.col("n_tokens") - seq_len, F.lit(0)) + (stride - 1))
+            / stride
+        ),
+        1 + F.floor((F.col("n_tokens") - 1) / stride),
     )
     exploded = base.withColumn("n_chunks", n_chunks.cast("int")).select(
         "doc_id",

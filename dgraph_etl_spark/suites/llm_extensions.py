@@ -588,7 +588,9 @@ def c06_language_id(spark, sf_dir):
     SELECT doc_id, n_chars_actual, n_tokens,
            (n_chars_actual - n_tokens + 1) / n_tokens AS mean_token_len,
            sw / n_tokens AS stopword_ratio,
-           (n_chars_actual - alpha) / n_chars_actual AS non_alpha_ratio,
+           CASE WHEN n_chars_actual = 0 THEN NULL
+                ELSE (n_chars_actual - alpha) / n_chars_actual
+           END AS non_alpha_ratio,
            (n_tokens >= 5 AND sw / n_tokens >= 0.05) AS passes_gate
     FROM base
     """,

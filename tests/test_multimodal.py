@@ -160,3 +160,23 @@ def test_pillow_decoder_real_lane(spark):
     assert len(out) == 1 and len(out[0].feature) == 64
     ref = Image.open(io.BytesIO(png)).convert("L").resize((8, 8))
     assert out[0].feature == [float(p) for p in ref.getdata()]
+
+
+def test_size_balance_spreads_uniform_size_corpus(spark, sf_small):
+    """The size-balance key must spread a SAME-SIZE corpus across
+    tasks: keying on blob size co-located every fixed-resolution blob
+    on one straggler partition."""
+    from pyspark.sql import functions as F
+
+    media = _media(spark, sf_small).withColumn(
+        "meta", F.named_struct(
+            F.lit("kind"), F.col("meta.kind"),
+            F.lit("n_bytes"), F.lit(4096).cast("long"),
+        )
+    )
+    parts = (
+        extract_features(media, size_balance_partitions=4)
+        .withColumn("p", F.spark_partition_id())
+        .select("p").distinct().count()
+    )
+    assert parts > 1, "uniform-size corpus collapsed to one partition"

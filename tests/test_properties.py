@@ -1118,3 +1118,75 @@ def test_c02_lsh_rejects_nondivisible_bands(spark):
     )
     with pytest.raises(ValueError, match="num_bands"):
         lsh_candidate_pairs(docs, num_hashes=32, num_bands=5)
+
+
+def test_asof_join_null_ts_right_rows_never_match(spark):
+    """DuckDB ASOF semantics: r.ts <= l.ts is never true for NULL, so
+    a NULL-ts right row must not be carried (Spark's NULLS FIRST
+    ascending sort would otherwise place it at the window start and
+    hand its payload to every left row of the key)."""
+    from dgraph_etl_spark.functions.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, "L")], "k int, ts int, lv string")
+    right = spark.createDataFrame(
+        [(1, None, 9.0), (None, 50, 7.0)], "k int, ts int, v double"
+    )
+    row = asof_join(left, right, on="k", ts="ts", right_cols=["v"]).first()
+    assert row.v is None and row.matched_ts is None, row
+
+
+def test_asof_join_rejects_on_ts_in_right_cols(spark):
+    """right_cols naming the join's on/ts columns would silently emit
+    duplicate output columns (the guard previously only checked left
+    payload, which excludes on/ts)."""
+    import pytest
+
+    from dgraph_etl_spark.functions.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, "L")], "k int, ts int, lv string")
+    right = spark.createDataFrame([(1, 50, 7.0)], "k int, ts int, v double")
+    with pytest.raises(ValueError, match="on/ts"):
+        asof_join(left, right, on="k", ts="ts", right_cols=["v", "ts"])
+
+
+def test_c06_quality_score_empty_text_is_null_not_error(spark):
+    """text='' has n_chars=0; under ANSI mode a plain division would
+    abort the whole job -- the empty doc must score NULL
+    non_alpha_ratio instead (empty docs are routine in crawl data)."""
+    from dgraph_etl_spark.functions.text import quality_score
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "the cat sat on the mat ok yes")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert rows[1].non_alpha_ratio is None
+    assert rows[2].non_alpha_ratio is not None
+
+
+def test_c26_sequence_chunks_gap_stride_no_phantom_chunk(spark):
+    """stride > seq_len (gap sampling) must not emit a chunk starting
+    past the last token (previously: negative n_chunk_tokens, empty
+    text)."""
+    from dgraph_etl_spark.functions.text import sequence_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4")], "doc_id bigint, text string"
+    )
+    rows = sequence_chunks(docs, seq_len=4, stride=10).collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert (r.start_tok, r.end_tok, r.n_chunk_tokens) == (0, 4, 4)
+    assert r.chunk_text == "t0 t1 t2 t3"
+    # a longer doc still gets its gap-sampled second chunk
+    docs2 = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25)))],
+        "doc_id bigint, text string",
+    )
+    rows2 = sorted(
+        sequence_chunks(docs2, seq_len=4, stride=10).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [(r.start_tok, r.n_chunk_tokens) for r in rows2] == [
+        (0, 4), (10, 4), (20, 4),
+    ]
