@@ -660,10 +660,18 @@ def weighted_pagerank(
     n = nodes.count()
     out_w = (
         edges.groupBy(F.col("src").alias("node"))
-        .agg(F.sum("score").alias("out_w"))
-        # zero total out-weight = dangling (see docstring): drop the
-        # row so the isNull branch below routes its mass uniformly
-        .filter(F.col("out_w") > 0)
+        .agg(
+            F.sum("score").alias("out_w"),
+            F.count(F.when(F.col("score") > 0, 1)).alias("_n_pos"),
+        )
+        # zero total out-weight = dangling (see docstring). Classified
+        # by an INTEGER count of positive-score edges, not the float
+        # sum: for the operator's non-negative-affinity inputs the two
+        # agree exactly, but the count stays order-independent (a raw
+        # double SUM(...) > 0 boundary could flip with partial-agg
+        # accumulation order under cancellation)
+        .filter(F.col("_n_pos") > 0)
+        .drop("_n_pos")
     )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     e = edges.select("src", "dst", "score").localCheckpoint()

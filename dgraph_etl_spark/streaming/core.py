@@ -21,6 +21,7 @@ import itertools
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,14 +58,16 @@ def events_schema(spark: SparkSession, sf_dir: str):
 _STAGE_MARKER = "_STAGED"
 
 
+def _stage_complete(d: str) -> bool:
+    return os.path.exists(os.path.join(d, _STAGE_MARKER))
+
+
 def _stage_atomic(d: str, write_batches) -> str:
     """Stage a batch-file directory ATOMICALLY: build in a tmp sibling,
     write a completion marker LAST, os.rename into place. A reader can
-    never observe a half-written batch file, and concurrent stagers race
-    benignly (first rename wins, losers discard their tmp). The per-file
-    existence checks this replaces were a real race: process B saw
-    process A's batch3.parquet exist mid-write and handed Spark a
-    truncated parquet.
+    never observe a half-written batch file. The per-file existence
+    checks this replaces were a real race: process B saw process A's
+    batch3.parquet exist mid-write and handed Spark a truncated parquet.
 
     Dir presence alone is NOT trusted: these /tmp names predate the
     atomic stager, and a partial legacy dir left by a crashed per-file
@@ -72,54 +75,85 @@ def _stage_atomic(d: str, write_batches) -> str:
     (silently dropping batches from every replay). The marker -- written
     after write_batches returns, inside the tmp sibling, so it exists
     iff staging finished -- distinguishes complete from abandoned; a
-    marker-less dir is renamed aside and restaged. (A marker-less dir
-    that was in fact complete -- staged by a pre-marker commit -- is
-    indistinguishable from an abandoned one and is restaged too; the
-    restage republishes identical content under the same path, so only
-    a concurrent reader FROM THAT OLD COMMIT sharing this /tmp could
-    observe the gap. Mixed-commit concurrent runs are out of contract.)
+    marker-less dir is discarded and restaged.
 
-    The rename-aside itself re-checks for the marker AFTER the rename:
-    between our marker check and our os.rename a concurrent stager can
-    legitimately rename the stale dir aside and publish a fresh
-    COMPLETE dir at ``d`` -- which our rename would then grab. Deleting
-    that would leave ``d`` missing while the concurrent stager's caller
-    already holds the path, so a renamed-aside dir that turns out to
-    carry the marker is renamed straight back instead of rmtree'd."""
-    if os.path.exists(d):
-        if os.path.exists(os.path.join(d, _STAGE_MARKER)):
-            return d
-        stale = f"{d}.stale.{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    Concurrency: stagers of the same target serialize on an
+    exclusive-create lock file. The earlier lock-free rename-aside
+    protocol had an unfixable TOCTOU -- between one stager's marker
+    check and its rename, a concurrent stager could discard the stale
+    dir and publish a COMPLETE one at ``d``, which the first stager's
+    rename then grabbed, leaving ``d`` transiently (or with an
+    unguarded delete, permanently) missing for the publisher's caller.
+    Under the lock, a complete dir is never renamed aside and ``d``
+    never goes missing after a publish. A lock whose recorded holder
+    pid is dead (crashed stager) is broken and retried; a live
+    holder's lock is waited on (staging the 100x soak fixtures
+    legitimately takes minutes, so there is no mtime-based timeout)."""
+    if _stage_complete(d):
+        return d
+    lock = f"{d}.lock"
+    deadline = time.monotonic() + 3600.0
+    while True:
         try:
-            os.rename(d, stale)
-        except OSError:
-            pass  # concurrent stager already moved/replaced it
-        else:
-            if os.path.exists(os.path.join(stale, _STAGE_MARKER)):
-                # we grabbed a COMPLETE dir a concurrent stager
-                # published after our marker check: put it back
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, str(os.getpid()).encode())
+            finally:
+                os.close(fd)
+            break
+        except FileExistsError:
+            if _stage_complete(d):
+                return d
+            try:
+                with open(lock) as fh:
+                    holder = int(fh.read().strip() or "0")
+            except (OSError, ValueError):
+                time.sleep(0.05)  # lock mid-create or just released
+                continue
+            alive = False
+            if holder > 0:
                 try:
-                    os.rename(stale, d)
-                    return d
+                    os.kill(holder, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True  # exists, owned by someone else
+            if not alive:
+                # crashed holder: break the lock (losing a concurrent
+                # unlink race here is benign -- both retry O_EXCL)
+                try:
+                    os.unlink(lock)
                 except OSError:
-                    # d reappeared meanwhile (another complete publish)
-                    shutil.rmtree(stale, ignore_errors=True)
-            else:
-                shutil.rmtree(stale, ignore_errors=True)
-        if os.path.exists(os.path.join(d, _STAGE_MARKER)):
-            return d  # a concurrent stager published a complete dir
-    tmp = f"{d}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
-    os.makedirs(tmp)
-    write_batches(tmp)
-    with open(os.path.join(tmp, _STAGE_MARKER), "w") as fh:
-        fh.write("complete\n")
+                    pass
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"stage lock {lock} held by live pid {holder} for "
+                    "over an hour; refusing to wait longer"
+                )
+            time.sleep(0.05)
     try:
+        if _stage_complete(d):
+            return d
+        if os.path.exists(d):
+            # marker-less dir (abandoned, or pre-marker legacy): with
+            # the lock held nobody can be publishing -- discard it
+            stale = f"{d}.stale.{os.getpid()}_{uuid.uuid4().hex[:8]}"
+            os.rename(d, stale)
+            shutil.rmtree(stale, ignore_errors=True)
+        tmp = f"{d}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        write_batches(tmp)
+        with open(os.path.join(tmp, _STAGE_MARKER), "w") as fh:
+            fh.write("complete\n")
         os.rename(tmp, d)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(os.path.join(d, _STAGE_MARKER)):
-            raise
-    return d
+        return d
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def _scratch_stream_dir(sf_dir: str) -> str:
@@ -204,8 +238,14 @@ def time_split_source(sf_dir: str) -> str:
     order; the oracle reconstructs the batch boundaries from the same
     integer cuts."""
     def masks(t, ts_us, c1, c2, pc):
-        in1 = pc.less(ts_us, c1)
-        in2 = pc.and_(pc.greater_equal(ts_us, c1), pc.less(ts_us, c2))
+        # fill_null(False): a NULL-ts row yields null comparisons, and
+        # a null mask DROPS the row from every batch (pyarrow filter)
+        # -- it must land in the catch-all final batch instead, so the
+        # staged replay carries exactly the fixture's rows
+        in1 = pc.fill_null(pc.less(ts_us, c1), False)
+        in2 = pc.fill_null(
+            pc.and_(pc.greater_equal(ts_us, c1), pc.less(ts_us, c2)), False
+        )
         return [in1, in2, pc.invert(pc.or_(in1, in2))]
 
     return _stage_event_thirds(sf_dir, "dgraph_etl_tsplit3", masks)
@@ -240,10 +280,17 @@ def late_data_source(sf_dir: str) -> str:
             ),
             0,
         )  # event_id % 97 == 0 (pyarrow has no modulo kernel)
-        in1 = pc.and_(pc.less(ts_us, c1), pc.invert(straggler))
-        in2 = pc.and_(
-            pc.and_(pc.greater_equal(ts_us, c1), pc.less(ts_us, c2)),
-            pc.invert(straggler),
+        # fill_null(False): NULL-ts rows must fall through to the
+        # catch-all batch 3, never silently vanish from the replay
+        in1 = pc.fill_null(
+            pc.and_(pc.less(ts_us, c1), pc.invert(straggler)), False
+        )
+        in2 = pc.fill_null(
+            pc.and_(
+                pc.and_(pc.greater_equal(ts_us, c1), pc.less(ts_us, c2)),
+                pc.invert(straggler),
+            ),
+            False,
         )
         return [in1, in2, pc.invert(pc.or_(in1, in2))]
 
@@ -278,8 +325,24 @@ def _stage_event_thirds(sf_dir: str, prefix: str, mask_fn) -> str:
 # memory-sink names per session, so a long-running probe (the soak
 # tools run 16+ jobs in one session) can drop the driver-side sink
 # tables it has already consumed -- the names vary by name_prefix, so
-# no pattern match over the catalog can find them reliably
-_MEM_SINKS: dict[int, list[str]] = {}
+# no pattern match over the catalog can find them reliably. Keyed by
+# id(spark) WITH a weakref pin (catalog._REGISTERED's convention): a
+# recycled id from a garbage-collected session must not inherit the
+# dead session's sink list.
+_MEM_SINKS: dict[int, tuple["weakref.ref", list[str]]] = {}
+
+
+def _mem_sink_names(spark: SparkSession) -> list[str]:
+    import weakref
+
+    # lazily evict entries whose session is gone (id may be recycled)
+    for k in [k for k, (ref, _) in _MEM_SINKS.items() if ref() is None]:
+        _MEM_SINKS.pop(k, None)
+    entry = _MEM_SINKS.get(id(spark))
+    if entry is None or entry[0]() is not spark:
+        entry = (weakref.ref(spark), [])
+        _MEM_SINKS[id(spark)] = entry
+    return entry[1]
 
 
 def drop_memory_sinks(spark: SparkSession) -> int:
@@ -287,7 +350,10 @@ def drop_memory_sinks(spark: SparkSession) -> int:
     this session and forget them; returns how many were dropped. Only
     call after the returned DataFrames have been consumed -- they are
     lazy views over the dropped tables."""
-    names = _MEM_SINKS.pop(id(spark), [])
+    entry = _MEM_SINKS.pop(id(spark), None)
+    if entry is None or entry[0]() is not spark:
+        return 0  # unknown session, or a recycled id of a dead one
+    names = entry[1]
     for n in names:
         try:
             spark.catalog.dropTempView(n)
@@ -302,7 +368,7 @@ def run_to_memory(
     """Execute a streaming DataFrame to completion (availableNow) into
     a memory sink; return the sink contents as a batch DataFrame."""
     name = f"{name_prefix}_{next(_MEM_IDS)}"
-    _MEM_SINKS.setdefault(id(sdf.sparkSession), []).append(name)
+    _mem_sink_names(sdf.sparkSession).append(name)
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     q = (
         sdf.writeStream.format("memory")
@@ -312,7 +378,13 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # availableNow ran to completion (or died); the checkpoint is
+        # one-shot state nothing restarts from -- hundreds of soak
+        # jobs per process would otherwise leak ckpt_* dirs in /tmp
+        shutil.rmtree(ckpt, ignore_errors=True)
     return sdf.sparkSession.table(name)
 
 

@@ -50,10 +50,14 @@ def _profile_fn(
         types = set(stored_types or [])
     for pdf in pdfs:
         n += len(pdf)
-        ts = pdf["ts_us"]
-        lo, hi = int(ts.min()), int(ts.max())
-        mn = lo if mn is None else min(mn, lo)
-        mx = hi if mx is None else max(mx, hi)
+        # NULL ts arrives as NaN through Arrow; SQL MIN/MAX skip NULLs
+        # while COUNT(*) includes them -- mirror that (int(NaN) on an
+        # all-NULL chunk would otherwise kill the whole query)
+        ts = pdf["ts_us"].dropna()
+        if len(ts):
+            lo, hi = int(ts.min()), int(ts.max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
         # drop NULL event types before set arithmetic: None is not a
         # type, and it breaks the sorted() below
         types.update(

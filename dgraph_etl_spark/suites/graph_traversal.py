@@ -1015,8 +1015,9 @@ def _wpr_oracle_sql(n_iter: int = 10, d: float = 0.85) -> str:
 wcnt AS MATERIALIZED (SELECT COUNT(*) AS n FROM wnodes),
 woutw AS MATERIALIZED (
     -- zero total out-weight = dangling, same rule as the operator
+    -- (order-independent positive-edge count, not a float-sum test)
     SELECT src AS node, SUM(score) AS w FROM edges GROUP BY src
-    HAVING SUM(score) > 0
+    HAVING COUNT(CASE WHEN score > 0 THEN 1 END) > 0
 ),
 w0 AS MATERIALIZED (
     SELECT node, 1.0 / (SELECT n FROM wcnt) AS rank FROM wnodes

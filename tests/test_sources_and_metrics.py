@@ -3,6 +3,7 @@ observe-based progress metering (A25)."""
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -198,3 +199,95 @@ def test_scroll_stream_resumes_from_page_cursor(spark, sf_small, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 1000  # every hit exactly once
     assert got.select("_id").distinct().count() == 1000
+
+
+def test_stage_atomic_lock_serializes_and_never_drops_complete(tmp_path):
+    """Concurrent stagers of one target must serialize on the lock:
+    exactly ONE write_batches runs, the published dir is never
+    renamed aside once complete, and every caller gets a complete
+    dir. (The lock-free rename-aside protocol could transiently
+    delete a just-published complete dir.)"""
+    import threading
+
+    from dgraph_etl_spark.streaming.core import (
+        _STAGE_MARKER,
+        _stage_atomic,
+        _stage_complete,
+    )
+
+    d = str(tmp_path / "staged")
+    calls = []
+
+    def write(tmp):
+        calls.append(1)
+        with open(os.path.join(tmp, "batch0"), "w") as f:
+            f.write("data")
+
+    errs = []
+
+    def run():
+        try:
+            got = _stage_atomic(d, write)
+            assert _stage_complete(got)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs and len(calls) == 1
+    assert sorted(os.listdir(d)) == [_STAGE_MARKER, "batch0"]
+    # marker-less (abandoned) dir is discarded and restaged
+    os.remove(os.path.join(d, _STAGE_MARKER))
+    _stage_atomic(d, write)
+    assert len(calls) == 2 and _stage_complete(d)
+    # a dead-pid lock left by a crashed stager is broken, not waited on
+    with open(d + ".lock", "w") as f:
+        f.write("999999999")
+    assert _stage_atomic(d, write) == d  # complete dir short-circuits
+    os.remove(d + ".lock")
+
+
+def test_stateful_profile_fold_skips_null_ts(spark):
+    """A key-group chunk whose ts values are all NULL must fold like
+    SQL aggregates (COUNT(*) includes the rows, MIN/MAX skip NULLs)
+    instead of crashing the query on int(NaN)."""
+    import pandas as pd
+
+    from dgraph_etl_spark.streaming.stateful import _profile_fn
+
+    class _State:
+        exists = False
+
+        def update(self, v):
+            self.stored = v
+
+    chunk = pd.DataFrame(
+        {
+            "ts_us": pd.array([None, None], dtype="float64"),
+            "event_type": ["a", None],
+        }
+    )
+    st = _State()
+    out = list(_profile_fn((7,), iter([chunk]), st))
+    row = out[0].iloc[0]
+    assert row["n_events"] == 2
+    assert pd.isna(row["first_ts_us"]) and pd.isna(row["last_ts_us"])
+    assert row["n_event_types"] == 1
+
+
+def test_drop_memory_sinks_ignores_foreign_session_id(spark):
+    """The sink registry pins sessions by weakref: an id(spark) match
+    alone (a recycled address from a dead session) must not hand a
+    new session the dead one's sink list."""
+    from dgraph_etl_spark.streaming import core as C
+
+    names = C._mem_sink_names(spark)
+    names.append("phantom_sink_for_test")
+    # corrupt the pin to simulate a recycled id from a dead session
+    ref, lst = C._MEM_SINKS[id(spark)]
+    C._MEM_SINKS[id(spark)] = (lambda: None, lst)
+    assert C.drop_memory_sinks(spark) == 0
+    assert id(spark) not in C._MEM_SINKS
