@@ -232,7 +232,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 # session-id -> last sf_dir whose views are registered (temp views are
 # overwrite-in-place, so only the most recent registration is live)
-_REGISTERED: dict[int, tuple] = {}  # id(session) -> (weakref, sf_dir)
+_REGISTERED: dict[int, tuple] = {}  # id(session) -> (weakref, sf_dir, fp)
 
 
 def pin_session_confs(spark: SparkSession) -> None:
@@ -258,21 +258,45 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
     address would be wrongly treated as registered (its first
     spark.table() would raise TABLE_OR_VIEW_NOT_FOUND). A dead weakref
     also marks the entry for eviction, so long-lived drivers don't
-    accumulate orphans."""
+    accumulate orphans. The cache key also carries the SOURCE
+    fingerprint (per-table mtime_ns+size): a fixture regenerated
+    in place mid-session must re-register, or the views keep serving
+    the previous round's mtime-keyed compacted copies -- the same
+    stale-reuse class the content-keyed stagers below prevent."""
     import weakref
 
     sf_dir = os.path.abspath(sf_dir)
-    for k in [k for k, (ref, _) in _REGISTERED.items() if ref() is None]:
+    fp = _source_fingerprint(sf_dir)
+    for k in [k for k, entry in _REGISTERED.items() if entry[0]() is None]:
         del _REGISTERED[k]
     hit = _REGISTERED.get(id(spark))
-    if hit is not None and hit[0]() is spark and hit[1] == sf_dir and not force:
+    if (
+        hit is not None
+        and hit[0]() is spark
+        and hit[1] == sf_dir
+        and hit[2] == fp
+        and not force
+    ):
         return
     pin_session_confs(spark)
     for t in BASE_TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     for name, sql in VIEW_SQL.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
-    _REGISTERED[id(spark)] = (weakref.ref(spark), sf_dir)
+    _REGISTERED[id(spark)] = (weakref.ref(spark), sf_dir, fp)
+
+
+def _source_fingerprint(sf_dir: str) -> tuple:
+    """(mtime_ns, size) per base table file -- the registration-time
+    identity of the fixture, cheap enough to re-stat per call."""
+    parts = []
+    for t in BASE_TABLES:
+        try:
+            st = os.stat(table_path(sf_dir, t))
+            parts.append((st.st_mtime_ns, st.st_size))
+        except OSError:
+            parts.append((0, 0))
+    return tuple(parts)
 
 
 def view(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -79,11 +79,11 @@ def ensure_sink_tables(
     spark: SparkSession, url: str, table: str, ledger: str, data_ddl: str
 ) -> None:
     """Create the data table (caller-supplied DDL body, which must
-    include a QUOTED ``"batch_id" BIGINT`` column -- Derby uppercases
-    unquoted identifiers to BATCH_ID, while the writer's replay-DELETE
-    and Spark's dialect-quoting INSERT both address lowercase
-    ``"batch_id"``; an unquoted DDL makes every micro-batch fail) and
-    the epoch ledger if absent."""
+    include QUOTED ``"batch_id" BIGINT`` and ``"query_name"
+    VARCHAR(128)`` columns -- Derby uppercases unquoted identifiers,
+    while the writer's replay-DELETE and Spark's dialect-quoting
+    INSERT both address the lowercase names; an unquoted DDL makes
+    every micro-batch fail) and the epoch ledger if absent."""
     table = _check_name("table", table)
     ledger = _check_name("ledger", ledger)
     for name, ddl in [
@@ -129,17 +129,26 @@ def exactly_once_jdbc_writer(
         )
         if done:
             return  # fully committed before a crash; replay is a no-op
-        # destructive rewrite of THIS batch's rows (partial-write
-        # clean). The column is QUOTED: Spark's JDBC writer creates
-        # quoted-lowercase columns while Derby uppercases unquoted
-        # identifiers -- the same casing trap the B3 source tests pin.
+        # destructive rewrite of THIS QUERY's rows for THIS batch
+        # (partial-write clean). Scoped by query_name as well as
+        # batch_id: the ledger keys on (query_name, batch_id) precisely
+        # so multiple queries can share one data table, and a
+        # batch_id-only DELETE would destroy a sibling query's already
+        # committed batch of the same number. Columns are QUOTED:
+        # Spark's JDBC writer creates quoted-lowercase columns while
+        # Derby uppercases unquoted identifiers -- the same casing trap
+        # the B3 source tests pin.
         jdbc_exec(
             spark,
             url,
-            [f'DELETE FROM {table} WHERE "batch_id" = {batch_id}'],
+            [
+                f'DELETE FROM {table} WHERE "batch_id" = {batch_id} '
+                f"AND \"query_name\" = '{query_name}'"
+            ],
         )
         (
             batch_df.withColumn("batch_id", F.lit(batch_id))
+            .withColumn("query_name", F.lit(query_name))
             .write.mode("append")
             .jdbc(url, table, properties=props)
         )

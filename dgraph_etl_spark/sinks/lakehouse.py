@@ -61,7 +61,10 @@ def read_edge_store(spark: SparkSession, root: str) -> DataFrame | None:
 
         if DeltaTable.isDeltaTable(spark, root):
             return spark.read.format("delta").load(root)
-        return None
+        # not a Delta table: a store written by the parquet fallback
+        # in earlier (delta-less) rounds must still read -- returning
+        # None here would make installed delta SHADOW the existing
+        # versioned data as "nothing merged yet"
     vs = _versions(root)
     return spark.read.parquet(os.path.join(root, vs[-1])) if vs else None
 
@@ -72,12 +75,25 @@ def merge_max_into(
     """Merge a batch of (src, dst, score) edges into the store at
     ``root`` with max-wins semantics; returns the post-merge table."""
     batch = max_score_per_edge(new_edges.select(_EDGE_COLS))
-    if _have_delta(spark):
+    # format stickiness: a store the parquet fallback already owns
+    # keeps merging through the fallback even after delta becomes
+    # available -- creating a Delta table at the same root would
+    # permanently shadow the versioned data
+    if _have_delta(spark) and not _versions(root):
         from delta.tables import DeltaTable
 
         if not DeltaTable.isDeltaTable(spark, root):
-            batch.write.format("delta").mode("overwrite").save(root)
-            return spark.read.format("delta").load(root)
+            # mode("error"), not overwrite: two concurrent creators
+            # would otherwise both "create" and the second overwrite
+            # silently discarded the first writer's batch (the same
+            # lost-batch race the fallback path retries). The loser's
+            # errorIfExists failure falls through to MERGE its batch.
+            try:
+                batch.write.format("delta").mode("error").save(root)
+                return spark.read.format("delta").load(root)
+            except Exception:
+                if not DeltaTable.isDeltaTable(spark, root):
+                    raise  # a real write failure, not a lost create race
         (
             DeltaTable.forPath(spark, root)
             .alias("t")

@@ -75,8 +75,14 @@ def zorder_write(
     bits."""
     width = max((1 << key_bits) // n_files, 1)
     (
+        # integer `div`, not F.floor(col / width): `/` computes in
+        # double, which misassigns boundary rows once zkey exceeds
+        # 2^53 (key_bits up to 62 is supported)
         df.withColumn(
-            "zbucket", F.floor(F.col(zkey) / width).cast("int")
+            "zbucket",
+            F.expr(f"CAST(`{zkey}` AS BIGINT) div {int(width)}").cast(
+                "int"
+            ),
         )
         .repartition(n_files, F.col("zbucket"))
         .sortWithinPartitions(zkey)

@@ -23,7 +23,6 @@ from __future__ import annotations
 import os
 import tempfile
 import threading
-from collections import defaultdict
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -36,10 +35,26 @@ from pyspark.sql import DataFrame, SparkSession
 # (session, table) serializes creation; losers find tableExists true
 # and return the finished table. Cross-PROCESS isolation is the
 # pid-keyed scratch path, unchanged.
-_CREATE_LOCKS: dict[tuple[int, str], threading.Lock] = defaultdict(
-    threading.Lock
-)
+# value carries a weakref pin of the session: entries whose session
+# was garbage-collected are swept at the next acquisition, so a
+# long-lived driver cycling sessions/source versions doesn't grow the
+# map forever (and a recycled id() can't alias a dead session's lock)
+_CREATE_LOCKS: dict[tuple[int, str], tuple[object, threading.Lock]] = {}
 _LOCKS_GUARD = threading.Lock()
+
+
+def _create_lock(spark: SparkSession, name: str) -> threading.Lock:
+    import weakref
+
+    with _LOCKS_GUARD:
+        for k in [k for k, (ref, _) in _CREATE_LOCKS.items() if ref() is None]:
+            del _CREATE_LOCKS[k]
+        key = (id(spark), name)
+        entry = _CREATE_LOCKS.get(key)
+        if entry is None or entry[0]() is not spark:
+            entry = (weakref.ref(spark), threading.Lock())
+            _CREATE_LOCKS[key] = entry
+        return entry[1]
 
 
 def bucketed_table(
@@ -66,8 +81,7 @@ def bucketed_table(
         import re
 
         name = f"{name}_v{re.sub(r'[^A-Za-z0-9]', '_', version)}"
-    with _LOCKS_GUARD:
-        lock = _CREATE_LOCKS[(id(spark), name)]
+    lock = _create_lock(spark, name)
     with lock:
         if not spark.catalog.tableExists(name):
             # path keyed per (pid, SESSION): the creation lock is per

@@ -93,7 +93,16 @@ def stage_scroll_pages(
         )
         .otherwise(_lu)
         .alias("lu"),
-        F.col("event_id").cast("string").alias("_id"),
+        # same poisoned-page hazard as lu: a null _id would be dropped
+        # from the staged json line and KeyError every later scan
+        F.when(
+            F.col("event_id").isNull(),
+            F.raise_error(F.lit("scroll stager: null event_id")).cast(
+                "string"
+            ),
+        )
+        .otherwise(F.col("event_id").cast("string"))
+        .alias("_id"),
         F.to_json(
             F.struct(
                 F.unix_micros("ts").alias("last_update"),
@@ -200,10 +209,15 @@ def stage_scroll_pages(
         parts = sorted(
             glob.glob(os.path.join(spark_out, f"page={p}", "part-*"))
         )
-        with open(os.path.join(d_tmp, fname), "w") as out:
-            for part in parts:  # 1 file (one task per page); keep order
-                with open(part) as f:
-                    shutil.copyfileobj(f, out)
+        if len(parts) == 1:
+            # the normal case (one task per page): O(1) rename, not a
+            # second driver-side byte-copy of the whole staged dataset
+            os.rename(parts[0], os.path.join(d_tmp, fname))
+        else:
+            with open(os.path.join(d_tmp, fname), "w") as out:
+                for part in parts:  # empty page or >1 part; keep order
+                    with open(part) as f:
+                        shutil.copyfileobj(f, out)
         s = stats.get(p)
         manifest.append(
             {
@@ -237,8 +251,11 @@ def _load_manifest(path: str):
 
 def _read_page(path: str, fname: str, min_lu: int | None):
     """Yield hit tuples from one page file, applying the pushed lower
-    bound row-side too (the source owns the predicate entirely; Spark
-    still re-applies it, which is free)."""
+    bound row-side. The source owns the predicate ENTIRELY: pushFilters
+    consumed it (did not yield it back), so Catalyst drops the Filter
+    node and there is NO engine-side safety net -- removing this
+    row-side check would silently return unfiltered rows from
+    partially-pruned pages."""
     with open(os.path.join(path, fname)) as f:
         for line in f:
             hit = json.loads(line)
@@ -348,6 +365,9 @@ def register_scroll_source(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(ScrollDataSource)
-    except Exception:
-        # already registered in this session
-        pass
+    except Exception as ex:
+        # tolerate ONLY duplicate registration; a real failure
+        # (unsupported session type, pickling error) must not be
+        # swallowed into a later misleading "data source not found"
+        if "already" not in str(ex).lower() and "exists" not in str(ex).lower():
+            raise

@@ -1192,7 +1192,8 @@ def s21_stream_jdbc_exactly_once(spark, sf_dir):
         url,
         "s21_events",
         "s21_ledger",
-        '"event_id" BIGINT, "user_id" BIGINT, "batch_id" BIGINT',
+        '"event_id" BIGINT, "user_id" BIGINT, "batch_id" BIGINT, '
+        '"query_name" VARCHAR(128)',
     )
     ev = events_stream(spark, sf_dir, path=src).select(
         "event_id", "user_id"

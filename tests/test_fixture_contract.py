@@ -148,3 +148,31 @@ def test_encoding_consistent_across_sfs():
             sch = pq.ParquetFile(table_path(sf_dir, table)).schema_arrow
             forms.add(tuple(str(sch.field(n).type) for n in sorted(sch.names)))
         assert len(forms) == 1, f"{table}: encodings differ across sfs: {forms}"
+
+
+def test_register_views_detects_in_place_fixture_regen(spark, tmp_path):
+    """A fixture regenerated IN PLACE mid-session must re-register:
+    the idempotence cache previously keyed only (session, sf_dir), so
+    views kept serving the previous round's compacted copies."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dgraph_etl_spark.catalog import BASE_TABLES, register_views, table_path
+
+    sf = str(tmp_path / "sf")
+    shutil.copytree("/root/testdata/sf0.001", sf)
+    register_views(spark, sf)
+    n_before = spark.table("documents").count()
+
+    # regenerate documents in place with one fewer row
+    doc_path = table_path(sf, "documents")
+    t = pq.read_table(doc_path)
+    pq.write_table(t.slice(0, t.num_rows - 1), doc_path)
+
+    register_views(spark, sf)  # same (session, sf_dir): must NOT no-op
+    assert spark.table("documents").count() == n_before - 1
+    # restore registration for any later test in this session
+    register_views(spark, "/root/testdata/sf0.001", force=True)
+    assert isinstance(BASE_TABLES, list)

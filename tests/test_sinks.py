@@ -192,7 +192,8 @@ def test_exactly_once_jdbc_sink_survives_crash_replay(spark, sf_small, tmp_path)
         url,
         "sink_events",
         "sink_ledger",
-        '"event_id" BIGINT, "user_id" BIGINT, "batch_id" BIGINT',
+        '"event_id" BIGINT, "user_id" BIGINT, "batch_id" BIGINT, '
+        '"query_name" VARCHAR(128)',
     )
     src = time_split_source(sf_small)
     ckpt = str(tmp_path / "ckpt")
@@ -245,3 +246,75 @@ def test_exactly_once_jdbc_sink_survives_crash_replay(spark, sf_small, tmp_path)
         spark, url, "SELECT COUNT(*) FROM sink_ledger"
     )
     assert n_batches == 3
+
+
+def test_exactly_once_sink_multiplexed_queries_share_table(spark, tmp_path):
+    """Two streaming queries (distinct query_names, the multiplexing
+    the (query_name, batch_id) ledger key supports) sharing ONE data
+    table: query A's replay of batch 7 must destructively rewrite only
+    A's rows -- a batch_id-only DELETE silently destroyed B's already
+    committed batch 7, which B's ledger entry then prevented from ever
+    being re-written."""
+    from dgraph_etl_spark.sinks.jdbc_sink import (
+        ensure_sink_tables,
+        exactly_once_jdbc_writer,
+        jdbc_query_long,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/mux;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    ensure_sink_tables(
+        spark,
+        url,
+        "mux_events",
+        "mux_ledger",
+        '"event_id" BIGINT, "batch_id" BIGINT, "query_name" VARCHAR(128)',
+    )
+    df_b = spark.createDataFrame([(100,), (101,)], "event_id bigint")
+    df_a = spark.createDataFrame([(200,)], "event_id bigint")
+
+    # B commits its batch 7 fully
+    exactly_once_jdbc_writer(url, "mux_events", "mux_ledger", "qB", props)(
+        df_b, 7
+    )
+    # A crashes after appending its batch 7 (marker missing) ...
+    hook = {"armed": True}
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        exactly_once_jdbc_writer(
+            url, "mux_events", "mux_ledger", "qA", props,
+            fail_before_marker_once=hook,
+        )(df_a, 7)
+    # ... and replays it
+    exactly_once_jdbc_writer(url, "mux_events", "mux_ledger", "qA", props)(
+        df_a, 7
+    )
+    n_b = jdbc_query_long(
+        spark, url,
+        "SELECT COUNT(*) FROM mux_events WHERE \"query_name\" = 'qB'",
+    )
+    n_a = jdbc_query_long(
+        spark, url,
+        "SELECT COUNT(*) FROM mux_events WHERE \"query_name\" = 'qA'",
+    )
+    assert (n_b, n_a) == (2, 1)
+
+
+def test_zorder_bucket_assignment_exact_past_2_53(spark, tmp_path):
+    """zbucket math must be integer division: `/` computes in double
+    and misassigns boundary rows once the z-address exceeds 2^53
+    (key_bits up to 62 is supported)."""
+    from dgraph_etl_spark.sinks.layout import zorder_write
+
+    width = (1 << 62) // 8
+    # exact boundary multiples around bucket 6/7 that double math rounds
+    keys = [6 * width - 1, 6 * width, 7 * width - 1, 7 * width]
+    df = spark.createDataFrame([(k,) for k in keys], "zkey long")
+    out = str(tmp_path / "z62")
+    zorder_write(df, out, zkey="zkey", n_files=8, key_bits=62)
+    got = {
+        r.zkey: r.zbucket
+        for r in spark.read.parquet(out).select("zkey", "zbucket").collect()
+    }
+    assert got == {k: k // width for k in keys}, got
