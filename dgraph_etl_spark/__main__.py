@@ -50,22 +50,47 @@ def cmd_etl(args) -> int:
     """EP1, the live pipeline (cmd/etl/etl.go:31-110): stream the edge
     source from the watermark, upsert deduped max-score edges through
     the batched retrying mutation sink, print the next watermark."""
+    from pyspark.storagelevel import StorageLevel
+
     from .pipeline import watermark as W
     from .sinks.live import file_sink_factory, write_edges_live
 
     spark = _spark(args)
     rel, edges = _edges_since(spark, args.source, args.watermark)
     import os
+    import shutil
 
-    os.makedirs(args.sink, exist_ok=True)
-    write_edges_live(edges, file_sink_factory(args.sink))
-    nw = W.next_watermark(rel, "last_update").first()
+    # the increment is materialized ONCE (disk-persisted) and feeds
+    # both the sink write and the bookmark aggregate: re-scanning the
+    # source for next_watermark would decode the increment twice and
+    # could see files that arrived between the two jobs, printing a
+    # watermark ahead of what was actually written. (df.observe can't
+    # ride the write: foreachPartition is an RDD action, whose metrics
+    # never resolve -- measured.)
+    rel = rel.persist(StorageLevel.DISK_ONLY)
+    try:
+        # per-run subdir with replace-all semantics: writing part files
+        # straight into --sink let a rerun that coalesced to fewer
+        # partitions leave a silent mix of fresh and stale logs
+        run_dir = os.path.join(args.sink, f"run_w{args.watermark}")
+        if os.path.isdir(run_dir):
+            shutil.rmtree(run_dir)
+        os.makedirs(run_dir)
+        write_edges_live(edges, file_sink_factory(run_dir))
+        nw = W.next_watermark(rel, "last_update").first()
+    finally:
+        rel.unpersist()
+    next_s = nw["next_watermark_s"]
     print(
         json.dumps(
             {
-                "sink": args.sink,
+                "sink": run_dir,
                 "rows_read": nw["rows_read"],
-                "next_watermark_s": nw["next_watermark_s"],
+                # empty increment: max() is NULL -- keep the caller's
+                # resume point instead of resetting its checkpoint loop
+                "next_watermark_s": (
+                    int(next_s) if next_s is not None else args.watermark
+                ),
             }
         )
     )
@@ -81,14 +106,27 @@ def cmd_bulk(args) -> int:
     from .pipeline import rdf as R
 
     spark = _spark(args)
-    register_views(spark, args.source)
+    # bulk reads customer-derived views only (events goes through the
+    # incremental scan directly); registering all ten base tables would
+    # pay first-use compaction jobs for tables this command never reads
+    register_views(
+        spark,
+        args.source,
+        tables=("customer",),
+        views=("team_member", "trove_user"),
+    )
     rel, edges = _edges_since(spark, args.source, args.watermark)
     flagged = P.enrich_is_trove(
         P.distinct_person_ids(rel), spark.table("trove_user")
     )
     triples = R.all_triples(spark.table("team_member"), flagged, edges)
     R.write_rdf(triples, args.out, single_file=args.single_file)
-    print(json.dumps({"out": args.out, "triples": triples.count()}))
+    # count what was WRITTEN (one cheap job over the text files), not a
+    # full second run of the triple pipeline -- and if the source
+    # changed between jobs, a recomputed count wouldn't even match the
+    # file contents
+    n = spark.read.text(args.out).count()
+    print(json.dumps({"out": args.out, "triples": n}))
     return 0
 
 
@@ -99,8 +137,16 @@ def cmd_query(args) -> int:
     from .catalog import register_views
     from .graph.traverse import k_hop, team_seed
 
+    if args.hops < 1:
+        raise SystemExit("--hops must be >= 1")
     spark = _spark(args)
-    register_views(spark, args.source)
+    # only the traversal's own tables/views (customer + events chain)
+    register_views(
+        spark,
+        args.source,
+        tables=("customer", "events"),
+        views=("user_relationship", "team_member", "edges"),
+    )
     seeds = team_seed(spark.table("team_member"), args.team_id)
     hops = k_hop(spark.table("edges"), seeds, k=args.hops)
     counts = {f"hop{i}_count": h.count() for i, h in enumerate(hops, 1)}

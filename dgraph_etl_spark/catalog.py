@@ -248,9 +248,22 @@ def pin_session_confs(spark: SparkSession) -> None:
         pass
 
 
-def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    force: bool = False,
+    tables: tuple[str, ...] | None = None,
+    views: tuple[str, ...] | None = None,
+) -> None:
     """Register base tables and reference-domain derived views as temp
     views. Idempotent per (session, sf_dir); cheap to call per query.
+
+    ``tables``/``views`` restrict registration to the named subset (a
+    CLI command that reads two tables must not pay first-use
+    compaction jobs for the other eight). A partial registration never
+    populates the idempotence cache -- only a full one marks the
+    session registered. Callers own view dependency order: a view
+    whose SQL references an unloaded table fails at creation.
 
     The idempotence cache stores a WEAK reference to the session next
     to the sf_dir: id() alone is recyclable after a session is
@@ -265,6 +278,7 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
     stale-reuse class the content-keyed stagers below prevent."""
     import weakref
 
+    partial = tables is not None or views is not None
     sf_dir = os.path.abspath(sf_dir)
     fp = _source_fingerprint(sf_dir)
     for k in [k for k, entry in _REGISTERED.items() if entry[0]() is None]:
@@ -276,14 +290,17 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
         and hit[1] == sf_dir
         and hit[2] == fp
         and not force
+        and not partial
     ):
         return
     pin_session_confs(spark)
-    for t in BASE_TABLES:
+    for t in BASE_TABLES if tables is None else tables:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     for name, sql in VIEW_SQL.items():
-        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
-    _REGISTERED[id(spark)] = (weakref.ref(spark), sf_dir, fp)
+        if views is None or name in views:
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+    if not partial:
+        _REGISTERED[id(spark)] = (weakref.ref(spark), sf_dir, fp)
 
 
 def _source_fingerprint(sf_dir: str) -> tuple:

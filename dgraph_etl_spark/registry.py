@@ -80,6 +80,9 @@ def register(
 # (A rows-only query that merely GAINS an oracle is handled generically
 # below; this map is for result-changing rewrites of oracle-carrying
 # queries.)
+# memo for _certified_rounds, keyed by the CORRECTNESS files' identity
+_CERT_CACHE: dict = {}
+
 RECERTIFY: dict[str, int] = {
     # round 4 certified the all-pairs exactness baseline; the registered
     # form became SRP-bucketed (different candidate set) post-run
@@ -109,8 +112,23 @@ def _certified_rounds() -> dict[str, int]:
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    # memoized on the files' identity: the external driver writes these
+    # BETWEEN runs, never during one, and a single driver run otherwise
+    # re-parses every file for each of entry()/queries()/oracle_sql()
+    sig = []
+    for p in paths:
+        try:
+            st = os.stat(p)
+            sig.append((p, st.st_mtime_ns, st.st_size))
+        except OSError:
+            sig.append((p, 0, 0))
+    sig = tuple(sig)
+    cached = _CERT_CACHE.get("rounds")
+    if cached is not None and cached[0] == sig:
+        return dict(cached[1])
     seen: dict[str, int] = {}
-    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    for p in paths:
         try:
             with open(p) as f:
                 data = json.load(f)
@@ -126,14 +144,19 @@ def _certified_rounds() -> dict[str, int]:
             ok = False
             if row.get("hash_match") is True:
                 ok = True
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+            elif row.get("err") == "no_oracle" and row.get("spark_rows"):
                 # a completed rows-only run only counts if the query
                 # STILL has no oracle -- one registered since (e.g.
-                # pagerank's unrolled-CTE oracle) deserves a re-run
+                # pagerank's unrolled-CTE oracle) deserves a re-run.
+                # spark_rows must be truthy: 0 rows is a FAILURE for a
+                # no-oracle query (precert's rule), and counting it
+                # certified would rotate the regression to the back of
+                # the queue instead of re-fronting it
                 q = REGISTRY.get(name)
                 ok = q is not None and q.oracle is None
             if ok:
                 seen[name] = max(seen.get(name, 0), rnd)
+    _CERT_CACHE["rounds"] = (sig, dict(seen))
     return seen
 
 

@@ -26,15 +26,40 @@ def test_cli_etl(spark, tmp_path, capsys):
     res = _last_json_line(capsys)
     assert res["rows_read"] > 0
     assert res["next_watermark_s"] > 0
-    logs = [f for f in os.listdir(sink) if f.endswith(".ndjson")]
+    # logs land in the printed per-run subdir (replace-all semantics
+    # per run; reruns with fewer partitions can't mix stale parts)
+    run_dir = res["sink"]
+    assert run_dir.startswith(sink)
+    logs = [f for f in os.listdir(run_dir) if f.endswith(".ndjson")]
     assert logs, "live sink wrote no mutation logs"
     n_lines = sum(
         1
         for f in logs
-        for ln in open(os.path.join(sink, f))
+        for ln in open(os.path.join(run_dir, f))
         if ln.strip() and "__commit__" not in ln
     )
     assert n_lines > 0
+
+
+def test_cli_etl_empty_increment_keeps_watermark(spark, tmp_path, capsys):
+    """A watermark at/past the newest event reads zero rows; the
+    printed bookmark must echo the caller's resume point, not null
+    (an orchestrator feeding it back would otherwise crash or restart
+    the whole source from zero)."""
+    sink = str(tmp_path / "sink2")
+    far_future = 4102444800  # 2100-01-01
+    assert (
+        main(
+            [
+                "etl", "--source", SF, "--sink", sink,
+                "--watermark", str(far_future),
+            ]
+        )
+        == 0
+    )
+    res = _last_json_line(capsys)
+    assert res["rows_read"] == 0
+    assert res["next_watermark_s"] == far_future
 
 
 def test_cli_bulk(spark, tmp_path, capsys):
