@@ -51,6 +51,14 @@ def fpsum(expr: str, alias: str):
     60M-row fixture for all seven measure shapes incl. negatives.
     fpsum_sql keeps ROUND on the DuckDB side; equality of the two
     texts is exactly the m-recovery argument above."""
+    return _fp_scaled_sum(expr).alias(alias)
+
+
+def _fp_scaled_sum(expr: str):
+    """The ONE definition of the fixed-point accumulator Column (see
+    fpsum's docstring for the exactness argument): every consumer
+    (fpsum, b14's exact averages) must accumulate identically or the
+    averages stop matching the sums they divide."""
     return (
         F.sum(
             F.expr(
@@ -60,7 +68,7 @@ def fpsum(expr: str, alias: str):
         )
         .cast("double")
         / F.lit(1000000.0)
-    ).alias(alias)
+    )
 
 
 def fpsum_sql(expr: str, alias: str) -> str:
@@ -179,15 +187,30 @@ def b02_csv_scan(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
+    # null/empty disambiguation pinned on BOTH sides: by default the
+    # CSV reader maps empty fields to NULL, so a lang='' row would
+    # round-trip as NULL and diverge from the parquet-reading oracle.
+    # Writing nulls as \N and empties as a quoted "" keeps the two
+    # distinct through the text format (probed: exact round-trip).
     path = _staged_io(
         sf_dir,
-        "docs_csv",
+        # v2: the tag is part of the content key, and the null/empty
+        # encoding below changed -- a pre-change staged dir must not be
+        # reused under the new read options
+        "docs_csv2",
         "documents",
-        lambda p: docs.write.mode("overwrite").option("header", True).csv(p),
+        lambda p: docs.write.mode("overwrite")
+        .option("header", True)
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
+        .csv(p),
     )
     schema = "doc_id bigint, lang string, source string, n_chars bigint"
     return (
-        spark.read.schema(schema).option("header", True).csv(path)
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("nullValue", "\\N")
+        .csv(path)
     )
 
 
@@ -452,21 +475,9 @@ def b14_agg_tpch_q1(spark, sf_dir):
     ssum = fpsum
 
     def savg(expr: str, alias: str):
-        # same ROUND-free fixed-point scaling as fpsum (see its
-        # docstring for the exactness argument + measured 6.3x win)
-        return (
-            (
-                F.sum(
-                    F.expr(
-                        f"CAST(({expr}) * 1000000 + "
-                        f"IF(({expr}) >= 0, 0.5D, -0.5D) AS BIGINT)"
-                    )
-                )
-                .cast("double")
-                / F.lit(1000000.0)
-            )
-            / F.count(expr)
-        ).alias(alias)
+        # exact-sum / count over the SHARED fixed-point accumulator
+        # (see fpsum; one definition keeps averages matching the sums)
+        return (_fp_scaled_sum(expr) / F.count(expr)).alias(alias)
 
     return (
         li.filter(F.col("l_shipdate") <= "2000-09-02")
@@ -1531,19 +1542,28 @@ def b49_merge_upsert(spark, sf_dir):
     )
 
 
-def _bucketed_join_inputs(spark, sf_dir):
-    """Shared by the b50 query and its plan contract: orders and
-    customer bucketed+sorted by custkey into matching bucket counts."""
+def _sf_tag_and_ver(sf_dir):
+    """The ONE copy of the bucketed-table staleness convention: a
+    catalog-safe sf tag plus a per-table source content version
+    (mtime_ns + size -- stale copies never reused)."""
     import os
     import re
 
-    from ..sources.bucketed import bucketed_table
-
     tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
 
-    def _ver(table):  # source content tag -> stale copies never reused
+    def ver(table):
         st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
         return f"{st.st_mtime_ns}_{st.st_size}"
+
+    return tag, ver
+
+
+def _bucketed_join_inputs(spark, sf_dir):
+    """Shared by the b50 query and its plan contract: orders and
+    customer bucketed+sorted by custkey into matching bucket counts."""
+    from ..sources.bucketed import bucketed_table
+
+    tag, _ver = _sf_tag_and_ver(sf_dir)
 
     orders = bucketed_table(
         spark,
@@ -1612,16 +1632,9 @@ def b07_join_inner_bucketed(spark, sf_dir):
     shuffle is in-memory, but on a 1000-executor cluster the elided
     exchange is the network-bound term. Registered as a headline twin
     so every BENCH/SCALE snapshot records both lanes side by side."""
-    import os
-    import re
-
     from ..sources.bucketed import bucketed_table
 
-    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
-
-    def _ver(table):
-        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
-        return f"{st.st_mtime_ns}_{st.st_size}"
+    tag, _ver = _sf_tag_and_ver(sf_dir)
 
     li = bucketed_table(
         spark,
@@ -2258,9 +2271,11 @@ def b64_nested_struct_hof(spark, sf_dir):
     "b65_winsorize",
     """
     WITH cuts AS (
+      -- cuts rounded to 6dp BEFORE use: interpolated percentiles are
+      -- the documented c44 ulp hazard (engine expression shapes differ)
       SELECT l_returnflag,
-             quantile_cont(l_extendedprice, 0.05) AS p05,
-             quantile_cont(l_extendedprice, 0.95) AS p95
+             ROUND(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+             ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l.l_returnflag,
@@ -2284,9 +2299,12 @@ def b65_winsorize(spark, sf_dir):
     same IEEE arithmetic in both engines; clamped values fold through
     ROUND-to-micros so the sum is exact."""
     li = _t(spark, sf_dir, "lineitem")
+    # cuts rounded to 6dp before the compare/clamp, both engines: raw
+    # interpolated percentiles can differ by an ulp across engines
+    # (the documented c44 hazard), which would flip boundary rows
     cuts = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
     )
     clamped = F.greatest(
         F.least(F.col("l_extendedprice"), F.col("p95")), F.col("p05")
@@ -3072,7 +3090,11 @@ def b81_tpch_q18(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return (
         li.join(
-            F.broadcast(big.withColumnRenamed("l_orderkey", "big_orderkey")),
+            # NOT F.broadcast: the qualifying-order set is an O(corpus)
+            # id set (a constant fraction of orders) -- forcing it onto
+            # every executor OOMs at scale; AQE picks broadcast itself
+            # when the set is genuinely small
+            big.withColumnRenamed("l_orderkey", "big_orderkey"),
             F.col("l_orderkey") == F.col("big_orderkey"),
             "left_semi",
         )
@@ -3357,9 +3379,13 @@ def b87_tpch_q21(spark, sf_dir):
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
-    late = F.col("l_shipdate") > F.date_add(
-        F.col("o_orderdate").cast("date"), 90
-    ).cast("timestamp")
+    # full-timestamp interval arithmetic (b28's form): a date_add over
+    # a .cast("date") truncates any time-of-day component, and nothing
+    # pins the generator to midnight orderdates -- the oracle computes
+    # o_orderdate + INTERVAL 90 DAY over the full timestamp
+    late = F.col("l_shipdate") > (
+        F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
     per_pair = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("l_orderkey", "l_suppkey")
@@ -4118,45 +4144,27 @@ def b97_mad_outliers(spark, sf_dir):
 def _binary_stage_dir(sf_dir):
     """Stage a deterministic directory of raw binary files (the first
     16 documents' text bytes, one .bin each) -- the on-disk form
-    multimodal corpora arrive in before any table exists. Keyed by
-    source identity like every other staging helper."""
+    multimodal corpora arrive in before any table exists. Delegates to
+    _staged_io: ONE copy of the content-keyed atomic staging
+    discipline (a hand-rolled twin here had already drifted from it)."""
     import os
-    import tempfile
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    tag = (
-        os.path.basename(os.path.normpath(sf_dir))
-        + f"_{st.st_mtime_ns}_{st.st_size}"
-    )
-    d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_bin_{tag}")
-    # atomic staging (tmp sibling + rename), same discipline as
-    # _staged_io: in-place per-file open('wb') writes were readable
-    # half-truncated by a concurrent binaryFile scan
-    if os.path.isdir(d):
-        return d
-    import shutil
-    import uuid
+    def write(tmp):
+        import duckdb
 
-    import duckdb
+        os.makedirs(tmp)
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT doc_id, text FROM read_parquet(?) "
+            "ORDER BY doc_id LIMIT 16",
+            [os.path.join(sf_dir, "documents.parquet")],
+        ).fetchall()
+        con.close()
+        for doc_id, text in rows:
+            with open(os.path.join(tmp, f"doc_{doc_id:06d}.bin"), "wb") as f:
+                f.write(text.encode("utf-8"))
 
-    tmp = f"{d}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
-    os.makedirs(tmp)
-    con = duckdb.connect()
-    rows = con.execute(
-        "SELECT doc_id, text FROM read_parquet(?) ORDER BY doc_id LIMIT 16",
-        [os.path.join(sf_dir, "documents.parquet")],
-    ).fetchall()
-    con.close()
-    for doc_id, text in rows:
-        with open(os.path.join(tmp, f"doc_{doc_id:06d}.bin"), "wb") as f:
-            f.write(text.encode("utf-8"))
-    try:
-        os.rename(tmp, d)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.isdir(d):
-            raise
-    return d
+    return _staged_io(sf_dir, "bin", "documents", write)
 
 
 @register(
