@@ -53,12 +53,23 @@ hop2 AS (
 _EDGE_CACHE: dict = {}
 
 
+def _session_stopped(df) -> bool:
+    sc = getattr(df.sparkSession, "_sc", None)
+    return sc is None or getattr(sc, "_jsc", None) is None
+
+
 def _cached_edges(spark, sf_dir):
     import os
     import re
 
     from ..sources.bucketed import bucketed_table
 
+    # lazy stopped-session eviction (similarity._OPEN_INDEXES's
+    # lifecycle): each cached DataFrame pins its session, so without
+    # the sweep a soak that cycles sessions accumulates dead entries
+    # (and their pinned JVM sessions) forever
+    for k in [k for k, v in list(_EDGE_CACHE.items()) if _session_stopped(v)]:
+        del _EDGE_CACHE[k]
     key = (id(spark), os.path.abspath(sf_dir))
     df = _EDGE_CACHE.get(key)
     if df is None:

@@ -810,10 +810,15 @@ def c13_token_budget_pack(spark, sf_dir):
     "c23_quality_topfrac",
     """
     WITH base AS (
+      -- empty docs excluded on BOTH sides: the ratio is undefined at
+      -- n_chars=0 (ANSI divide) and a NULL rank key would ORDER
+      -- differently across engines (Spark NULLS FIRST asc, DuckDB
+      -- NULLS LAST)
       SELECT doc_id, lang,
              length(text) AS n_chars_actual,
              length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS alpha
       FROM documents
+      WHERE length(text) > 0
     ),
     scored AS (
       SELECT doc_id, lang,
@@ -843,7 +848,10 @@ def c23_quality_topfrac(spark, sf_dir):
 
     n_chars = F.length("text").cast("bigint")
     alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z ]", ""))
-    scored = docs.select(
+    # empty docs excluded (mirrored in the oracle): n_chars=0 would
+    # abort under ANSI, and a NULL rank key orders differently across
+    # engines -- an empty doc has no quality rank
+    scored = docs.filter(n_chars > 0).select(
         "doc_id",
         "lang",
         ((n_chars - alpha) / n_chars).alias("non_alpha_ratio"),
@@ -1083,10 +1091,13 @@ def c22_winnowing_fingerprints(spark, sf_dir):
     "c24_release_gate",
     f"""
     WITH scored AS (
+      -- empty docs excluded, same rationale as c23 (ANSI divide +
+      -- cross-engine NULL ordering in the rank key)
       SELECT doc_id, lang,
              (length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')))
                / length(text) AS non_alpha_ratio
       FROM documents
+      WHERE length(text) > 0
     ),
     ranked AS (
       SELECT doc_id, lang, non_alpha_ratio,
@@ -1138,8 +1149,10 @@ def c24_release_gate(spark, sf_dir):
     n_chars = F.length("text").cast("bigint")
     alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z ]", ""))
     w = Window.partitionBy("lang").orderBy("non_alpha_ratio", "doc_id")
+    # empty docs excluded, same rationale as c23 (mirrored in SQL)
     ranked = (
-        docs.select(
+        docs.filter(n_chars > 0)
+        .select(
             "doc_id", "lang", ((n_chars - alpha) / n_chars).alias("non_alpha_ratio")
         )
         .withColumn("pr", F.percent_rank().over(w))

@@ -269,8 +269,11 @@ def a13_merge_versioned_store(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="a13_store_")
     final = None
     for i in range(3):
+        # pmod, not abs(...)%3: abs(Long.MIN_VALUE) stays negative, so
+        # that row would match NO batch and silently vanish from the
+        # merged store (pipeline/edges.py's hash-bucketing convention)
         batch = exploded.filter(
-            F.abs(F.xxhash64("src", "dst", "score")) % 3 == i
+            F.pmod(F.xxhash64("src", "dst", "score"), F.lit(3)) == i
         )
         final = merge_max_into(spark, root, batch)
     return final
@@ -613,7 +616,20 @@ def a27_rdf_roundtrip(spark, sf_dir):
     )
     path = os.path.join(tempfile.gettempdir(), f"dgraph_etl_rdfrt_{tag}")
     if not os.path.isdir(path):
-        R.write_rdf(triples, path)
+        # atomic publish (tmp sibling + rename): write_rdf writes into
+        # the final path directly, so a crashed export would otherwise
+        # pass the isdir gate forever and serve a PARTIAL triple file
+        import shutil
+        import uuid
+
+        tmp = f"{path}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        R.write_rdf(triples, tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(path):
+                raise
     lines = spark.read.text(path)
     pat = r"^_:(\S+) <has_connection> _:(\S+) \(score=(-?\d+)\) \.$"
     return lines.select(

@@ -254,8 +254,16 @@ def s09_foreachbatch_merge(spark, sf_dir):
 
     def merge_batch(batch_df, epoch_id):
         sp = batch_df.sparkSession
+        # state reads from STRICTLY-EARLIER epochs only (s12/s15
+        # pattern): a replayed epoch must not read its own partial
+        # v-dir as "existing" -- overwrite creates the dir before the
+        # commit, so versions[-1] after a mid-write crash IS the
+        # replaying epoch's own output (and Spark refuses to overwrite
+        # a path it is also reading)
         versions = sorted(
-            d for d in os.listdir(root) if d.startswith("v")
+            d
+            for d in os.listdir(root)
+            if d.startswith("v") and int(d[1:]) < epoch_id
         )
         batch_edges = max_score_per_edge(batch_df)
         if versions:
@@ -366,7 +374,7 @@ def s10_stream_incremental_dedup(spark, sf_dir):
     from ..streaming.core import docs_batched_source
 
     src = docs_batched_source(sf_dir)
-    store = os.path.join(tempfile.mkdtemp(prefix="s10_store_"), "accepted")
+    store = tempfile.mkdtemp(prefix="s10_store_")
     schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
     docs = (
         spark.readStream.schema(schema)
@@ -375,6 +383,10 @@ def s10_stream_incremental_dedup(spark, sf_dir):
     )
 
     def screen_batch(batch_df, epoch_id):
+        # per-epoch OVERWRITE dirs, state from strictly-earlier epochs
+        # (the audited s12/s15 pattern): an append into one mutable
+        # store cannot distinguish a replayed epoch from new data and
+        # leans on committer atomicity through the crash window
         sp = batch_df.sparkSession
         hashed = batch_df.select(
             "doc_id", F.sha2(F.col("text"), 256).alias("content_hash")
@@ -382,12 +394,19 @@ def s10_stream_incremental_dedup(spark, sf_dir):
         batch_min = hashed.groupBy("content_hash").agg(
             F.min("doc_id").alias("doc_id")
         )
-        if os.path.exists(store):
-            seen = sp.read.parquet(store).select("content_hash")
+        earlier = sorted(
+            d
+            for d in os.listdir(store)
+            if d.startswith("e") and int(d[1:]) < epoch_id
+        )
+        if earlier:
+            seen = sp.read.parquet(
+                *[os.path.join(store, d) for d in earlier]
+            ).select("content_hash")
             batch_min = batch_min.join(seen, "content_hash", "left_anti")
         batch_min.select("doc_id", "content_hash").write.mode(
-            "append"
-        ).parquet(store)
+            "overwrite"
+        ).parquet(os.path.join(store, f"e{epoch_id:05d}"))
 
     q = (
         docs.writeStream.foreachBatch(screen_batch)
@@ -399,7 +418,9 @@ def s10_stream_incremental_dedup(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(store).select("doc_id", "content_hash")
+    return spark.read.parquet(os.path.join(store, "e*")).select(
+        "doc_id", "content_hash"
+    )
 
 
 @register(
@@ -1318,20 +1339,19 @@ def s23_stream_cdc_apply(spark, sf_dir):
     I/U/D semantics). CDC family complete: c31 computes diffs, b105
     applies one, this applies a stream of them."""
     import os
-    import shutil
     import tempfile
 
     from ..streaming.core import docs_batched_source
 
     src = docs_batched_source(sf_dir)
     root = tempfile.mkdtemp(prefix="s23_cdc_")
-    store = os.path.join(root, "snapshot")
+    base = os.path.join(root, "base")
     from ..catalog import register_views
 
     register_views(spark, sf_dir)
     spark.table("documents").select(
         "doc_id", "text", "source"
-    ).write.mode("overwrite").parquet(store)
+    ).write.mode("overwrite").parquet(base)
     schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
     docs = (
         spark.readStream.schema(schema)
@@ -1363,7 +1383,18 @@ def s23_stream_cdc_apply(spark, sf_dir):
             "source",
         )
         changes = upd.unionByName(dele).unionByName(ins)
-        b = sp.read.parquet(store).alias("b")
+        # per-epoch versions, prior state from STRICTLY-EARLIER epochs
+        # (the audited foreachBatch pattern): the previous
+        # rmtree+rename fold-swap destroyed the accumulated snapshot if
+        # the process died between the two calls, and a replayed epoch
+        # would re-fold on top of its own output
+        earlier = sorted(
+            d
+            for d in os.listdir(root)
+            if d.startswith("e") and int(d[1:]) < epoch_id
+        )
+        prev = os.path.join(root, earlier[-1]) if earlier else base
+        b = sp.read.parquet(prev).alias("b")
         c = changes.alias("c")
         folded = (
             b.join(
@@ -1382,10 +1413,9 @@ def s23_stream_cdc_apply(spark, sf_dir):
                 ),
             )
         )
-        tmp = store + ".tmp"
-        folded.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(store, ignore_errors=True)
-        os.rename(tmp, store)
+        folded.write.mode("overwrite").parquet(
+            os.path.join(root, f"e{epoch_id:05d}")
+        )
 
     q = (
         docs.writeStream.foreachBatch(apply_batch)
@@ -1397,4 +1427,7 @@ def s23_stream_cdc_apply(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(store)
+    epochs = sorted(d for d in os.listdir(root) if d.startswith("e"))
+    return spark.read.parquet(
+        os.path.join(root, epochs[-1]) if epochs else base
+    )

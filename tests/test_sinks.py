@@ -99,7 +99,11 @@ def _edge_batches(spark, sf_dir, n_batches=3):
     register_views(spark, sf_dir)
     exploded = explode_bidirectional(spark.table("user_relationship"))
     return [
-        exploded.filter(F.abs(F.xxhash64("src", "dst", "score")) % n_batches == i)
+        # pmod, not abs(...)%n: abs(Long.MIN_VALUE) stays negative and
+        # would drop that row from every batch
+        exploded.filter(
+            F.pmod(F.xxhash64("src", "dst", "score"), F.lit(n_batches)) == i
+        )
         for i in range(n_batches)
     ]
 
