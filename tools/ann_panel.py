@@ -25,9 +25,11 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tools"))
 
-
-from tools.md_sections import dir_size as _dir_size  # noqa: E402
+# bare `md_sections`, the one module identity every tool uses -- a
+# `tools.md_sections` twin would load a second module object
+from md_sections import dir_size as _dir_size  # noqa: E402
 
 
 def main() -> None:

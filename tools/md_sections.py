@@ -1,4 +1,6 @@
-"""Shared marker-delimited-section splice for the soak tools.
+"""Shared helpers for the soak tools: the marker-delimited-section
+splice every tool uses to own its SCALE.md span, plus small
+filesystem utilities (dir_size) they previously each re-implemented.
 
 Every soak tool owns one or more SCALE.md sections delimited by HTML
 comment markers; replace_section swaps exactly the span between a
@@ -42,14 +44,16 @@ def replace_section(path: str, start: str, end: str, block: str) -> None:
 
 
 def dir_size(path: str) -> int:
-    """Recursive on-disk byte count, tolerant of files vanishing
+    """Recursive on-disk byte count, tolerant ONLY of files vanishing
     mid-walk (Spark temp/.part files being committed or cleaned while
-    a soak tool measures a live directory)."""
+    a soak tool measures a live directory). Any other IO problem
+    (EACCES, corrupt fs) stays loud -- silently skipping it would
+    understate the size figures recorded in SCALE.md."""
     tot = 0
     for root_, _, files in os.walk(path):
         for fn in files:
             try:
                 tot += os.path.getsize(os.path.join(root_, fn))
-            except OSError:
+            except FileNotFoundError:
                 pass
     return tot

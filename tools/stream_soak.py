@@ -28,6 +28,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "tools"))
 
+# bare `md_sections` (the module identity the other tools and the
+# in-file replace_section imports use)
+from md_sections import dir_size as _du  # noqa: E402
+
 DEFAULT_JOBS = [
     "s01_tumbling_counts",      # state = fixed window count
     "s05_streaming_max_per_key",  # state = per-key max
@@ -42,9 +46,6 @@ def _markers(replicas: int) -> tuple[str, str]:
         f"<!-- stream-soak-{replicas}x:start -->",
         f"<!-- stream-soak-{replicas}x:end -->",
     )
-
-
-from tools.md_sections import dir_size as _du  # noqa: E402
 
 
 def _stateful_probe(spark, sf_dir: str) -> dict:
