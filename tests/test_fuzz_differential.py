@@ -182,7 +182,11 @@ def test_random_query_matches_duckdb(engines, sql):
 def _exact_rows(df: pd.DataFrame) -> list[tuple]:
     cols = sorted(df.columns)
     rows = [
-        tuple(int(v) if v == v else None for v in rec)
+        # None passes a bare `v == v` NaN guard and int(None) raises:
+        # a null cell must report as a divergence, not a TypeError
+        tuple(
+            int(v) if v is not None and v == v else None for v in rec
+        )
         for rec in df[cols].itertuples(index=False, name=None)
     ]
     rows.sort(key=lambda t: tuple((x is None, x) for x in t))
@@ -363,18 +367,6 @@ def grouping_queries(draw) -> str:
     )
 
 
-def _canon_cell(v) -> str:
-    """NULL-and-dtype-insensitive cell canonicalization: pandas renders
-    a NULL as None or NaN depending on column dtype, and DuckDB returns
-    integer SUMs as int128-backed objects or floats where Spark returns
-    int64 -- str() alone would flag '960.0' != '960' as a divergence."""
-    if v is None or v != v:
-        return "∅"
-    if isinstance(v, float) and v.is_integer():
-        return str(int(v))
-    return str(v)
-
-
 @settings(max_examples=_SCALE * 30, deadline=None, derandomize=True)
 @given(sql=grouping_queries())
 def test_random_grouping_sets_match_duckdb(engines, sql):
@@ -382,11 +374,11 @@ def test_random_grouping_sets_match_duckdb(engines, sql):
     s = spark.sql(sql).toPandas()
     o = con.execute(sql).df()
     s_rows = sorted(
-        tuple(_canon_cell(v) for v in r)
+        tuple(_canon_nested(v) for v in r)
         for r in s.itertuples(index=False, name=None)
     )
     o_rows = sorted(
-        tuple(_canon_cell(v) for v in r)
+        tuple(_canon_nested(v) for v in r)
         for r in o.itertuples(index=False, name=None)
     )
     if not s_rows and o_rows and all(r[4] == "0" for r in o_rows):
@@ -469,6 +461,12 @@ def nested_specs(draw):
 
 
 def _canon_nested(v) -> str:
+    """THE cell canonicalizer for the fuzz families (scalar + nested):
+    NULL-and-dtype-insensitive -- pandas renders NULL as None or NaN by
+    dtype, DuckDB returns integer SUMs as int128 objects or floats
+    where Spark returns int64, so str() alone would flag '960.0' !=
+    '960'. The grouping-sets family shares this (a scalar-only twin
+    had already started to diverge)."""
     if v is None:
         return "∅"
     if isinstance(v, float):

@@ -76,12 +76,21 @@ def test_null_vs_value_is_caught():
     assert compare_frames(good, bad)
 
 
-def test_nan_and_none_unify_on_float_columns():
-    # the driver's pandas canonicalization turns SQL NULL into NaN on
-    # one side and None on the other; both must read as the same cell
-    a = pd.DataFrame({"k": [1, 2], "v": [1.0, np.nan]})
-    b = pd.DataFrame({"k": [1, 2], "v": [1.0, float("nan")]})
+def test_null_unification_is_float64_only_and_object_none_stays_loud():
+    # The ACTUAL comparator contract (the previous form of this test
+    # compared two bit-identical NaN frames -- vacuous): SQL NULLs
+    # unify because the driver canonicalizes nullable columns to
+    # float64, where NULL IS NaN on both sides...
+    a = pd.DataFrame(
+        {"k": [1, 2], "v": pd.array([10, None], dtype="Int64").astype("float64")}
+    )
+    b = pd.DataFrame({"k": [1, 2], "v": [10.0, float("nan")]})
     assert compare_frames(a, b) == []
+    # ...while an OBJECT-dtype None column (un-canonicalized input) is
+    # a dtype-family mismatch reported loudly, never silently unified
+    c = pd.DataFrame({"k": [1, 2], "v": pd.array([10.0, None], dtype=object)})
+    probs = compare_frames(c, b)
+    assert any("dtype family" in p for p in probs), probs
 
 
 def test_negative_zero_vs_zero_is_distinguished():

@@ -34,7 +34,8 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert all(k in queries_keys() for k in e.oracle_sql())
+    extra = set(e.oracle_sql()) - queries_keys()
+    assert not extra, f"oracles without queries: {sorted(extra)}"
 
 
 def queries_keys():

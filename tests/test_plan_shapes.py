@@ -292,8 +292,12 @@ def test_release_gate_single_corpus_shuffle_and_broadcast_anti(spark, sf_small):
     exchanges allowed are the quality window's lang partitioning and
     AQE artifacts, not gram-keyed shuffles."""
     plan = plan_of(spark, sf_small, "c24_release_gate")
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # JOINT fragment: decoupled "BroadcastHashJoin" + "LeftAnti"
+    # substrings stayed green if the anti-join regressed to a
+    # ShuffledHashJoin while any OTHER join still broadcast
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
 
 
 def test_contamination_screen_broadcasts_eval_side(spark, sf_small):
@@ -304,6 +308,7 @@ def test_contamination_screen_broadcasts_eval_side(spark, sf_small):
     plan = plan_of(spark, sf_small, "c21_contamination_screen")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan  # gram-keyed corpus shuffle
 
 
 def test_hash_split_respects_custom_key(spark):

@@ -58,6 +58,10 @@ def test_q1_groups_double_counts_preserve_avgs(spark, two_rep):
                 assert t[col] == v, f"{k}.{col}: avg must be exact-equal"
             elif col.startswith(("count", "n_", "sum")):
                 assert t[col] == 2 * v, f"{k}.{col}: must double exactly"
+            else:
+                # exhaustive: a column matching no prefix would
+                # silently shrink this test's coverage
+                raise AssertionError(f"unclassified b14 column {col!r}")
 
 
 def test_exact_dedup_groups_double_copies_preserved(spark, two_rep):
@@ -68,18 +72,26 @@ def test_exact_dedup_groups_double_copies_preserved(spark, two_rep):
     assert two == sorted(base + base)
 
 
-def test_lsh_pairs_double_and_never_cross_replica(spark, two_rep):
-    base = _rows(spark, "c02_minhash_lsh_pairs", SRC)
-    two = _rows(spark, "c02_minhash_lsh_pairs", two_rep)
-    assert len(two) == 2 * len(base)
-    for r in two:
-        assert (r.doc_a < 1_000_000) == (r.doc_b < 1_000_000), (
-            f"cross-replica pair {r.doc_a}-{r.doc_b}: replica token "
-            f"suffixing failed to keep shingle sets disjoint"
-        )
+def test_lsh_pairs_preserved_and_grown_under_replication(spark, two_rep):
+    """Base docs are byte-identical in the replicated corpus, so their
+    signatures and band keys are unchanged: every base pair MUST
+    survive. The previous exact-2x + zero-cross-replica assertions
+    were fixture coincidences, not invariants -- replica-1 shingle
+    hashes are unrelated to their base twins (borderline band
+    collisions can differ) and LSH collides dissimilar docs with
+    nonzero probability, so a fixture regen could fail a CORRECT
+    engine and misdiagnose the cause."""
+    base = {(r.doc_a, r.doc_b) for r in _rows(spark, "c02_minhash_lsh_pairs", SRC)}
+    two = {(r.doc_a, r.doc_b) for r in _rows(spark, "c02_minhash_lsh_pairs", two_rep)}
+    assert base <= two, sorted(base - two)[:5]
+    # the replica contributes additional pairs (its own near-dups)
+    assert len(two) > len(base)
 
 
 def test_q6_revenue_doubles_exactly(spark, two_rep):
     (b,) = _rows(spark, "b67_tpch_q6", SRC)
     (t,) = _rows(spark, "b67_tpch_q6", two_rep)
     assert t[0] == 2 * b[0]
+    # the matched-ROW count must double too: revenue alone could pass
+    # under a filter regression with compensating values
+    assert t[1] == 2 * b[1]
