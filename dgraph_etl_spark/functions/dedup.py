@@ -55,12 +55,27 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def prefix_key_dedup(docs: DataFrame, n_tokens: int = 3) -> DataFrame:
     """C1 variant exercising real collisions on the fixture: dedup key =
-    first n tokens. Winner = min doc_id per key (hash agg, no window)."""
+    first n tokens. Winner = min doc_id per key (hash agg, no window).
+
+    NULL text yields a NULL prefix_key kept as a SINGLETON (same
+    null-key contract as exact_dedup; concat_ws over a NULL array
+    previously produced '', silently merging NULL-text docs with each
+    other AND with genuinely-empty docs while the oracle's
+    array_to_string(NULL) stayed NULL)."""
     key = F.concat_ws(" ", F.slice(tokens(), 1, n_tokens))
+    pk = F.when(F.col("text").isNull(), F.lit(None).cast("string")).otherwise(
+        F.md5(key)
+    )
     return (
-        docs.select(F.md5(key).alias("prefix_key"), "doc_id")
-        .groupBy("prefix_key")
+        docs.select(pk.alias("prefix_key"), "doc_id")
+        .groupBy(
+            "prefix_key",
+            F.when(F.col("prefix_key").isNull(), F.col("doc_id")).alias(
+                "_null_key"
+            ),
+        )
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .select("prefix_key", "doc_id", "n_docs")
     )
 
 
@@ -387,14 +402,19 @@ def simhash_signatures(docs: DataFrame, portable: bool = False) -> DataFrame:
     so downstream queries are oracle-checkable value-for-value."""
     n_bits = simhash_bits(portable)
     hash_fn = _portable_token_hash if portable else F.xxhash64
+    # inner explode, not explode_outer: a NULL-text doc has no tokens
+    # and therefore NO signature (SQL unnest semantics -- the oracle
+    # drops it). explode_outer kept it with signature 0, silently
+    # pairing every NULL-text doc as a Hamming-0 "near-dup" and
+    # diverging from the hash-exact oracle. (Non-null text always
+    # tokenizes to >= 1 token, so no real doc is lost.)
     th = docs.select(
         "doc_id",
-        F.explode_outer(F.transform(tokens(), lambda t: hash_fn(t))).alias("h"),
+        F.explode(F.transform(tokens(), lambda t: hash_fn(t))).alias("h"),
     )
     votes = [
         F.sum(
-            F.when(F.col("h").isNull(), F.lit(0))
-            .when(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            F.when(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
             .otherwise(F.lit(-1))
         ).alias(f"v{i}")
         for i in range(n_bits)

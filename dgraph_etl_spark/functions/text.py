@@ -376,6 +376,14 @@ def top_bigrams(docs: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+def split_bucket(key: Column) -> Column:
+    """The ONE definition of the split-bucket expression (first 2 hex
+    chars of md5(key)): hash_split and the pipelines that attach a
+    split label inline (c24's release gate) must bucket identically or
+    holdout docs leak between pipeline stages."""
+    return F.substring(F.md5(key.cast("string")), 1, 2)
+
+
 def hash_split(
     docs: DataFrame,
     key: Column | str = "doc_id",
@@ -390,7 +398,7 @@ def hash_split(
     bucket < '0d' -> test (~5%), < '1a' -> val (~5%), rest train.
     Pure per-row expression: no shuffle, no state, scales linearly."""
     k = F.col(key) if isinstance(key, str) else key
-    bucket = F.substring(F.md5(k.cast("string")), 1, 2)
+    bucket = split_bucket(k)
     # emit the split keyed by the ACTUAL key column (aliased to its own
     # name), not a hardcoded doc_id -- a non-default key on a DataFrame
     # without doc_id must still work and must pair the split with the

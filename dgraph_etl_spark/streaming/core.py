@@ -93,46 +93,58 @@ def _stage_atomic(d: str, write_batches) -> str:
         return d
     lock = f"{d}.lock"
     deadline = time.monotonic() + 3600.0
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    # acquisition via os.link: the holder pid becomes visible
+    # ATOMICALLY with the lock itself. An O_EXCL-create-then-write
+    # protocol had a measured race -- a waiter reading the lock in the
+    # window between create and write saw an EMPTY file, parsed holder
+    # pid 0 as dead, and broke a LIVE lock (two stagers then raced to
+    # publish, ENOTEMPTY).
+    mine = f"{lock}.{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    with open(mine, "w") as fh:
+        fh.write(str(os.getpid()))
+    try:
+        while True:
             try:
-                os.write(fd, str(os.getpid()).encode())
-            finally:
-                os.close(fd)
-            break
-        except FileExistsError:
-            if _stage_complete(d):
-                return d
-            try:
-                with open(lock) as fh:
-                    holder = int(fh.read().strip() or "0")
-            except (OSError, ValueError):
-                time.sleep(0.05)  # lock mid-create or just released
-                continue
-            alive = False
-            if holder > 0:
+                os.link(mine, lock)
+                break
+            except FileExistsError:
+                if _stage_complete(d):
+                    return d
                 try:
-                    os.kill(holder, 0)
-                    alive = True
-                except ProcessLookupError:
-                    alive = False
-                except PermissionError:
-                    alive = True  # exists, owned by someone else
-            if not alive:
-                # crashed holder: break the lock (losing a concurrent
-                # unlink race here is benign -- both retry O_EXCL)
-                try:
-                    os.unlink(lock)
+                    with open(lock) as fh:
+                        holder = int(fh.read().strip() or "-1")
                 except OSError:
-                    pass
-                continue
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"stage lock {lock} held by live pid {holder} for "
-                    "over an hour; refusing to wait longer"
-                )
-            time.sleep(0.05)
+                    time.sleep(0.05)  # just released; retry
+                    continue
+                except ValueError:
+                    holder = -1  # unparseable: treat as live, wait
+                alive = True
+                if holder > 0:
+                    try:
+                        os.kill(holder, 0)
+                    except ProcessLookupError:
+                        alive = False
+                    except PermissionError:
+                        pass  # exists, owned by someone else
+                if not alive:
+                    # crashed holder: break the lock (losing a
+                    # concurrent unlink race is benign -- both retry)
+                    try:
+                        os.unlink(lock)
+                    except OSError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"stage lock {lock} held by live pid {holder} "
+                        "for over an hour; refusing to wait longer"
+                    )
+                time.sleep(0.05)
+    finally:
+        try:
+            os.unlink(mine)
+        except OSError:
+            pass
     try:
         if _stage_complete(d):
             return d

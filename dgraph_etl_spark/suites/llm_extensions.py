@@ -66,7 +66,8 @@ def c01_exact_dedup(spark, sf_dir):
       SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS prefix_key,
              doc_id
       FROM documents
-    ) p GROUP BY prefix_key
+    ) p GROUP BY prefix_key,
+                 CASE WHEN prefix_key IS NULL THEN doc_id END
     """,
 )
 def c01_prefix_dedup(spark, sf_dir):
@@ -219,10 +220,12 @@ def c02_simhash_hamming_pairs(spark, sf_dir):
     return D.simhash_hamming_pairs(_docs(spark, sf_dir), r=3, portable=True)
 
 
-@register(
-    "c02_ngram_jaccard",
-    """
-    WITH toks AS (
+# the 2-gram lang-blocked Jaccard candidate CTEs, ONE definition
+# mirroring D.ngram_jaccard_pairs(n=2, block=lang): previously
+# copy-pasted into four oracles, where a threshold/blocking fix
+# applied to one copy would leave the others certifying a different
+# pipeline than the shared implementation
+_JACCARD_CAND_CTES = """toks AS (
       SELECT doc_id, lang AS blk, string_split(text, ' ') AS t FROM documents
     ),
     grams AS (
@@ -238,7 +241,36 @@ def c02_simhash_hamming_pairs(spark, sf_dir):
       FROM exploded a JOIN exploded b
         ON a.blk = b.blk AND a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-    )
+    )"""
+
+# ...extended to connected components (threshold 0.5 pairs ->
+# undirected edges -> transitive reach); consumers add their own
+# `comp` projection on top
+_NEARDUP_COMPONENT_CTES = (
+    _JACCARD_CAND_CTES
+    + """,
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(n_common / (sa.sz + sb.sz - n_common), 4) >= 0.5
+    ),
+    uedges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM uedges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN uedges e ON r.v = e.u
+    )"""
+)
+
+
+@register(
+    "c02_ngram_jaccard",
+    f"""
+    WITH {_JACCARD_CAND_CTES}
     SELECT doc_a, doc_b, n_common,
            ROUND(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
     FROM inter
@@ -257,39 +289,8 @@ def c02_ngram_jaccard(spark, sf_dir):
 
 @register(
     "c02_neardup_components",
-    """
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, lang AS blk, string_split(text, ' ') AS t FROM documents
-    ),
-    grams AS (
-      SELECT doc_id, blk,
-             list_distinct([array_to_string(t[i:i+1], ' ')
-                            for i in range(1, greatest(len(t) - 1, 1) + 1)]) AS gs
-      FROM toks
-    ),
-    exploded AS (SELECT doc_id, blk, unnest(gs) AS g FROM grams),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exploded GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM exploded a JOIN exploded b
-        ON a.blk = b.blk AND a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE ROUND(n_common / (sa.sz + sb.sz - n_common), 4) >= 0.5
-    ),
-    edges AS (
-      SELECT doc_a AS u, doc_b AS v FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(u, v) AS (
-      SELECT u, v FROM edges
-      UNION
-      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    )
+    f"""
+    WITH RECURSIVE {_NEARDUP_COMPONENT_CTES}
     SELECT d.doc_id,
            COALESCE(LEAST(d.doc_id, MIN(r.v)), d.doc_id) AS component
     FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
@@ -1166,8 +1167,18 @@ def c24_release_gate(spark, sf_dir):
         .join(contaminated, "doc_id", "left_anti")
     )
     sampled = SP.hash_sample(kept, key="doc_id", rate=0.5, seed="s0")
-    split = X.hash_split(sampled, key="doc_id").select("doc_id", "split")
-    return sampled.select("doc_id", "lang").join(split, "doc_id")
+    # split is a pure per-row function of doc_id: attach it as an
+    # expression. Joining hash_split(sampled) back onto sampled planned
+    # the whole gate (quality window + contamination screen +
+    # anti-join) on BOTH join branches -- the gate executed twice
+    bucket = X.split_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < "0d", "test")
+        .when(bucket < "1a", "val")
+        .otherwise("train")
+        .alias("split")
+    )
+    return sampled.select("doc_id", "lang", split)
 
 
 @register(
@@ -1244,38 +1255,8 @@ def c20_srp_neardup(spark, sf_dir):
 
 @register(
     "c17_full_curation",
-    """
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, lang AS blk, string_split(text, ' ') AS t FROM documents
-    ),
-    grams AS (
-      SELECT doc_id, blk,
-             list_distinct([array_to_string(t[i:i+1], ' ')
-                            for i in range(1, greatest(len(t) - 1, 1) + 1)]) AS gs
-      FROM toks
-    ),
-    exploded AS (SELECT doc_id, blk, unnest(gs) AS g FROM grams),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exploded GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM exploded a JOIN exploded b
-        ON a.blk = b.blk AND a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE ROUND(n_common / (sa.sz + sb.sz - n_common), 4) >= 0.5
-    ),
-    edges AS (
-      SELECT doc_a AS u, doc_b AS v FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(u, v) AS (
-      SELECT u, v FROM edges
-      UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    ),
+    f"""
+    WITH RECURSIVE {_NEARDUP_COMPONENT_CTES},
     comp AS (
       SELECT d.doc_id,
              COALESCE(LEAST(d.doc_id, MIN(r.v)), d.doc_id) AS component
@@ -1819,10 +1800,13 @@ def c30_source_overlap(spark, sf_dir):
     from ..functions.text import doc_span_hashes
 
     spans = doc_span_hashes(docs.select("doc_id", "text"))
+    # materialized once: sh feeds both self-join sides (otherwise the
+    # span-hash explode + docs join is planned and executed twice)
     sh = (
         spans.join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "h")
         .dropDuplicates(["source", "h"])
+        .localCheckpoint()
     )
     a, b = sh.alias("a"), sh.alias("b")
     return (
@@ -2423,39 +2407,8 @@ def c41_curriculum_order(spark, sf_dir):
 
 @register(
     "c42_best_copy_canonical",
-    """
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, lang AS blk, string_split(text, ' ') AS t FROM documents
-    ),
-    grams AS (
-      SELECT doc_id, blk,
-             list_distinct([array_to_string(t[i:i+1], ' ')
-                            for i in range(1, greatest(len(t) - 1, 1) + 1)]) AS gs
-      FROM toks
-    ),
-    exploded AS (SELECT doc_id, blk, unnest(gs) AS g FROM grams),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exploded GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM exploded a JOIN exploded b
-        ON a.blk = b.blk AND a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE ROUND(n_common / (sa.sz + sb.sz - n_common), 4) >= 0.5
-    ),
-    uedges AS (
-      SELECT doc_a AS u, doc_b AS v FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(u, v) AS (
-      SELECT u, v FROM uedges
-      UNION
-      SELECT r.u, e.v FROM reach r JOIN uedges e ON r.v = e.u
-    ),
+    f"""
+    WITH RECURSIVE {_NEARDUP_COMPONENT_CTES},
     comp AS (
       SELECT d.doc_id, d.n_chars,
              COALESCE(LEAST(d.doc_id, MIN(r.v)), d.doc_id) AS component
@@ -3441,8 +3394,11 @@ def c59_source_centroid_drift(spark, sf_dir):
         .select(
             "source_a",
             "source_b",
+            # try_divide: a zero-norm source centroid (all component
+            # means floor to 0) must yield NULL like the oracle's
+            # x/0 -> NULL, not an ANSI DIVIDE_BY_ZERO abort
             F.round(
-                dot / (sq(F.col("cva")) * sq(F.col("cvb"))), 6
+                F.try_divide(dot, sq(F.col("cva")) * sq(F.col("cvb"))), 6
             ).alias("centroid_cosine"),
         )
     )
@@ -3676,7 +3632,12 @@ def c64_containment_pairs(spark, sf_dir):
             )
         ).alias("gs"),
     )
-    exploded = grams.select("doc_id", F.explode("gs").alias("g"))
+    # materialized once: exploded feeds BOTH self-join sides and the
+    # sizes agg (ngram_jaccard_pairs' rationale -- otherwise the
+    # per-doc shingle explode is planned three times)
+    exploded = grams.select(
+        "doc_id", F.explode("gs").alias("g")
+    ).localCheckpoint()
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
@@ -3711,30 +3672,69 @@ def c64_containment_pairs(spark, sf_dir):
     )
 
 
-@register(
-    "c65_lexical_retrieval",
-    """
-    WITH corpus AS (SELECT COUNT(*) AS n FROM documents),
-    qterms AS (
-      SELECT unnest(['table', 'scan', 'fast']) AS term
-    ),
+# the c65 sparse-retrieval leg, ONE definition for both engines:
+# c66's fusion reuses these verbatim so the fused ranking can never
+# drift from the lexical leg it claims to fuse
+_SPARSE_QTERMS = ["table", "scan", "fast"]
+
+_SPARSE_SQL_CTES = """
+    corpus AS (SELECT COUNT(*) AS n FROM documents),
     tf AS (
       SELECT d.doc_id, tok.t AS term, COUNT(*) AS tf
       FROM documents d,
            LATERAL (SELECT unnest(string_split(d.text, ' ')) AS t) tok
-      JOIN qterms q ON tok.t = q.term
+      JOIN (SELECT unnest(['table', 'scan', 'fast']) AS term) q
+        ON tok.t = q.term
       GROUP BY d.doc_id, tok.t
     ),
     df AS (
       SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    sparse_scored AS (
+      SELECT t.doc_id,
+             CAST(SUM(CAST(ROUND(
+               (t.tf * CAST((SELECT n FROM corpus) AS DOUBLE) / f.df)
+               * 1000000, 0) AS BIGINT)) AS BIGINT) AS score_fp
+      FROM tf t JOIN df f ON t.term = f.term
+      GROUP BY t.doc_id
+    )"""
+
+
+def _sparse_scores(docs):
+    """tf x linear-idf fixed-point scores per doc (see
+    c65_lexical_retrieval's docstring for the linear-not-log idf and
+    fixed-point rationale)."""
+    n_corpus = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term").isin(_SPARSE_QTERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    SELECT t.doc_id,
-           CAST(SUM(CAST(ROUND(
-             (t.tf * CAST((SELECT n FROM corpus) AS DOUBLE) / f.df)
-             * 1000000, 0) AS BIGINT)) AS BIGINT) AS score_fp
-    FROM tf t JOIN df f ON t.term = f.term
-    GROUP BY t.doc_id
-    ORDER BY score_fp DESC, t.doc_id LIMIT 20
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(ROUND((tf * CAST(n AS DOUBLE) / df)"
+                    " * 1000000, 0) AS BIGINT)"
+                )
+            ).alias("score_fp")
+        )
+    )
+
+
+@register(
+    "c65_lexical_retrieval",
+    f"""
+    WITH {_SPARSE_SQL_CTES.lstrip()}
+    SELECT doc_id, score_fp FROM sparse_scored
+    ORDER BY score_fp DESC, doc_id LIMIT 20
     """,
     defer=True,
 )
@@ -3751,32 +3751,8 @@ def c65_lexical_retrieval(spark, sf_dir):
     df is a 3-row aggregate, one doc-keyed sum, top-k via
     TakeOrderedAndProject. BM25's saturation/length terms drop into
     the same expression."""
-    docs = _docs(spark, sf_dir)
-    qterms = ["table", "scan", "fast"]
-    n_corpus = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
-    tf = (
-        docs.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("term")
-        )
-        .filter(F.col("term").isin(qterms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
     return (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(n_corpus))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CAST(ROUND((tf * CAST(n AS DOUBLE) / df)"
-                    " * 1000000, 0) AS BIGINT)"
-                )
-            ).alias("score_fp")
-        )
+        _sparse_scores(_docs(spark, sf_dir))
         .orderBy(F.desc("score_fp"), "doc_id")
         .limit(20)
     )
@@ -3784,7 +3760,7 @@ def c65_lexical_retrieval(spark, sf_dir):
 
 @register(
     "c66_hybrid_rrf_fusion",
-    """
+    f"""
     WITH dense AS (
       SELECT vec_id AS doc_id,
              ROW_NUMBER() OVER (
@@ -3796,29 +3772,11 @@ def c65_lexical_retrieval(spark, sf_dir):
                   WHERE vec_id = 0) q
       ORDER BY rnk LIMIT 20
     ),
-    corpus AS (SELECT COUNT(*) AS n FROM documents),
-    tf AS (
-      SELECT d.doc_id, tok.t AS term, COUNT(*) AS tf
-      FROM documents d,
-           LATERAL (SELECT unnest(string_split(d.text, ' ')) AS t) tok
-      JOIN (SELECT unnest(['table', 'scan', 'fast']) AS term) q
-        ON tok.t = q.term
-      GROUP BY d.doc_id, tok.t
-    ),
-    df AS (
-      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
-    ),
+    {_SPARSE_SQL_CTES.lstrip()},
     sparse AS (
       SELECT doc_id,
              ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS rnk
-      FROM (
-        SELECT t.doc_id,
-               CAST(SUM(CAST(ROUND(
-                 (t.tf * CAST((SELECT n FROM corpus) AS DOUBLE) / f.df)
-                 * 1000000, 0) AS BIGINT)) AS BIGINT) AS score_fp
-        FROM tf t JOIN df f ON t.term = f.term
-        GROUP BY t.doc_id
-      ) s ORDER BY rnk LIMIT 20
+      FROM sparse_scored ORDER BY rnk LIMIT 20
     )
     SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id,
            d.rnk AS dense_rank, s.rnk AS sparse_rank,
@@ -3853,30 +3811,8 @@ def c66_hybrid_rrf_fusion(spark, sf_dir):
             .alias("rnk"),
         )
     )
-    docs = _docs(spark, sf_dir)
-    qterms = ["table", "scan", "fast"]
-    n_corpus = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
-    tf = (
-        docs.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("term")
-        )
-        .filter(F.col("term").isin(qterms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     sparse = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n_corpus))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CAST(ROUND((tf * CAST(n AS DOUBLE) / df)"
-                    " * 1000000, 0) AS BIGINT)"
-                )
-            ).alias("score_fp")
-        )
+        _sparse_scores(_docs(spark, sf_dir))
         .orderBy(F.desc("score_fp"), "doc_id")
         .limit(20)
         .coalesce(1)
