@@ -42,7 +42,12 @@ def rate_threshold_hex(rate: float) -> str:
 
 
 def _bucket(key: Column, seed: str) -> Column:
-    return F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, _HEX_WIDTH)
+    # null-safe: md5(concat(seed, NULL)) is NULL and `NULL < thr`
+    # drops the row at EVERY rate, silently breaking the rate=1.0
+    # keep-everything contract. A NULL key buckets via a NUL sentinel
+    # (mirrored as COALESCE(..., chr(0)) in every consuming oracle).
+    k = F.coalesce(key.cast("string"), F.lit("\x00"))
+    return F.substring(F.md5(F.concat(F.lit(seed), k)), 1, _HEX_WIDTH)
 
 
 def hash_sample(
@@ -98,9 +103,11 @@ def mixture_epochs(
     copies = F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies)).otherwise(
         F.array().cast("array<int>")
     )
+    # rows stay WHOLE: a mixture that kept only (key, strata, epoch)
+    # forced every consumer to join the output back onto the corpus by
+    # key to recover the payload -- a full extra shuffle at 100 TB
     return df.select(
-        F.col(key),
-        F.col(strata_col),
+        "*",
         F.explode(copies).alias("epoch"),
     ).withColumn("epoch", F.col("epoch").cast("bigint"))
 

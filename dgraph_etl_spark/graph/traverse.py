@@ -48,7 +48,14 @@ def expand(
     broadcast_frontier: bool = True,
 ) -> DataFrame:
     """G2/G3: one hop -- follow edges out of the frontier, excluding
-    anything already visited. frontier/visited have column `id`."""
+    anything already visited. frontier/visited have column `id`.
+
+    ``broadcast_frontier=True`` is right for the reference-parity
+    seeded traversals (a team's 2-hop frontier is bounded by team size
+    x degree). It is a FORCED hint AQE cannot undo: for unbounded
+    exploration on a power-law graph -- where a hop-2/3 frontier can
+    reach a large fraction of all nodes -- pass False and let AQE pick
+    the join side from runtime stats."""
     f = F.broadcast(frontier) if broadcast_frontier else frontier
     reached = (
         f.join(edges, f["id"] == edges["src"], "inner")
@@ -152,6 +159,22 @@ def degree_stats(edges: DataFrame) -> DataFrame:
         F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
         F.coalesce("out_score", F.lit(0.0)).alias("out_score"),
         F.coalesce("in_score", F.lit(0.0)).alias("in_score"),
+    )
+
+
+def _symmetric_adjacency(und, src: str = "u", dst: str = "v"):
+    """One (vertex, neighbor) row per direction of the canonical
+    undirected edge set -- the ONE definition of the adjacency k_core,
+    link prediction, and neighbor-degree all build (three hand-kept
+    copies had to stay in sync before)."""
+    return und.select(
+        F.col("a").alias(src), F.col("b").alias(dst)
+    ).unionByName(und.select(F.col("b").alias(src), F.col("a").alias(dst)))
+
+
+def _degrees(sym, src: str = "u"):
+    return sym.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
     )
 
 
@@ -286,6 +309,11 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # loud, named failure (personalized_pagerank's empty-seed
+        # pattern): 1.0 / n below would raise a bare
+        # ZeroDivisionError before any Spark job runs
+        raise ValueError("pagerank: empty edge table (no nodes)")
     out_deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
@@ -452,10 +480,7 @@ def k_core(edges: DataFrame, k: int = 3, n_rounds: int = 10) -> DataFrame:
     peel until a round removes nothing (driver checks a count per
     round); the per-round work is identical."""
     und = undirected_edges(edges)
-    # symmetric adjacency: one row per (vertex, neighbor) direction
-    sym = und.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    sym = _symmetric_adjacency(und, "src", "dst")
     alive = sym.localCheckpoint(eager=False)
     for _ in range(n_rounds):
         deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -490,12 +515,8 @@ def jaccard_link_prediction(
     are removed by one anti-join on the canonical pair; degrees
     broadcast-join back onto the surviving candidates."""
     und = undirected_edges(edges)
-    sym = und.select(
-        F.col("a").alias("u"), F.col("b").alias("v")
-    ).unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
-    deg = sym.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
+    sym = _symmetric_adjacency(und)
+    deg = _degrees(sym)
     # wedge: x - n - y with x < y  =>  candidate pair (x, y), counted
     # once per shared neighbor n -> count(*) = |N(x) ∩ N(y)|
     l, r = sym.alias("l"), sym.alias("r")
@@ -538,12 +559,8 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
     two hash aggs + one equi-join, exact integer sums with a single
     IEEE division at the end."""
     und = undirected_edges(edges)
-    sym = und.select(
-        F.col("a").alias("u"), F.col("b").alias("v")
-    ).unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
-    deg = sym.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
+    sym = _symmetric_adjacency(und)
+    deg = _degrees(sym)
     ndeg = sym.join(
         deg.select(F.col("node").alias("v"), F.col("deg").alias("v_deg")),
         "v",
@@ -658,6 +675,11 @@ def weighted_pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # loud, named failure (personalized_pagerank's empty-seed
+        # pattern): 1.0 / n below would raise a bare
+        # ZeroDivisionError before any Spark job runs
+        raise ValueError("pagerank: empty edge table (no nodes)")
     out_w = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(

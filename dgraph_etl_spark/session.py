@@ -31,8 +31,13 @@ def get_spark(
     Settings chosen for the local[N] test harness; every one of them is
     either neutral or beneficial on a 1000-executor cluster.
     """
-    n = str(cpus or DEFAULT_CPUS)
-    sp = shuffle_partitions if shuffle_partitions is not None else max(int(n), 8)
+    n = str(cpus if cpus is not None else DEFAULT_CPUS)
+    # '*' is a valid local-master spec (all cores); the shuffle
+    # default must not int() it -- derive from the machine instead
+    n_int = int(n) if n.isdigit() else (os.cpu_count() or 8)
+    if n_int < 1:
+        raise ValueError(f"cpus must be >= 1 or '*', got {cpus!r}")
+    sp = shuffle_partitions if shuffle_partitions is not None else max(n_int, 8)
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)

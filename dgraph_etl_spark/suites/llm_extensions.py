@@ -876,7 +876,7 @@ _STRAT_DEFAULT = 0.1
     "c19_hash_sample",
     f"""
     SELECT doc_id, lang, n_chars FROM documents
-    WHERE substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 8)
+    WHERE substr(md5('s0' || COALESCE(CAST(doc_id AS VARCHAR), chr(0))), 1, 8)
           < '{_SAMPLE_THR_25}'
     """,
 )
@@ -895,7 +895,7 @@ def c19_hash_sample(spark, sf_dir):
     "c19_stratified_sample",
     f"""
     SELECT doc_id, lang FROM documents
-    WHERE substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 8) <
+    WHERE substr(md5('s0' || COALESCE(CAST(doc_id AS VARCHAR), chr(0))), 1, 8) <
           CASE WHEN lang = 'es' THEN '{SP.rate_threshold_hex(0.25)}'
                WHEN lang = 'en' THEN '{SP.rate_threshold_hex(0.5)}'
                ELSE '{SP.rate_threshold_hex(0.1)}' END
@@ -943,7 +943,7 @@ def _epoch_case(expr: str) -> str:
              unnest(generate_series(1, n_copies)) AS epoch FROM (
         SELECT doc_id, source,
                ({_epoch_case("full")}
-                + CASE WHEN substr(md5('ep0' || CAST(doc_id AS VARCHAR)), 1, 8)
+                + CASE WHEN substr(md5('ep0' || COALESCE(CAST(doc_id AS VARCHAR), chr(0))), 1, 8)
                        < {_epoch_case("frac")}
                   THEN 1 ELSE 0 END) AS n_copies
         FROM documents))
@@ -964,7 +964,7 @@ def c25_mixture_epochs(spark, sf_dir):
         default_weight=1.0,
         key="doc_id",
         seed="ep0",
-    )
+    ).select("doc_id", "source", "epoch")
 
 
 @register(
@@ -1130,7 +1130,7 @@ def c22_winnowing_fingerprints(spark, sf_dir):
     WHERE r.pr <= 0.5
       AND r.doc_id % 50 <> 0
       AND r.doc_id NOT IN (SELECT doc_id FROM contaminated)
-      AND substr(md5('s0' || CAST(r.doc_id AS VARCHAR)), 1, 8)
+      AND substr(md5('s0' || COALESCE(CAST(r.doc_id AS VARCHAR), chr(0))), 1, 8)
           < '{SP.rate_threshold_hex(0.5)}'
     """,
 )

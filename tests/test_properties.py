@@ -1190,3 +1190,30 @@ def test_c26_sequence_chunks_gap_stride_no_phantom_chunk(spark):
     assert [(r.start_tok, r.n_chunk_tokens) for r in rows2] == [
         (0, 4), (10, 4), (20, 4),
     ]
+
+
+def test_c19_hash_sample_null_key_respects_rate(spark):
+    """A NULL key must bucket deterministically (NUL sentinel), not be
+    silently dropped at every rate: rate=1.0 keeps EVERYTHING
+    including the null-key row, rate=0.0 keeps nothing."""
+    from dgraph_etl_spark.functions.sampling import hash_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, "c")], "doc_id bigint, text string"
+    )
+    assert hash_sample(df, rate=1.0).count() == 3
+    assert hash_sample(df, rate=0.0).count() == 0
+
+
+def test_g10_pagerank_empty_graph_fails_loudly(spark):
+    """An empty edge table must raise a named ValueError, not a bare
+    ZeroDivisionError from 1.0 / n before any Spark job runs."""
+    import pytest
+
+    from dgraph_etl_spark.graph.traverse import pagerank, weighted_pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string, score double")
+    with pytest.raises(ValueError, match="empty edge table"):
+        pagerank(empty)
+    with pytest.raises(ValueError, match="empty edge table"):
+        weighted_pagerank(empty)
