@@ -44,6 +44,61 @@ def range_predicates(col: str, lo: int, hi: int, n: int) -> list[str]:
     return preds
 
 
+def stage_derby_table(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """Stage ``<sf_dir>/<table>.parquet`` into an embedded Derby
+    database (the JDBC engine bundled with Spark) and return the
+    database's JDBC url — the fixture side of the b03 driver row, so
+    the B3 scan is certified against a REAL database rather than a
+    mocked reader.
+
+    Staging follows the repo's content-keyed atomic convention
+    (relational_closure._staged_io): the directory tag carries the
+    source parquet's mtime+size, the database is built at a tmp
+    sibling path, and — because a rename must move a CLOSED database —
+    the staging copy is explicitly de-booted via Derby's
+    ``;shutdown=true`` URL before the rename-into-place. Directory
+    presence == staging complete; concurrent stagers race benignly
+    (first rename wins, the loser removes its already-shut-down copy).
+    Embedded Derby is single-JVM: the staged database serves one
+    process at a time, which matches the per-process driver/precert
+    runs it backs (a multi-writer deployment would point ``read_jdbc``
+    at a server-mode database instead)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(src)
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
+    )
+    d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_derby_{tag}_{table}")
+    if not os.path.exists(d):
+        tmp = f"{d}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        spark.read.parquet(src).write.jdbc(
+            f"jdbc:derby:{tmp};create=true",
+            table,
+            properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+        )
+        try:
+            spark._jvm.java.sql.DriverManager.getConnection(  # type: ignore[union-attr]
+                f"jdbc:derby:{tmp};shutdown=true"
+            )
+        except Exception as ex:
+            # single-database shutdown SUCCEEDS by raising SQLState 08006
+            if "08006" not in str(ex):
+                raise
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(d):
+                raise
+    return f"jdbc:derby:{d}"
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -215,6 +215,65 @@ def b02_csv_scan(spark, sf_dir):
 
 
 @register(
+    "b03_jdbc_scan",
+    """
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_acctbal,
+           MIN(c_custkey) AS min_key,
+           MAX(c_custkey) AS max_key
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    defer=True,
+    expedite=True,
+)
+def b03_jdbc_scan(spark, sf_dir):
+    """B3: parallel JDBC scan against a real embedded database
+    (reference mysql.go:59-82 — the SELECT-by-key-range extract; shard
+    routing bulk/main.go:222-269). The customer fixture is staged once
+    into Derby (content-keyed, sources/jdbc.stage_derby_table), then
+    read back through ``spark.read.jdbc`` with 8 non-overlapping
+    key-range predicates plus a NULL catch-all — one JDBC
+    connection-partition per predicate, the declarative form of the
+    reference's hand-rolled two-shard router. The per-nation
+    COUNT/SUM/MIN/MAX fingerprint against the parquet oracle proves
+    complete, duplicate-free recovery of every row through the JDBC
+    boundary (a dropped or double-scanned partition shifts counts and
+    key extrema). Key bounds come from a 2-value metadata agg on the
+    source, exactly the SHOW-like bounds probe the reference's router
+    hard-codes."""
+    from ..sources.jdbc import range_predicates, read_jdbc, stage_derby_table
+
+    url = stage_derby_table(spark, sf_dir, "customer")
+    lo, hi = (
+        _t(spark, sf_dir, "customer")
+        .agg(F.min("c_custkey"), F.max("c_custkey"))
+        .first()
+    )
+    # Spark's JDBC writer quotes column identifiers, so the Derby-side
+    # names are case-exact and must be quoted in partition predicates
+    preds = range_predicates('"c_custkey"', int(lo), int(hi), 8)
+    preds.append('"c_custkey" IS NULL')
+    cust = read_jdbc(
+        spark,
+        url,
+        "customer",
+        predicates=preds,
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    return cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_acctbal"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+@register(
     "b02_orc_scan",
     "SELECT doc_id, lang, source, n_chars FROM documents",
 )

@@ -291,3 +291,37 @@ def test_drop_memory_sinks_ignores_foreign_session_id(spark):
     C._MEM_SINKS[id(spark)] = (lambda: None, lst)
     assert C.drop_memory_sinks(spark) == 0
     assert id(spark) not in C._MEM_SINKS
+
+
+def test_stage_derby_table_is_content_keyed_and_reused(spark, tmp_path):
+    """stage_derby_table builds the Derby copy ONCE per (fixture
+    content, table): a second call with the same source returns the
+    same url without re-staging (dir presence == complete), and the
+    staged database is closed (de-booted) so the returned url boots
+    cleanly. Uses a private sf_dir so the test never collides with the
+    real fixture's staged copy."""
+    import pathlib
+
+    from dgraph_etl_spark.sources.jdbc import read_jdbc, stage_derby_table
+
+    sf = tmp_path / "sfx"
+    sf.mkdir()
+    spark.range(0, 50).selectExpr(
+        "id AS c_custkey", "CAST(id % 5 AS INT) AS c_nationkey",
+        "CAST(id AS DOUBLE) AS c_acctbal"
+    ).coalesce(1).write.parquet(str(sf / "customer.parquet"))
+
+    url1 = stage_derby_table(spark, str(sf), "customer")
+    d = url1.removeprefix("jdbc:derby:")
+    mtime1 = max(p.stat().st_mtime_ns for p in pathlib.Path(d).rglob("*"))
+    url2 = stage_derby_table(spark, str(sf), "customer")
+    assert url2 == url1
+    mtime2 = max(p.stat().st_mtime_ns for p in pathlib.Path(d).rglob("*"))
+    assert mtime2 == mtime1  # no re-stage touched the database files
+
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    got = read_jdbc(spark, url1, "customer", properties=props)
+    assert got.count() == 50
+    assert {f.name for f in got.schema.fields} == {
+        "c_custkey", "c_nationkey", "c_acctbal"
+    }
