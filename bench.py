@@ -56,6 +56,12 @@ HEADLINE = [
     "b67_tpch_q6",            # pure scan-filter-agg (TPC-H Q6, scan floor)
     "c27_span_dedup",         # passage-level dedup (span hash screen)
     "b87_tpch_q21",           # triple-EXISTS fold as two-level agg (Q21)
+    # b87's layout twin (same pairing as b07/b07_bucketed): the 100x
+    # profile put ~85% of Q21's compute in the lineitem-orders shuffle;
+    # over the shared bucketed-by-orderkey layout the join and both agg
+    # levels are bucket-local and the only exchange is the final
+    # ~100-supplier rollup
+    "b87_tpch_q21_bucketed",
     "b92_cube_rollup",        # CUBE margins: one Expand, one hash agg
 ]
 

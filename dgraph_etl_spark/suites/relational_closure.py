@@ -1667,6 +1667,43 @@ def b50_bucketed_join(spark, sf_dir):
     )
 
 
+def _bucketed_orderkey_facts(spark, sf_dir):
+    """ONE bucketed+sorted-by-orderkey copy of each fact table, shared
+    by every orderkey-equi-join bucketed lane (b07_join_inner_bucketed,
+    b87_tpch_q21_bucketed): the tables carry the UNION of the lanes'
+    columns, and parquet column pruning keeps each query's read to its
+    own subset — one ingest amortizes across every recurring query on
+    the layout, which is how a real warehouse maintains it."""
+    from ..sources.bucketed import bucketed_table
+
+    tag, _ver = _sf_tag_and_ver(sf_dir)
+    li = bucketed_table(
+        spark,
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ),
+        f"bkt_lineitem_ok_{tag}",
+        "l_orderkey",
+        n_buckets=32,
+        version=_ver("lineitem"),
+    )
+    o = bucketed_table(
+        spark,
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+        ),
+        f"bkt_orders_ok_{tag}",
+        "o_orderkey",
+        n_buckets=32,
+        version=_ver("orders"),
+    )
+    return li, o
+
+
 @register(
     "b07_join_inner_bucketed",
     f"""
@@ -1691,28 +1728,7 @@ def b07_join_inner_bucketed(spark, sf_dir):
     shuffle is in-memory, but on a 1000-executor cluster the elided
     exchange is the network-bound term. Registered as a headline twin
     so every BENCH/SCALE snapshot records both lanes side by side."""
-    from ..sources.bucketed import bucketed_table
-
-    tag, _ver = _sf_tag_and_ver(sf_dir)
-
-    li = bucketed_table(
-        spark,
-        _t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_discount"
-        ),
-        f"bkt_lineitem_ok_{tag}",
-        "l_orderkey",
-        n_buckets=32,
-        version=_ver("lineitem"),
-    )
-    o = bucketed_table(
-        spark,
-        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
-        f"bkt_orders_ok_{tag}",
-        "o_orderkey",
-        n_buckets=32,
-        version=_ver("orders"),
-    )
+    li, o = _bucketed_orderkey_facts(spark, sf_dir)
     c = _t(spark, sf_dir, "customer")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -3433,10 +3449,16 @@ def b87_tpch_q21(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select("o_orderkey", "o_orderdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    return _q21_fold(spark, sf_dir, li, o)
+
+
+def _q21_fold(spark, sf_dir, li, o):
+    """Q21's EXISTS-fold, shared by the shuffle and bucketed lanes."""
+    o = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
     )
     # full-timestamp interval arithmetic (b28's form): a date_add over
     # a .cast("date") truncates any time-of-day component, and nothing
@@ -3472,6 +3494,50 @@ def b87_tpch_q21(spark, sf_dir):
         )
         .groupBy("s_name")
         .agg(F.sum("n_late_rows").alias("numwait"))
+    )
+
+
+@register(
+    "b87_tpch_q21_bucketed",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_regionkey = 1
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+               AND o.o_orderstatus = 'F'
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    """,
+    defer=True,
+)
+def b87_tpch_q21_bucketed(spark, sf_dir):
+    """b87's layout twin: the identical Q21 EXISTS-fold over the
+    SHARED bucketed-by-orderkey fact layout (_bucketed_orderkey_facts).
+    The 100x profile attributed ~85% of b87's compute to the
+    lineitem-orders shuffle join (5.7 s of 6.5 s at 60M lineitem rows;
+    both grouping levels then reuse the join's hash partitioning for
+    +0.8 s) -- so the remedy is the same as b07's: bucket both fact
+    sides by orderkey at ingest, and the join AND both agg levels
+    become bucket-local. The only exchange left in the whole plan is
+    the ~100-supplier final rollup. Registered as b07's twin is, so
+    BENCH/SCALE snapshots record the shuffle lane and the layout lane
+    side by side at every scale."""
+    li, o = _bucketed_orderkey_facts(spark, sf_dir)
+    return _q21_fold(
+        spark,
+        sf_dir,
+        li.select("l_orderkey", "l_suppkey", "l_shipdate"),
+        o.select("o_orderkey", "o_orderdate", "o_orderstatus"),
     )
 
 

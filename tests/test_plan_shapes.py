@@ -453,6 +453,30 @@ def test_b07_bucketed_twin_contract(spark, sf_small):
     assert not re.search(r"hashpartitioning\([lo]_orderkey", plan), plan
 
 
+def test_b87_bucketed_twin_contract(spark, sf_small):
+    """The b87 layout twin's scale contract: (a) values identical to
+    the shuffle lane b87_tpch_q21, (b) the lineitem<->orders join reads
+    both sides bucketed and NOTHING in the plan re-partitions on the
+    orderkey -- the join and BOTH grouping levels (per-(order,supp),
+    per-order) run bucket-local, because hash-partitioning by orderkey
+    already clusters every group of both aggs. The 100x profile put
+    ~85% of b87's compute in exactly that shuffle (SCALE.md)."""
+    import re
+
+    from dgraph_etl_spark.registry import REGISTRY, _load_suites
+
+    _load_suites()
+    plain = REGISTRY["b87_tpch_q21"].fn(spark, sf_small)
+    bucketed = REGISTRY["b87_tpch_q21_bucketed"].fn(spark, sf_small)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bucketed.collect())
+    )
+    plan = formatted_plan(bucketed)
+    assert plan.count("Bucketed: true") >= 2, plan
+    assert "SelectedBucketsCount: 32 out of 32" in plan, plan
+    assert not re.search(r"hashpartitioning\([lo]_orderkey", plan), plan
+
+
 def test_cube_one_expand_one_agg(spark, sf_small):
     """B92 scale contract: the CUBE is ONE Expand feeding a single
     shared-scan hash agg (partial+final) -- never a Union of separate
