@@ -337,6 +337,51 @@ def _stage_event_thirds(sf_dir: str, prefix: str, mask_fn) -> str:
 # memory-sink names per session, so a long-running probe (the soak
 # tools run 16+ jobs in one session) can drop the driver-side sink
 # tables it has already consumed -- the names vary by name_prefix, so
+def earlier_epoch_dirs(root: str, epoch_id: int, prefix: str = "e") -> list[str]:
+    """The read half of the replay-safe foreachBatch store discipline,
+    in ONE place (every epoch-store fold in the suites and the
+    batch-boundary fuzzer use it): the state a batch may read is the
+    set of STRICTLY-EARLIER epochs' directories, sorted ascending by
+    epoch. Never the current epoch's own dir — under at-least-once
+    replay a crash mid-write leaves the replaying epoch's dir present
+    (overwrite creates it before the commit), so "latest dir" after a
+    crash IS the replayer's own partial output; and never an epoch
+    NEWER than the current one — that cannot occur in a live stream
+    (epochs are monotone) but guards the fold when a test harness or
+    backfill replays an old epoch against a store that already holds
+    later ones."""
+    import os
+
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith(prefix):
+            try:
+                e = int(d[len(prefix):])
+            except ValueError:
+                continue
+            if e < epoch_id:
+                out.append((e, os.path.join(root, d)))
+    return [p for _, p in sorted(out)]
+
+
+def write_epoch(
+    df, root: str, epoch_id: int, prefix: str = "e"
+) -> str:
+    """The write half of the discipline: every batch output lands in
+    its OWN per-epoch directory with mode=overwrite, so a replayed
+    epoch destructively rewrites exactly its own output (prior epochs'
+    dirs are immutable inputs) instead of double-appending into a
+    shared store. Zero-padded epoch names keep lexicographic ==
+    numeric order for the 5-digit range the suites use."""
+    import os
+
+    path = os.path.join(root, f"{prefix}{epoch_id:05d}")
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
 # no pattern match over the catalog can find them reliably. Keyed by
 # id(spark) WITH a weakref pin (catalog._REGISTERED's convention): a
 # recycled id from a garbage-collected session must not inherit the

@@ -25,7 +25,13 @@ from ..pipeline.edges import (
 )
 from ..functions import similarity as _sim
 from ..registry import register
-from ..streaming.core import events_stream, late_data_source, run_to_memory
+from ..streaming.core import (
+    earlier_epoch_dirs,
+    events_stream,
+    late_data_source,
+    run_to_memory,
+    write_epoch,
+)
 from ..views import oracle_with_views
 
 _WM = "30 minutes"
@@ -254,26 +260,19 @@ def s09_foreachbatch_merge(spark, sf_dir):
 
     def merge_batch(batch_df, epoch_id):
         sp = batch_df.sparkSession
-        # state reads from STRICTLY-EARLIER epochs only (s12/s15
-        # pattern): a replayed epoch must not read its own partial
-        # v-dir as "existing" -- overwrite creates the dir before the
-        # commit, so versions[-1] after a mid-write crash IS the
-        # replaying epoch's own output (and Spark refuses to overwrite
-        # a path it is also reading)
-        versions = sorted(
-            d
-            for d in os.listdir(root)
-            if d.startswith("v") and int(d[1:]) < epoch_id
-        )
+        # state reads from STRICTLY-EARLIER epochs only, writes to a
+        # per-epoch overwrite dir: the replay-safe store discipline,
+        # shared via streaming.core (earlier_epoch_dirs/write_epoch)
+        # and fuzzed under random batch boundaries + replays in
+        # tests/test_fuzz_differential.py
+        versions = earlier_epoch_dirs(root, epoch_id, prefix="v")
         batch_edges = max_score_per_edge(batch_df)
         if versions:
-            existing = sp.read.parquet(os.path.join(root, versions[-1]))
+            existing = sp.read.parquet(versions[-1])
             merged = merge_max_with_existing(batch_edges, existing)
         else:
             merged = batch_edges
-        merged.write.mode("overwrite").parquet(
-            os.path.join(root, f"v{epoch_id:05d}")
-        )
+        write_epoch(merged, root, epoch_id, prefix="v")
 
     q = (
         new_edges.writeStream.foreachBatch(merge_batch)
@@ -383,10 +382,11 @@ def s10_stream_incremental_dedup(spark, sf_dir):
     )
 
     def screen_batch(batch_df, epoch_id):
-        # per-epoch OVERWRITE dirs, state from strictly-earlier epochs
-        # (the audited s12/s15 pattern): an append into one mutable
-        # store cannot distinguish a replayed epoch from new data and
-        # leans on committer atomicity through the crash window
+        # per-epoch OVERWRITE dirs, state from strictly-earlier epochs:
+        # the shared replay-safe discipline (streaming.core) -- an
+        # append into one mutable store cannot distinguish a replayed
+        # epoch from new data and leans on committer atomicity through
+        # the crash window
         sp = batch_df.sparkSession
         hashed = batch_df.select(
             "doc_id", F.sha2(F.col("text"), 256).alias("content_hash")
@@ -394,19 +394,13 @@ def s10_stream_incremental_dedup(spark, sf_dir):
         batch_min = hashed.groupBy("content_hash").agg(
             F.min("doc_id").alias("doc_id")
         )
-        earlier = sorted(
-            d
-            for d in os.listdir(store)
-            if d.startswith("e") and int(d[1:]) < epoch_id
-        )
+        earlier = earlier_epoch_dirs(store, epoch_id)
         if earlier:
-            seen = sp.read.parquet(
-                *[os.path.join(store, d) for d in earlier]
-            ).select("content_hash")
+            seen = sp.read.parquet(*earlier).select("content_hash")
             batch_min = batch_min.join(seen, "content_hash", "left_anti")
-        batch_min.select("doc_id", "content_hash").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(store, f"e{epoch_id:05d}"))
+        write_epoch(
+            batch_min.select("doc_id", "content_hash"), store, epoch_id
+        )
 
     q = (
         docs.writeStream.foreachBatch(screen_batch)
@@ -542,21 +536,14 @@ def s12_stream_span_dedup(spark, sf_dir):
     )
 
     def screen_batch(batch_df, epoch_id):
-        # IDEMPOTENT under at-least-once replay: every write targets a
-        # per-epoch directory with mode=overwrite, so a replayed batch
-        # rewrites its own outputs instead of double-appending (the
-        # prior epochs' dirs are immutable inputs). The store screen
-        # reads only epochs BEFORE this one -- a replayed batch sees
-        # exactly the state it saw the first time.
-        import glob as _glob
-
+        # IDEMPOTENT under at-least-once replay: the shared epoch-store
+        # discipline (streaming.core.earlier_epoch_dirs/write_epoch) --
+        # every write targets a per-epoch overwrite dir, state reads
+        # only epochs BEFORE this one, so a replayed batch sees exactly
+        # the state it saw the first time.
         sp = batch_df.sparkSession
         spans = doc_span_hashes(batch_df.select("doc_id", "text"))
-        prior = [
-            d
-            for d in _glob.glob(os.path.join(store, "e*"))
-            if int(os.path.basename(d)[1:]) < epoch_id
-        ]
+        prior = earlier_epoch_dirs(store, epoch_id)
         if prior:
             seen = sp.read.parquet(*prior).select(
                 F.col("h").alias("seen_h")
@@ -572,14 +559,14 @@ def s12_stream_span_dedup(spark, sf_dir):
                 "n_novel_spans"
             ),
         )
-        per_doc.write.mode("overwrite").parquet(
-            os.path.join(result, f"e{epoch_id}")
-        )
+        write_epoch(per_doc, result, epoch_id)
         # store only the batch's NOVEL hashes: keeps the store a SET
         # (a re-appended hash would fan out the next batch's left join)
-        flagged.filter(F.col("novel")).select("h").dropDuplicates(
-            ["h"]
-        ).write.mode("overwrite").parquet(os.path.join(store, f"e{epoch_id}"))
+        write_epoch(
+            flagged.filter(F.col("novel")).select("h").dropDuplicates(["h"]),
+            store,
+            epoch_id,
+        )
 
     q = (
         docs.writeStream.foreachBatch(screen_batch)
@@ -711,7 +698,8 @@ def s15_stream_source_quota(spark, sf_dir):
 
     def admit_batch(batch_df, epoch_id):
         # IDEMPOTENT under at-least-once replay, and no mutable counter
-        # state at all: each epoch's admissions land in their own
+        # state at all: the shared epoch-store discipline
+        # (streaming.core) -- each epoch's admissions land in their own
         # overwrite-mode directory, and the per-source quota "used so
         # far" is derived from STRICTLY EARLIER epochs' immutable dirs
         # -- a replayed batch recomputes against exactly the state it
@@ -720,8 +708,6 @@ def s15_stream_source_quota(spark, sf_dir):
         # docs per source.) The recount is bounded by the quota itself
         # -- accepted holds at most QUOTA x |sources| rows ever -- so
         # per-batch cost is O(quota), not O(stream).
-        import glob as _glob
-
         from pyspark.sql import Window as Wnd
 
         sp = batch_df.sparkSession
@@ -729,11 +715,7 @@ def s15_stream_source_quota(spark, sf_dir):
         ranked = batch_df.select("doc_id", "source").withColumn(
             "rnk", F.row_number().over(w)
         )
-        prior = [
-            d
-            for d in _glob.glob(os.path.join(accepted_dir, "e*"))
-            if int(os.path.basename(d)[1:]) < epoch_id
-        ]
+        prior = earlier_epoch_dirs(accepted_dir, epoch_id)
         if prior:
             counts = (
                 sp.read.parquet(*prior)
@@ -748,9 +730,7 @@ def s15_stream_source_quota(spark, sf_dir):
         admitted = ranked.filter(
             F.col("rnk") + F.col("used") <= QUOTA
         ).select("doc_id", "source")
-        admitted.write.mode("overwrite").parquet(
-            os.path.join(accepted_dir, f"e{epoch_id}")
-        )
+        write_epoch(admitted, accepted_dir, epoch_id)
 
     q = (
         docs.writeStream.foreachBatch(admit_batch)
@@ -1384,16 +1364,12 @@ def s23_stream_cdc_apply(spark, sf_dir):
         )
         changes = upd.unionByName(dele).unionByName(ins)
         # per-epoch versions, prior state from STRICTLY-EARLIER epochs
-        # (the audited foreachBatch pattern): the previous
+        # (the shared streaming.core discipline): the previous
         # rmtree+rename fold-swap destroyed the accumulated snapshot if
         # the process died between the two calls, and a replayed epoch
         # would re-fold on top of its own output
-        earlier = sorted(
-            d
-            for d in os.listdir(root)
-            if d.startswith("e") and int(d[1:]) < epoch_id
-        )
-        prev = os.path.join(root, earlier[-1]) if earlier else base
+        earlier = earlier_epoch_dirs(root, epoch_id)
+        prev = earlier[-1] if earlier else base
         b = sp.read.parquet(prev).alias("b")
         c = changes.alias("c")
         folded = (
@@ -1413,9 +1389,7 @@ def s23_stream_cdc_apply(spark, sf_dir):
                 ),
             )
         )
-        folded.write.mode("overwrite").parquet(
-            os.path.join(root, f"e{epoch_id:05d}")
-        )
+        write_epoch(folded, root, epoch_id)
 
     q = (
         docs.writeStream.foreachBatch(apply_batch)

@@ -569,3 +569,213 @@ def test_random_null_ordering_matches_duckdb(engines, sql):
     assert s_rows == o_rows, (
         f"divergence on:\n{sql}\nspark={s_rows}\nduck={o_rows}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch-boundary invariance: the foreachBatch replay discipline, fuzzed.
+#
+# The streaming twins each pin ONE operator against a fixed 3-batch
+# split; this family covers the DISCIPLINE itself (the class where the
+# round-7 s09/s23/jdbc-sink replay bugs lived): a random keyed stream
+# is split at random micro-batch boundaries and delivered through the
+# shared epoch-store primitives (streaming.core.earlier_epoch_dirs /
+# write_epoch) under an adversarial at-least-once schedule -- every
+# epoch may be preceded by crashed attempts that either ran the fold
+# fully (crash after write, before the checkpoint commit) or left
+# arbitrary garbage in the epoch's OWN directory (crash mid-write) --
+# and the folded store must equal the one-shot batch result computed
+# in plain Python, independent of boundaries and replays.
+# ---------------------------------------------------------------------------
+
+_REPLAY_AGREEMENTS = {"max_fold": 0, "dedup_screen": 0}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _report_replay_agreements():
+    yield
+    print(f"\nbatch-boundary invariance agreements: {_REPLAY_AGREEMENTS}")
+
+
+@st.composite
+def epoch_schedules(draw):
+    """(batches, schedule): rows (uid, key, val) split at random
+    boundaries (empty micro-batches allowed -- availableNow delivers
+    them), plus a delivery schedule where each epoch's final delivery
+    may be preceded by up to two crashed attempts, each optionally
+    leaving drawn garbage rows in the epoch's own store dir."""
+    n = draw(st.integers(4, 20))
+    rows = [
+        (uid, draw(st.integers(0, 5)), draw(st.integers(-9, 9)))
+        for uid in range(n)
+    ]
+    n_batches = draw(st.integers(1, 4))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(0, n),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+            )
+        )
+    )
+    bounds = [0] + cuts + [n]
+    batches = [rows[a:b] for a, b in zip(bounds, bounds[1:])]
+    sched = []
+    for e in range(len(batches)):
+        for _ in range(draw(st.integers(0, 2))):
+            kind = draw(st.sampled_from(["garbage_dir", "crashed_run"]))
+            garbage = draw(
+                st.lists(
+                    st.tuples(
+                        st.integers(900, 909),
+                        st.integers(0, 5),
+                        st.integers(-99, 99),
+                    ),
+                    max_size=3,
+                )
+            )
+            sched.append((e, kind, garbage))
+        sched.append((e, "deliver", []))
+    return batches, sched
+
+
+_ROW_SCHEMA = "uid bigint, key bigint, val bigint"
+
+
+def _make_max_fold(root):
+    """The s09 shape: versioned max-merge store (state = latest
+    strictly-earlier version; write = own per-epoch overwrite dir)."""
+    from pyspark.sql import functions as F
+
+    from dgraph_etl_spark.streaming.core import (
+        earlier_epoch_dirs,
+        write_epoch,
+    )
+
+    def fold(batch_df, epoch_id):
+        sp = batch_df.sparkSession
+        batch_agg = batch_df.groupBy("key").agg(F.max("val").alias("val"))
+        versions = earlier_epoch_dirs(root, epoch_id, prefix="v")
+        if versions:
+            prev = sp.read.parquet(versions[-1])
+            batch_agg = (
+                batch_agg.unionByName(prev)
+                .groupBy("key")
+                .agg(F.max("val").alias("val"))
+            )
+        write_epoch(batch_agg.coalesce(1), root, epoch_id, prefix="v")
+
+    return fold, "v", "key bigint, val bigint"
+
+
+def _make_dedup_screen(root):
+    """The s10/s15 shape: admit keys unseen in strictly-earlier epochs;
+    the store is the union of immutable per-epoch admission dirs."""
+    from pyspark.sql import functions as F
+
+    from dgraph_etl_spark.streaming.core import (
+        earlier_epoch_dirs,
+        write_epoch,
+    )
+
+    def fold(batch_df, epoch_id):
+        sp = batch_df.sparkSession
+        batch_min = batch_df.groupBy("key").agg(F.min("uid").alias("uid"))
+        earlier = earlier_epoch_dirs(root, epoch_id)
+        if earlier:
+            seen = sp.read.parquet(*earlier).select("key")
+            batch_min = batch_min.join(seen, "key", "left_anti")
+        write_epoch(batch_min.select("key", "uid").coalesce(1), root, epoch_id)
+
+    return fold, "e", "key bigint, uid bigint"
+
+
+def _run_schedule(spark, batches, sched, make_fold):
+    import shutil
+    import tempfile
+
+    from dgraph_etl_spark.streaming.core import write_epoch
+
+    root = tempfile.mkdtemp(prefix="fuzz_epochs_")
+    try:
+        fold, prefix, out_schema = make_fold(root)
+        for e, kind, garbage in sched:
+            df = spark.createDataFrame(batches[e], _ROW_SCHEMA)
+            if kind == "garbage_dir":
+                # crash mid-write: the epoch's own dir exists with junk
+                junk = [g[:2] for g in garbage] or [(901, 0)]
+                write_epoch(
+                    spark.createDataFrame(junk, out_schema),
+                    root,
+                    e,
+                    prefix=prefix,
+                )
+            elif kind == "crashed_run":
+                # crash after the write, before the checkpoint commit
+                fold(df, e)
+            else:
+                fold(df, e)
+        return root, prefix
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+@settings(max_examples=_SCALE * 12, deadline=None, derandomize=True)
+@given(case=epoch_schedules())
+def test_replayed_max_fold_equals_one_shot(spark, case):
+    import shutil
+
+    from dgraph_etl_spark.streaming.core import earlier_epoch_dirs
+
+    batches, sched = case
+    root, prefix = _run_schedule(spark, batches, sched, _make_max_fold)
+    try:
+        final = earlier_epoch_dirs(root, 10**9, prefix=prefix)[-1]
+        got = {
+            (r["key"], r["val"])
+            for r in spark.read.parquet(final).collect()
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    expected = {}
+    for batch in batches:
+        for _uid, key, val in batch:
+            expected[key] = max(expected.get(key, val), val)
+    assert got == set(expected.items()), (batches, sched)
+    _REPLAY_AGREEMENTS["max_fold"] += 1
+
+
+@settings(max_examples=_SCALE * 12, deadline=None, derandomize=True)
+@given(case=epoch_schedules())
+def test_replayed_dedup_screen_equals_one_shot(spark, case):
+    import shutil
+
+    from dgraph_etl_spark.streaming.core import earlier_epoch_dirs
+
+    batches, sched = case
+    root, prefix = _run_schedule(spark, batches, sched, _make_dedup_screen)
+    try:
+        dirs = earlier_epoch_dirs(root, 10**9, prefix=prefix)
+        got = {
+            (r["key"], r["uid"])
+            for r in spark.read.parquet(*dirs).collect()
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    # expected: one admission per distinct key -- min uid within the
+    # EARLIEST batch containing the key (the admitted-key SET is
+    # boundary-invariant; the representative uid is boundary-determined
+    # but must be replay-invariant)
+    expected = {}
+    for batch in batches:
+        in_batch = {}
+        for uid, key, _val in batch:
+            if key not in in_batch or uid < in_batch[key]:
+                in_batch[key] = uid
+        for key, uid in in_batch.items():
+            expected.setdefault(key, uid)
+    one_shot_keys = {key for batch in batches for _u, key, _v in batch}
+    assert {k for k, _ in got} == one_shot_keys, (batches, sched)
+    assert got == set(expected.items()), (batches, sched)
+    _REPLAY_AGREEMENTS["dedup_screen"] += 1
