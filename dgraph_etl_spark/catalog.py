@@ -14,6 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .session import SessionKeyedMap
 from .views import VIEW_SQL
 
 BASE_TABLES = [
@@ -230,9 +231,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in BASE_TABLES}
 
 
-# session-id -> last sf_dir whose views are registered (temp views are
-# overwrite-in-place, so only the most recent registration is live)
-_REGISTERED: dict[int, tuple] = {}  # id(session) -> (weakref, sf_dir, fp)
+# session -> last (sf_dir, fingerprint) whose views are registered
+# (temp views are overwrite-in-place, so only the most recent
+# registration is live); weakref-pin/sweep/recycled-id discipline in
+# session.SessionKeyedMap
+_REGISTERED = SessionKeyedMap()
 
 
 def pin_session_confs(spark: SparkSession) -> None:
@@ -265,33 +268,20 @@ def register_views(
     session registered. Callers own view dependency order: a view
     whose SQL references an unloaded table fails at creation.
 
-    The idempotence cache stores a WEAK reference to the session next
-    to the sf_dir: id() alone is recyclable after a session is
-    garbage-collected, and a new session allocated at the recycled
-    address would be wrongly treated as registered (its first
-    spark.table() would raise TABLE_OR_VIEW_NOT_FOUND). A dead weakref
-    also marks the entry for eviction, so long-lived drivers don't
-    accumulate orphans. The cache key also carries the SOURCE
-    fingerprint (per-table mtime_ns+size): a fixture regenerated
-    in place mid-session must re-register, or the views keep serving
-    the previous round's mtime-keyed compacted copies -- the same
+    The idempotence cache is session-keyed through SessionKeyedMap
+    (weakref pin: a new session allocated at a dead session's recycled
+    id() must not be treated as registered -- its first spark.table()
+    would raise TABLE_OR_VIEW_NOT_FOUND; dead entries are swept
+    lazily). The cached value carries the SOURCE fingerprint
+    (per-table mtime_ns+size): a fixture regenerated in place
+    mid-session must re-register, or the views keep serving the
+    previous round's mtime-keyed compacted copies -- the same
     stale-reuse class the content-keyed stagers below prevent."""
-    import weakref
-
     partial = tables is not None or views is not None
     sf_dir = os.path.abspath(sf_dir)
     fp = _source_fingerprint(sf_dir)
-    for k in [k for k, entry in _REGISTERED.items() if entry[0]() is None]:
-        del _REGISTERED[k]
-    hit = _REGISTERED.get(id(spark))
-    if (
-        hit is not None
-        and hit[0]() is spark
-        and hit[1] == sf_dir
-        and hit[2] == fp
-        and not force
-        and not partial
-    ):
+    hit = _REGISTERED.peek(spark)
+    if hit == (sf_dir, fp) and not force and not partial:
         return
     pin_session_confs(spark)
     for t in BASE_TABLES if tables is None else tables:
@@ -300,7 +290,7 @@ def register_views(
         if views is None or name in views:
             spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
     if not partial:
-        _REGISTERED[id(spark)] = (weakref.ref(spark), sf_dir, fp)
+        _REGISTERED.put(spark, (sf_dir, fp))
 
 
 def _source_fingerprint(sf_dir: str) -> tuple:

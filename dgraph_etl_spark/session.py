@@ -57,3 +57,73 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+class SessionKeyedMap:
+    """Registry keyed by a LIVE SparkSession (plus an optional subkey),
+    carrying the three safety properties every per-session cache in
+    this repo needs in ONE place -- previously hand-rolled three times
+    (catalog._REGISTERED, sources/bucketed._CREATE_LOCKS,
+    streaming/core._MEM_SINKS), each re-reasoning the same subtleties:
+
+    - weakref pin: ``id(session)`` alone is recyclable after a session
+      is garbage-collected, so a new session allocated at the recycled
+      address must never inherit the dead session's entry;
+    - lazy sweep: entries whose session is gone are evicted at the
+      next access, so a long-lived driver cycling sessions does not
+      grow the map forever;
+    - guarded mutation: concurrent threads in one session (the soak
+      pools, multi-threaded drivers) race get-or-create; without the
+      guard, two callers both see a miss and the second insert orphans
+      the first caller's value (observed risk for the memory-sink name
+      list: the orphaned list's sink is never dropped).
+    """
+
+    def __init__(self) -> None:
+        import threading
+
+        self._entries: dict[tuple, tuple] = {}
+        self._guard = threading.Lock()
+
+    def _sweep_locked(self) -> None:
+        for k in [k for k, (ref, _) in self._entries.items() if ref() is None]:
+            del self._entries[k]
+
+    def get_or_create(self, spark: SparkSession, factory, key=None):
+        """Return the live entry's value, creating it via ``factory()``
+        (called under the guard -- keep factories cheap) on a miss or
+        a recycled-id collision."""
+        import weakref
+
+        with self._guard:
+            self._sweep_locked()
+            k = (id(spark), key)
+            entry = self._entries.get(k)
+            if entry is None or entry[0]() is not spark:
+                entry = (weakref.ref(spark), factory())
+                self._entries[k] = entry
+            return entry[1]
+
+    def peek(self, spark: SparkSession, key=None):
+        """The live entry's value, or None (missing, or a dead/recycled
+        pin -- never another session's state)."""
+        with self._guard:
+            self._sweep_locked()
+            entry = self._entries.get((id(spark), key))
+            return entry[1] if entry is not None and entry[0]() is spark else None
+
+    def put(self, spark: SparkSession, value, key=None) -> None:
+        import weakref
+
+        with self._guard:
+            self._sweep_locked()
+            self._entries[(id(spark), key)] = (weakref.ref(spark), value)
+
+    def pop(self, spark: SparkSession, key=None):
+        """Remove and return the live entry's value (None if absent or
+        pinned to a dead/recycled session -- the stale entry is still
+        removed so the address can be safely re-keyed)."""
+        with self._guard:
+            self._sweep_locked()
+            entry = self._entries.pop((id(spark), key), None)
+            return entry[1] if entry is not None and entry[0]() is spark else None

@@ -43,7 +43,12 @@ class MutationClient:
     """Contract for live sinks: ``mutate(batch)`` is all-or-nothing
     (a transaction); ``commit()`` publishes atomically; a re-created
     client fully supersedes a previous attempt's work (idempotency
-    under task retry)."""
+    under task retry). A ``TransientSinkError`` from EITHER call means
+    re-invoking that same call on this client is safe and may succeed
+    (the in-task A19 retry loop does exactly that); a client whose
+    transaction is DEAD after a commit abort must raise a
+    non-transient error instead, handing recovery to Spark's task
+    retry, where a fresh client supersedes the attempt."""
 
     def mutate(self, batch: list[dict]) -> None:  # pragma: no cover
         raise NotImplementedError
@@ -94,10 +99,10 @@ def write_partition(
     (dgraph.go:80-83) de-synchronized 6000 goroutines hammering one
     server; Spark tasks are already scheduler-staggered."""
 
-    def flush(batch: list[dict]) -> None:
+    def with_retry(op: Callable[[], None]) -> None:
         for attempt in range(1, max_retries + 1):
             try:
-                client.mutate(batch)
+                op()
                 return
             except TransientSinkError:
                 if attempt == max_retries:
@@ -108,11 +113,16 @@ def write_partition(
     for row in rows:
         batch.append(row.asDict() if hasattr(row, "asDict") else dict(row))
         if len(batch) >= batch_size:
-            flush(batch)
+            with_retry(lambda b=batch: client.mutate(b))
             batch = []
     if batch:
-        flush(batch)
-    client.commit()
+        with_retry(lambda b=batch: client.mutate(b))
+    # commit is INSIDE the retry envelope: Dgraph surfaces transaction
+    # aborts at commit time too (dgraph.go:53-108 retries the whole
+    # txn on them) -- an unretried transient commit abort would burn a
+    # full Spark task retry (re-read + re-mutate the whole partition)
+    # for a failure the in-task loop is designed to absorb
+    with_retry(client.commit)
 
 
 def write_edges_live(

@@ -26,6 +26,8 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..session import SessionKeyedMap
+
 # Concurrent queries in ONE session (a multi-threaded driver, or the
 # bench warm-up pool) may race to materialize the same table:
 # tableExists is false for both, and two simultaneous saveAsTable
@@ -34,27 +36,13 @@ from pyspark.sql import DataFrame, SparkSession
 # FileNotFoundException under .../_temporary/0/task_*). One lock per
 # (session, table) serializes creation; losers find tableExists true
 # and return the finished table. Cross-PROCESS isolation is the
-# pid-keyed scratch path, unchanged.
-# value carries a weakref pin of the session: entries whose session
-# was garbage-collected are swept at the next acquisition, so a
-# long-lived driver cycling sessions/source versions doesn't grow the
-# map forever (and a recycled id() can't alias a dead session's lock)
-_CREATE_LOCKS: dict[tuple[int, str], tuple[object, threading.Lock]] = {}
-_LOCKS_GUARD = threading.Lock()
+# pid-keyed scratch path, unchanged. The weakref-pin/sweep/recycled-id
+# discipline lives in session.SessionKeyedMap.
+_CREATE_LOCKS = SessionKeyedMap()
 
 
 def _create_lock(spark: SparkSession, name: str) -> threading.Lock:
-    import weakref
-
-    with _LOCKS_GUARD:
-        for k in [k for k, (ref, _) in _CREATE_LOCKS.items() if ref() is None]:
-            del _CREATE_LOCKS[k]
-        key = (id(spark), name)
-        entry = _CREATE_LOCKS.get(key)
-        if entry is None or entry[0]() is not spark:
-            entry = (weakref.ref(spark), threading.Lock())
-            _CREATE_LOCKS[key] = entry
-        return entry[1]
+    return _CREATE_LOCKS.get_or_create(spark, threading.Lock, key=name)
 
 
 def bucketed_table(

@@ -28,7 +28,13 @@ def range_predicates(col: str, lo: int, hi: int, n: int) -> list[str]:
     """n non-overlapping WHERE fragments covering [lo, hi] exactly —
     the generalization of the reference's two hard-coded shard ranges.
     Plain Python ints: the uint64 key space (hi = 2^64-1) must not
-    overflow, which is why the reference needed math/big."""
+    overflow, which is why the reference needed math/big.
+
+    The FIRST fragment additionally carries an ``OR col IS NULL`` arm
+    (Spark's own ``partitionColumn`` convention): NULL keys satisfy no
+    range comparison, so without the arm every NULL-keyed row would
+    silently vanish from the partitioned scan while an unpartitioned
+    read of the same table returns it."""
     if n <= 0 or hi < lo:
         raise ValueError("need n >= 1 and hi >= lo")
     span = hi - lo + 1
@@ -41,6 +47,7 @@ def range_predicates(col: str, lo: int, hi: int, n: int) -> list[str]:
         end = start + width - 1
         preds.append(f"{col} >= {start} AND {col} <= {end}")
         start = end + 1
+    preds[0] = f"({preds[0]}) OR {col} IS NULL"
     return preds
 
 

@@ -33,6 +33,7 @@ from ..catalog import (
     table_path,
     ts_bigint_unit,
 )
+from ..session import SessionKeyedMap
 
 _MEM_IDS = itertools.count()
 
@@ -77,75 +78,48 @@ def _stage_atomic(d: str, write_batches) -> str:
     iff staging finished -- distinguishes complete from abandoned; a
     marker-less dir is discarded and restaged.
 
-    Concurrency: stagers of the same target serialize on an
-    exclusive-create lock file. The earlier lock-free rename-aside
-    protocol had an unfixable TOCTOU -- between one stager's marker
-    check and its rename, a concurrent stager could discard the stale
-    dir and publish a COMPLETE one at ``d``, which the first stager's
-    rename then grabbed, leaving ``d`` transiently (or with an
-    unguarded delete, permanently) missing for the publisher's caller.
-    Under the lock, a complete dir is never renamed aside and ``d``
-    never goes missing after a publish. A lock whose recorded holder
-    pid is dead (crashed stager) is broken and retried; a live
-    holder's lock is waited on (staging the 100x soak fixtures
-    legitimately takes minutes, so there is no mtime-based timeout)."""
+    Concurrency: stagers of the same target serialize on an flock'd
+    lock file. The earlier lock-free rename-aside protocol had an
+    unfixable TOCTOU -- between one stager's marker check and its
+    rename, a concurrent stager could discard the stale dir and
+    publish a COMPLETE one at ``d``, which the first stager's rename
+    then grabbed, leaving ``d`` transiently (or with an unguarded
+    delete, permanently) missing for the publisher's caller. Under the
+    lock, a complete dir is never renamed aside and ``d`` never goes
+    missing after a publish. flock is the lock primitive because the
+    kernel releases it when the holder dies, so a crashed stager never
+    wedges waiters AND there is no "break the dead holder's lock"
+    branch at all -- the previous pid-file protocol's break
+    (read-holder-pid, probe liveness, unlink) had its own TOCTOU:
+    between a waiter reading a dead pid and unlinking the lock, a
+    second waiter could re-acquire it, and the first then unlinked a
+    LIVE lock (two stagers raced to publish again, ENOTEMPTY). A live
+    holder is waited on (staging the 100x soak fixtures legitimately
+    takes minutes, so there is no mtime-based timeout), and the lock
+    file is never unlinked -- unlink-based cleanup re-opens the race,
+    because a waiter that opened the now-unlinked inode would
+    serialize against nobody."""
     if _stage_complete(d):
         return d
     lock = f"{d}.lock"
     deadline = time.monotonic() + 3600.0
-    # acquisition via os.link: the holder pid becomes visible
-    # ATOMICALLY with the lock itself. An O_EXCL-create-then-write
-    # protocol had a measured race -- a waiter reading the lock in the
-    # window between create and write saw an EMPTY file, parsed holder
-    # pid 0 as dead, and broke a LIVE lock (two stagers then raced to
-    # publish, ENOTEMPTY).
-    mine = f"{lock}.{os.getpid()}_{uuid.uuid4().hex[:8]}"
-    with open(mine, "w") as fh:
-        fh.write(str(os.getpid()))
+    import fcntl
+
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
     try:
         while True:
             try:
-                os.link(mine, lock)
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 break
-            except FileExistsError:
+            except OSError:
                 if _stage_complete(d):
                     return d
-                try:
-                    with open(lock) as fh:
-                        holder = int(fh.read().strip() or "-1")
-                except OSError:
-                    time.sleep(0.05)  # just released; retry
-                    continue
-                except ValueError:
-                    holder = -1  # unparseable: treat as live, wait
-                alive = True
-                if holder > 0:
-                    try:
-                        os.kill(holder, 0)
-                    except ProcessLookupError:
-                        alive = False
-                    except PermissionError:
-                        pass  # exists, owned by someone else
-                if not alive:
-                    # crashed holder: break the lock (losing a
-                    # concurrent unlink race is benign -- both retry)
-                    try:
-                        os.unlink(lock)
-                    except OSError:
-                        pass
-                    continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
-                        f"stage lock {lock} held by live pid {holder} "
-                        "for over an hour; refusing to wait longer"
+                        f"stage lock {lock} held for over an hour; "
+                        "refusing to wait longer"
                     )
                 time.sleep(0.05)
-    finally:
-        try:
-            os.unlink(mine)
-        except OSError:
-            pass
-    try:
         if _stage_complete(d):
             return d
         if os.path.exists(d):
@@ -162,10 +136,7 @@ def _stage_atomic(d: str, write_batches) -> str:
         os.rename(tmp, d)
         return d
     finally:
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+        os.close(fd)  # closing the fd releases the flock
 
 
 def _scratch_stream_dir(sf_dir: str) -> str:
@@ -184,12 +155,18 @@ def _scratch_stream_dir(sf_dir: str) -> str:
     try:
         if os.path.lexists(link):
             if os.readlink(link) != target:
-                os.remove(link)
-                os.symlink(target, link)
+                # atomic re-point: build a temp symlink and rename over
+                # the old one. remove-then-create had two races: a
+                # concurrent remover turned os.remove into an uncaught
+                # FileNotFoundError, and between the two calls a reader
+                # saw no link at all.
+                tmp = f"{link}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
+                os.symlink(target, tmp)
+                os.replace(tmp, link)
         else:
             os.symlink(target, link)
-    except FileExistsError:
-        pass  # concurrent stager won the symlink; same tag, same data
+    except (FileExistsError, FileNotFoundError):
+        pass  # concurrent stager won the race; same tag, same data
     return d
 
 
@@ -334,9 +311,6 @@ def _stage_event_thirds(sf_dir: str, prefix: str, mask_fn) -> str:
     return _stage_atomic(d, write)
 
 
-# memory-sink names per session, so a long-running probe (the soak
-# tools run 16+ jobs in one session) can drop the driver-side sink
-# tables it has already consumed -- the names vary by name_prefix, so
 def earlier_epoch_dirs(root: str, epoch_id: int, prefix: str = "e") -> list[str]:
     """The read half of the replay-safe foreachBatch store discipline,
     in ONE place (every epoch-store fold in the suites and the
@@ -382,24 +356,18 @@ def write_epoch(
     return path
 
 
-# no pattern match over the catalog can find them reliably. Keyed by
-# id(spark) WITH a weakref pin (catalog._REGISTERED's convention): a
-# recycled id from a garbage-collected session must not inherit the
-# dead session's sink list.
-_MEM_SINKS: dict[int, tuple["weakref.ref", list[str]]] = {}
+# memory-sink names per session, so a long-running probe (the soak
+# tools run 16+ jobs in one session) can drop the driver-side sink
+# tables it has already consumed -- the names vary by name_prefix, so
+# no pattern match over the catalog can find them reliably. The
+# weakref-pin/sweep/recycled-id/guarded-mutation discipline lives in
+# session.SessionKeyedMap (one copy, shared with catalog and the
+# bucketed-table creation locks).
+_MEM_SINKS = SessionKeyedMap()
 
 
 def _mem_sink_names(spark: SparkSession) -> list[str]:
-    import weakref
-
-    # lazily evict entries whose session is gone (id may be recycled)
-    for k in [k for k, (ref, _) in _MEM_SINKS.items() if ref() is None]:
-        _MEM_SINKS.pop(k, None)
-    entry = _MEM_SINKS.get(id(spark))
-    if entry is None or entry[0]() is not spark:
-        entry = (weakref.ref(spark), [])
-        _MEM_SINKS[id(spark)] = entry
-    return entry[1]
+    return _MEM_SINKS.get_or_create(spark, list)
 
 
 def drop_memory_sinks(spark: SparkSession) -> int:
@@ -407,10 +375,9 @@ def drop_memory_sinks(spark: SparkSession) -> int:
     this session and forget them; returns how many were dropped. Only
     call after the returned DataFrames have been consumed -- they are
     lazy views over the dropped tables."""
-    entry = _MEM_SINKS.pop(id(spark), None)
-    if entry is None or entry[0]() is not spark:
+    names = _MEM_SINKS.pop(spark)
+    if names is None:
         return 0  # unknown session, or a recycled id of a dead one
-    names = entry[1]
     for n in names:
         try:
             spark.catalog.dropTempView(n)
@@ -472,6 +439,14 @@ def table_batched_source(
     def write(tmp: str) -> None:
         t = pq.read_table(table_path(sf_dir, table))
         lo = pc.min(t.column(id_col)).as_py()
+        if lo is None:
+            # empty table or all-NULL id column: min/max have no value
+            # and no range split exists -- fail loudly instead of the
+            # bare TypeError (None + 1) the arithmetic would raise
+            raise ValueError(
+                f"table_batched_source: {table}.{id_col} has no non-NULL "
+                "values to range-split on"
+            )
         hi = pc.max(t.column(id_col)).as_py() + 1
         step = max(1, (hi - lo) // n_batches)
         for i in range(n_batches):
@@ -481,6 +456,15 @@ def table_batched_source(
                 pc.greater_equal(t.column(id_col), a),
                 pc.less(t.column(id_col), b),
             )
+            if i == n_batches - 1:
+                # NULL ids satisfy no range predicate (pyarrow filter
+                # drops null-mask rows); route them to the final
+                # catch-all batch so they never silently vanish from
+                # the replay -- the event-thirds stagers' discipline
+                mask = pc.or_kleene(
+                    pc.fill_null(mask, False),
+                    pc.is_null(t.column(id_col)),
+                )
             p = os.path.join(tmp, f"batch{i}.parquet")
             pq.write_table(t.filter(mask), p)
             os.utime(p, ((i + 1) * 1_000_000, (i + 1) * 1_000_000))

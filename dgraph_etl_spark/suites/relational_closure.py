@@ -235,9 +235,9 @@ def b03_jdbc_scan(spark, sf_dir):
     routing bulk/main.go:222-269). The customer fixture is staged once
     into Derby (content-keyed, sources/jdbc.stage_derby_table), then
     read back through ``spark.read.jdbc`` with 8 non-overlapping
-    key-range predicates plus a NULL catch-all — one JDBC
-    connection-partition per predicate, the declarative form of the
-    reference's hand-rolled two-shard router. The per-nation
+    key-range predicates (the first carrying the NULL-key catch-all
+    arm) — one JDBC connection-partition per predicate, the
+    declarative form of the reference's hand-rolled two-shard router. The per-nation
     COUNT/SUM/MIN/MAX fingerprint against the parquet oracle proves
     complete, duplicate-free recovery of every row through the JDBC
     boundary (a dropped or double-scanned partition shifts counts and
@@ -254,8 +254,8 @@ def b03_jdbc_scan(spark, sf_dir):
     )
     # Spark's JDBC writer quotes column identifiers, so the Derby-side
     # names are case-exact and must be quoted in partition predicates
+    # (range_predicates' first fragment carries the NULL-key arm)
     preds = range_predicates('"c_custkey"', int(lo), int(hi), 8)
-    preds.append('"c_custkey" IS NULL')
     cust = read_jdbc(
         spark,
         url,

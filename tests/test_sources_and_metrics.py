@@ -12,7 +12,10 @@ from dgraph_etl_spark.sources.jdbc import range_predicates
 
 
 def _bounds(pred: str) -> tuple[int, int]:
-    m = re.match(r"k >= (\d+) AND k <= (\d+)$", pred)
+    # the first fragment carries the NULL-key catch-all arm
+    m = re.match(
+        r"(?:\()?k >= (\d+) AND k <= (\d+)(?:\) OR k IS NULL)?$", pred
+    )
     assert m, pred
     return int(m.group(1)), int(m.group(2))
 
@@ -37,6 +40,16 @@ def test_range_predicates_more_parts_than_keys():
     assert preds == [(10, 10), (11, 11), (12, 12)]
 
 
+def test_range_predicates_null_arm_on_first_fragment_only():
+    """NULL keys satisfy no range comparison, so exactly ONE fragment
+    (the first) must carry the IS NULL arm -- zero arms silently drops
+    NULL-keyed rows from the partitioned scan, two would duplicate
+    them."""
+    preds = range_predicates("k", 0, 1000, 4)
+    assert preds[0].endswith(") OR k IS NULL")
+    assert sum("IS NULL" in p for p in preds) == 1
+
+
 def test_range_predicates_rejects_bad_input():
     with pytest.raises(ValueError):
         range_predicates("k", 5, 4, 2)
@@ -58,6 +71,13 @@ def test_read_jdbc_end_to_end_against_embedded_derby(spark, tmp_path):
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     src = spark.range(0, 1000).selectExpr(
         "id AS k", "CAST(id % 7 AS INT) AS grp", "CAST(id * 2 AS DOUBLE) AS v"
+    ).union(
+        # a NULL-keyed row: must come back through the partitioned scan
+        # (the first fragment's IS NULL arm), not silently vanish
+        spark.sql(
+            "SELECT CAST(NULL AS BIGINT), CAST(99 AS INT), "
+            "CAST(-1 AS DOUBLE)"
+        )
     )
     src.write.jdbc(url, "sharded", mode="overwrite", properties=props)
 
@@ -67,15 +87,18 @@ def test_read_jdbc_end_to_end_against_embedded_derby(spark, tmp_path):
     preds = range_predicates('"k"', 0, 999, 4)
     df = read_jdbc(spark, url, "sharded", predicates=preds, properties=props)
     assert df.rdd.getNumPartitions() == len(preds) == 4
-    got = sorted((r.k, r.grp, r.v) for r in df.collect())
-    want = sorted((r.k, r.grp, r.v) for r in src.collect())
-    assert got == want
+    from collections import Counter
+
+    got = Counter((r.k, r.grp, r.v) for r in df.collect())
+    want = Counter((r.k, r.grp, r.v) for r in src.collect())
+    assert got == want  # multiset equality (None-keyed row included)
 
     # predicate pushdown: a narrow range must reach the remote query,
     # not filter post-hoc -- partition-local counts prove each JDBC
     # connection shipped its own WHERE clause
     per_part = df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
-    assert per_part == [250, 250, 250, 250]
+    # 251 = 250 range rows + the NULL-keyed row (first fragment's arm)
+    assert per_part == [251, 250, 250, 250]
 
 
 def test_observed_scan_reports_progress_metrics(spark, sf_small):
@@ -243,11 +266,54 @@ def test_stage_atomic_lock_serializes_and_never_drops_complete(tmp_path):
     os.remove(os.path.join(d, _STAGE_MARKER))
     _stage_atomic(d, write)
     assert len(calls) == 2 and _stage_complete(d)
-    # a dead-pid lock left by a crashed stager is broken, not waited on
+    # stale lock-file CONTENT from the retired pid-file protocol is
+    # irrelevant to flock: a leftover file never blocks acquisition
     with open(d + ".lock", "w") as f:
         f.write("999999999")
     assert _stage_atomic(d, write) == d  # complete dir short-circuits
     os.remove(d + ".lock")
+
+
+def test_stage_atomic_crashed_holder_releases_lock(tmp_path):
+    """A stager that dies holding the lock must not wedge waiters: the
+    kernel releases flock on process death (the property that replaced
+    the pid-probing break-the-lock branch, whose read-then-unlink had
+    a TOCTOU that could unlink a LIVE waiter's lock)."""
+    import subprocess
+    import sys
+
+    from dgraph_etl_spark.streaming.core import (
+        _stage_atomic,
+        _stage_complete,
+    )
+
+    d = str(tmp_path / "staged")
+    # child acquires the flock, signals readiness, then hard-crashes
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import fcntl, os, sys; "
+                f"fd = os.open({d + '.lock'!r}, os.O_CREAT | os.O_RDWR); "
+                "fcntl.flock(fd, fcntl.LOCK_EX); "
+                "print('locked', flush=True); "
+                "os.read(0, 1)"  # block until killed
+            ),
+        ],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+    )
+    assert child.stdout.readline().strip() == b"locked"
+    child.kill()
+    child.wait()
+
+    def write(tmp):
+        with open(os.path.join(tmp, "batch0"), "w") as f:
+            f.write("data")
+
+    assert _stage_atomic(d, write) == d
+    assert _stage_complete(d)
 
 
 def test_stateful_profile_fold_skips_null_ts(spark):
@@ -287,10 +353,11 @@ def test_drop_memory_sinks_ignores_foreign_session_id(spark):
     names = C._mem_sink_names(spark)
     names.append("phantom_sink_for_test")
     # corrupt the pin to simulate a recycled id from a dead session
-    ref, lst = C._MEM_SINKS[id(spark)]
-    C._MEM_SINKS[id(spark)] = (lambda: None, lst)
+    key = (id(spark), None)
+    ref, lst = C._MEM_SINKS._entries[key]
+    C._MEM_SINKS._entries[key] = (lambda: None, lst)
     assert C.drop_memory_sinks(spark) == 0
-    assert id(spark) not in C._MEM_SINKS
+    assert key not in C._MEM_SINKS._entries
 
 
 def test_stage_derby_table_is_content_keyed_and_reused(spark, tmp_path):

@@ -32,6 +32,131 @@ sys.path.insert(0, os.path.join(ROOT, "tools"))
 from md_sections import dir_size as _dir_size  # noqa: E402
 
 
+def _emb_tag(fixture: str) -> str:
+    """Content key of the fixture's embeddings data (mtime_ns+size):
+    the persisted-index naming convention shared by main() and the
+    bracket sweep."""
+    src = os.path.join(fixture.rstrip("/"), "embeddings.parquet")
+    if os.path.isfile(src):
+        st = os.stat(src)
+        return f"{st.st_mtime_ns}_{st.st_size}"
+    mx = tot = 0
+    for root_, _, files in os.walk(src):
+        for fn in files:
+            s_ = os.stat(os.path.join(root_, fn))
+            mx, tot = max(mx, s_.st_mtime_ns), tot + s_.st_size
+    return f"{mx}_{tot}"
+
+
+def _bracket(args) -> None:
+    """The honesty bracket for the compressed lanes: every headline
+    panel row reads recall@10 = 1.00 because the exact top-1000 rerank
+    absorbs all ADC misranking -- the accuracy/cost tradeoff is
+    invisible. This sweep shrinks the rerank budget (topc 1000 -> 100
+    -> 10) and finally removes the rerank entirely (raw ADC ranking),
+    recording where recall falls off, so the table is a tuning
+    artifact rather than a wall of 1.00s. Writes its own
+    marker-delimited SCALE.md section."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from dgraph_etl_spark.catalog import load_table
+    from dgraph_etl_spark.functions import similarity as S
+    from dgraph_etl_spark.session import get_spark
+    from md_sections import replace_section
+
+    spark = get_spark(app_name="ann_bracket")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for fixture in args.fixtures.split(","):
+        fixture = fixture.strip()
+        emb = load_table(spark, fixture, "embeddings")
+        n = emb.count()
+        ncells = args.ncells or max(2, int(n**0.5))
+        tag = _emb_tag(fixture)
+        label = f"{n/1e6:g}M"
+        query = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qvec")
+        )
+        truth = {r.vec_id for r in S.brute_topk(emb, query, 10).collect()}
+        scratch = os.path.dirname(fixture.rstrip("/"))
+        lanes = {
+            "PQ flat": (os.path.join(scratch, f"pq_{n}_{tag}"), 1, {}),
+            f"IVFPQ {ncells} cells, nprobe=32": (
+                os.path.join(scratch, f"ivfpq_{n}_{ncells}_{tag}"),
+                ncells,
+                {"nprobe": 32},
+            ),
+        }
+        for lane, (idx, ncl, probe_kw) in lanes.items():
+            S.build_ivfpq_index(spark, emb, idx, ncells=ncl)
+            for topc in [int(x) for x in args.topcs.split(",")] + [None]:
+                kw = dict(probe_kw)
+                if topc is None:
+                    kw.update(topc=10, rerank_emb=None)
+                    mode = "no rerank (raw ADC top-10)"
+                else:
+                    kw.update(topc=topc, rerank_emb=emb)
+                    mode = f"topc={topc} + exact rerank"
+
+                def probe():
+                    return S.ivfpq_scale_topk(spark, query, 10, idx, **kw)
+
+                probe().write.mode("overwrite").format("noop").save()
+                best = float("inf")
+                for _ in range(3):
+                    t0 = _time.perf_counter()
+                    probe().write.mode("overwrite").format("noop").save()
+                    best = min(best, _time.perf_counter() - t0)
+                recall = len(truth & {r.vec_id for r in probe().collect()}) / 10
+                rows.append((label, lane, mode, best, recall))
+                print(
+                    f"{label} {lane} {mode}: t={best:.3f}s "
+                    f"recall@10={recall:.2f}",
+                    flush=True,
+                )
+    start = "<!-- ann-bracket:start -->"
+    end = "<!-- ann-bracket:end -->"
+    lines = [
+        start,
+        "",
+        "### Compressed-lane honesty bracket: recall vs rerank budget "
+        "(tools/ann_panel.py --bracket)",
+        "",
+        "The headline rows above all read recall@10 = 1.00 because the "
+        "exact top-1000 rerank absorbs every ADC misranking. Shrinking "
+        "the rerank budget exposes the tradeoff -- where the cheap "
+        "8-byte-code ranking actually starts costing accuracy on this "
+        "corpus:",
+        "",
+        "| corpus | lane | rerank budget | t/probe | recall@10 |",
+        "|---|---|---|---|---|",
+    ]
+    for label, lane, mode, best, recall in rows:
+        lines.append(
+            f"| {label} | {lane} | {mode} | {best:.2f} s | {recall:.2f} |"
+        )
+    lines += [
+        "",
+        "Reading: recall holds while the rerank budget still covers the "
+        "ADC rank of every true neighbor; the no-rerank row is the raw "
+        "8-bytes-per-vector ranking quality, the floor a serving tier "
+        "pays if it skips the float fetch entirely. The rerank itself "
+        "is a broadcast semi-join reading topc float rows, so its cost "
+        "scales with topc, not with N -- which is why the recommended "
+        "operating point stays topc=1000 (its time sits within noise "
+        "of topc=10 at both sizes).",
+        "",
+        end,
+    ]
+    replace_section(
+        os.path.join(ROOT, "SCALE.md"), start, end, "\n".join(lines) + "\n"
+    )
+    print("updated SCALE.md ann-bracket section", flush=True)
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fixture", default="/tmp/dgraph_etl_scale/emb5m")
@@ -43,7 +168,17 @@ def main() -> None:
         help="comma subset of ivf,pq,ivfpq",
     )
     ap.add_argument("--topc", type=int, default=1000)
+    ap.add_argument("--bracket", action="store_true")
+    ap.add_argument(
+        "--fixtures",
+        default="/tmp/dgraph_etl_scale/emb1m,/tmp/dgraph_etl_scale/emb5m",
+        help="--bracket corpora (comma list)",
+    )
+    ap.add_argument("--topcs", default="1000,100,10", help="--bracket sweep")
     args = ap.parse_args()
+    if args.bracket:
+        _bracket(args)
+        return
     lanes = set(args.lanes.split(","))
 
     from pyspark.sql import functions as F  # noqa: E402
@@ -71,16 +206,7 @@ def main() -> None:
     # ground truth is computed on the fresh vectors -- the recall
     # table would be garbage with no error
     src = os.path.join(args.fixture.rstrip("/"), "embeddings.parquet")
-    if os.path.isfile(src):
-        st = os.stat(src)
-        tag = f"{st.st_mtime_ns}_{st.st_size}"
-    else:
-        mx = tot = 0
-        for root_, _, files in os.walk(src):
-            for fn in files:
-                s_ = os.stat(os.path.join(root_, fn))
-                mx, tot = max(mx, s_.st_mtime_ns), tot + s_.st_size
-        tag = f"{mx}_{tot}"
+    tag = _emb_tag(args.fixture)
     def steady(df_fn) -> float:
         df_fn().write.mode("overwrite").format("noop").save()
         best = float("inf")
