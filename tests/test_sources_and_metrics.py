@@ -182,7 +182,7 @@ def test_scroll_stream_resumes_from_page_cursor(spark, sf_small, tmp_path):
     out = str(tmp_path / "rows")
     ckpt = str(tmp_path / "ckpt")
 
-    def start():
+    def start(**trigger):
         return (
             spark.readStream.format("scroll_hits")
             .option("path", src)
@@ -190,25 +190,23 @@ def test_scroll_stream_resumes_from_page_cursor(spark, sf_small, tmp_path):
             .writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime="0 seconds")
+            .trigger(**trigger)
             .start()
         )
 
     import time
 
-    q = start()
-    deadline = time.monotonic() + 60
-    while time.monotonic() < deadline:
-        try:
-            if spark.read.parquet(out).count() >= 300:
-                break
-        except Exception:
-            pass
-        time.sleep(0.2)
-    q.stop()
+    # phase 1: EXACTLY one micro-batch (= one page, the source's
+    # batch grain), then stop -- a deterministic mid-stream kill. The
+    # previous poll-until-300-then-stop could race a fast machine to
+    # completion, committing all four pages before the first poll and
+    # turning the restart into a no-op (the resume-at-cursor property
+    # was then never exercised while the test still passed).
+    q = start(once=True)
     q.awaitTermination()
+    assert spark.read.parquet(out).count() == 300  # page 0 only
 
-    q = start()
+    q = start(processingTime="0 seconds")
     deadline = time.monotonic() + 120
     while time.monotonic() < deadline:
         try:

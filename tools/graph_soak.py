@@ -46,18 +46,19 @@ GRAPH_QUERIES = [
     "g12_weakly_connected",   # O(diameter) label propagation
 ]
 
-SECTION_START = "<!-- graph-soak:start -->"
-SECTION_END = "<!-- graph-soak:end -->"
+def _markers(replicas: int) -> tuple[str, str]:
+    """Per-replicas markers (stream_soak's convention): a --replicas 10
+    run must own its OWN SCALE.md span, never clobber the 100x section
+    with mislabeled numbers. The historical unsuffixed markers are kept
+    for replicas=100 so the existing section is replaced in place."""
+    sfx = "" if replicas == 100 else f"-{replicas}x"
+    return (f"<!-- graph-soak{sfx}:start -->", f"<!-- graph-soak{sfx}:end -->")
 
 
 def _time_query(spark, fn, sf_dir: str) -> float:
-    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        best = min(best, time.perf_counter() - t0)
-    return best
+    from md_sections import steady_noop_time
+
+    return steady_noop_time(lambda: fn(spark, sf_dir))
 
 
 def main() -> None:
@@ -105,7 +106,7 @@ def main() -> None:
     base_hub = hub_stats(SRC_SF)
     big_hub = hub_stats(big)
     print(f"hub skew sf0.1 max/med={base_hub[0]}/{base_hub[1]}  "
-          f"100x max/med={big_hub[0]}/{big_hub[1]}", flush=True)
+          f"{args.replicas}x max/med={big_hub[0]}/{big_hub[1]}", flush=True)
 
     # -- graph queries at both scales -------------------------------------
     results: dict[str, tuple[float, float]] = {}
@@ -125,40 +126,38 @@ def main() -> None:
     exploded = explode_bidirectional(rel)
 
     def _t(df) -> float:
-        df.write.mode("overwrite").format("noop").save()  # warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        return best
+        from md_sections import steady_noop_time
+
+        return steady_noop_time(lambda: df)
 
     t_plain = _t(max_score_per_edge(exploded))
     t_salted = _t(aggregate_max_salted(exploded))
     n_plain = max_score_per_edge(exploded).count()
     n_salted = aggregate_max_salted(exploded).count()
     assert n_plain == n_salted, (n_plain, n_salted)
-    print(f"a12 max-per-edge at 100x: plain {t_plain:.3f}s, "
+    print(f"a12 max-per-edge at {args.replicas}x: plain {t_plain:.3f}s, "
           f"salted {t_salted:.3f}s ({n_plain} edges)", flush=True)
     spark.stop()
 
     # -- SCALE.md section -------------------------------------------------
+    SECTION_START, SECTION_END = _markers(args.replicas)
     lines = [
         SECTION_START,
         "",
-        "## Graph family at 100x (hub-densified)",
+        f"## Graph family at {args.replicas}x (hub-densified)",
         "",
         f"Generated by `tools/graph_soak.py` (replicas={args.replicas}).",
         "The builder keeps the 50 derived hub endpoints SHARED across",
         "replicas while user populations stay disjoint, so hub degrees",
         "densify with the corpus: max src degree "
-        f"{base_hub[0]:,} at sf0.1 -> {big_hub[0]:,} at 100x",
+        f"{base_hub[0]:,} at sf0.1 -> {big_hub[0]:,} at {args.replicas}x",
         f"(median {base_hub[1]} -> {big_hub[1]}; distinct src",
         f"{base_hub[2]:,} -> {big_hub[2]:,}) -- a power-law-style skew",
         "regime, measured not assumed. Timing: warm once, then",
         "back-to-back min-of-3, noop sink.",
         "",
-        "| query | t(sf0.1) s | t(100x) s | ratio on 100x data |",
+        f"| query | t(sf0.1) s | t({args.replicas}x) s "
+        f"| ratio on {args.replicas}x data |",
         "|---|---|---|---|",
     ]
     for name, (t1, t100) in sorted(results.items(), key=lambda kv: -kv[1][1]):
@@ -171,7 +170,7 @@ def main() -> None:
         f"over the {args.replicas}x bidirectional explode,",
         f"{n_plain:,} output edges):",
         "",
-        "| lane | t at 100x |",
+        f"| lane | t at {args.replicas}x |",
         "|---|---|",
         f"| plain hash agg (max_score_per_edge) | {t_plain:.3f} s |",
         f"| two-level salted agg (aggregate_max_salted) | {t_salted:.3f} s |",
@@ -185,8 +184,8 @@ def main() -> None:
         "the cluster regime AQE can't fix (skew on the build side, or a",
         "downstream window pinning partitioning; pipeline/edges.py",
         "docstrings). The number to watch is the plain lane's ratio",
-        "staying at/below its data growth despite the 99x hub",
-        "densification: map-side combine shrinks hub keys before the",
+        f"staying at/below its data growth despite the {args.replicas - 1}x",
+        "hub densification: map-side combine shrinks hub keys before the",
         "exchange, which is why no graph query here goes superlinear.",
         "",
         SECTION_END,

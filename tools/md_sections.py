@@ -44,16 +44,44 @@ def replace_section(path: str, start: str, end: str, block: str) -> None:
 
 
 def dir_size(path: str) -> int:
-    """Recursive on-disk byte count, tolerant ONLY of files vanishing
-    mid-walk (Spark temp/.part files being committed or cleaned while
-    a soak tool measures a live directory). Any other IO problem
+    """Recursive on-disk byte count, tolerant ONLY of entries vanishing
+    mid-walk (Spark temp/.part files/dirs being committed or cleaned
+    while a soak tool measures a live directory). Any other IO problem
     (EACCES, corrupt fs) stays loud -- silently skipping it would
-    understate the size figures recorded in SCALE.md."""
+    understate the size figures recorded in SCALE.md. os.walk's default
+    onerror=None would silently prune an unreadable subtree, so listing
+    errors are re-raised here (a vanished dir is the tolerated case)."""
+
+    def on_err(ex: OSError) -> None:
+        if not isinstance(ex, FileNotFoundError):
+            raise ex
+
     tot = 0
-    for root_, _, files in os.walk(path):
+    for root_, _, files in os.walk(path, onerror=on_err):
         for fn in files:
             try:
                 tot += os.path.getsize(os.path.join(root_, fn))
             except FileNotFoundError:
                 pass
     return tot
+
+
+def steady_noop_time(df_fn, samples: int = 3) -> float:
+    """Steady-state execution time of a DataFrame plan: run to
+    completion through the noop sink (executes every operator with
+    zero sink cost -- unlike count(), which lets Spark prune work),
+    warm once, then min-of-``samples`` back-to-back. The ONE copy of
+    the warm-then-min protocol every SCALE.md soak table cites
+    (previously re-implemented in ann_panel twice and graph_soak
+    twice, which let the protocol drift); ``df_fn`` is a zero-arg
+    plan builder so each sample re-plans exactly what a fresh query
+    would."""
+    import time
+
+    df_fn().write.mode("overwrite").format("noop").save()  # warm
+    best = float("inf")
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        df_fn().write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return best

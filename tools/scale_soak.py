@@ -81,18 +81,52 @@ def _src_tag(src_sf: str) -> str:
 def build_fixture(
     replicas: int, src_sf: str = SRC_SF, dest: str | None = None
 ) -> str:
+    """Build (or reuse) the key-remapped scaled fixture ATOMICALLY:
+    concurrent soak tools (graph_soak + stream_soak both build the same
+    x100) serialize on an flock'd lock file, the build lands in a tmp
+    sibling carrying its content stamp, and one rename publishes it --
+    the previous build-in-place path let a second builder rmtree a
+    half-built dir mid-COPY and then stamp the interleaved result as
+    complete, poisoning every later --skip-build reader. Same
+    discipline as streaming.core._stage_atomic."""
+    import fcntl
+
     import duckdb
 
     if dest is None:
         dest = fixture_dest(replicas)
     stamp = os.path.join(dest, "_BUILT")
     tag = _src_tag(src_sf)
-    if os.path.exists(stamp):
-        with open(stamp) as f:
-            if f.read() == tag:
-                return dest
-    shutil.rmtree(dest, ignore_errors=True)
-    os.makedirs(dest, exist_ok=True)
+
+    def built() -> bool:
+        try:
+            with open(stamp) as f:
+                return f.read() == tag
+        except OSError:
+            return False
+
+    if built():
+        return dest
+    os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+    fd = os.open(f"{dest}.lock", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)  # kernel-released on crash
+        if built():
+            return dest
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        _build_into(tmp, replicas, src_sf, duckdb)
+        with open(os.path.join(tmp, "_BUILT"), "w") as f:
+            f.write(tag)
+        shutil.rmtree(dest, ignore_errors=True)
+        os.rename(tmp, dest)
+        return dest
+    finally:
+        os.close(fd)
+
+
+def _build_into(dest: str, replicas: int, src_sf: str, duckdb) -> None:
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
 
@@ -149,9 +183,6 @@ def build_fixture(
         "embeddings",
     )
     con.close()
-    with open(stamp, "w") as f:
-        f.write(tag)
-    return dest
 
 
 def run_bench(sf_dir: str) -> dict:
@@ -329,25 +360,28 @@ def main() -> None:
     scaled = run_bench(big)
     print(f"{args.replicas}x total {scaled['value']}s", flush=True)
 
+    r = args.replicas
     lines = [
-        "# SCALE — headline queries, 10x fact growth",
+        f"# SCALE — headline queries, {r}x fact growth",
         "",
-        f"Generated by `tools/scale_soak.py` (replicas={args.replicas}): the",
+        f"Generated by `tools/scale_soak.py` (replicas={r}): the",
         "sf0.1 fact tables (lineitem 600k, orders 150k, events, documents,",
-        "embeddings) key-remapped-replicated 10x into scratch, dimensions",
+        f"embeddings) key-remapped-replicated {r}x into scratch, dimensions",
         "held fixed; the UNMODIFIED `bench.py` headline set run at both",
         "scales on the same host, two-phase timing per query",
         "(interleaved warm rounds, then back-to-back min-of-3).",
         "",
-        "ratio = t(10x) / t(1x). A ratio near 1 means the query is still",
+        f"ratio = t({r}x) / t(1x). A ratio near 1 means the query is still",
         "inside fixed per-stage overhead at this size (the work fits the",
-        "core count); near 10 means it is already compute/shuffle-bound and",
-        "scales linearly; well above 10 flags superlinear behavior to fix.",
+        f"core count); near {r} means it is already compute/shuffle-bound",
+        f"and scales linearly; well above {r} flags superlinear behavior",
+        "to fix.",
         "",
-        f"Totals: sf0.1 {base['value']}s -> 10x {scaled['value']}s "
-        f"(ratio {scaled['value'] / base['value']:.2f} on a 10x decade).",
+        f"Totals: sf0.1 {base['value']}s -> {r}x {scaled['value']}s "
+        f"(ratio {scaled['value'] / base['value']:.2f} on a {r}x "
+        "growth factor).",
         "",
-        "| query | t(sf0.1) s | t(10x) s | ratio |",
+        f"| query | t(sf0.1) s | t({r}x) s | ratio |",
         "|---|---|---|---|",
     ]
     for name, t1 in sorted(
@@ -358,7 +392,7 @@ def main() -> None:
     lines += [
         "",
         "Interpretation notes:",
-        "- Dimension joins stay broadcast at 10x (dims fixed); fact",
+        f"- Dimension joins stay broadcast at {r}x (dims fixed); fact",
         "  shuffles grow linearly and AQE re-coalesces partitions.",
         "- Dedup/LSH outputs grow linearly by construction of the",
         "  replication (disjoint cross-replica shingle sets), so their",

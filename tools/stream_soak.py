@@ -64,6 +64,36 @@ def _stateful_probe(spark, sf_dir: str) -> dict:
     must no-op (ledger-skip) and its time is the recovery floor."""
     import shutil
     import tempfile
+
+    from dgraph_etl_spark.streaming.core import table_batched_source
+
+    out: dict = {}
+    staged = table_batched_source(sf_dir, "events", "event_id", 2)
+    work = tempfile.mkdtemp(prefix="stateful_soak_")
+    url = None
+    try:
+        out = _stateful_probe_body(spark, sf_dir, staged, work)
+        url = out.pop("_derby_url")
+        return out
+    finally:
+        # cleanup runs on FAILURE too (a 100x probe leaves multi-GB of
+        # staged events + a booted Derby db otherwise); de-boot the
+        # database before deleting its files, stage_derby_table's rule
+        if url is None:
+            url = f"jdbc:derby:{os.path.join(work, 'xonce')}/db"
+        try:
+            spark._jvm.java.sql.DriverManager.getConnection(  # type: ignore[union-attr]
+                f"{url};shutdown=true"
+            )
+        except Exception as ex:
+            if "08006" not in str(ex) and "XJ004" not in str(ex):
+                raise  # XJ004: database not found (probe died pre-boot)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stateful_probe_body(
+    spark, sf_dir: str, staged: str, work: str
+) -> dict:
     import uuid
 
     from dgraph_etl_spark.sinks.jdbc_sink import (
@@ -73,14 +103,11 @@ def _stateful_probe(spark, sf_dir: str) -> dict:
     from dgraph_etl_spark.streaming.core import (
         events_schema,
         events_stream,
-        table_batched_source,
         time_split_source,
     )
     from dgraph_etl_spark.streaming.stateful import user_profiles
 
     out: dict = {}
-    staged = table_batched_source(sf_dir, "events", "event_id", 2)
-    work = tempfile.mkdtemp(prefix="stateful_soak_")
     src = os.path.join(work, "src")
     os.makedirs(src)
     ckpt = os.path.join(work, "ckpt")
@@ -159,7 +186,7 @@ def _stateful_probe(spark, sf_dir: str) -> dict:
         tsrc
     ).count()
     out["sink_exact"] = bool(n_sunk == n_src)
-    shutil.rmtree(work, ignore_errors=True)
+    out["_derby_url"] = f"jdbc:derby:{root}/db"  # bare (no ;create)
     return out
 
 
