@@ -130,26 +130,48 @@ def _bracket(args) -> None:
         lines.append(
             f"| {label} | {lane} | {mode} | {best:.2f} s | {recall:.2f} |"
         )
-    # the operating-point sentence is DERIVED from the measured rows
+    # the operating-point sentences are DERIVED from the measured rows
     # (hand prose next to tool numbers goes stale; round-5 advice)
     reranked = [r for r in rows if r[2].startswith("topc=")]
     t_max = max(r[3] for r in reranked)
     t_min = min(r[3] for r in reranked)
-    worst_recall = min(r[4] for r in reranked)
-    floor_recall = min(r[4] for r in rows if r[2].startswith("no rerank"))
+    # per corpus: the cheapest budget that still reads full recall
+    # (budgets ordered by cost: no-rerank < small topc < large topc)
+    cheapest = []
+    for label in dict.fromkeys(r[0] for r in rows):
+        full = [
+            r[2]
+            for r in rows
+            if r[0] == label and r[4] >= 0.999
+        ]
+        ranked = sorted(
+            full,
+            key=lambda m: -1 if m.startswith("no rerank") else int(m.split("=")[1].split(" ")[0]),
+        )
+        cheapest.append(
+            f"{label}: {ranked[0] if ranked else 'NONE reaches full recall'}"
+        )
     lines += [
         "",
         "Reading: recall holds while the rerank budget still covers the "
         "ADC rank of every true neighbor; the no-rerank rows are the raw "
         "8-bytes-per-vector ranking quality, the floor a serving tier "
-        "pays if it skips the float fetch entirely "
-        f"(worst no-rerank recall@10 measured: {floor_recall:.2f}; worst "
-        f"reranked: {worst_recall:.2f}). The rerank itself is a "
-        "broadcast semi-join reading topc float rows, so its cost "
-        "scales with topc, not with N -- across this whole sweep the "
-        f"reranked probe times span {t_min:.2f}-{t_max:.2f} s, so the "
-        "budget choice is an accuracy knob, not a latency one: run the "
-        "largest topc whose floats fit the broadcast (1000 here).",
+        "pays if it skips the float fetch entirely. Cheapest budget "
+        "reaching full recall@10, per corpus -- "
+        + "; ".join(cheapest)
+        + ". Context for the cliff: this synthetic corpus stacks "
+        "thousands of tiny-perturbation replicas of every base vector, "
+        "so each query's exact ranking begins with a block of near-ties "
+        "finer than 8 bytes of code can separate -- an adversarially "
+        "hard tie structure for ADC (a real embedding corpus is rarely "
+        "this degenerate, but dedup-heavy corpora approach it), and "
+        "exactly the regime where only the exact rerank restores the "
+        "true order. The rerank itself is a broadcast semi-join reading "
+        "topc float rows, so its cost scales with topc, not with N -- "
+        f"across this whole sweep the reranked probe times span "
+        f"{t_min:.2f}-{t_max:.2f} s, so the budget is an accuracy knob, "
+        "not a latency one: run the largest topc whose floats fit the "
+        "broadcast.",
         "",
         end,
     ]
