@@ -80,14 +80,24 @@ def prefix_key_dedup(docs: DataFrame, n_tokens: int = 3) -> DataFrame:
 
 
 def token_ngrams(col: Column | str = "text", n: int = 3) -> Column:
-    """n-token shingles (word n-grams) as an array of strings."""
+    """n-token shingles (word n-grams) as an array of strings.
+
+    NULL text yields NULL (not the single shingle [""] that concat_ws
+    over a NULL slice would fabricate): a NULL-text doc must stay a
+    SINGLETON through every dedup/containment/contamination lane --
+    the family-wide contract exact_dedup/prefix_key_dedup already
+    honor -- and the DuckDB oracles agree (array_to_string(NULL) is
+    NULL there, which never equi-joins)."""
     t = tokens(col)
     cnt = F.size(t) - (n - 1)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-        )
+    return F.when(
+        t.isNotNull(),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        ),
     )
 
 
@@ -125,8 +135,17 @@ def rolled_ngram_hashes(th: Column, n: int = 3) -> Column:
             acc = F.pmod(acc * F.lit(1_000_003) + nxt, F.lit(_MERSENNE31))
         return acc
 
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))), _roll)
+    # NULL token-hash array (NULL text) yields NULL, NOT the constant
+    # all-zero shingle [0] -- that constant gave every NULL-text doc an
+    # identical MinHash signature, so N such docs agreed on every LSH
+    # band and emitted the full N*(N-1)/2 candidate clique (quadratic
+    # at scale, and "duplicates" of contents never compared). NULL
+    # keeps them singletons, the family contract.
+    return F.when(
+        th.isNotNull(),
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))), _roll)
+        ),
     )
 
 

@@ -348,6 +348,13 @@ def srp_neardup_pairs(
     buckets: at 100 TB this replaces blocked_similarity_join's natural
     block key, and the band table feeds both join sides so it is
     materialized once (localCheckpoint)."""
+    if n_planes % n_bands:
+        raise ValueError(
+            f"n_planes={n_planes} not divisible by n_bands={n_bands}: "
+            "trailing signature bits would be computed but never "
+            "banded, silently lowering recall (lsh_candidate_pairs' "
+            "guard, applied to the SRP family)"
+        )
     bits_per_band = n_planes // n_bands
     mask = (1 << bits_per_band) - 1
     sig = srp_signatures(emb, n_planes, seed, vec_col, dim=dim)
@@ -433,6 +440,12 @@ def srp_bands_fixedpoint(
     of srp_signatures, trading a benign BNLJ for plan size). One
     projection + one posexplode: n_bands rows per input row, no
     shuffle, no Python."""
+    if n_planes % n_bands:
+        raise ValueError(
+            f"n_planes={n_planes} not divisible by n_bands={n_bands}: "
+            "trailing signature bits would be computed but never "
+            "banded, silently lowering recall"
+        )
     if dim is None:
         first = emb.select(vec_col).first()
         dim = len(first[0])
@@ -647,11 +660,13 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def _kmeans_loop(q: DataFrame, k: int, n_iter: int):
-    """Shared Lloyd iteration over quantized vectors ``(vec_id, qv)``.
-    Returns ``(cents, assign)``: the post-iteration integer centroid
-    table ``(cell, cv)`` and the final hard assignment ``(vec_id,
-    cell)`` against it."""
+def _md5_seeds(q: DataFrame, k: int) -> DataFrame:
+    """Deterministic k-means seeding shared by the IVF cell trainer and
+    the PQ codebook trainer: the k corpus rows with the smallest
+    md5(vec_id) (engine/partitioning/retry-independent, and replayable
+    in the DuckDB oracles), tagged with their 0-based seed ordinal as
+    ``seed_ord``. ONE copy: a seeding change must not drift between
+    the two trainers whose oracles assume the same discipline."""
     from pyspark.sql import Window
 
     seeds = (
@@ -660,9 +675,27 @@ def _kmeans_loop(q: DataFrame, k: int, n_iter: int):
         .limit(k)
     )
     # k rows: the global window is over the already-limited seed set
-    cents = seeds.select(
-        (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).alias("cell"),
-        F.col("qv").alias("cv"),
+    return seeds.withColumn(
+        "seed_ord", F.row_number().over(Window.orderBy("h", "vec_id")) - 1
+    )
+
+
+def _int_mean(s: Column, n: Column) -> Column:
+    """Round-half-UP integer mean floor((2s+n)/(2n)) -- the centroid
+    update rule shared by both Lloyd trainers. The doubles are exact
+    here (sums bounded well under 2^53, kmeans_cells' documented
+    bound), and half-up matches the oracles' replay of the same
+    expression."""
+    return F.floor((2.0 * s + n) / (2.0 * n)).cast("long")
+
+
+def _kmeans_loop(q: DataFrame, k: int, n_iter: int):
+    """Shared Lloyd iteration over quantized vectors ``(vec_id, qv)``.
+    Returns ``(cents, assign)``: the post-iteration integer centroid
+    table ``(cell, cv)`` and the final hard assignment ``(vec_id,
+    cell)`` against it."""
+    cents = _md5_seeds(q, k).select(
+        F.col("seed_ord").alias("cell"), F.col("qv").alias("cv")
     ).localCheckpoint()
 
     for _ in range(n_iter):
@@ -680,10 +713,7 @@ def _kmeans_loop(q: DataFrame, k: int, n_iter: int):
         )
         new_cents = (
             comp.withColumn(
-                "m",
-                F.floor(
-                    (2.0 * F.col("s") + F.col("n")) / (2.0 * F.col("n"))
-                ).cast("long"),
+                "m", _int_mean(F.col("s"), F.col("n"))
             )
             .groupBy("cell")
             .agg(
@@ -772,7 +802,12 @@ def _int_cosine(a: Column, b: Column) -> Column:
             lambda acc, x: acc + x,
         ).cast("double")
     )
-    return d / (na * nb)
+    # try_divide, not '/': an all-zero quantized vector (every
+    # component's magnitude < qmax/254) would otherwise 0/0 -- a
+    # DIVIDE_BY_ZERO abort under the pinned ANSI mode, or a NaN that
+    # sorts FIRST under desc and displaces a real neighbor. NULL is
+    # the module-wide zero-norm contract (cosine() above).
+    return F.try_divide(d, na * nb)
 
 
 def ivf_kmeans_topk(
@@ -1139,18 +1174,8 @@ def _pq_adc(
         F.slice(F.col("qv"), F.col("m") * sd + 1, sd).alias("sv"),
     )
 
-    from pyspark.sql import Window
-
-    seeds = (
-        q.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(k_codes)
-    )
-    seed_codes = seeds.select(
-        (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).alias(
-            "code"
-        ),
-        "qv",
+    seed_codes = _md5_seeds(q, k_codes).select(
+        F.col("seed_ord").alias("code"), "qv"
     )
     cents = (
         seed_codes.select(
@@ -1190,10 +1215,7 @@ def _pq_adc(
         )
         new_cents = (
             comp.withColumn(
-                "mu",
-                F.floor(
-                    (2.0 * F.col("s") + F.col("n")) / (2.0 * F.col("n"))
-                ).cast("long"),
+                "mu", _int_mean(F.col("s"), F.col("n"))
             )
             .groupBy("m", "code")
             .agg(
@@ -1249,16 +1271,18 @@ def _pq_adc(
         .crossJoin(F.broadcast(qnorm))
         .select(
             "vec_id",
-            (
-                F.col("dot_adc").cast("double")
-                / (
-                    F.sqrt(
-                        F.greatest(F.col("norm_adc"), F.lit(1)).cast(
-                            "double"
-                        )
-                    )
-                    * F.sqrt(F.col("qn").cast("double"))
+            # try_divide: the codebook norm is floored (greatest) but a
+            # zero-norm QUERY would still 0/0 -- ANSI abort, or a NaN
+            # that sorts first under desc(adc_sim) and makes the whole
+            # candidate set arbitrary. NULL matches the zero-norm
+            # contract of the scale lane (ivfpq_scale_topk's Arrow
+            # path) and of cosine() itself.
+            F.try_divide(
+                F.col("dot_adc").cast("double"),
+                F.sqrt(
+                    F.greatest(F.col("norm_adc"), F.lit(1)).cast("double")
                 )
+                * F.sqrt(F.col("qn").cast("double")),
             ).alias("adc_sim"),
         )
     )

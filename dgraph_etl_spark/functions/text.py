@@ -79,7 +79,12 @@ def language_id(docs: DataFrame) -> DataFrame:
     en, es, de = (_stopword_hits(lg) for lg in ("en", "es", "de"))
     best = F.greatest(en, es, de)
     guess = (
-        F.when(best == 0, "und")
+        # NULL text first: every hit count is NULL there, so all the
+        # equality conditions below evaluate NULL (not true) and
+        # control would fall through to the otherwise -- confidently
+        # labeling an unknown document 'de'. NULL text is 'und'.
+        F.when(best.isNull(), "und")
+        .when(best == 0, "und")
         .when(en == best, "en")
         .when(es == best, "es")
         .otherwise("de")

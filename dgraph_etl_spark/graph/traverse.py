@@ -279,6 +279,11 @@ def weakly_connected_components(edges: DataFrame, max_iter: int = 25) -> DataFra
 
 def hop_counts(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
     """G4: |hop_i| for i in 1..k as one small result row."""
+    if k < 1:
+        raise ValueError(
+            f"hop_counts: k must be >= 1, got {k} (a zero-hop count "
+            "row has no columns)"
+        )
     hops = k_hop(edges, seeds, k)
     row = None
     for i, h in enumerate(hops, start=1):
@@ -679,7 +684,7 @@ def weighted_pagerank(
         # loud, named failure (personalized_pagerank's empty-seed
         # pattern): 1.0 / n below would raise a bare
         # ZeroDivisionError before any Spark job runs
-        raise ValueError("pagerank: empty edge table (no nodes)")
+        raise ValueError("weighted_pagerank: empty edge table (no nodes)")
     out_w = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(

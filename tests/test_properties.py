@@ -1217,3 +1217,104 @@ def test_g10_pagerank_empty_graph_fails_loudly(spark):
         pagerank(empty)
     with pytest.raises(ValueError, match="empty edge table"):
         weighted_pagerank(empty)
+
+
+def test_c02_null_text_singletons_across_shingle_lanes(spark):
+    """The NULL-text singleton contract holds in the SHINGLE lanes too:
+    token_ngrams must not fabricate the [""] shingle (concat_ws over a
+    NULL slice) and rolled_ngram_hashes must not fabricate the constant
+    [0] shingle -- either one pairs every NULL-text doc with its
+    NULL-text peers (LSH: the full quadratic clique). NULL-text docs
+    must emit NO candidate pairs from either lane."""
+    from dgraph_etl_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        rolled_ngram_hashes,
+        token_hashes,
+        token_ngrams,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, None, "en"), (2, None, "en"), (3, "a b c d", "en"),
+         (4, "a b c d", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    g = docs.select(token_ngrams("text").alias("g")).collect()
+    assert g[0].g is None and g[1].g is None, g
+    rh = (
+        docs.withColumn("th", token_hashes("text"))
+        .select(rolled_ngram_hashes(F.col("th")).alias("r"))
+        .collect()
+    )
+    assert rh[0].r is None and rh[1].r is None, rh
+
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert {(r.doc_a, r.doc_b) for r in jac} == {(3, 4)}, jac
+    lsh = lsh_candidate_pairs(docs).collect()
+    assert all({r.doc_a, r.doc_b} == {3, 4} for r in lsh), lsh
+
+
+def test_c06_language_id_null_text_is_und(spark):
+    """All stopword-hit counts are NULL for NULL text, so every when()
+    equality evaluates NULL and control fell through to the otherwise
+    -- confidently labeling an unknown document 'de'. NULL text must
+    be 'und'."""
+    from dgraph_etl_spark.functions.text import language_id
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the and of with that this")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.lang_guess for r in language_id(docs).collect()}
+    assert got == {1: "und", 2: "en"}, got
+
+
+def test_c52_int8_topk_zero_norm_vector_sorts_last(spark):
+    """A vector whose every component quantizes to 0 has zero int norm:
+    the quantized cosine must be NULL (try_divide; sorts last under
+    desc), never a DIVIDE_BY_ZERO abort under ANSI or a NaN that
+    displaces a real neighbor at rank 1."""
+    from dgraph_etl_spark.functions.similarity import int8_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [1e-9, 1e-9])],
+        "vec_id bigint, embedding array<double>",
+    )
+    query = spark.createDataFrame([([1.0, 0.0],)], "qvec array<double>")
+    got = int8_topk(emb, query, k=2)
+    ids = [r.vec_id for r in got.collect()]
+    assert 2 not in ids, ids  # degenerate row never wins the top-k
+
+
+def test_srp_rejects_nondivisible_bands(spark):
+    """The SRP family must refuse n_planes % n_bands != 0 the way
+    lsh_candidate_pairs does -- trailing signature bits computed but
+    never banded silently lower recall."""
+    import pytest as _pytest
+
+    from dgraph_etl_spark.functions.similarity import (
+        srp_bands_fixedpoint,
+        srp_neardup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        srp_neardup_pairs(emb, n_planes=16, n_bands=3)
+    with _pytest.raises(ValueError, match="not divisible"):
+        srp_bands_fixedpoint(emb, n_planes=32, n_bands=5)
+
+
+def test_g04_hop_counts_rejects_k0(spark):
+    """k=0 previously crashed with AttributeError on None.select --
+    fail loudly with a named error instead."""
+    import pytest as _pytest
+
+    from dgraph_etl_spark.graph.traverse import hop_counts
+
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    with _pytest.raises(ValueError, match="hop_counts"):
+        hop_counts(edges, seeds, k=0)
