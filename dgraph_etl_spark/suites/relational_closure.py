@@ -1731,7 +1731,15 @@ def b07_join_inner_bucketed(spark, sf_dir):
     li, o = _bucketed_orderkey_facts(spark, sf_dir)
     c = _t(spark, sf_dir, "customer")
     return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        # merge hint: the fact-fact join MUST stay the bucket-local
+        # sort-merge join. Without it, Catalyst's pruned-size estimate
+        # of the shared (wider) bucketed orders table can drop under
+        # the broadcast threshold and flip the plan to BROADCASTING a
+        # fact side -- measured 6x slower at 100x locally (8.4 s vs
+        # 1.4 s) and an executor-OOM plan on a real cluster. The hint
+        # declares the layout's intent; on bucketed inputs the SMJ is
+        # zero-exchange and zero-sort.
+        li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
@@ -3537,7 +3545,10 @@ def b87_tpch_q21_bucketed(spark, sf_dir):
         spark,
         sf_dir,
         li.select("l_orderkey", "l_suppkey", "l_shipdate"),
-        o.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+        # merge hint: pin the bucket-local SMJ (b07_bucketed's note --
+        # a pruned-size estimate under the broadcast threshold would
+        # otherwise broadcast the 15M-row orders side)
+        o.select("o_orderkey", "o_orderdate", "o_orderstatus").hint("merge"),
     )
 
 

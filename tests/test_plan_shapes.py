@@ -436,12 +436,14 @@ def test_b07_bucketed_twin_contract(spark, sf_small):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, bucketed.collect())
     )
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        plan = formatted_plan(bucketed)
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the plan is captured under the DEFAULT config: the previous
+    # disable-broadcast-then-capture masked a real regression where a
+    # pruned-size estimate under the threshold flipped the fact-fact
+    # join to BROADCASTING the 15M-row orders side (6x slower at 100x,
+    # executor-OOM on a cluster); the merge hint now pins the SMJ and
+    # this contract would catch the flip
+    plan = formatted_plan(bucketed)
+    assert "SortMergeJoin" in plan, plan
     assert plan.count("Bucketed: true") >= 2, plan
     assert "SelectedBucketsCount: 32 out of 32" in plan, plan
     # the bucketed layout's whole point: NO exchange re-partitions on
@@ -451,6 +453,9 @@ def test_b07_bucketed_twin_contract(spark, sf_small):
     # distribution text itself, not "Exchange hashpartitioning" (which
     # never occurs as a substring in this mode)
     assert not re.search(r"hashpartitioning\([lo]_orderkey", plan), plan
+    # (any Sort left is the in-partition per-bucket sort Spark inserts
+    # when legacy bucketedTableScan.outputOrdering is off -- local
+    # work, no exchange; the zero-sort capture is b50's contract test)
 
 
 def test_b87_bucketed_twin_contract(spark, sf_small):
@@ -472,6 +477,7 @@ def test_b87_bucketed_twin_contract(spark, sf_small):
         map(tuple, bucketed.collect())
     )
     plan = formatted_plan(bucketed)
+    assert "SortMergeJoin" in plan, plan  # merge hint pins the SMJ
     assert plan.count("Bucketed: true") >= 2, plan
     assert "SelectedBucketsCount: 32 out of 32" in plan, plan
     assert not re.search(r"hashpartitioning\([lo]_orderkey", plan), plan
