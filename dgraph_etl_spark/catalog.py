@@ -284,6 +284,13 @@ def register_views(
     if hit == (sf_dir, fp) and not force and not partial:
         return
     pin_session_confs(spark)
+    if partial:
+        # a partial registration can OVERWRITE views the cached full
+        # registration created (a different sf_dir's documents view,
+        # say) -- the cache must be invalidated, not just left
+        # unpopulated, or a later full call for the cached sf_dir
+        # no-ops over a mixed catalog
+        _REGISTERED.pop(spark)
     for t in BASE_TABLES if tables is None else tables:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     for name, sql in VIEW_SQL.items():

@@ -488,6 +488,12 @@ def doc_span_hashes(docs: DataFrame, k: int = 8) -> DataFrame:
         F.sequence(F.lit(0), n_spans - 1),
         lambda i: F.array_join(F.slice(t, i * k + 1, k), " "),
     )
+    # NULL text has NO spans (posexplode of NULL emits no rows) -- the
+    # fabricated single (span=NULL, h=NULL) row previously re-counted
+    # as "novel" on every streaming batch (NULL never joins the seen
+    # set) and diverged from the oracles, whose NULL span hashes drop
+    # at their joins. Same NULL-singleton discipline as token_ngrams.
+    spans = F.when(t.isNotNull(), spans)
     pos = docs.select("doc_id", F.posexplode(spans).alias("span_id", "span"))
     return pos.select("doc_id", "span_id", "span", F.md5("span").alias("h"))
 

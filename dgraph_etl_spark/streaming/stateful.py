@@ -142,24 +142,31 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
     class RunningTotals(StatefulProcessor):
         def init(self, handle):
             self._totals = handle.getValueState(
-                "totals", "n BIGINT, total_fp BIGINT"
+                "totals", "n BIGINT, total_fp BIGINT, n_vals BIGINT"
             )
 
         def handleInputRows(self, key, rows, timer_values):
-            n, tot = 0, 0
+            # n_vals tracks NON-NULL values: SQL SUM over zero non-NULL
+            # rows is NULL, while pandas' skipna sum of an all-NaN
+            # column is 0.0 -- without the mask a user whose every
+            # value is NULL would emit total_fp=0 and diverge from the
+            # oracle's NULL (s08's fold mirrors SQL the same way)
+            n, tot, nv = 0, 0, 0
             for pdf in rows:
                 n += len(pdf)
+                nv += int(pdf["value_fp"].notna().sum())
                 tot += int(pdf["value_fp"].sum())
             prev = self._totals.get()
             if prev is not None:
                 n += int(prev[0])
                 tot += int(prev[1])
-            self._totals.update((n, tot))
+                nv += int(prev[2])
+            self._totals.update((n, tot, nv))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "total_fp": [tot],
+                    "total_fp": [tot if nv else None],
                 }
             )
 
@@ -191,21 +198,33 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
         ]
     )
     state_schema = StructType(
-        [StructField("n", LongType()), StructField("total_fp", LongType())]
+        [
+            StructField("n", LongType()),
+            StructField("total_fp", LongType()),
+            StructField("n_vals", LongType()),
+        ]
     )
 
     def fold(key, pdfs, state):
-        n, tot = 0, 0
+        # n_vals: SQL SUM over zero non-NULL rows is NULL; see the
+        # TWS processor above
+        n, tot, nv = 0, 0, 0
         for pdf in pdfs:
             n += len(pdf)
+            nv += int(pdf["value_fp"].notna().sum())
             tot += int(pdf["value_fp"].sum())
         if state.exists:
-            pn, ptot = state.get
+            pn, ptot, pnv = state.get
             n += int(pn)
             tot += int(ptot)
-        state.update((n, tot))
+            nv += int(pnv)
+        state.update((n, tot, nv))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_fp": [tot]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_fp": [tot if nv else None],
+            }
         )
 
     return prepared.groupBy("user_id").applyInPandasWithState(

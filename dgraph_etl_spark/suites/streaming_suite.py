@@ -202,14 +202,24 @@ def s05_streaming_max_per_key(spark, sf_dir):
       WHERE epoch_us(ts) < c1 AND event_id % 97 <> 0
     ),
     -- the row-filtering watermark in effect while batch 3 processes
-    -- (computed from batch 1; takes effect one batch later)
-    wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM b1)
+    -- (computed from batch 1; takes effect one batch later). Spark
+    -- tracks event-time watermarks at MILLISECOND precision, so the
+    -- max is truncated to the ms before subtracting the delay (s19's
+    -- convention) -- without it a straggler inside the sub-ms window
+    -- [floor_ms(M)-30min, M-30min) is kept by Spark but dropped here
+    wm AS (
+      SELECT (epoch_us(MAX(ts)) // 1000) * 1000 - 1800000000 AS w_us
+      FROM b1
+    )
     SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
     FROM events e, cuts, wm
-    WHERE NOT (                           -- late = held-back straggler
+    -- COALESCE: a NULL-ts straggler makes the conjunction NULL, and
+    -- WHERE NOT NULL would drop a row Spark keeps (its watermark
+    -- filter drops only rows PROVABLY behind the watermark)
+    WHERE NOT COALESCE(                   -- late = held-back straggler
       event_id % 97 = 0 AND epoch_us(ts) < c2   -- replayed in batch 3
-      AND ts < wm.w                             -- behind the watermark
-    )
+      AND epoch_us(ts) < wm.w_us                -- behind the watermark
+    , FALSE)
     """,
 )
 def s06_late_data_drop(spark, sf_dir):
@@ -352,8 +362,13 @@ def s07_streaming_pipeline_edges(spark, sf_dir):
     "s10_stream_incremental_dedup",
     """
     SELECT MIN(doc_id) AS doc_id, content_hash
-    FROM (SELECT doc_id, sha256(text) AS content_hash FROM documents) h
+    FROM (SELECT doc_id, sha256(text) AS content_hash FROM documents
+          WHERE text IS NOT NULL) h
     GROUP BY content_hash
+    UNION ALL
+    -- NULL-text docs are SINGLETONS (c01's family contract): every one
+    -- is admitted, never merged into a NULL-hash group
+    SELECT doc_id, NULL AS content_hash FROM documents WHERE text IS NULL
     """,
 )
 def s10_stream_incremental_dedup(spark, sf_dir):
@@ -391,16 +406,26 @@ def s10_stream_incremental_dedup(spark, sf_dir):
         hashed = batch_df.select(
             "doc_id", F.sha2(F.col("text"), 256).alias("content_hash")
         )
-        batch_min = hashed.groupBy("content_hash").agg(
-            F.min("doc_id").alias("doc_id")
+        # NULL-text docs (NULL hash) are singletons: the in-batch
+        # group-min must not merge them, and the cross-batch anti-join
+        # must not screen them (a null-rejecting anti-join silently
+        # re-admitted per-batch MIN rows instead -- neither the
+        # singleton contract nor the oracle's global-min semantics)
+        batch_min = (
+            hashed.filter(F.col("content_hash").isNotNull())
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
         )
         earlier = earlier_epoch_dirs(store, epoch_id)
         if earlier:
             seen = sp.read.parquet(*earlier).select("content_hash")
             batch_min = batch_min.join(seen, "content_hash", "left_anti")
-        write_epoch(
-            batch_min.select("doc_id", "content_hash"), store, epoch_id
+        admitted = batch_min.select("doc_id", "content_hash").unionByName(
+            hashed.filter(F.col("content_hash").isNull()).select(
+                "doc_id", "content_hash"
+            )
         )
+        write_epoch(admitted, store, epoch_id)
 
     q = (
         docs.writeStream.foreachBatch(screen_batch)
@@ -722,8 +747,20 @@ def s15_stream_source_quota(spark, sf_dir):
                 .groupBy("source")
                 .agg(F.count(F.lit(1)).alias("used"))
             )
-            ranked = ranked.join(F.broadcast(counts), "source", "left").withColumn(
-                "used", F.coalesce(F.col("used"), F.lit(0))
+            # null-SAFE join key: the window above puts all NULL-source
+            # docs in ONE partition (SQL semantics, matching the
+            # oracle's PARTITION BY), but a null-rejecting equi-join
+            # would never find their prior-epoch count -- every batch
+            # would hand NULL-source docs a fresh quota
+            counts = counts.withColumnRenamed("source", "_src")
+            ranked = (
+                ranked.join(
+                    F.broadcast(counts),
+                    ranked["source"].eqNullSafe(counts["_src"]),
+                    "left",
+                )
+                .drop("_src")
+                .withColumn("used", F.coalesce(F.col("used"), F.lit(0)))
             )
         else:
             ranked = ranked.withColumn("used", F.lit(0))
@@ -791,11 +828,13 @@ def s16_stream_fingerprint(spark, sf_dir):
             16,
             10,
         ).cast("bigint")
-        batch_df.select(h.alias("h")).agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.expr("bit_xor(h)").alias("fingerprint"),
-        ).write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"e{epoch_id}")
+        write_epoch(
+            batch_df.select(h.alias("h")).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("bit_xor(h)").alias("fingerprint"),
+            ),
+            state_dir,
+            epoch_id,
         )
 
     q = (
@@ -885,9 +924,7 @@ def s17_stream_ann_ingest(spark, sf_dir):
         # layout's partition-by-cell is the compaction step's job
         # (build_ivf_index), which also solves streaming ingest's
         # small-files problem in the same pass.
-        assigned.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"e{epoch_id}")
-        )
+        write_epoch(assigned, index_dir, epoch_id)
 
     sq = (
         stream.writeStream.foreachBatch(ingest)
