@@ -70,12 +70,28 @@ def _cached_edges(spark, sf_dir):
     # (and their pinned JVM sessions) forever
     for k in [k for k, v in list(_EDGE_CACHE.items()) if _session_stopped(v)]:
         del _EDGE_CACHE[k]
-    key = (id(spark), os.path.abspath(sf_dir))
+    # the key carries the SOURCE content version (mtime_ns+size, the
+    # repo-wide staleness convention): a fixture regenerated in place
+    # mid-session must rebuild, or every graph query serves the
+    # pre-rebuild .cache()d edges while the oracle reads the new file
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = (
+        id(spark),
+        os.path.abspath(sf_dir),
+        st.st_mtime_ns,
+        st.st_size,
+    )
     df = _EDGE_CACHE.get(key)
     if df is None:
+        # unpersist + evict superseded versions of the same source so
+        # the rebuilt fixture's cache doesn't stack on the old one's
+        for k in [k for k in list(_EDGE_CACHE) if k[:2] == key[:2]]:
+            try:
+                _EDGE_CACHE.pop(k).unpersist()
+            except Exception:
+                pass
         register_views(spark, sf_dir)
         tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
-        st = os.stat(os.path.join(sf_dir, "events.parquet"))
         df = bucketed_table(
             spark,
             spark.table("edges"),
@@ -873,7 +889,7 @@ def g23_component_sizes(spark, sf_dir):
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
     return sizes.groupBy(F.col("sz").alias("component_size")).agg(
         F.count(F.lit(1)).alias("n_components"),
-        (F.col("sz").alias("component_size") * F.count(F.lit(1)))
+        (F.col("sz") * F.count(F.lit(1)))
         .cast("bigint")
         .alias("n_nodes_covered"),
     )

@@ -807,33 +807,58 @@ def c13_token_budget_pack(spark, sf_dir):
     return X.token_budget_pack(_docs(spark, sf_dir), budget=15000)
 
 
-@register(
-    "c23_quality_topfrac",
-    """
-    WITH base AS (
+# ONE definition of the per-language non-alpha quality rank, shared by
+# c23 (keeps the top quarter) and c24's release gate (top half) on BOTH
+# engines -- the two copies had already drifted cosmetically, and a
+# future change to the exclusion rule or rank key must not certify c23
+# against a different pipeline than the one c24 ships.
+_QUALITY_RANKED_CTE = """
+    quality_scored AS (
       -- empty docs excluded on BOTH sides: the ratio is undefined at
       -- n_chars=0 (ANSI divide) and a NULL rank key would ORDER
       -- differently across engines (Spark NULLS FIRST asc, DuckDB
       -- NULLS LAST)
       SELECT doc_id, lang,
-             length(text) AS n_chars_actual,
-             length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS alpha
+             (length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')))
+               / length(text) AS non_alpha_ratio
       FROM documents
       WHERE length(text) > 0
     ),
-    scored AS (
-      SELECT doc_id, lang,
-             (n_chars_actual - alpha) / n_chars_actual AS non_alpha_ratio
-      FROM base
-    ),
-    ranked AS (
+    quality_ranked AS (
       SELECT doc_id, lang, non_alpha_ratio,
              percent_rank() OVER (PARTITION BY lang
                                   ORDER BY non_alpha_ratio, doc_id) AS pr
-      FROM scored
+      FROM quality_scored
     )
+"""
+
+
+def _quality_ranked(docs, top_frac):
+    """Spark twin of _QUALITY_RANKED_CTE: (doc_id, lang,
+    non_alpha_ratio, pr) filtered to pr <= top_frac."""
+    from pyspark.sql import Window
+
+    n_chars = F.length("text").cast("bigint")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z ]", ""))
+    w = Window.partitionBy("lang").orderBy("non_alpha_ratio", "doc_id")
+    return (
+        docs.filter(n_chars > 0)
+        .select(
+            "doc_id",
+            "lang",
+            ((n_chars - alpha) / n_chars).alias("non_alpha_ratio"),
+        )
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= top_frac)
+    )
+
+
+@register(
+    "c23_quality_topfrac",
+    f"""
+    WITH {_QUALITY_RANKED_CTE.strip()}
     SELECT doc_id, lang, non_alpha_ratio, ROUND(pr, 6) AS q_rank
-    FROM ranked WHERE pr <= 0.25
+    FROM quality_ranked WHERE pr <= 0.25
     """,
 )
 def c23_quality_topfrac(spark, sf_dir):
@@ -844,26 +869,8 @@ def c23_quality_topfrac(spark, sf_dir):
     others). One shuffle keyed by lang; ordering key is a single IEEE
     division over exact ints + doc_id tiebreak, so the rank -- and the
     kept set -- is engine-identical."""
-    docs = _docs(spark, sf_dir)
-    from pyspark.sql import Window
-
-    n_chars = F.length("text").cast("bigint")
-    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z ]", ""))
-    # empty docs excluded (mirrored in the oracle): n_chars=0 would
-    # abort under ANSI, and a NULL rank key orders differently across
-    # engines -- an empty doc has no quality rank
-    scored = docs.filter(n_chars > 0).select(
-        "doc_id",
-        "lang",
-        ((n_chars - alpha) / n_chars).alias("non_alpha_ratio"),
-    )
-    w = Window.partitionBy("lang").orderBy("non_alpha_ratio", "doc_id")
-    return (
-        scored.withColumn("pr", F.percent_rank().over(w))
-        .filter(F.col("pr") <= 0.25)
-        .select(
-            "doc_id", "lang", "non_alpha_ratio", F.round("pr", 6).alias("q_rank")
-        )
+    return _quality_ranked(_docs(spark, sf_dir), 0.25).select(
+        "doc_id", "lang", "non_alpha_ratio", F.round("pr", 6).alias("q_rank")
     )
 
 
@@ -1091,21 +1098,7 @@ def c22_winnowing_fingerprints(spark, sf_dir):
 @register(
     "c24_release_gate",
     f"""
-    WITH scored AS (
-      -- empty docs excluded, same rationale as c23 (ANSI divide +
-      -- cross-engine NULL ordering in the rank key)
-      SELECT doc_id, lang,
-             (length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')))
-               / length(text) AS non_alpha_ratio
-      FROM documents
-      WHERE length(text) > 0
-    ),
-    ranked AS (
-      SELECT doc_id, lang, non_alpha_ratio,
-             percent_rank() OVER (PARTITION BY lang
-                                  ORDER BY non_alpha_ratio, doc_id) AS pr
-      FROM scored
-    ),
+    WITH {_QUALITY_RANKED_CTE.strip()},
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     grams AS (
       SELECT doc_id,
@@ -1126,7 +1119,7 @@ def c22_winnowing_fingerprints(spark, sf_dir):
                 WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 2) < '1a'
                   THEN 'val'
                 ELSE 'train' END AS split
-    FROM ranked r
+    FROM quality_ranked r
     WHERE r.pr <= 0.5
       AND r.doc_id % 50 <> 0
       AND r.doc_id NOT IN (SELECT doc_id FROM contaminated)
@@ -1145,20 +1138,8 @@ def c24_release_gate(spark, sf_dir):
     gate shuffles the corpus more than the quality window already
     does."""
     docs = _docs(spark, sf_dir)
-    from pyspark.sql import Window
-
-    n_chars = F.length("text").cast("bigint")
-    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z ]", ""))
-    w = Window.partitionBy("lang").orderBy("non_alpha_ratio", "doc_id")
-    # empty docs excluded, same rationale as c23 (mirrored in SQL)
-    ranked = (
-        docs.filter(n_chars > 0)
-        .select(
-            "doc_id", "lang", ((n_chars - alpha) / n_chars).alias("non_alpha_ratio")
-        )
-        .withColumn("pr", F.percent_rank().over(w))
-        .filter(F.col("pr") <= 0.5)
-    )
+    # the shared per-lang quality rank (c23's definition, one copy)
+    ranked = _quality_ranked(docs, 0.5)
     train = docs.filter(F.col("doc_id") % 50 != 0)
     eval_set = docs.filter(F.col("doc_id") % 50 == 0)
     contaminated = D.contamination_screen(train, eval_set, n=3).select("doc_id")
@@ -1366,11 +1347,12 @@ def c18_stopword_ratio_by_lang(spark, sf_dir):
     multilingual quality gate actually needs). Pure per-row array
     expressions dispatched by the lang column; no shuffle."""
     docs = _docs(spark, sf_dir)
-    from ..functions.text import STOPWORDS, tokens
+    from ..functions.text import _stopword_hits, tokens
 
-    def hits_for(lang: str):
-        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        return F.size(F.filter(tokens(), lambda t: F.array_contains(arr, t)))
+    # the canonical stopword-hit expression (text._stopword_hits) --
+    # an inline copy here silently diverged from language_id's
+    # semantics the moment the helper changed (the NULL-text fix)
+    hits_for = _stopword_hits
 
     sw = (
         F.when(F.col("lang") == "en", hits_for("en"))
@@ -2476,15 +2458,10 @@ def c43_language_purity(spark, sf_dir):
     languages' statistics). Pure per-row array expressions, zero
     shuffle; the flag is integer arithmetic (2*rest >= best), no
     float ratio to diverge."""
-    from ..functions.text import STOPWORDS, tokens
+    from ..functions.text import _stopword_hits
 
-    def hits(lang):
-        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        return F.size(
-            F.filter(tokens(), lambda t: F.array_contains(arr, t))
-        ).cast("bigint")
-
-    en, es, de = hits("en"), hits("es"), hits("de")
+    # canonical stopword-hit expression; see c18's note
+    en, es, de = (_stopword_hits(lg) for lg in ("en", "es", "de"))
     best = F.greatest(en, es, de)
     rest = en + es + de - best
     return _docs(spark, sf_dir).select(

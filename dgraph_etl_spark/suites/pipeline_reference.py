@@ -246,6 +246,24 @@ def a13_merge_with_existing(spark, sf_dir):
     return E.merge_max_with_existing(new, old)
 
 
+def _fresh_scratch(prefix: str) -> str:
+    """One bounded scratch dir per (query, process), cleared and reused
+    on every invocation -- a per-call mkdtemp leaked a full copy of the
+    edges table each run (bench executes every certified query 4+
+    times per round; the 100x soak multiplies the table). The sink
+    write is the operator under test, so it must re-run per
+    invocation: reuse the LOCATION, never the contents. Per-query
+    prefix + pid keeps concurrent processes and the bench warm pool's
+    concurrent (distinct) queries apart."""
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"{prefix}{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
 @register(
     "a13_merge_versioned_store",
     V("SELECT src, dst, score FROM edges"),
@@ -261,12 +279,10 @@ def a13_merge_versioned_store(spark, sf_dir):
     (tests/test_sinks.py proves order/replay invariance). Runs a real
     Delta MERGE when delta-spark is present; versioned-parquet
     union+re-agg otherwise."""
-    import tempfile
-
     from ..sinks.lakehouse import merge_max_into
 
     exploded = E.explode_bidirectional(_ur(spark, sf_dir))
-    root = tempfile.mkdtemp(prefix="a13_store_")
+    root = _fresh_scratch("a13_store_")
     final = None
     for i in range(3):
         # pmod, not abs(...)%3: abs(Long.MIN_VALUE) stays negative, so
@@ -347,23 +363,32 @@ def a16_person_uid_lookup(spark, sf_dir):
         ) ids
         LEFT JOIN trove_user tu ON ids.person_id = tu.person_id_user
       )
+      -- COALESCE mirrors the engine's NULL discipline (rdf._blank /
+      -- the Go zero value): a NULL id formats as '_:' and a NULL
+      -- score as 0 -- a bare || would NULL the whole line and DROP
+      -- the triple the Spark side deliberately keeps
       SELECT value FROM (
-        SELECT '_:' || team_id || ' <team_id> "' || team_id || '" .' AS value
+        SELECT '_:' || COALESCE(team_id, '') || ' <team_id> "'
+               || COALESCE(team_id, '') || '" .' AS value
         FROM (SELECT DISTINCT team_id FROM team_member) t
         UNION ALL
-        SELECT '_:' || team_id || ' <has_member> _:' || person_id || ' .'
+        SELECT '_:' || COALESCE(team_id, '') || ' <has_member> _:'
+               || COALESCE(person_id, '') || ' .'
         FROM team_member
         UNION ALL
-        SELECT '_:' || person_id || ' <person_id> "' || person_id || '" .'
+        SELECT '_:' || COALESCE(person_id, '') || ' <person_id> "'
+               || COALESCE(person_id, '') || '" .'
         FROM persons_flagged
         UNION ALL
-        SELECT '_:' || person_id || ' <is_trove_user> "'
+        SELECT '_:' || COALESCE(person_id, '') || ' <is_trove_user> "'
                || CASE WHEN is_trove_user THEN 'true' ELSE 'false' END
                || '"^^<xs:boolean> .'
         FROM persons_flagged
         UNION ALL
-        SELECT '_:' || src || ' <has_connection> _:' || dst
-               || ' (score=' || CAST(CAST(score AS BIGINT) AS STRING) || ') .'
+        SELECT '_:' || COALESCE(src, '') || ' <has_connection> _:'
+               || COALESCE(dst, '')
+               || ' (score=' || COALESCE(CAST(CAST(score AS BIGINT)
+                                              AS STRING), '0') || ') .'
         FROM edges
       ) triples
     """),
@@ -390,12 +415,10 @@ def a17_live_upsert(spark, sf_dir):
     mutation log is read back and must equal the edges table exactly
     (at-least-once delivery + idempotent commit == exactly-once
     result)."""
-    import tempfile
-
     from ..sinks.live import file_sink_factory, write_edges_live
 
     register_views(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="live_sink_")
+    out = _fresh_scratch("live_sink_")
     write_edges_live(
         spark.table("edges"), file_sink_factory(out, fail_first=True)
     )

@@ -2581,7 +2581,11 @@ def b70_incremental_agg_merge(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
         )
 
-    stored = partial(ev.filter(F.col("ts") < wm))
+    # NULL-ts rows satisfy NEITHER side of a ts split and would vanish
+    # from the merged aggregate while the full-table oracle counts
+    # them; route them to the stored side (they are "already known"
+    # history from the maintenance loop's perspective)
+    stored = partial(ev.filter((F.col("ts") < wm) | F.col("ts").isNull()))
     fresh = partial(ev.filter(F.col("ts") >= wm))
     merged = (
         stored.unionByName(fresh)
