@@ -89,16 +89,71 @@ def queries(draw) -> str:
     )
 
 
+class _OracleCon:
+    """DuckDB connection wrapper that survives ORACLE-side internal
+    assertion failures. Observed on duckdb 1.0.0 under a deep fuzz
+    pass: a long-lived connection can fail "Attempted to dereference
+    unique_ptr that is NULL!" on a query that succeeds verbatim on a
+    fresh connection (reproduced), and the error invalidates the whole
+    in-memory database, poisoning every later example in the module.
+    An oracle-infrastructure crash is not an engine divergence:
+    rebuild the connection and replay the query ONCE. If the replay
+    hits ANOTHER InternalException, the crash is reproducible -- a
+    DuckDB bug on that query shape (found one: a duplicated OR branch
+    with BETWEEN 0 AND 0 under ORDER BY ... LIMIT deterministically
+    fails the assertion on 1.0.0 while Spark evaluates it fine) -- and
+    the example is REJECTED as oracle-unevaluable rather than failing
+    the engine's test. Non-internal errors (bad SQL) propagate."""
+
+    def __init__(self, build):
+        self._build = build
+        self._con = build()
+
+    def _rebuild(self):
+        try:
+            self._con.close()
+        except Exception:
+            pass
+        self._con = self._build()
+
+    def execute(self, sql):
+        try:
+            return self._con.execute(sql)
+        except (
+            duckdb.InternalException,
+            duckdb.FatalException,
+            duckdb.InvalidInputException,
+        ):
+            self._rebuild()
+            try:
+                return self._con.execute(sql)
+            except duckdb.InternalException:
+                # reproducible oracle assertion failure: not our bug,
+                # and not evaluable -- skip this generated example
+                from hypothesis import reject
+
+                self._rebuild()
+                reject()
+
+    def close(self):
+        self._con.close()
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     from dgraph_etl_spark.catalog import register_views
 
     register_views(spark, SF)
-    con = duckdb.connect()
-    for t in ("lineitem", "orders"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(SF, t)}'"
-        )
+
+    def build():
+        con = duckdb.connect()
+        for t in ("lineitem", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{table_path(SF, t)}'"
+            )
+        return con
+
+    con = _OracleCon(build)
     yield spark, con
     con.close()
 
