@@ -50,11 +50,20 @@ def _canon_cell(v):
         # cross-type equality (int 5 vs Decimal 5 from a DuckDB SUM)
         # stays intentional under the shared "v" tag
         return ("s", v)
-    return (type(v).__name__ if isinstance(v, (bytes,)) else "v", str(v))
+    if isinstance(v, (bytes, bytearray)):
+        # one canonical form: Spark toPandas() hands BinaryType back as
+        # bytearray while DuckDB yields bytes -- identical values must
+        # not mismatch on the container type
+        return ("bytes", bytes(v).hex())
+    return ("v", str(v))
 
 
 def _dtype_family(dtype) -> str:
-    s = str(dtype)
+    # lowercase ONCE: pandas nullable/extension dtypes stringify in
+    # mixed case (Int64, Float64, boolean) and previously fell through
+    # to "obj", false-flagging a dtype-family mismatch against the
+    # other lane's lowercase numpy dtype
+    s = str(dtype).lower()
     if "int" in s:
         return "int"
     if "float" in s or "double" in s:
@@ -63,7 +72,7 @@ def _dtype_family(dtype) -> str:
         return "bool"
     if "datetime" in s or "timestamp" in s:
         return "ts"
-    if "decimal" in s.lower():
+    if "decimal" in s:
         return "decimal"
     return "obj"
 
@@ -105,8 +114,17 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
 def check_query(spark, sf_dir: str, name: str, fn, oracle: str) -> list[str]:
     sdf = fn(spark, sf_dir).toPandas()
     con = duckdb_connection(sf_dir)
-    odf = con.execute(oracle).df()
-    con.close()
+    try:
+        # name in the error: a batch precert over failing oracles needs
+        # attribution, and the finally closes the connection a broken
+        # oracle would otherwise leak (one per failure, with all its
+        # registered view state, across a whole precert sweep)
+        try:
+            odf = con.execute(oracle).df()
+        except Exception as ex:
+            raise RuntimeError(f"[{name}] oracle failed: {ex}") from ex
+    finally:
+        con.close()
     return compare_frames(sdf, odf)
 
 

@@ -106,7 +106,7 @@ CONTRACTS += [
     (
         "b44_asof_join",
         ["Window"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "Join"],
+        ["CartesianProduct", "Join"],
         "as-of join is union+carry-forward: NO join operator may appear "
         "(a range-join formulation would explode |L|x|R| per key)",
     ),
@@ -428,9 +428,6 @@ def test_b07_bucketed_twin_contract(spark, sf_small):
     layout."""
     import re
 
-    from dgraph_etl_spark.registry import REGISTRY, _load_suites
-
-    _load_suites()
     plain = REGISTRY["b07_join_inner"].fn(spark, sf_small)
     bucketed = REGISTRY["b07_join_inner_bucketed"].fn(spark, sf_small)
     assert sorted(map(tuple, plain.collect())) == sorted(
@@ -452,7 +449,7 @@ def test_b07_bucketed_twin_contract(spark, sf_small):
     # on an "Arguments: hashpartitioning(...)" line, so match the
     # distribution text itself, not "Exchange hashpartitioning" (which
     # never occurs as a substring in this mode)
-    assert not re.search(r"hashpartitioning\([lo]_orderkey", plan), plan
+    assert not re.search(r"hashpartitioning\(.*[lo]_orderkey", plan), plan
     # (any Sort left is the in-partition per-bucket sort Spark inserts
     # when legacy bucketedTableScan.outputOrdering is off -- local
     # work, no exchange; the zero-sort capture is b50's contract test)
@@ -468,9 +465,6 @@ def test_b87_bucketed_twin_contract(spark, sf_small):
     ~85% of b87's compute in exactly that shuffle (SCALE.md)."""
     import re
 
-    from dgraph_etl_spark.registry import REGISTRY, _load_suites
-
-    _load_suites()
     plain = REGISTRY["b87_tpch_q21"].fn(spark, sf_small)
     bucketed = REGISTRY["b87_tpch_q21_bucketed"].fn(spark, sf_small)
     assert sorted(map(tuple, plain.collect())) == sorted(
@@ -480,7 +474,7 @@ def test_b87_bucketed_twin_contract(spark, sf_small):
     assert "SortMergeJoin" in plan, plan  # merge hint pins the SMJ
     assert plan.count("Bucketed: true") >= 2, plan
     assert "SelectedBucketsCount: 32 out of 32" in plan, plan
-    assert not re.search(r"hashpartitioning\([lo]_orderkey", plan), plan
+    assert not re.search(r"hashpartitioning\(.*[lo]_orderkey", plan), plan
 
 
 def test_cube_one_expand_one_agg(spark, sf_small):
@@ -544,7 +538,7 @@ def test_salted_join_salt_drives_partitioning(spark, sf_small):
     import re
 
     plan = plan_of(spark, sf_small, "b106_salted_skew_join")
-    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    parts = re.findall(r"hashpartitioning\((.*)\)", plan)
     salted = [p for p in parts if "_salt" in p and "l_orderkey" in p]
     assert len(salted) >= 2, (
         f"expected both join-side exchanges keyed by (l_orderkey, _salt); "

@@ -6,6 +6,7 @@ on arbitrary record streams — duplicates, interleavings, redelivery.
 
 from __future__ import annotations
 
+from tests.conftest import SF_ORACLE, SF_SMALL
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -211,7 +212,7 @@ def test_c02_lsh_recall_of_true_neardups(spark):
     from dgraph_etl_spark.catalog import load_table
     from dgraph_etl_spark.functions import dedup as D
 
-    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    docs = load_table(spark, SF_ORACLE, "documents")
     truth = {
         (r.doc_a, r.doc_b)
         for r in D.ngram_jaccard_pairs(
@@ -239,7 +240,7 @@ def test_c02_simhash_hamming_pairs_exact(spark):
     from dgraph_etl_spark.catalog import load_table
     from dgraph_etl_spark.functions import dedup as D
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, SF_SMALL, "documents")
     sigs = {r.doc_id: r.simhash for r in D.simhash_signatures(docs).collect()}
     ids = sorted(sigs)
     r = 3
@@ -338,7 +339,7 @@ def test_c20_srp_lsh_precision_and_recall(spark):
 
     # sf0.01: the smallest fixture with planted embedding near-dups
     # (sf0.001's max off-diagonal cosine is 0.48)
-    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    emb = load_table(spark, SF_ORACLE, "embeddings")
     rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r.vec_id for r in rows])
     m = np.array([r.embedding for r in rows], dtype=np.float64)
@@ -390,7 +391,7 @@ def test_srp_broadcast_signature_equals_literal_form(spark):
         srp_signatures,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMALL
     emb = load_table(spark, sf, "embeddings")
     dim = embedding_dim(sf)
     new = {
@@ -416,7 +417,7 @@ def test_c19_hash_samples_are_nested_and_partition_invariant(spark):
     from dgraph_etl_spark.catalog import load_table
     from dgraph_etl_spark.functions.sampling import hash_sample
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, SF_SMALL, "documents")
     s25 = {r.doc_id for r in hash_sample(docs, rate=0.25).select("doc_id").collect()}
     s50 = {r.doc_id for r in hash_sample(docs, rate=0.5).select("doc_id").collect()}
     assert s25 <= s50
@@ -442,7 +443,7 @@ def test_c25_mixture_epochs_copy_counts_and_nesting(spark):
     from dgraph_etl_spark.catalog import load_table
     from dgraph_etl_spark.functions.sampling import mixture_epochs
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, SF_SMALL, "documents")
     w = {"src0": 2.5, "src1": 0.25}
     out = mixture_epochs(docs, weights=w, default_weight=1.0).collect()
     per_doc = Counter(r.doc_id for r in out)
@@ -469,7 +470,7 @@ def test_c26_sequence_chunks_tile_every_document(spark):
     from dgraph_etl_spark.catalog import load_table
     from dgraph_etl_spark.functions.text import sequence_chunks
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, SF_SMALL, "documents")
     L, S = 64, 48
     rows = sequence_chunks(docs, seq_len=L, stride=S).collect()
     toks = {r.doc_id: r.text.split(" ") for r in docs.select("doc_id", "text").collect()}
@@ -497,7 +498,7 @@ def test_c02_simhash_is_python_free(spark):
     from dgraph_etl_spark.catalog import load_table
     from dgraph_etl_spark.functions import dedup as D
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, SF_SMALL, "documents")
     plan = D.simhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
 
@@ -658,12 +659,12 @@ def test_catalog_sf_dir_switch_mid_session(spark):
     switch, never serve stale views."""
     from dgraph_etl_spark.catalog import register_views
 
-    register_views(spark, "/root/testdata/sf0.001", force=True)
+    register_views(spark, SF_SMALL, force=True)
     n_small = spark.table("lineitem").count()
-    register_views(spark, "/root/testdata/sf0.01")
+    register_views(spark, SF_ORACLE)
     n_big = spark.table("lineitem").count()
     assert n_big > n_small
-    register_views(spark, "/root/testdata/sf0.001")
+    register_views(spark, SF_SMALL)
     assert spark.table("lineitem").count() == n_small
 
 
@@ -897,7 +898,7 @@ def test_c40_srp_hard_negatives_quality_floors(spark):
         hard_negatives_srp,
     )
 
-    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    emb = load_table(spark, SF_ORACLE, "embeddings")
     exact = {
         r.anchor_id: (r.negative_id, r.sim)
         for r in hard_negatives_exact(emb).collect()
@@ -962,7 +963,7 @@ def test_c04_arrow_lane_equals_jvm_lane(spark):
     from dgraph_etl_spark.catalog import load_table
     from dgraph_etl_spark.functions import similarity as S
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf in (SF_SMALL, SF_ORACLE):
         emb = load_table(spark, sf, "embeddings")
         query = emb.filter(F.col("vec_id") == 0).select(
             F.col("embedding").alias("qvec")
