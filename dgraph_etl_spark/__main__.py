@@ -101,6 +101,8 @@ def cmd_bulk(args) -> int:
     """EP2, the offline pipeline (cmd/bulk/main.go:55-118): edge stream
     + person enrichment -> the full RDF N-Quads triple file for the
     bulk loader."""
+    from pyspark.storagelevel import StorageLevel
+
     from .catalog import register_views
     from .pipeline import persons as P
     from .pipeline import rdf as R
@@ -116,11 +118,21 @@ def cmd_bulk(args) -> int:
         views=("team_member", "trove_user"),
     )
     rel, edges = _edges_since(spark, args.source, args.watermark)
-    flagged = P.enrich_is_trove(
-        P.distinct_person_ids(rel), spark.table("trove_user")
-    )
-    triples = R.all_triples(spark.table("team_member"), flagged, edges)
-    R.write_rdf(triples, args.out, single_file=args.single_file)
+    # ONE materialization of the events increment (cmd_etl's pattern):
+    # the persons branch (distinct ids) and the edges branch (explode +
+    # max agg) of the all_triples union both start from rel, so without
+    # the persist one write action decodes the full source increment
+    # twice -- at the 100 TB design point a second full pass over the
+    # largest input
+    rel = rel.persist(StorageLevel.DISK_ONLY)
+    try:
+        flagged = P.enrich_is_trove(
+            P.distinct_person_ids(rel), spark.table("trove_user")
+        )
+        triples = R.all_triples(spark.table("team_member"), flagged, edges)
+        R.write_rdf(triples, args.out, single_file=args.single_file)
+    finally:
+        rel.unpersist()
     # count what was WRITTEN (one cheap job over the text files), not a
     # full second run of the triple pipeline -- and if the source
     # changed between jobs, a recomputed count wouldn't even match the

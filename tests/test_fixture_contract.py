@@ -83,7 +83,13 @@ def _physical_form_ok(field: pa.Field) -> bool:
         return t.unit in ("s", "ms", "us", "ns")
     if pa.types.is_date(t):
         return True
-    return pa.types.is_integer(t)
+    # bare-integer encodings are handled ONLY for the events 'ts'
+    # column (catalog.normalize_timestamps / ts_bigint_unit key on
+    # that name): accepting an integer o_orderdate/l_shipdate here
+    # would pass this guard and then surface as a mystery
+    # DATATYPE_MISMATCH three suites later -- the exact failure mode
+    # this loud contract exists to preempt
+    return field.name == "ts" and pa.types.is_integer(t)
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)

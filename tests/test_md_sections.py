@@ -51,3 +51,17 @@ def test_creates_missing_file(tmp_path):
     p = str(tmp_path / "new.md")
     replace_section(p, S, E, f"{S}\nbody\n{E}\n")
     assert "body" in open(p).read()
+
+
+def test_markerless_block_refused(tmp_path):
+    """A block that does not carry its own start/end markers would be
+    spliced over [start, end] and DELETE the markers -- every later
+    run then appends a fresh copy and the document silently
+    accumulates duplicate sections. Refuse it loudly."""
+    p = _doc(tmp_path, f"{S}\nold\n{E}\n")
+    with pytest.raises(ValueError, match="must begin with the start"):
+        replace_section(p, S, E, "bare body without markers\n")
+    with pytest.raises(ValueError, match="must begin with the start"):
+        replace_section(p, S, E, f"{S}\nbody but no end marker\n")
+    # the document is untouched either way
+    assert "old" in open(p).read()

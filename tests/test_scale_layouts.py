@@ -18,10 +18,12 @@ from tests.oracle_utils import formatted_plan
 
 
 @pytest.fixture(scope="module")
-def warehouse(spark):
+def warehouse(tmp_path_factory):
     """Point the session catalog at a scratch warehouse for bucketed
-    tables (bucketing metadata needs saveAsTable, not plain files)."""
-    return tempfile.mkdtemp(prefix="dgraph_etl_wh_")
+    tables (bucketing metadata needs saveAsTable, not plain files).
+    pytest-managed so every run's full parquet copies are reaped
+    instead of leaking in /tmp (the d062c87 scratch-leak class)."""
+    return str(tmp_path_factory.mktemp("dgraph_etl_wh"))
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_small, warehouse):
@@ -84,23 +86,36 @@ def test_salted_max_equals_plain_max(spark, sf_small):
     assert plain == salted
 
 
-def test_time_partitioned_layout_prunes_incremental_scan(spark, sf_small):
+def test_time_partitioned_layout_prunes_incremental_scan(
+    spark, sf_small, tmp_path
+):
     """Lay events out partitioned by day (the 100 TB layout for an
     event stream) and run the watermark scan: the day predicate derived
     from the watermark must prune partitions at file listing — explain
     shows the partition filter and a pruned partition count."""
+    import re
+
     register_views(spark, sf_small)
-    out = os.path.join(tempfile.mkdtemp(prefix="ev_bydate_"), "events")
+    out = str(tmp_path / "events")
     ev = spark.table("events").withColumn(
         "event_date", F.to_date("ts")
     )
     ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
 
-    wm = "2024-01-15"
+    # derive the cut from the DATA (median date): a hardcoded calendar
+    # date was fixture-coincidental -- a regenerated fixture entirely
+    # before/after it turned 0 < n_kept < n_all into a false alarm
+    span = spark.table("events").selectExpr(
+        "min(to_date(ts)) AS lo", "max(to_date(ts)) AS hi"
+    ).first()
+    wm = str(span["lo"] + (span["hi"] - span["lo"]) / 2)
     back = spark.read.parquet(out)
     scan = back.filter(F.col("event_date") >= wm)  # watermark, on layout
     plan = formatted_plan(scan)
-    assert "PartitionFilters" in plan and "event_date" in plan
+    # the filter must be INSIDE PartitionFilters -- bare substring
+    # checks were vacuous ('PartitionFilters: []' still prints, and
+    # event_date appears in the scan schema regardless of pruning)
+    assert re.search(r"PartitionFilters: \[.*event_date.*\]", plan), plan
     n_all = back.count()
     n_kept = scan.count()
     assert 0 < n_kept < n_all
@@ -119,7 +134,14 @@ def test_layout_compaction_parallelizes_scan_and_preserves_content(spark):
     sf = "/root/testdata/sf0.01"
     li = load_table(spark, sf, "lineitem")  # 60k rows -> compacted
     assert li.rdd.getNumPartitions() >= 4, "compaction did not split scan"
-    raw = spark.read.parquet(table_path(sf, "lineitem"))
+    # normalize the source read the same way load_table does: the
+    # digest hashes VALUES, and a fixture round shipping l_shipdate as
+    # DATE32/NTZ would otherwise hash int32 days against int64 micros
+    # and falsely report divergence (the physical forms the fixture
+    # contract explicitly allows)
+    from dgraph_etl_spark.catalog import normalize_timestamps
+
+    raw = normalize_timestamps(spark.read.parquet(table_path(sf, "lineitem")))
     assert li.count() == raw.count()
     def _digest(df):
         return df.agg(
@@ -261,7 +283,7 @@ def test_salted_salts_are_deterministic(spark):
     assert one == two
 
 
-def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_small):
+def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_small, tmp_path):
     """Z-order layout contract: files range-clustered on the
     interleaved (day, partkey) address have BOUNDED footer-stat spans
     in BOTH dimensions, so a selective predicate on EITHER column
@@ -282,8 +304,8 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_small):
     li = zdf.drop("zkey")
 
     n_files = 8
-    zdir = tempfile.mkdtemp(prefix="dgraph_etl_z_") + "/z"
-    ldir = tempfile.mkdtemp(prefix="dgraph_etl_z_") + "/linear"
+    zdir = str(tmp_path / "z")
+    ldir = str(tmp_path / "linear")
     zorder_write(zdf, zdir, n_files=n_files, key_bits=16)
     # the baseline layout every time-series table already has -- the
     # same deterministic bucketing discipline, on day alone

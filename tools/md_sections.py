@@ -20,6 +20,16 @@ def replace_section(path: str, start: str, end: str, block: str) -> None:
     must itself begin with ``start`` and end with ``end``); append the
     block if the markers are absent. Raises if the document is
     malformed (start without end, or end before start)."""
+    b = block.strip("\n")
+    if not (b.startswith(start) and b.endswith(end)):
+        # a marker-less block spliced over [start, end] would DELETE
+        # the markers: every later run then appends a fresh copy and
+        # the document silently accumulates duplicate sections
+        raise ValueError(
+            "replace_section: block must begin with the start marker "
+            "and end with the end marker (got "
+            f"{b[:40]!r}...{b[-40:]!r})"
+        )
     if os.path.exists(path):
         with open(path) as f:
             doc = f.read()
