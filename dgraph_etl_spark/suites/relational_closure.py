@@ -577,14 +577,41 @@ def b15_count_distinct(spark, sf_dir):
     )
 
 
-@register("b15_approx_count_distinct", None)
-def b15_approx_count_distinct(spark, sf_dir):
-    """B15 approx: HLL sketch -- rows-only check (sketch estimates are
-    engine-specific by construction; at 100 TB this replaces exact
-    distinct wherever a ±2% answer is acceptable)."""
+@register(
+    "b15_approx_error_bound",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           1 AS within_bound
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def b15_approx_error_bound(spark, sf_dir):
+    """B15 approx: HLL sketch, certified hash-green -- the sketch
+    ESTIMATE stays out of the output (it is engine-specific by
+    construction), what's emitted is the exact distinct count plus a
+    within-tolerance verdict computed in the same plan:
+    ``|approx - exact| <= max(1, 5% of exact)`` at rsd 1% (a 5-sigma
+    band -- HLL is order-independent and deterministic on fixed data,
+    so the boolean can only flip if the sketch breaks, which is
+    exactly when the driver hash should fail). The oracle replays the
+    exact side and asserts the bound as the literal 1. At 100 TB the
+    sketch arm replaces exact distinct wherever a ±2% answer is
+    acceptable: one pass, fixed memory, mergeable."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers")
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.when(
+            F.abs(
+                F.approx_count_distinct("o_custkey", 0.01)
+                - F.countDistinct("o_custkey")
+            )
+            <= F.greatest(F.lit(1.0), F.countDistinct("o_custkey") * 0.05),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("within_bound"),
     )
 
 
@@ -2087,20 +2114,90 @@ def b58_binned_range_join(spark, sf_dir):
     )
 
 
-@register("b59_approx_quantiles", None)
-def b59_approx_quantiles(spark, sf_dir):
+@register(
+    "b59_quantile_error_bound",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS exact_p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+           1 AS p50_within, 1 AS p95_within
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b59_quantile_error_bound(spark, sf_dir):
     """B59: approximate percentiles (Greenwald-Khanna sketch via
-    percentile_approx, accuracy 10000) -- the quantile member of the
-    sketch family next to b15's HLL. Rows-only like every sketch
-    (internals are engine-specific); accuracy vs the exact percentile
-    is property-tested (tests/test_properties.py). At 100 TB the
-    sketch merges map-side -- one pass, bounded memory, no sort --
-    which is the whole point vs the exact form's full shuffle."""
+    percentile_approx, accuracy 10000), certified hash-green. The
+    sketch VALUE stays out of the output (GK merge order across
+    partitions can jitter the returned element); what's emitted per
+    group is the exact percentile (type-7 interpolation, 4-dp round
+    on both sides -- the c06 convention) plus a rank-error verdict
+    computed in the same plan: the GK invariant guarantees the
+    returned element's rank r satisfies |r - q*n| <= n/accuracy
+    REGARDLESS of merge order, so with slack 2n/accuracy + 1 the
+    boolean is merge-schedule-invariant and only flips if the sketch
+    breaks. Rank is bracketed as [count(<v)+1, count(<=v)] so ties
+    cannot fake a violation. The oracle replays the exact side and
+    asserts the bound as the literal 1. At 100 TB the sketch merges
+    map-side -- one pass, bounded memory, no sort -- which is the
+    whole point vs the exact form's full shuffle."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
+    sketch = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias(
+            "exact_p50"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias(
+            "exact_p95"
+        ),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("ap95"),
+    )
+
+    def within(q: float, ap: str):
+        # rank interval of the sketch's answer vs target rank q*n,
+        # slack = 2n/accuracy + 1 (2x the GK bound + one-rank tie slop)
+        lo = F.col(f"r_lt_{ap}") + 1  # lowest rank of value ap
+        hi = F.col(f"r_le_{ap}")  # highest rank of value ap
+        slack = F.col("n") * (2.0 / 10000.0) + 1.0
+        target = F.col("n") * q
+        return (
+            F.when((lo <= target + slack) & (hi >= target - slack), 1)
+            .otherwise(0)
+            .cast("int")
+        )
+
+    ranked = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(sketch), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("exact_p50").alias("exact_p50"),
+            F.first("exact_p95").alias("exact_p95"),
+            *[
+                F.sum(
+                    F.when(F.col("l_extendedprice") < F.col(ap), 1).otherwise(0)
+                ).alias(f"r_lt_{ap}")
+                for ap in ("ap50", "ap95")
+            ],
+            *[
+                F.sum(
+                    F.when(F.col("l_extendedprice") <= F.col(ap), 1).otherwise(
+                        0
+                    )
+                ).alias(f"r_le_{ap}")
+                for ap in ("ap50", "ap95")
+            ],
+        )
+    )
+    return ranked.select(
+        "l_returnflag",
+        "n",
+        "exact_p50",
+        "exact_p95",
+        within(0.50, "ap50").alias("p50_within"),
+        within(0.95, "ap95").alias("p95_within"),
     )
 
 
@@ -2534,21 +2631,55 @@ def b68_tpch_q12(spark, sf_dir):
     )
 
 
-@register("b69_sketch_profile", None)
-def b69_sketch_profile(spark, sf_dir):
+@register(
+    "b69_sketch_error_bound",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS d_orderkey,
+           COUNT(DISTINCT o_custkey) AS d_custkey,
+           COUNT(DISTINCT o_orderstatus) AS d_status,
+           COUNT(DISTINCT o_orderpriority) AS d_priority,
+           1 AS ok_orderkey, 1 AS ok_custkey,
+           1 AS ok_status, 1 AS ok_priority
+    FROM orders
+    """,
+)
+def b69_sketch_error_bound(spark, sf_dir):
     """B69: the sketch-based table profile -- approx_count_distinct
-    (HLL) per column in ONE aggregation pass, the documented 100 TB
-    swap-in for c16's exact profile (exact count-distinct per column
-    re-shuffles the table per column; the sketch profile is one scan,
-    fixed memory, mergeable). Rows-only like every sketch; accuracy
-    vs the exact distinct counts is property-tested."""
+    (HLL, rsd 1%) per column in ONE aggregation pass, the documented
+    100 TB swap-in for c16's exact profile -- certified hash-green:
+    the output carries the EXACT distinct counts plus a per-column
+    within-5% verdict computed in the same plan (HLL is
+    order-independent, so on fixed data the verdict is deterministic
+    and only flips if the sketch breaks). The oracle replays the
+    exact side and asserts each bound as the literal 1. The exact arm
+    here exists to certify the sketch; the production profile at
+    100 TB runs the sketch arm alone (one scan, fixed memory,
+    mergeable) instead of re-shuffling the table per column."""
     o = _t(spark, sf_dir, "orders")
+
+    def ok(col: str, alias: str):
+        return (
+            F.when(
+                F.abs(F.approx_count_distinct(col, 0.01) - F.countDistinct(col))
+                <= F.greatest(F.lit(1.0), F.countDistinct(col) * 0.05),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias(alias)
+        )
+
     return o.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.approx_count_distinct("o_orderkey", 0.01).alias("d_orderkey"),
-        F.approx_count_distinct("o_custkey", 0.01).alias("d_custkey"),
-        F.approx_count_distinct("o_orderstatus", 0.01).alias("d_status"),
-        F.approx_count_distinct("o_orderpriority", 0.01).alias("d_priority"),
+        F.countDistinct("o_orderkey").alias("d_orderkey"),
+        F.countDistinct("o_custkey").alias("d_custkey"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        F.countDistinct("o_orderpriority").alias("d_priority"),
+        ok("o_orderkey", "ok_orderkey"),
+        ok("o_custkey", "ok_custkey"),
+        ok("o_orderstatus", "ok_status"),
+        ok("o_orderpriority", "ok_priority"),
     )
 
 
