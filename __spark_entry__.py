@@ -23,13 +23,18 @@ from dgraph_etl_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: strongest-connected
-    trove users (scan -> derived edge stream -> explode -> max-agg ->
-    semi-join -> hash agg -> top-k). Driver checks rows > 0."""
+    """Flagship on /root/testdata/sf0.001: the whole offline (EP2)
+    binary as one DAG -- scroll-source scan (pushed watermark) -> JSON
+    decode -> dead-letter split -> persons/edges branches -> full RDF
+    triple set -> N-Quads write -> read back (a28_bulk_pipeline_e2e).
+    Driver checks rows > 0: every returned row is a serialized triple
+    that round-tripped through the binary's actual sink format."""
     # Resolve through the registry (NOT a direct suite import) so suite
     # registration happens in registry._load_suites' canonical order even
     # when entry() runs before queries().
-    return registry.queries()["g07_top_connections"](spark, "/root/testdata/sf0.001")
+    return registry.queries()["a28_bulk_pipeline_e2e"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -349,9 +349,9 @@ def a16_person_uid_lookup(spark, sf_dir):
     )
 
 
-@register(
-    "a18_rdf_triples",
-    V("""
+# the full bulk-load triple set (EP2's output), shared by a18 (in-memory
+# composition) and a28 (the end-to-end bulk DAG incl. serialize+readback)
+_A18_TRIPLES_ORACLE = V("""
       , persons_flagged AS (
         SELECT ids.person_id,
                (tu.person_id_user IS NOT NULL) AS is_trove_user
@@ -391,8 +391,10 @@ def a16_person_uid_lookup(spark, sf_dir):
                                               AS STRING), '0') || ') .'
         FROM edges
       ) triples
-    """),
-)
+    """)
+
+
+@register("a18_rdf_triples", _A18_TRIPLES_ORACLE)
 def a18_rdf_triples(spark, sf_dir):
     """A18+A21: the full bulk-load RDF N-Quads set (EP2's output),
     whole-stage-codegen string concat, defined as a set of lines."""
@@ -663,3 +665,65 @@ def a27_rdf_roundtrip(spark, sf_dir):
         .cast("double")
         .alias("score"),
     )
+
+
+@register("a28_bulk_pipeline_e2e", _A18_TRIPLES_ORACLE)
+def a28_bulk_pipeline_e2e(spark, sf_dir):
+    """The whole offline (EP2) binary as ONE Spark DAG, end to end
+    (reference cmd/bulk/main.go:80-134): scroll-source scan with the
+    watermark range pushed INTO the connector (elastic.go:44-102) ->
+    A4 JSON decode -> dead-letter id validation (the production form
+    of etl.go:60-63's silent Atoi-skip: bad ids route to a quarantine
+    stream instead of vanishing; this feed parses clean, so the ok
+    stream is total and the oracle needn't model the split) -> the
+    persons branch (A11 distinct + A6 trove flag) and the edges branch
+    (A9/A10 explode + A12 max-per-pair) -> the full A18/A21 triple set
+    -> WRITTEN as N-Quads text (the binary's actual sink) -> read back
+    through the text source. The returned lines must equal a18's
+    in-memory triple set exactly, which certifies the composed DAG AND
+    the serialized format in one driver row. The write re-runs per
+    invocation (the sink is part of the operator under test; bounded
+    scratch, same discipline as a17).
+
+    Scale shape: the only shuffles are A11's distinct, A12's
+    partial-agg max, and none in the triple union (narrow maps);
+    the trove flag joins a dimension-sized table. The scroll page
+    manifest prunes nothing here (watermark 0 = full history), but the
+    pushed-predicate arm still executes, so the composite exercises
+    the same source path the incremental runs use."""
+    from ..sources.scroll import register_scroll_source, stage_scroll_pages
+
+    register_views(spark, sf_dir)  # stage_scroll_pages skips it on cache hit
+    src_dir = stage_scroll_pages(spark, sf_dir)
+    register_scroll_source(spark)
+    hits = spark.read.format("scroll_hits").option("path", src_dir).load()
+    decoded = (
+        hits.filter(F.col("last_update_us") >= 0)
+        .select(
+            F.from_json(
+                "_source",
+                "last_update BIGINT, from_person_id STRING, "
+                "to_person_id STRING, "
+                "stats STRUCT<raw_score_in: INT, raw_score_out: INT>",
+            ).alias("r")
+        )
+        .select(
+            F.col("r.from_person_id").alias("from_person_id"),
+            F.col("r.to_person_id").alias("to_person_id"),
+            F.col("r.stats.raw_score_in").alias("raw_score_in"),
+            F.col("r.stats.raw_score_out").alias("raw_score_out"),
+        )
+    )
+    ok = (
+        F.expr("TRY_CAST(from_person_id AS DECIMAL(38,0))").isNotNull()
+        & F.expr("TRY_CAST(to_person_id AS DECIMAL(38,0))").isNotNull()
+    )
+    ur = decoded.filter(ok)
+    flagged = P.enrich_is_trove(
+        P.distinct_person_ids(ur), spark.table("trove_user")
+    )
+    edges = E.max_score_per_edge(E.explode_bidirectional(ur))
+    triples = R.all_triples(spark.table("team_member"), flagged, edges)
+    out = _fresh_scratch("a28_bulk_")
+    R.write_rdf(triples, out)
+    return spark.read.text(out)
