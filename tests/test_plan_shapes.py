@@ -544,3 +544,57 @@ def test_salted_join_salt_drives_partitioning(spark, sf_small):
         f"expected both join-side exchanges keyed by (l_orderkey, _salt); "
         f"hashpartitioning args seen: {parts}"
     )
+
+
+# --- PLAN_AUDIT lockfile: headline plans vs the committed audit ------
+#
+# The round-8 bucketed-lane regression (a pruned-size estimate dropped
+# under autoBroadcastJoinThreshold and silently broadcast a 15M-row
+# fact side) was caught only because the 100x soak happened to re-run;
+# PLAN_AUDIT.md would have shown `bhj 0->1` the moment it happened.
+# This test makes that signal a gate: every bench headline query's
+# plan-feature counts must equal the committed PLAN_AUDIT.md row, so
+# any exch/bhj/smj/shj/bnlj/expand/topk/gsort drift fails CI and
+# PLAN_AUDIT.md must be regenerated (tools/plan_audit.py) in the same
+# commit that changes a plan.
+#
+# scans/wsc are excluded: scan counts vary with staged-layout cache
+# state (a bucketed table staged by an earlier test changes nothing
+# about shuffle behavior), and codegen-span ids depend on fragment
+# fusion order — neither is a 100 TB contract.
+
+def _headline_names() -> list[str]:
+    import bench  # repo root; HEADLINE is the bench's query list
+
+    return list(bench.HEADLINE)
+
+
+_LOCKED_KEYS = ("exch", "bhj", "smj", "shj", "bnlj", "expand", "topk", "gsort")
+
+
+@pytest.mark.parametrize("name", _headline_names())
+def test_headline_plan_matches_audit_lockfile(spark, sf_small, name):
+    import os
+
+    from tools.plan_audit import parse_audit_md, plan_stats
+
+    audit_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLAN_AUDIT.md",
+    )
+    committed = parse_audit_md(audit_path)
+    assert name in committed, (
+        f"{name} is a bench headline but has no PLAN_AUDIT.md row -- "
+        "regenerate with tools/plan_audit.py"
+    )
+    live = plan_stats(plan_of(spark, sf_small, name))
+    drift = {
+        k: (committed[name][k], live[k])
+        for k in _LOCKED_KEYS
+        if committed[name][k] != live[k]
+    }
+    assert not drift, (
+        f"{name} physical plan drifted from the committed PLAN_AUDIT.md "
+        f"(committed, live): {drift} -- if intentional, regenerate "
+        "PLAN_AUDIT.md in the same commit"
+    )
