@@ -191,6 +191,41 @@ def minhash_signatures(
     )
 
 
+def band_table(
+    docs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    portable: bool = False,
+) -> DataFrame:
+    """(doc_id, band, band_hash): the banded-signature relation whose
+    (band, band_hash) key drives the LSH bucket join's shuffle — the
+    single definition shared by lsh_candidate_pairs (which self-joins
+    it) and the skew soak (tools/scale_soak.py --dedup-skew, which
+    measures its partition-size spread)."""
+    if num_hashes % num_bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} does not divide into "
+            f"num_bands={num_bands}: the {num_hashes % num_bands} "
+            "trailing hashes would be min-aggregated but never banded, "
+            "silently lowering recall below what the parameters imply"
+        )
+    sig = minhash_signatures(docs, num_hashes, portable=portable)
+    per_band = num_hashes // num_bands
+
+    def _band_key(b: int) -> Column:
+        cols = [F.col(f"h{b * per_band + j}") for j in range(per_band)]
+        if portable:
+            return F.concat_ws(":", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols)
+
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[_band_key(b) for b in range(num_bands)])
+        ).alias("band", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     num_hashes: int = NUM_HASHES,
@@ -211,28 +246,7 @@ def lsh_candidate_pairs(
     decimal tuple instead -- a wider key, but one a SQL oracle can
     rebuild verbatim, which upgrades the query from rows-only to
     hash-exact certification."""
-    if num_hashes % num_bands:
-        raise ValueError(
-            f"num_hashes={num_hashes} does not divide into "
-            f"num_bands={num_bands}: the {num_hashes % num_bands} "
-            "trailing hashes would be min-aggregated but never banded, "
-            "silently lowering recall below what the parameters imply"
-        )
-    sig = minhash_signatures(docs, num_hashes, portable=portable)
-    per_band = num_hashes // num_bands
-
-    def _band_key(b: int) -> Column:
-        cols = [F.col(f"h{b * per_band + j}") for j in range(per_band)]
-        if portable:
-            return F.concat_ws(":", *[c.cast("string") for c in cols])
-        return F.xxhash64(*cols)
-
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[_band_key(b) for b in range(num_bands)])
-        ).alias("band", "band_hash"),
-    ).localCheckpoint()
+    bands = band_table(docs, num_hashes, num_bands, portable).localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -550,6 +550,34 @@ def boilerplate_removal(
     )
 
 
+def span_doc_counts(docs: DataFrame, k: int = 8) -> DataFrame:
+    """(h, doc_id, n): the span-hash x document pre-aggregation — the
+    relation that flows through the span screen's h-keyed exchanges
+    (span_dup_stats' window, the boilerplate screen's count). The
+    single definition shared by those operators and the skew soak
+    (tools/scale_soak.py --dedup-skew, which measures the h-keyed
+    exchange's partition-size spread)."""
+    return (
+        doc_span_hashes(docs, k)
+        .groupBy("h", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def source_span_sets(docs: DataFrame, k: int = 8) -> DataFrame:
+    """DISTINCT (source, h): each source's k-token span-hash set — the
+    self-join relation of the cross-source contamination matrix (c30);
+    its h key drives that join's shuffle. Shared by the suite query
+    and the skew soak. Caller decides on materialization (c30
+    localCheckpoints it because it feeds both self-join sides)."""
+    spans = doc_span_hashes(docs.select("doc_id", "text"), k)
+    return (
+        spans.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "h")
+        .dropDuplicates(["source", "h"])
+    )
+
+
 def span_dup_stats(docs: DataFrame, k: int = 8) -> DataFrame:
     """Passage-level duplication audit (the RefinedWeb/CCNet-style
     sub-document screen exact dedup misses): cut each document into
@@ -572,11 +600,7 @@ def span_dup_stats(docs: DataFrame, k: int = 8) -> DataFrame:
     shuffles, was the superlinear term in the 100x soak. md5-as-hex
     keeps span identity engine-portable, so the whole operator
     hash-checks against plain SQL."""
-    pair = (
-        doc_span_hashes(docs, k)
-        .groupBy("h", "doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    pair = span_doc_counts(docs, k)
     # pair is distinct per (h, doc), so a plain count over the h window
     # IS the distinct-doc count -- no count-distinct Expand, and a hot
     # boilerplate hash lands in one window partition exactly as it

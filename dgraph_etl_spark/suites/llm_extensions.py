@@ -1779,17 +1779,11 @@ def c30_source_overlap(spark, sf_dir):
     step is per-span-hash across sources (bounded by the number of
     sources, not documents)."""
     docs = _docs(spark, sf_dir)
-    from ..functions.text import doc_span_hashes
+    from ..functions.text import source_span_sets
 
-    spans = doc_span_hashes(docs.select("doc_id", "text"))
     # materialized once: sh feeds both self-join sides (otherwise the
     # span-hash explode + docs join is planned and executed twice)
-    sh = (
-        spans.join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "h")
-        .dropDuplicates(["source", "h"])
-        .localCheckpoint()
-    )
+    sh = source_span_sets(docs).localCheckpoint()
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(
