@@ -65,6 +65,12 @@ HEADLINE = [
     "b92_cube_rollup",        # CUBE margins: one Expand, one hash agg
 ]
 
+# The unfiltered list: consumers that need the FULL headline set
+# regardless of environment (the PLAN_AUDIT lockfile test) read this,
+# not HEADLINE -- otherwise a SPARK_GRAFT_BENCH_QUERIES left exported
+# by a soak run would silently narrow their coverage.
+HEADLINE_ALL = list(HEADLINE)
+
 # Optional subset filter (comma-separated names): lets the scale soak
 # run only the heavy queries at large replication factors without
 # changing what a bare `python bench.py` measures.

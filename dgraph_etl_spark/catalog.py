@@ -10,6 +10,7 @@ Catalyst pushes filters/projections into the parquet reader.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -76,29 +77,51 @@ def _compacted_source(spark: SparkSession, sf_dir: str, name: str) -> str | None
             return None  # already split-friendly
         st = os.stat(src)
         tag = os.path.basename(os.path.normpath(sf_dir))
-        dest = os.path.join(
-            _LAYOUT_ROOT,
-            f"{tag}_{name}_{st.st_mtime_ns}_{st.st_size}_{n_cores}",
-        )
+        key = f"{st.st_mtime_ns}_{st.st_size}"
+        dest = os.path.join(_LAYOUT_ROOT, f"{tag}_{name}_{key}_{n_cores}")
         if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-            # Concurrent sessions (bench + pytest, pytest-xdist) may race
-            # here: write to a unique temp dir and atomically rename into
-            # dest -- first rename wins, losers discard their copy. A
-            # check-then-write into dest directly could interleave one
-            # job's delete with another's write and leave a mixed file set.
+            # Concurrent sessions (bench + pytest, pytest-xdist) build
+            # under the flock discipline every stager in this repo
+            # uses (streaming/core._stage_atomic has the full
+            # rationale: kernel-released on crash, no unlink, no
+            # break-the-lock branch). Serializing here also means a
+            # loser WAITS for the winner's copy instead of running a
+            # duplicate full-table Spark job and discarding it at the
+            # rename -- the pre-lock protocol's documented waste.
+            import fcntl
             import shutil
             import uuid
 
-            tmp = f"{dest}.tmp.{uuid.uuid4().hex[:8]}"
-            spark.read.parquet(src).repartition(n_cores).write.mode(
-                "overwrite"
-            ).parquet(tmp)
+            os.makedirs(_LAYOUT_ROOT, exist_ok=True)
+            fd = os.open(f"{dest}.lock", os.O_CREAT | os.O_RDWR, 0o644)
             try:
-                os.rename(tmp, dest)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
+                fcntl.flock(fd, fcntl.LOCK_EX)
                 if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-                    return None  # losing racer + unusable dest -> raw source
+                    tmp = f"{dest}.tmp.{uuid.uuid4().hex[:8]}"
+                    spark.read.parquet(src).repartition(n_cores).write.mode(
+                        "overwrite"
+                    ).parquet(tmp)
+                    os.rename(tmp, dest)
+                    # generational eviction (the discipline of
+                    # traverse._CACHE_GENERATIONS): copies of this
+                    # table whose embedded source identity no longer
+                    # matches the CURRENT file can only serve a
+                    # fixture that has since been regenerated --
+                    # delete them, or every regeneration round
+                    # strands a full-size table copy in /tmp forever
+                    prefix = f"{tag}_{name}_"
+                    for sib in os.listdir(_LAYOUT_ROOT):
+                        p = os.path.join(_LAYOUT_ROOT, sib)
+                        if (
+                            sib.startswith(prefix)
+                            and not sib.startswith(f"{tag}_{name}_{key}_")
+                            and ".tmp." not in sib
+                            and not sib.endswith(".lock")
+                            and os.path.isdir(p)
+                        ):
+                            shutil.rmtree(p, ignore_errors=True)
+            finally:
+                os.close(fd)
         return dest
     except Exception:
         return None  # any surprise -> fall back to the raw source
@@ -129,6 +152,13 @@ def ts_bigint_unit(path: str) -> str:
         if unit in ("ns", "us", "ms", "s"):
             return unit
         raise ValueError(f"unsupported parquet timestamp unit {unit!r} in {path}")
+    if pf.metadata.num_row_groups == 0:
+        # zero rows = zero row groups = no stats: undecidable, and it
+        # must say so with the path like every other branch here does
+        raise ValueError(
+            f"int64 ts column in an empty parquet file (no row groups,"
+            f" so no footer statistics to infer the unit from): {path}"
+        )
     # resolve the PARQUET LEAF index by path: the arrow top-level
     # field index diverges from leaf numbering as soon as any nested
     # (list/struct) column precedes ts -- the stats would then be read
@@ -237,6 +267,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # session.SessionKeyedMap
 _REGISTERED = SessionKeyedMap()
 
+# registration is peek -> create views -> put: without mutual
+# exclusion, a partial registration interleaved with a full one can
+# overwrite views AFTER the full one cached its fingerprint, leaving a
+# mixed catalog that later full calls no-op over (the hazard the
+# partial-pop below defends against, but for sequential callers only).
+# One process-wide lock: registrations are rare and cheap relative to
+# queries, and thread pools share a session anyway (session.py).
+_REGISTER_LOCK = threading.RLock()
+
 
 def pin_session_confs(spark: SparkSession) -> None:
     """The driver runs queries in its own vanilla session: pin the confs
@@ -280,24 +319,25 @@ def register_views(
     partial = tables is not None or views is not None
     sf_dir = os.path.abspath(sf_dir)
     fp = _source_fingerprint(sf_dir)
-    hit = _REGISTERED.peek(spark)
-    if hit == (sf_dir, fp) and not force and not partial:
-        return
-    pin_session_confs(spark)
-    if partial:
-        # a partial registration can OVERWRITE views the cached full
-        # registration created (a different sf_dir's documents view,
-        # say) -- the cache must be invalidated, not just left
-        # unpopulated, or a later full call for the cached sf_dir
-        # no-ops over a mixed catalog
-        _REGISTERED.pop(spark)
-    for t in BASE_TABLES if tables is None else tables:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    for name, sql in VIEW_SQL.items():
-        if views is None or name in views:
-            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
-    if not partial:
-        _REGISTERED.put(spark, (sf_dir, fp))
+    with _REGISTER_LOCK:
+        hit = _REGISTERED.peek(spark)
+        if hit == (sf_dir, fp) and not force and not partial:
+            return
+        pin_session_confs(spark)
+        if partial:
+            # a partial registration can OVERWRITE views the cached full
+            # registration created (a different sf_dir's documents view,
+            # say) -- the cache must be invalidated, not just left
+            # unpopulated, or a later full call for the cached sf_dir
+            # no-ops over a mixed catalog
+            _REGISTERED.pop(spark)
+        for t in BASE_TABLES if tables is None else tables:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        for name, sql in VIEW_SQL.items():
+            if views is None or name in views:
+                spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+        if not partial:
+            _REGISTERED.put(spark, (sf_dir, fp))
 
 
 def _source_fingerprint(sf_dir: str) -> tuple:

@@ -224,12 +224,34 @@ def _load_suites() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .suites import (  # noqa: F401
-        relational_closure,
-        streaming_suite,
-        pipeline_reference,
-        graph_traversal,
-        llm_extensions,
-    )
+    # failure-atomic: a suite that raises partway through import has
+    # already executed some @register calls, and Python evicts the
+    # half-initialized module from sys.modules -- a bare retry would
+    # then re-run those registrations and die on 'duplicate query
+    # name', burying the real import error forever. Roll the registry
+    # back to its pre-attempt state so the retry re-raises the
+    # ORIGINAL failure instead.
+    before = set(REGISTRY)
+    try:
+        from .suites import (  # noqa: F401
+            relational_closure,
+            streaming_suite,
+            pipeline_reference,
+            graph_traversal,
+            llm_extensions,
+        )
+    except BaseException:
+        for name in set(REGISTRY) - before:
+            del REGISTRY[name]
+        # also evict the suites that DID import: their cached modules
+        # would no-op on the retry while their registrations were just
+        # rolled back, leaving the registry silently incomplete
+        import sys
+
+        for mod in [
+            m for m in sys.modules if m.startswith(f"{__package__}.suites")
+        ]:
+            del sys.modules[mod]
+        raise
 
     _LOADED = True

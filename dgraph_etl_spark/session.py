@@ -32,9 +32,19 @@ def get_spark(
     either neutral or beneficial on a 1000-executor cluster.
     """
     n = str(cpus if cpus is not None else DEFAULT_CPUS)
-    # '*' is a valid local-master spec (all cores); the shuffle
-    # default must not int() it -- derive from the machine instead
-    n_int = int(n) if n.isdigit() else (os.cpu_count() or 8)
+    # '*' is the only non-numeric local-master spec we accept (all
+    # cores; the shuffle default derives from the machine for it).
+    # Anything else must parse as a positive int HERE -- a '-4' or
+    # '4x' must raise this ValueError, not fall through to a cryptic
+    # "Could not parse Master URL" from Spark after shuffle
+    # partitions were silently sized off the machine's core count
+    if n == "*":
+        n_int = os.cpu_count() or 8
+    else:
+        try:
+            n_int = int(n)
+        except ValueError:
+            raise ValueError(f"cpus must be >= 1 or '*', got {cpus!r}")
     if n_int < 1:
         raise ValueError(f"cpus must be >= 1 or '*', got {cpus!r}")
     sp = shuffle_partitions if shuffle_partitions is not None else max(n_int, 8)

@@ -672,9 +672,9 @@ def a28_bulk_pipeline_e2e(spark, sf_dir):
     """The whole offline (EP2) binary as ONE Spark DAG, end to end
     (reference cmd/bulk/main.go:80-134): scroll-source scan with the
     watermark range pushed INTO the connector (elastic.go:44-102) ->
-    A4 JSON decode -> dead-letter id validation (the production form
-    of etl.go:60-63's silent Atoi-skip: bad ids route to a quarantine
-    stream instead of vanishing; this feed parses clean, so the ok
+    A4 JSON decode -> A22 id validation (the digits-regex screen the
+    reference's big.Int/Atoi parse implies; the quarantine-stream form
+    of the same split is a26. This feed parses clean, so the ok
     stream is total and the oracle needn't model the split) -> the
     persons branch (A11 distinct + A6 trove flag) and the edges branch
     (A9/A10 explode + A12 max-per-pair) -> the full A18/A21 triple set
@@ -714,11 +714,12 @@ def a28_bulk_pipeline_e2e(spark, sf_dir):
             F.col("r.stats.raw_score_out").alias("raw_score_out"),
         )
     )
-    ok = (
-        F.expr("TRY_CAST(from_person_id AS DECIMAL(38,0))").isNotNull()
-        & F.expr("TRY_CAST(to_person_id AS DECIMAL(38,0))").isNotNull()
-    )
-    ur = decoded.filter(ok)
+    # the same digits-regex validation the reference's big.Int parse
+    # implies (persons.validate_decimal_ids): a bare TRY_CAST would
+    # accept-and-rewrite '1.5'/'1e3'/'-5', ids the binary skips
+    ur = P.validate_decimal_ids(
+        P.validate_decimal_ids(decoded, "from_person_id"), "to_person_id"
+    ).drop("from_person_id_num", "to_person_id_num")
     flagged = P.enrich_is_trove(
         P.distinct_person_ids(ur), spark.table("trove_user")
     )

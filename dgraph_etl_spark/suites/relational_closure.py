@@ -577,6 +577,25 @@ def b15_count_distinct(spark, sf_dir):
     )
 
 
+def _hll_within_bound(col: str, alias: str):
+    """The sketch family's shared tolerance verdict: 1 iff the HLL
+    estimate (rsd 1%) is within ``max(1, 5% of exact)`` of the exact
+    distinct count, computed IN the aggregation plan. One definition
+    for b15_approx_error_bound and b69_sketch_error_bound -- the two
+    certified sketch rows must age the same way if the tolerance or
+    rsd ever changes."""
+    return (
+        F.when(
+            F.abs(F.approx_count_distinct(col, 0.01) - F.countDistinct(col))
+            <= F.greatest(F.lit(1.0), F.countDistinct(col) * 0.05),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias(alias)
+    )
+
+
 @register(
     "b15_approx_error_bound",
     """
@@ -601,17 +620,7 @@ def b15_approx_error_bound(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
-        F.when(
-            F.abs(
-                F.approx_count_distinct("o_custkey", 0.01)
-                - F.countDistinct("o_custkey")
-            )
-            <= F.greatest(F.lit(1.0), F.countDistinct("o_custkey") * 0.05),
-            1,
-        )
-        .otherwise(0)
-        .cast("int")
-        .alias("within_bound"),
+        _hll_within_bound("o_custkey", "within_bound"),
     )
 
 
@@ -2657,19 +2666,7 @@ def b69_sketch_error_bound(spark, sf_dir):
     100 TB runs the sketch arm alone (one scan, fixed memory,
     mergeable) instead of re-shuffling the table per column."""
     o = _t(spark, sf_dir, "orders")
-
-    def ok(col: str, alias: str):
-        return (
-            F.when(
-                F.abs(F.approx_count_distinct(col, 0.01) - F.countDistinct(col))
-                <= F.greatest(F.lit(1.0), F.countDistinct(col) * 0.05),
-                1,
-            )
-            .otherwise(0)
-            .cast("int")
-            .alias(alias)
-        )
-
+    ok = _hll_within_bound
     return o.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_orderkey").alias("d_orderkey"),

@@ -67,8 +67,6 @@ VIEW_SQL: dict[str, str] = {
     """,
 }
 
-VIEW_NAMES = list(VIEW_SQL)
-
 
 def derive_user_relationship(events):
     """The user_relationship view as DataFrame ops — the exact same

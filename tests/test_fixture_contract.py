@@ -182,3 +182,94 @@ def test_register_views_detects_in_place_fixture_regen(spark, tmp_path):
     # restore registration for any later test in this session
     register_views(spark, "/root/testdata/sf0.001", force=True)
     assert isinstance(BASE_TABLES, list)
+
+
+def test_ts_bigint_unit_names_path_on_empty_file(tmp_path):
+    """A zero-row fixture has no row groups and no stats: the unit is
+    undecidable and the error must say so WITH the path, like every
+    other undecidable branch (not a bare IndexError from row_group(0))."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from dgraph_etl_spark.catalog import ts_bigint_unit
+
+    p = str(tmp_path / "empty_events.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([], type=pa.int64())}), p
+    )
+    with pytest.raises(ValueError, match="empty_events.parquet"):
+        ts_bigint_unit(p)
+
+
+def test_compacted_layout_evicts_stale_generations(spark, tmp_path):
+    """Regenerating a fixture must not strand the previous
+    generation's full-size layout copy in /tmp forever: building the
+    new generation's compacted copy deletes siblings of the same
+    (fixture, table) whose embedded source identity no longer matches."""
+    import shutil
+
+    from dgraph_etl_spark.catalog import _LAYOUT_ROOT, _compacted_source
+
+    sf = str(tmp_path / "sf_evict")
+    os.makedirs(sf)
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet",
+        os.path.join(sf, "documents.parquet"),
+    )
+    os.makedirs(_LAYOUT_ROOT, exist_ok=True)
+    stale = os.path.join(_LAYOUT_ROOT, "sf_evict_documents_1_1_8")
+    os.makedirs(stale, exist_ok=True)
+    open(os.path.join(stale, "_SUCCESS"), "w").close()
+
+    dest = _compacted_source(spark, sf, "documents")
+    assert dest is not None and os.path.exists(
+        os.path.join(dest, "_SUCCESS")
+    ), "documents at 500 rows in one row group must compact"
+    assert not os.path.exists(stale), (
+        "the stale generation must be evicted by the new build"
+    )
+    shutil.rmtree(dest, ignore_errors=True)
+
+
+def test_load_suites_rolls_back_on_partial_import_failure(tmp_path):
+    """A suite that raises partway through import must not leave the
+    registry in a state where the retry dies on 'duplicate query name'
+    instead of the original error (subprocess: the suites must not be
+    already-imported)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import sys
+
+        class Bomb:
+            # meta-path hook: graph_traversal (imported AFTER two
+            # suites have already registered queries) raises
+            def find_module(self, name, path=None):
+                return self if name.endswith("suites.graph_traversal") else None
+
+            def load_module(self, name):
+                raise ImportError("injected suite failure")
+
+        sys.meta_path.insert(0, Bomb())
+        from dgraph_etl_spark import registry
+
+        for attempt in (1, 2):
+            try:
+                registry._load_suites()
+                raise SystemExit(f"attempt {attempt}: expected ImportError")
+            except ImportError as e:
+                assert "injected suite failure" in str(e), e
+        print("ROLLBACK_OK")
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "ROLLBACK_OK" in out.stdout, (out.stdout, out.stderr)

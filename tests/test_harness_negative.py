@@ -99,3 +99,16 @@ def test_negative_zero_vs_zero_is_distinguished():
     a = pd.DataFrame({"v": [0.0]})
     b = pd.DataFrame({"v": [-0.0]})
     assert compare_frames(a, b)
+
+
+def test_get_spark_rejects_invalid_cpus_loudly():
+    """A negative or non-numeric cpus spec must raise the documented
+    ValueError here, not fall through to a cryptic 'Could not parse
+    Master URL' after shuffle partitions were sized off the machine."""
+    import pytest
+
+    from dgraph_etl_spark.session import get_spark
+
+    for bad in (-4, "0", "4x"):
+        with pytest.raises(ValueError, match="cpus must be"):
+            get_spark(cpus=bad)

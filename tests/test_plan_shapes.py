@@ -564,9 +564,19 @@ def test_salted_join_salt_drives_partitioning(spark, sf_small):
 # fusion order — neither is a 100 TB contract.
 
 def _headline_names() -> list[str]:
-    import bench  # repo root; HEADLINE is the bench's query list
+    # import with the soak-subset env var cleared: a lingering
+    # SPARK_GRAFT_BENCH_QUERIES must not narrow this gate's coverage
+    # (HEADLINE_ALL is pre-filter anyway) nor SystemExit collection
+    # on an unknown name
+    import os
 
-    return list(bench.HEADLINE)
+    saved = os.environ.pop("SPARK_GRAFT_BENCH_QUERIES", None)
+    try:
+        import bench  # repo root
+    finally:
+        if saved is not None:
+            os.environ["SPARK_GRAFT_BENCH_QUERIES"] = saved
+    return list(bench.HEADLINE_ALL)
 
 
 _LOCKED_KEYS = ("exch", "bhj", "smj", "shj", "bnlj", "expand", "topk", "gsort")

@@ -347,9 +347,36 @@ def _exchange_spread(df, key_cols: list[str], parts: int) -> dict:
     that expression gives the TRUE per-partition row/byte totals, not
     a sample. Bytes are estimated per row (octet_length for strings,
     fixed width for numerics — the dedup keys are hash-width, so row
-    sizes are near-uniform and the estimate is tight). Also reports
-    the hottest single KEY, which no partition count can split —
-    that is the number that decides whether salting is needed."""
+    sizes are near-uniform and the estimate is tight). The hottest
+    single key — the number that decides whether salting is needed —
+    is fan-out-independent and computed separately (_hottest_key)."""
+    from pyspark.sql import functions as F
+
+    per_part = (
+        df.groupBy(
+            F.pmod(F.hash(*[F.col(k) for k in key_cols]), F.lit(parts))
+            .alias("pid")
+        )
+        .agg(F.sum(_row_bytes(df)).alias("b"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    import statistics
+
+    bs = sorted(r["b"] for r in per_part)
+    med = statistics.median(bs)
+    return {
+        "parts": parts,
+        "parts_hit": len(bs),
+        "rows": sum(r["n"] for r in per_part),
+        "max_mb": bs[-1] / 1e6,
+        "median_mb": med / 1e6,
+        "spread": bs[-1] / max(med, 1),
+    }
+
+
+def _row_bytes(df):
+    """Estimated shuffle bytes per row: octet_length for strings,
+    fixed width for numerics."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -365,33 +392,23 @@ def _exchange_spread(df, key_cols: list[str], parts: int) -> dict:
     rb = terms[0]
     for t in terms[1:]:
         rb = rb + t
-    keys = [F.col(k) for k in key_cols]
-    per_part = (
-        df.groupBy(F.pmod(F.hash(*keys), F.lit(parts)).alias("pid"))
-        .agg(F.sum(rb).alias("b"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    import statistics
+    return rb
 
-    bs = sorted(r["b"] for r in per_part)
-    med = statistics.median(bs)
+
+def _hottest_key(df, key_cols: list[str]) -> dict:
+    """The single heaviest key of the exchange — the unsplittable
+    floor no partition count can divide; computed ONCE per lane (it
+    is independent of the fan-out)."""
+    from pyspark.sql import functions as F
+
     hot = (
-        df.groupBy(*keys)
-        .agg(F.sum(rb).alias("b"), F.count(F.lit(1)).alias("n"))
+        df.groupBy(*[F.col(k) for k in key_cols])
+        .agg(F.sum(_row_bytes(df)).alias("b"), F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("b"))
         .limit(1)
         .collect()[0]
     )
-    return {
-        "parts": parts,
-        "parts_hit": len(bs),
-        "rows": sum(r["n"] for r in per_part),
-        "max_mb": bs[-1] / 1e6,
-        "median_mb": med / 1e6,
-        "spread": bs[-1] / max(med, 1),
-        "hot_key_mb": hot["b"] / 1e6,
-        "hot_key_rows": hot["n"],
-    }
+    return {"hot_key_mb": hot["b"] / 1e6, "hot_key_rows": hot["n"]}
 
 
 def _dedup_skew(args) -> None:
@@ -433,16 +450,17 @@ def _dedup_skew(args) -> None:
             ("c30 source self-join", source_span_sets(docs), ["h"]),
         ]
 
-    results = []  # (scale_label, lane_label, stats@32, stats@1024)
+    results = []  # (scale_label, lane_label, stats@32, stats@1024, hot)
     for label, sf_dir in (("sf0.1", SRC_SF), (f"{args.replicas}x", big)):
         for lane, df, keys in lanes(sf_dir):
             df = df.localCheckpoint()  # measure both fan-outs off one build
             s32 = _exchange_spread(df, keys, 32)
             s1k = _exchange_spread(df, keys, 1024)
-            results.append((label, lane, s32, s1k))
+            hot = _hottest_key(df, keys)
+            results.append((label, lane, s32, s1k, hot))
             print(f"{label} {lane}: spread@32 {s32['spread']:.2f}, "
                   f"spread@1024 {s1k['spread']:.2f}, "
-                  f"hot key {s1k['hot_key_rows']} rows", flush=True)
+                  f"hot key {hot['hot_key_rows']} rows", flush=True)
 
     lines = [
         start,
@@ -468,16 +486,16 @@ def _dedup_skew(args) -> None:
     ]
     worst = 0.0
     hot_floor_mb = 0.0
-    for label, lane, s32, s1k in results:
+    for label, lane, s32, s1k, hot in results:
         worst = max(worst, s32["spread"])
-        hot_floor_mb = max(hot_floor_mb, s1k["hot_key_mb"])
+        hot_floor_mb = max(hot_floor_mb, hot["hot_key_mb"])
         lines.append(
             f"| {label} | {lane} | {s32['rows']:,} "
             f"| {s32['max_mb']:.2f} / {s32['median_mb']:.2f} "
             f"| {s32['spread']:.2f} "
             f"| {s1k['max_mb']:.3f} / {s1k['median_mb']:.3f} "
             f"| {s1k['spread']:.2f} "
-            f"| {s1k['hot_key_rows']:,} rows / {s1k['hot_key_mb']:.3f} MB |"
+            f"| {hot['hot_key_rows']:,} rows / {hot['hot_key_mb']:.3f} MB |"
         )
     lines.append("")
     if worst < 10:
