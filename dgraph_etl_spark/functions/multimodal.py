@@ -104,7 +104,16 @@ def extract_features(
     size_balance_partitions: int | None = None,
 ) -> DataFrame:
     """Decode/feature-extract over Arrow batches (mapInPandas). The
-    iterator contract keeps memory at one record batch per task."""
+    iterator contract keeps memory at one record batch per task.
+
+    NULL media yields NULL n_bytes/feature (the family-wide
+    NULL-singleton contract; the c09 oracle's octet_length/ascii of a
+    NULL likewise return NULL) -- the decoder is never called for a
+    NULL blob, so injected decoders need no None branch. Columns are
+    pruned to (doc_id, media) BEFORE the Arrow boundary: the meta
+    struct is unused here and would otherwise be serialized per row
+    (and shuffled, under size_balance_partitions) for nothing."""
+    media = media.select("doc_id", "media")
     if size_balance_partitions:
         # spread rows uniformly by a per-row hash: keying on blob SIZE
         # (the previous pmod(n_bytes, 64)) co-located every same-size
@@ -122,9 +131,11 @@ def extract_features(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pdf["media"].map(
-                        lambda b: len(b) if b is not None else 0
+                        lambda b: len(b) if b is not None else None
                     ),
-                    "feature": pdf["media"].map(decoder),
+                    "feature": pdf["media"].map(
+                        lambda b: decoder(b) if b is not None else None
+                    ),
                 }
             )
 
@@ -208,7 +219,18 @@ def resize_media(media: DataFrame, factor: int = 4) -> DataFrame:
     ``Image.open(...).resize(...)`` without touching the dataflow).
     Emits the resized payload's size and digest; the full resized
     blob would flow the same way as a binary column. Same mapInPandas
-    Arrow-batch discipline as extract_features / sample_frames."""
+    Arrow-batch discipline as extract_features / sample_frames.
+
+    NULL media emits the row with NULL size/digest -- the c62 oracle
+    has no WHERE clause, so its length/md5 of a NULL text yield a
+    NULL-valued row that this side must match (dropping the row was a
+    latent row-count divergence; contrast sample_frames, whose oracle
+    DOES filter and whose Spark side drops consistently)."""
+    if not isinstance(factor, int) or factor < 1:
+        # fail before any job runs: factor=0 would otherwise die deep
+        # in an executor as a slice-step ValueError, and factor<0
+        # would silently 'resize' to a reversed blob
+        raise ValueError(f"factor must be a positive int, got {factor!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -221,11 +243,14 @@ def resize_media(media: DataFrame, factor: int = 4) -> DataFrame:
                 "resized_md5": [],
             }
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                out["doc_id"].append(doc_id)
                 if blob is None:
-                    continue  # NULL media: nothing to resize
+                    out["orig_bytes"].append(None)
+                    out["resized_bytes"].append(None)
+                    out["resized_md5"].append(None)
+                    continue
                 b = bytes(blob)
                 small = b[::factor]
-                out["doc_id"].append(doc_id)
                 out["orig_bytes"].append(len(b))
                 out["resized_bytes"].append(len(small))
                 out["resized_md5"].append(hashlib.md5(small).hexdigest())

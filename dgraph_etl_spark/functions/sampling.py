@@ -105,8 +105,12 @@ def mixture_epochs(
     )
     # rows stay WHOLE: a mixture that kept only (key, strata, epoch)
     # forced every consumer to join the output back onto the corpus by
-    # key to recover the payload -- a full extra shuffle at 100 TB
-    return df.select(
+    # key to recover the payload -- a full extra shuffle at 100 TB.
+    # An input 'epoch' column (this function's own output being
+    # re-mixed) is replaced, not duplicated: select('*', explode) with
+    # a second 'epoch' would make the cast below AMBIGUOUS_REFERENCE
+    base = df.drop("epoch")
+    return base.select(
         "*",
         F.explode(copies).alias("epoch"),
     ).withColumn("epoch", F.col("epoch").cast("bigint"))

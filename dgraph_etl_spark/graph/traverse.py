@@ -59,6 +59,11 @@ def expand(
     f = F.broadcast(frontier) if broadcast_frontier else frontier
     reached = (
         f.join(edges, f["id"] == edges["src"], "inner")
+        # NULL dst must not become a frontier member: the reference's
+        # NOT-uid / SQL NOT IN exclusion drops NULLs, while a
+        # left_anti on id would KEEP a NULL id forever (never matches
+        # visited) -- a phantom node in every hop count
+        .filter(F.col("dst").isNotNull())
         .select(F.col("dst").alias("id"))
         .dropDuplicates(["id"])
     )
@@ -110,8 +115,12 @@ def k_hop(
     for i in range(k):
         frontier = expand(frontier, edges, visited, broadcast_frontier)
         if (i + 1) % checkpoint_every == 0:
+            # a localCheckpoint already stores the RDD blocks; adding
+            # .cache() on top would hold a SECOND copy of the same
+            # frontier for up to _KEEP_GENERATIONS generations
             frontier = frontier.localCheckpoint(eager=False)
-        frontier = frontier.cache()  # reused: next hop's join + its anti-join
+        else:
+            frontier = frontier.cache()  # next hop's join + anti-join
         generation.append(frontier)
         hops.append(frontier)
         visited = visited.unionByName(frontier)
@@ -223,11 +232,9 @@ def triangle_count_degree_oriented(edges: DataFrame) -> DataFrame:
     oriented table feeds all three sides of the self-join, so it is
     materialized once (localCheckpoint)."""
     und = undirected_edges(edges)
-    deg = (
-        und.select(F.col("a").alias("v"))
-        .unionAll(und.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
+    # the shared adjacency/degree definitions, not a fourth hand copy
+    deg = _degrees(_symmetric_adjacency(und)).select(
+        F.col("node").alias("v"), "deg"
     )
     g = und.join(
         deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a")), "a"
@@ -292,6 +299,53 @@ def hop_counts(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
     return row.select(*[f"hop{i}_count" for i in range(1, k + 1)])
 
 
+def _pagerank_rounds(
+    base: DataFrame,
+    ranks: DataFrame,
+    out_mass: DataFrame,
+    e: DataFrame,
+    n_iter: int,
+    in_share_val,
+    update_expr,
+) -> DataFrame:
+    """The ONE power-iteration round shared by the PageRank family
+    (pagerank / personalized_pagerank / weighted_pagerank) -- three
+    hand-kept copies of this loop previously had to stay in sync (and
+    had already drifted in defaults), the same failure mode
+    _symmetric_adjacency's docstring records for the adjacency copies.
+
+    Per round: ranks join out_mass (``om``; NULL = dangling) -> the
+    dangling mass folds to a 1-row broadcast (in-plan, no per-round
+    collect) -> per-source share rank/om joins onto the edges and
+    aggregates ``in_share_val(share_col)`` by dst -> ``update_expr()``
+    (reads columns mass / in_share plus whatever ``base`` carries)
+    rebuilds ranks -- which are referenced twice next round, so each
+    round localCheckpoints (measured faster than every-3rd here)."""
+    for _ in range(n_iter):
+        contrib_src = ranks.join(out_mass, "node", "left")
+        dangling = contrib_src.filter(F.col("om").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
+        )
+        contribs = (
+            e.join(
+                contrib_src.filter(F.col("om").isNotNull()).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("om")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(in_share_val(F.col("share"))).alias("in_share"))
+        )
+        ranks = (
+            base.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select("node", update_expr().alias("rank"))
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def pagerank(
     edges: DataFrame, n_iter: int = 10, damping: float = 0.85, round_dp: int = 8
 ) -> DataFrame:
@@ -320,46 +374,21 @@ def pagerank(
         # ZeroDivisionError before any Spark job runs
         raise ValueError("pagerank: empty edge table (no nodes)")
     out_deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
+        F.count(F.lit(1)).alias("om")
     )
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    e = edges.select("src", "dst").localCheckpoint()
-    for it in range(n_iter):
-        contrib_src = ranks.join(
-            out_deg, "node", "left"
-        )  # out_deg null => dangling
-        # dangling mass stays IN-PLAN (1-row agg, broadcast crossJoin):
-        # no driver-side collect per iteration
-        dangling = contrib_src.filter(F.col("out_deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
-        )
-        contribs = (
-            e.join(
-                contrib_src.filter(F.col("out_deg").isNotNull()).select(
-                    F.col("node").alias("src"),
-                    (F.col("rank") / F.col("out_deg")).alias("share"),
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("share").alias("in_share"))
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("mass") / F.lit(float(n))
-                    + F.lit(damping) * F.coalesce(F.col("in_share"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            # ranks is referenced twice next round (dangling + contribs):
-            # unchecked lineage doubles per iteration, so checkpoint
-            # each round (measured faster than every-3rd here).
-            .localCheckpoint()
-        )
+    ranks = _pagerank_rounds(
+        base=nodes,
+        ranks=nodes.select("node", F.lit(1.0 / n).alias("rank")),
+        out_mass=out_deg,
+        e=edges.select("src", "dst").localCheckpoint(),
+        n_iter=n_iter,
+        in_share_val=lambda share: share,
+        update_expr=lambda: (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * F.col("mass") / F.lit(float(n))
+            + F.lit(damping) * F.coalesce(F.col("in_share"), F.lit(0.0))
+        ),
+    )
     return ranks.select("node", F.round("rank", round_dp).alias("rank"))
 
 
@@ -414,40 +443,21 @@ def personalized_pagerank(
         .localCheckpoint()
     )
     out_deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
+        F.count(F.lit(1)).alias("om")
     )
-    ranks = tele.select("node", F.col("tele").alias("rank"))
-    e = edges.select("src", "dst").localCheckpoint()
-    for _ in range(n_iter):
-        contrib_src = ranks.join(out_deg, "node", "left")
-        dangling = contrib_src.filter(F.col("out_deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
-        )
-        contribs = (
-            e.join(
-                contrib_src.filter(F.col("out_deg").isNotNull()).select(
-                    F.col("node").alias("src"),
-                    (F.col("rank") / F.col("out_deg")).alias("share"),
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("share").alias("in_share"))
-        )
-        ranks = (
-            tele.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) * F.col("tele")
-                    + F.lit(damping) * F.col("mass") * F.col("tele")
-                    + F.lit(damping)
-                    * F.coalesce(F.col("in_share"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
+    ranks = _pagerank_rounds(
+        base=tele,
+        ranks=tele.select("node", F.col("tele").alias("rank")),
+        out_mass=out_deg,
+        e=edges.select("src", "dst").localCheckpoint(),
+        n_iter=n_iter,
+        in_share_val=lambda share: share,
+        update_expr=lambda: (
+            F.lit(1.0 - damping) * F.col("tele")
+            + F.lit(damping) * F.col("mass") * F.col("tele")
+            + F.lit(damping) * F.coalesce(F.col("in_share"), F.lit(0.0))
+        ),
+    )
     return ranks.select("node", F.round("rank", round_dp).alias("rank"))
 
 
@@ -688,7 +698,7 @@ def weighted_pagerank(
     out_w = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(
-            F.sum("score").alias("out_w"),
+            F.sum("score").alias("om"),
             F.count(F.when(F.col("score") > 0, 1)).alias("_n_pos"),
         )
         # zero total out-weight = dangling (see docstring). Classified
@@ -700,36 +710,18 @@ def weighted_pagerank(
         .filter(F.col("_n_pos") > 0)
         .drop("_n_pos")
     )
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    e = edges.select("src", "dst", "score").localCheckpoint()
-    for _ in range(n_iter):
-        contrib_src = ranks.join(out_w, "node", "left")
-        dangling = contrib_src.filter(F.col("out_w").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
-        )
-        contribs = (
-            e.join(
-                contrib_src.filter(F.col("out_w").isNotNull()).select(
-                    F.col("node").alias("src"),
-                    (F.col("rank") / F.col("out_w")).alias("runit"),
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("runit") * F.col("score")).alias("in_share"))
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("mass") / F.lit(float(n))
-                    + F.lit(damping)
-                    * F.coalesce(F.col("in_share"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
+    ranks = _pagerank_rounds(
+        base=nodes,
+        ranks=nodes.select("node", F.lit(1.0 / n).alias("rank")),
+        out_mass=out_w,
+        e=edges.select("src", "dst", "score").localCheckpoint(),
+        n_iter=n_iter,
+        # share = rank/out_w, weighted per edge by its score
+        in_share_val=lambda share: share * F.col("score"),
+        update_expr=lambda: (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * F.col("mass") / F.lit(float(n))
+            + F.lit(damping) * F.coalesce(F.col("in_share"), F.lit(0.0))
+        ),
+    )
     return ranks.select("node", F.round("rank", round_dp).alias("rank"))

@@ -187,3 +187,38 @@ def test_size_balance_spreads_uniform_size_corpus(spark, sf_small):
         .select("p").distinct().count()
     )
     assert parts > 1, "uniform-size corpus collapsed to one partition"
+
+
+def test_null_media_yields_null_not_fabricated_zeros(spark):
+    """Family-wide NULL-singleton contract: a NULL blob must surface
+    as NULL n_bytes/feature (extract_features) and a NULL-valued row
+    (resize_media) -- matching the c09/c62 oracles, whose
+    octet_length/md5 of NULL return NULL. Fabricated 0s / dropped
+    rows were latent certification divergences."""
+    from dgraph_etl_spark.functions.multimodal import resize_media
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abcd")), (2, None)], "doc_id bigint, media binary"
+    )
+    feats = {r.doc_id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == 4 and feats[1].feature is not None
+    assert feats[2].n_bytes is None and feats[2].feature is None
+
+    rs = {r.doc_id: r for r in resize_media(media, factor=2).collect()}
+    assert set(rs) == {1, 2}, "NULL media row must be emitted, not dropped"
+    assert rs[2].orig_bytes is None and rs[2].resized_md5 is None
+    assert rs[1].resized_bytes == 2
+
+
+def test_resize_media_validates_factor_preflight(spark):
+    """factor=0 must raise the loud ValueError before any job runs,
+    not a slice-step error deep in an executor; factor=-1 must not
+    silently 'resize' to a reversed blob."""
+    from dgraph_etl_spark.functions.multimodal import resize_media
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abcd"))], "doc_id bigint, media binary"
+    )
+    for bad in (0, -1, 2.5):
+        with pytest.raises(ValueError, match="factor"):
+            resize_media(media, factor=bad)

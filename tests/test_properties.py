@@ -1339,3 +1339,36 @@ def test_g04_hop_counts_rejects_k0(spark):
     seeds = spark.createDataFrame([(1,)], "node bigint")
     with _pytest.raises(ValueError, match="hop_counts"):
         hop_counts(edges, seeds, k=0)
+
+
+def test_khop_null_dst_never_enters_frontier(spark):
+    """NULL dst must not become a phantom frontier node: the oracle's
+    NOT IN exclusion drops NULLs, and a left_anti on id would keep a
+    NULL id in EVERY hop (it never matches the visited set)."""
+    from dgraph_etl_spark.graph.traverse import k_hop
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, None), (2, 3)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(1,)], "id bigint")
+    hop1, hop2 = k_hop(edges, seeds, k=2)
+    assert [r.id for r in hop1.collect()] == [2]
+    assert [r.id for r in hop2.collect()] == [3], (
+        "hop2 must be {3}, with no NULL phantom"
+    )
+
+
+def test_mixture_epochs_output_can_be_remixed(spark):
+    """mixture_epochs' own output re-mixed must REPLACE the epoch
+    column, not die on AMBIGUOUS_REFERENCE from a duplicate alias."""
+    from dgraph_etl_spark.functions.sampling import mixture_epochs
+
+    docs = spark.createDataFrame(
+        [(i, "s") for i in range(20)], "doc_id bigint, source string"
+    )
+    once = mixture_epochs(docs, strata_col="source", weights={"s": 2.0})
+    twice = mixture_epochs(once, strata_col="source", weights={"s": 1.0})
+    assert twice.columns.count("epoch") == 1
+    assert twice.count() == docs.count() * 2, (
+        "re-mix at weight 1.0 keeps one copy per input row"
+    )
