@@ -48,9 +48,22 @@ def _have_delta(spark: SparkSession) -> bool:
 
 
 def _versions(root: str) -> list[str]:
+    """Version dirs ordered by their INTEGER suffix: lexicographic
+    sorting puts v100000 before v99999, which would make the next
+    merge union against a stale latest and silently drop the v100000
+    batch from the lineage (the numeric-parse discipline of
+    streaming/core.earlier_epoch_dirs). Non-numeric v* names are
+    ignored rather than crashing the listing."""
     if not os.path.isdir(root):
         return []
-    return sorted(d for d in os.listdir(root) if d.startswith("v"))
+    return sorted(
+        (d for d in os.listdir(root) if d.startswith("v") and d[1:].isdigit()),
+        key=lambda d: int(d[1:]),
+    )
+
+
+def _delta_log_present(root: str) -> bool:
+    return os.path.isdir(os.path.join(root, "_delta_log"))
 
 
 def read_edge_store(spark: SparkSession, root: str) -> DataFrame | None:
@@ -65,6 +78,17 @@ def read_edge_store(spark: SparkSession, root: str) -> DataFrame | None:
         # in earlier (delta-less) rounds must still read -- returning
         # None here would make installed delta SHADOW the existing
         # versioned data as "nothing merged yet"
+    elif _delta_log_present(root):
+        # the OTHER direction of format stickiness: a store CREATED as
+        # Delta, read by a runtime without delta-spark, must fail
+        # loudly -- a silent None here would fork a parquet lineage
+        # inside the Delta root, and when delta returns, isDeltaTable
+        # wins and every delta-less round's merges vanish
+        raise RuntimeError(
+            f"edge store at {root} is a Delta table (_delta_log "
+            "present) but this runtime has no delta-spark; install it "
+            "or point at a different store root"
+        )
     vs = _versions(root)
     return spark.read.parquet(os.path.join(root, vs[-1])) if vs else None
 
@@ -94,21 +118,46 @@ def merge_max_into(
             except Exception:
                 if not DeltaTable.isDeltaTable(spark, root):
                     raise  # a real write failure, not a lost create race
-        (
-            DeltaTable.forPath(spark, root)
-            .alias("t")
-            .merge(
-                batch.alias("s"),
-                "t.src = s.src AND t.dst = s.dst",
-            )
-            .whenMatchedUpdate(
-                condition="s.score > t.score", set={"score": "s.score"}
-            )
-            .whenNotMatchedInsertAll()
-            .execute()
-        )
-        return spark.read.format("delta").load(root)
+        # bounded conflict retry, mirroring the fallback's 10-attempt
+        # publish loop: Delta does NOT auto-retry logical MERGE
+        # conflicts (ConcurrentAppend/DeleteRead), and re-running the
+        # MERGE is exact because max-wins is idempotent -- without the
+        # retry the first writer-storm conflict kills the batch the
+        # module docstring promises survives
+        last_exc: Exception | None = None
+        for _ in range(10):
+            try:
+                (
+                    DeltaTable.forPath(spark, root)
+                    .alias("t")
+                    .merge(
+                        batch.alias("s"),
+                        "t.src = s.src AND t.dst = s.dst",
+                    )
+                    .whenMatchedUpdate(
+                        condition="s.score > t.score", set={"score": "s.score"}
+                    )
+                    .whenNotMatchedInsertAll()
+                    .execute()
+                )
+                return spark.read.format("delta").load(root)
+            except Exception as exc:  # noqa: BLE001
+                if "Concurrent" not in type(exc).__name__ + str(exc):
+                    raise  # a real MERGE failure, not a commit conflict
+                last_exc = exc
+        raise RuntimeError(
+            f"Delta MERGE lost the commit conflict 10 times at {root}; "
+            "a writer storm is starving this merge -- serialize writers"
+        ) from last_exc
 
+    if _delta_log_present(root):
+        # same guard as read_edge_store: never fork a parquet lineage
+        # inside a Delta root from a delta-less runtime
+        raise RuntimeError(
+            f"edge store at {root} is a Delta table (_delta_log "
+            "present) but this runtime has no delta-spark; install it "
+            "or point at a different store root"
+        )
     # versioned-parquet fallback: union + re-max against the latest
     # version, then an atomic rename publish (crash-safe: a partial
     # write never becomes the latest version). A lost publish race is

@@ -85,7 +85,14 @@ def zorder_write(
             ),
         )
         .repartition(n_files, F.col("zbucket"))
-        .sortWithinPartitions(zkey)
+        # sort by (zbucket, zkey), not zkey alone: partitionBy requires
+        # an ordering by zbucket, and a bare zkey sort leaves Spark to
+        # insert its OWN zbucket sort on top -- the in-file zkey order
+        # then survives only if that sort happens to be stable, an
+        # implementation detail no version guarantees. The explicit
+        # prefix satisfies the required ordering (no second sort) and
+        # makes the row-group min/max tightening a contract.
+        .sortWithinPartitions("zbucket", zkey)
         .write.partitionBy("zbucket")
         .mode("overwrite")
         .parquet(path)

@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from collections.abc import Callable, Iterator
 
 from pyspark import TaskContext
@@ -68,7 +69,13 @@ class FileMutationClient(MutationClient):
 
     def __init__(self, path: str, fail_first: bool = False):
         self._path = path
-        self._tmp = path + ".tmp"
+        # attempt-unique temp name: a zombie task attempt (speculation,
+        # presumed-lost executor) and its relaunch both open a client
+        # for the SAME partition -- a shared path+'.tmp' would let the
+        # second open truncate the first's in-progress log and commit
+        # an interleaved file. Unique tmp + atomic os.replace keeps the
+        # supersede contract: last committed attempt wins whole.
+        self._tmp = f"{path}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
         self._f = open(self._tmp, "w")
         self._fail = fail_first
         self._calls = 0

@@ -130,10 +130,17 @@ def _stage_atomic(d: str, write_batches) -> str:
             shutil.rmtree(stale, ignore_errors=True)
         tmp = f"{d}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp)
-        write_batches(tmp)
-        with open(os.path.join(tmp, _STAGE_MARKER), "w") as fh:
-            fh.write("complete\n")
-        os.rename(tmp, d)
+        try:
+            write_batches(tmp)
+            with open(os.path.join(tmp, _STAGE_MARKER), "w") as fh:
+                fh.write("complete\n")
+            os.rename(tmp, d)
+        except BaseException:
+            # a failed build must not strand its partial tmp sibling
+            # in /tmp forever (repeated probes of a bad fixture would
+            # accumulate orphan dirs unboundedly)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         return d
     finally:
         os.close(fd)  # closing the fd releases the flock
@@ -301,6 +308,14 @@ def _stage_event_thirds(sf_dir: str, prefix: str, mask_fn) -> str:
         t = pq.read_table(table_path(sf_dir, "events"))
         ts_us = _events_ts_micros(t, sf_dir)
         lo, hi = pc.min(ts_us).as_py(), pc.max(ts_us).as_py()
+        if lo is None:
+            # empty or all-NULL-ts events: no thirds exist -- fail
+            # loudly with the table named, not a bare None-arithmetic
+            # TypeError (table_batched_source's discipline)
+            raise ValueError(
+                "event-thirds stager: events.ts has no non-NULL values "
+                f"to cut into thirds in {sf_dir}"
+            )
         c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
         for i, mask in enumerate(mask_fn(t, ts_us, c1, c2, pc)):
             p = os.path.join(tmp, f"batch{i + 1}.parquet")
@@ -432,8 +447,13 @@ def table_batched_source(
 
     tag = _source_tag(sf_dir, table)
     prefix = "docs" if table == "documents" else table
+    # id_col is part of the staged identity: two calls splitting the
+    # same table by different columns must not share a dir (batch
+    # membership and replay order differ per column -- the under-keyed
+    # /tmp-tag stale-reuse class)
     d = os.path.join(
-        tempfile.gettempdir(), f"dgraph_etl_{prefix}{n_batches}_{tag}"
+        tempfile.gettempdir(),
+        f"dgraph_etl_{prefix}{n_batches}_{id_col}_{tag}",
     )
 
     def write(tmp: str) -> None:

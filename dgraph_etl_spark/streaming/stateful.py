@@ -154,8 +154,13 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
             n, tot, nv = 0, 0, 0
             for pdf in rows:
                 n += len(pdf)
-                nv += int(pdf["value_fp"].notna().sum())
-                tot += int(pdf["value_fp"].sum())
+                # dropna().astype('int64'): an Arrow chunk holding any
+                # NULL arrives as float64, and a float summation loses
+                # exactness past 2^53 -- the exact 64-bit SQL SUM the
+                # oracle computes must be matched integer-for-integer
+                vals = pdf["value_fp"].dropna().astype("int64")
+                nv += int(len(vals))
+                tot += int(vals.sum())
             prev = self._totals.get()
             if prev is not None:
                 n += int(prev[0])
@@ -211,8 +216,10 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
         n, tot, nv = 0, 0, 0
         for pdf in pdfs:
             n += len(pdf)
-            nv += int(pdf["value_fp"].notna().sum())
-            tot += int(pdf["value_fp"].sum())
+            # exact int64 fold; see the TWS processor above
+            vals = pdf["value_fp"].dropna().astype("int64")
+            nv += int(len(vals))
+            tot += int(vals.sum())
         if state.exists:
             pn, ptot, pnv = state.get
             n += int(pn)

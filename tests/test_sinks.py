@@ -322,3 +322,78 @@ def test_zorder_bucket_assignment_exact_past_2_53(spark, tmp_path):
         for r in spark.read.parquet(out).select("zkey", "zbucket").collect()
     }
     assert got == {k: k // width for k in keys}, got
+
+
+def test_versions_order_numerically_not_lexicographically(tmp_path):
+    """Past v99999, lexicographic sorting puts v100000 before v99999;
+    the latest-version pick must parse the integer suffix (and ignore
+    non-numeric v* names rather than crash)."""
+    from dgraph_etl_spark.sinks.lakehouse import _versions
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    for d in ("v99999", "v100000", "v00001", "vjunk"):
+        os.makedirs(os.path.join(root, d))
+    assert _versions(root) == ["v00001", "v99999", "v100000"]
+
+
+def test_delta_root_without_delta_runtime_fails_loudly(spark, tmp_path):
+    """A store CREATED as Delta must not be silently read as 'nothing
+    merged yet' by a delta-less runtime: that would fork a parquet
+    lineage inside the Delta root and drop every delta-less round's
+    merges the moment delta returns."""
+    import pytest
+
+    from dgraph_etl_spark.sinks.lakehouse import (
+        merge_max_into,
+        read_edge_store,
+    )
+
+    root = str(tmp_path / "delta_store")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with pytest.raises(RuntimeError, match="_delta_log"):
+        read_edge_store(spark, root)
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0)], "src bigint, dst bigint, score double"
+    )
+    with pytest.raises(RuntimeError, match="_delta_log"):
+        merge_max_into(spark, root, edges)
+
+
+def test_stage_atomic_cleans_tmp_on_failed_build(tmp_path):
+    """A failed build must not strand its partial tmp sibling."""
+    import pytest
+
+    from dgraph_etl_spark.streaming.core import _stage_atomic
+
+    d = str(tmp_path / "staged")
+
+    def boom(tmp):
+        open(os.path.join(tmp, "partial"), "w").close()
+        raise RuntimeError("injected build failure")
+
+    with pytest.raises(RuntimeError, match="injected"):
+        _stage_atomic(d, boom)
+    leftovers = [p for p in os.listdir(tmp_path) if ".tmp." in p]
+    assert leftovers == [], leftovers
+    assert not os.path.exists(d)
+
+
+def test_file_mutation_client_attempts_do_not_clobber(tmp_path):
+    """Two overlapping attempts for the same partition (zombie +
+    relaunch) must not interleave: each attempt logs to its own temp
+    file and the last commit wins WHOLE."""
+    import json as _json
+
+    from dgraph_etl_spark.sinks.live import FileMutationClient
+
+    path = str(tmp_path / "part-00000.ndjson")
+    a = FileMutationClient(path)
+    b = FileMutationClient(path)
+    a.mutate([{"m": "a1"}])
+    b.mutate([{"m": "b1"}])
+    a.mutate([{"m": "a2"}])
+    b.commit()
+    a.commit()  # last committed attempt supersedes wholly
+    lines = [_json.loads(x) for x in open(path)]
+    assert lines == [{"m": "a1"}, {"m": "a2"}], lines
