@@ -58,52 +58,53 @@ def stage_derby_table(spark: SparkSession, sf_dir: str, table: str) -> str:
     the B3 scan is certified against a REAL database rather than a
     mocked reader.
 
-    Staging follows the repo's content-keyed atomic convention
-    (relational_closure._staged_io): the directory tag carries the
-    source parquet's mtime+size, the database is built at a tmp
-    sibling path, and — because a rename must move a CLOSED database —
+    Staging runs under the repo's flock'd atomic stager
+    (streaming/core._stage_atomic): content-keyed tag (source parquet
+    mtime+size), built in a tmp sibling, marker written last, renamed
+    into place -- and because a rename must move a CLOSED database,
     the staging copy is explicitly de-booted via Derby's
-    ``;shutdown=true`` URL before the rename-into-place. Directory
-    presence == staging complete; concurrent stagers race benignly
-    (first rename wins, the loser removes its already-shut-down copy).
-    Embedded Derby is single-JVM: the staged database serves one
-    process at a time, which matches the per-process driver/precert
-    runs it backs (a multi-writer deployment would point ``read_jdbc``
-    at a server-mode database instead)."""
+    ``;shutdown=true`` URL before the stager publishes. The flock
+    means a concurrent cold-start WAITS for the winner instead of
+    bulk-inserting the whole table row-by-row over JDBC a second time
+    (the single most expensive staging step in the repo). Embedded
+    Derby is single-JVM: the staged database serves one process at a
+    time, which matches the per-process driver/precert runs it backs
+    (a multi-writer deployment would point ``read_jdbc`` at a
+    server-mode database instead)."""
     import os
-    import shutil
-    import tempfile
-    import uuid
 
-    src = os.path.join(sf_dir, f"{table}.parquet")
-    st = os.stat(src)
+    from ..catalog import table_path
+    from ..streaming.core import _stage_atomic
+
+    st = os.stat(table_path(sf_dir, table))
     tag = (
         f"{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{st.st_mtime_ns}_{st.st_size}"
     )
+    import tempfile
+
     d = os.path.join(tempfile.gettempdir(), f"dgraph_etl_derby_{tag}_{table}")
-    if not os.path.exists(d):
-        tmp = f"{d}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
-        spark.read.parquet(src).write.jdbc(
-            f"jdbc:derby:{tmp};create=true",
+
+    def _build(tmp: str) -> None:
+        # Derby creates the db dir itself, so it nests INSIDE the
+        # stager's tmp dir (create=true refuses a pre-existing dir)
+        db = os.path.join(tmp, "db")
+        spark.read.parquet(table_path(sf_dir, table)).write.jdbc(
+            f"jdbc:derby:{db};create=true",
             table,
             properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
         )
         try:
             spark._jvm.java.sql.DriverManager.getConnection(  # type: ignore[union-attr]
-                f"jdbc:derby:{tmp};shutdown=true"
+                f"jdbc:derby:{db};shutdown=true"
             )
         except Exception as ex:
             # single-database shutdown SUCCEEDS by raising SQLState 08006
             if "08006" not in str(ex):
                 raise
-        try:
-            os.rename(tmp, d)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(d):
-                raise
-    return f"jdbc:derby:{d}"
+
+    _stage_atomic(d, _build)
+    return f"jdbc:derby:{os.path.join(d, 'db')}"
 
 
 def read_jdbc(

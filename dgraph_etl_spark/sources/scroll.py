@@ -69,7 +69,6 @@ def stage_scroll_pages(
     register_views(spark, sf_dir)
     import glob
     import shutil
-    import uuid
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -127,120 +126,122 @@ def stage_scroll_pages(
     # the driver -- never the rows; the old toPandas() stager shipped
     # the whole relation through the driver). page = position div
     # page_size, and each page is then written by exactly one task.
-    # localCheckpoint pins ONE materialization: three actions consume
-    # srt (counts, page write, manifest stats), and repartitionByRange
-    # re-SAMPLES its bounds per execution -- without the pin the three
+    # localCheckpoint pins ONE materialization of srt: the counts
+    # action and paged's build both consume it, and repartitionByRange
+    # re-SAMPLES its bounds per execution -- without the pin the two
     # could disagree on which partition a row landed in, silently
-    # mis-sizing pages against the offsets computed from action one
-    srt = (
-        hits.repartitionByRange(
-            max(spark.sparkContext.defaultParallelism, 1), "lu", "_id"
+    # mis-sizing pages against the offsets computed from the counts
+    def _build(d_tmp: str) -> None:
+        # the WHOLE expensive build (checkpoint, counts collect,
+        # page write, manifest) runs inside the flock'd stager:
+        # a concurrent cold-start WAITS for the winner's pages
+        # instead of running a duplicate multi-action staging job
+        # and discarding it at a rename (the repo-wide stager
+        # discipline -- streaming/core._stage_atomic)
+        srt = (
+            hits.repartitionByRange(
+                max(spark.sparkContext.defaultParallelism, 1), "lu", "_id"
+            )
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint()
         )
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in srt.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
-        "_pid INT, _off LONG",
-    )
-    wrn = F.row_number().over(
-        Window.partitionBy("_pid").orderBy("lu", "_id")
-    )
-    paged = (
-        srt.withColumn("_wrn", wrn)
-        .join(F.broadcast(off_df), "_pid")
-        .select(
-            "lu",
-            "_id",
-            "src",
-            F.expr(
-                f"(_off + _wrn - 1) DIV {int(page_size)}"
-            ).alias("page"),
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in srt.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_df = spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+            "_pid INT, _off LONG",
         )
-    )
-    # stage into a process-unique sibling and rename the WHOLE dir at
-    # the end: writing page files straight into `d` would let one
-    # stager truncate pages a concurrent stager already published
-    # (manifest present => every page final -- same atomic-dir rule as
-    # catalog._compacted_source)
-    d_tmp = f"{d}.tmp_{os.getpid()}_{uuid.uuid4().hex[:8]}"
-    spark_out = os.path.join(d_tmp, "_spark_pages")
-    n_pages = max((acc + page_size - 1) // page_size, 1)
-    (
-        paged.repartition(n_pages, "page")
-        .sortWithinPartitions("page", "lu", "_id")
-        .select(
-            "page",
-            F.to_json(
-                F.struct(
-                    F.col("_id"),
-                    F.col("lu").alias("_lu"),
-                    F.col("src").alias("_source"),
-                )
-            ).alias("value"),
+        wrn = F.row_number().over(
+            Window.partitionBy("_pid").orderBy("lu", "_id")
         )
-        .write.mode("overwrite")
-        .partitionBy("page")
-        .text(spark_out)
-    )
-    # per-page stats for the manifest: one row PER PAGE, not per hit
-    stats = {
-        r["page"]: r
-        for r in paged.groupBy("page")
-        .agg(
-            F.min("lu").alias("min_lu"),
-            F.max("lu").alias("max_lu"),
-            F.count(F.lit(1)).alias("n"),
+        paged = (
+            srt.withColumn("_wrn", wrn)
+            .join(F.broadcast(off_df), "_pid")
+            .select(
+                "lu",
+                "_id",
+                "src",
+                F.expr(
+                    f"(_off + _wrn - 1) DIV {int(page_size)}"
+                ).alias("page"),
+            )
+            # pinned: TWO actions consume paged (the page write and the
+            # manifest stats agg) -- without this the join + window
+            # subtree executed twice per staging
+            .localCheckpoint()
         )
-        .collect()
-    }
-    manifest = []
-    for p in range(n_pages):
-        fname = f"page{p:05d}.jsonl"
-        parts = sorted(
-            glob.glob(os.path.join(spark_out, f"page={p}", "part-*"))
+        spark_out = os.path.join(d_tmp, "_spark_pages")
+        n_pages = max((acc + page_size - 1) // page_size, 1)
+        (
+            paged.repartition(n_pages, "page")
+            .sortWithinPartitions("page", "lu", "_id")
+            .select(
+                "page",
+                F.to_json(
+                    F.struct(
+                        F.col("_id"),
+                        F.col("lu").alias("_lu"),
+                        F.col("src").alias("_source"),
+                    )
+                ).alias("value"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("page")
+            .text(spark_out)
         )
-        if len(parts) == 1:
-            # the normal case (one task per page): O(1) rename, not a
-            # second driver-side byte-copy of the whole staged dataset
-            os.rename(parts[0], os.path.join(d_tmp, fname))
-        else:
-            with open(os.path.join(d_tmp, fname), "w") as out:
-                for part in parts:  # empty page or >1 part; keep order
-                    with open(part) as f:
-                        shutil.copyfileobj(f, out)
-        s = stats.get(p)
-        manifest.append(
-            {
-                "file": fname,
-                # an empty source still emits one (empty) page so the
-                # scan has a partition to plan; its bounds are the
-                # empty range [0, -1] (min > max), which every range
-                # predicate correctly prunes
-                "min_lu": int(s["min_lu"]) if s else 0,
-                "max_lu": int(s["max_lu"]) if s else -1,
-                "n": int(s["n"]) if s else 0,
-            }
-        )
-    shutil.rmtree(spark_out, ignore_errors=True)
-    with open(os.path.join(d_tmp, "manifest.json"), "w") as f:
-        json.dump(manifest, f)
-    try:
-        os.rename(d_tmp, d)
-    except OSError:
-        # a concurrent stager won the rename; its dir is complete
-        shutil.rmtree(d_tmp, ignore_errors=True)
-        if not os.path.exists(manifest_path):
-            raise
+        # per-page stats for the manifest: one row PER PAGE, not per hit
+        stats = {
+            r["page"]: r
+            for r in paged.groupBy("page")
+            .agg(
+                F.min("lu").alias("min_lu"),
+                F.max("lu").alias("max_lu"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+        manifest = []
+        for p in range(n_pages):
+            fname = f"page{p:05d}.jsonl"
+            parts = sorted(
+                glob.glob(os.path.join(spark_out, f"page={p}", "part-*"))
+            )
+            if len(parts) == 1:
+                # the normal case (one task per page): O(1) rename, not a
+                # second driver-side byte-copy of the whole staged dataset
+                os.rename(parts[0], os.path.join(d_tmp, fname))
+            else:
+                with open(os.path.join(d_tmp, fname), "w") as out:
+                    for part in parts:  # empty page or >1 part; keep order
+                        with open(part) as f:
+                            shutil.copyfileobj(f, out)
+            s = stats.get(p)
+            manifest.append(
+                {
+                    "file": fname,
+                    # an empty source still emits one (empty) page so the
+                    # scan has a partition to plan; its bounds are the
+                    # empty range [0, -1] (min > max), which every range
+                    # predicate correctly prunes
+                    "min_lu": int(s["min_lu"]) if s else 0,
+                    "max_lu": int(s["max_lu"]) if s else -1,
+                    "n": int(s["n"]) if s else 0,
+                }
+            )
+        shutil.rmtree(spark_out, ignore_errors=True)
+        with open(os.path.join(d_tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+
+    from ..streaming.core import _stage_atomic
+
+    _stage_atomic(d, _build)
     return d
 
 

@@ -507,3 +507,28 @@ def test_assign_cells_arrow_preserves_vector_type(spark):
     assert out.schema["embedding"].dataType == ArrayType(DoubleType())
     v = {r.vec_id: r.embedding for r in out.collect()}
     assert v[1][0] == 0.1234567890123456  # no float32 truncation
+
+
+def test_bucketed_table_evicts_superseded_versions(spark):
+    """A fixture refresh (new content version) must not strand the
+    previous version's full-size bucketed copy: creating vNEW drops
+    vOLD's catalog entry and files under this session's scratch root."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dgraph_etl_spark.sources.bucketed import bucketed_table
+
+    df = spark.range(100).withColumn("k", F.col("id") % 7)
+    bucketed_table(spark, df, "bkt_evict_test", "k", 4, version="old1")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"dgraph_etl_bucketed_{os.getpid()}_{id(spark)}",
+    )
+    old_dir = os.path.join(root, "bkt_evict_test_vold1")
+    assert os.path.isdir(old_dir)
+    bucketed_table(spark, df, "bkt_evict_test", "k", 4, version="new2")
+    assert not os.path.exists(old_dir), "superseded version must be evicted"
+    assert not spark.catalog.tableExists("bkt_evict_test_vold1")
+    assert spark.table("bkt_evict_test_vnew2").count() == 100
