@@ -490,3 +490,54 @@ def table_batched_source(
             os.utime(p, ((i + 1) * 1_000_000, (i + 1) * 1_000_000))
 
     return _stage_atomic(d, write)
+
+
+def scratch_state_root(query: str) -> str:
+    """Per-(query, pid) scratch root for a foreachBatch epoch store /
+    sink, FRESH per invocation: the previous run's copy is removed
+    before the new run starts, so a soak that repeats the query holds
+    at most ONE generation per query per process — the per-run
+    mkdtemp roots this replaces leaked a full state copy (for s09, ~3
+    cumulative edge-table versions plus a checkpoint) every run, /tmp
+    growing without bound. Cleanup happens at the START of the next
+    run, not the end of this one, because the query's returned
+    DataFrame lazily reads these files until the caller collects it."""
+    root = os.path.join(
+        tempfile.gettempdir(), f"dgraph_etl_fb_{query}_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    return root
+
+
+def run_foreach_batch(stream_df, fn, state_root: str) -> None:
+    """The suite-wide foreachBatch scaffold in ONE place (seven
+    hand-kept copies before): availableNow trigger, checkpoint under
+    the query's scratch state root (reclaimed with it on the next
+    run), blocking awaitTermination so a failed stream re-raises its
+    StreamingQueryException immediately."""
+    q = (
+        stream_df.writeStream.foreachBatch(fn)
+        .option(
+            "checkpointLocation", os.path.join(state_root, "_ckpt", "offsets")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def batched_parquet_stream(spark: SparkSession, src: str):
+    """readStream over a staged batch-file dir: schema peeked from the
+    first staged file, one file per trigger (one epoch per staged
+    batch) — the reader half of docs_batched_source /
+    table_batched_source / the event-thirds stagers."""
+    import glob
+
+    first = sorted(glob.glob(os.path.join(src, "batch*.parquet")))[0]
+    schema = spark.read.parquet(first).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )

@@ -59,22 +59,26 @@ def _session_stopped(df) -> bool:
 
 
 def _cached_edges(spark, sf_dir):
+    import hashlib
     import os
     import re
 
+    from ..catalog import table_path
     from ..sources.bucketed import bucketed_table
 
     # lazy stopped-session eviction (similarity._OPEN_INDEXES's
     # lifecycle): each cached DataFrame pins its session, so without
     # the sweep a soak that cycles sessions accumulates dead entries
-    # (and their pinned JVM sessions) forever
+    # (and their pinned JVM sessions) forever. pop, not del: two
+    # concurrent graph queries may both compute this sweep list
     for k in [k for k, v in list(_EDGE_CACHE.items()) if _session_stopped(v)]:
-        del _EDGE_CACHE[k]
+        _EDGE_CACHE.pop(k, None)
     # the key carries the SOURCE content version (mtime_ns+size, the
-    # repo-wide staleness convention): a fixture regenerated in place
+    # repo-wide staleness convention, same file the rest of the engine
+    # reads via catalog.table_path): a fixture regenerated in place
     # mid-session must rebuild, or every graph query serves the
     # pre-rebuild .cache()d edges while the oracle reads the new file
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    st = os.stat(table_path(sf_dir, "events"))
     key = (
         id(spark),
         os.path.abspath(sf_dir),
@@ -91,11 +95,21 @@ def _cached_edges(spark, sf_dir):
             except Exception:
                 pass
         register_views(spark, sf_dir)
+        # the table base name carries the FULL source identity (path
+        # hash, not just basename): bucketed_table's version eviction
+        # sweeps siblings of one base name, so a same-named fixture
+        # under a different parent (/x/sf0.01 vs /y/sf0.01) must get
+        # its own base -- a basename-only tag let one fixture's build
+        # DROP the other's still-cached table out from under this
+        # cache (eviction scope must equal cache scope)
+        ident = hashlib.md5(
+            os.path.abspath(sf_dir).encode()
+        ).hexdigest()[:8]
         tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
         df = bucketed_table(
             spark,
             spark.table("edges"),
-            f"bkt_graph_edges_{tag}",
+            f"bkt_graph_edges_{tag}_{ident}",
             "src",
             version=f"{st.st_mtime_ns}_{st.st_size}",
         ).cache()

@@ -260,11 +260,11 @@ def s09_foreachbatch_merge(spark, sf_dir):
     converge on the same result, which SURVEY.md §3 calls out as the
     semantic difference our engine must honor both sides of."""
     import os
-    import tempfile
 
+    from ..streaming.core import run_foreach_batch, scratch_state_root
     from ..views import derive_user_relationship
 
-    root = tempfile.mkdtemp(prefix="s09_state_")
+    root = scratch_state_root("s09")
     ev = events_stream(spark, sf_dir, path=late_data_source(sf_dir))
     new_edges = explode_bidirectional(derive_user_relationship(ev))
 
@@ -284,16 +284,7 @@ def s09_foreachbatch_merge(spark, sf_dir):
             merged = batch_edges
         write_epoch(merged, root, epoch_id, prefix="v")
 
-    q = (
-        new_edges.writeStream.foreachBatch(merge_batch)
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="s09_ckpt_"), "offsets"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_foreach_batch(new_edges, merge_batch, root)
     final = sorted(d for d in os.listdir(root) if d.startswith("v"))[-1]
     return spark.read.parquet(os.path.join(root, final))
 
@@ -383,18 +374,17 @@ def s10_stream_incremental_dedup(spark, sf_dir):
     bucketed table and the screen is a per-batch anti-join against it,
     linear in batch size."""
     import os
-    import tempfile
 
-    from ..streaming.core import docs_batched_source
+    from ..streaming.core import (
+        batched_parquet_stream,
+        docs_batched_source,
+        run_foreach_batch,
+        scratch_state_root,
+    )
 
     src = docs_batched_source(sf_dir)
-    store = tempfile.mkdtemp(prefix="s10_store_")
-    schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
-    docs = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    store = scratch_state_root("s10")
+    docs = batched_parquet_stream(spark, src)
 
     def screen_batch(batch_df, epoch_id):
         # per-epoch OVERWRITE dirs, state from strictly-earlier epochs:
@@ -427,18 +417,47 @@ def s10_stream_incremental_dedup(spark, sf_dir):
         )
         write_epoch(admitted, store, epoch_id)
 
-    q = (
-        docs.writeStream.foreachBatch(screen_batch)
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="s10_ckpt_"), "offsets"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_foreach_batch(docs, screen_batch, store)
     return spark.read.parquet(os.path.join(store, "e*")).select(
         "doc_id", "content_hash"
+    )
+
+
+
+def _attribution_join(ev, how: str = "inner"):
+    """The ONE definition of the attribution join (clicks joined to
+    the purchases that follow them within 4 hours, per user, both
+    sides watermarked) -- s11 runs it inner, s19 left-outer. Keeping
+    the filters/renames/watermarks/range predicate in one place is
+    what makes the two lanes the SAME join by construction rather
+    than by hand-kept duplication."""
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", _WM)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", _WM)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 4 HOURS")
+        ),
+        how,
     )
 
 
@@ -463,31 +482,7 @@ def s11_stream_stream_join(spark, sf_dir):
     streaming result equals the batch join and the DuckDB oracle
     hash-checks it (stream/batch equivalence, same as s01).
     """
-    ev = events_stream(spark, sf_dir)
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", _WM)
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", _WM)
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 4 HOURS")),
-    )
+    joined = _attribution_join(events_stream(spark, sf_dir))
     out = run_to_memory(joined, "append", "s11_ssjoin")
     return out.select(
         "click_id",
@@ -544,21 +539,20 @@ def s12_stream_span_dedup(spark, sf_dir):
     table; each screen is one anti-ish equi-join per batch, linear in
     batch size."""
     import os
-    import tempfile
 
     from ..functions.text import doc_span_hashes
-    from ..streaming.core import docs_batched_source
+    from ..streaming.core import (
+        batched_parquet_stream,
+        docs_batched_source,
+        run_foreach_batch,
+        scratch_state_root,
+    )
 
     src = docs_batched_source(sf_dir)
-    root = tempfile.mkdtemp(prefix="s12_spans_")
+    root = scratch_state_root("s12")
     store = os.path.join(root, "seen")
     result = os.path.join(root, "result")
-    schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
-    docs = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    docs = batched_parquet_stream(spark, src)
 
     def screen_batch(batch_df, epoch_id):
         # IDEMPOTENT under at-least-once replay: the shared epoch-store
@@ -593,16 +587,7 @@ def s12_stream_span_dedup(spark, sf_dir):
             epoch_id,
         )
 
-    q = (
-        docs.writeStream.foreachBatch(screen_batch)
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="s12_ckpt_"), "offsets"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_foreach_batch(docs, screen_batch, root)
     return spark.read.parquet(os.path.join(result, "e*"))
 
 
@@ -689,7 +674,8 @@ def s14_stream_static_enrich(spark, sf_dir):
     """
     SELECT doc_id, source FROM (
       SELECT doc_id, source,
-             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY doc_id NULLS LAST)
                AS rnk
       FROM documents
     ) r WHERE rnk <= 40
@@ -706,20 +692,19 @@ def s15_stream_source_quota(spark, sf_dir):
     per source; each batch does one per-source window + one broadcast
     join against the counter table."""
     import os
-    import tempfile
 
-    from ..streaming.core import docs_batched_source
+    from ..streaming.core import (
+        batched_parquet_stream,
+        docs_batched_source,
+        run_foreach_batch,
+        scratch_state_root,
+    )
 
     QUOTA = 40
     src = docs_batched_source(sf_dir)
-    root = tempfile.mkdtemp(prefix="s15_quota_")
+    root = scratch_state_root("s15")
     accepted_dir = os.path.join(root, "accepted")
-    schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
-    docs = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    docs = batched_parquet_stream(spark, src)
 
     def admit_batch(batch_df, epoch_id):
         # IDEMPOTENT under at-least-once replay, and no mutable counter
@@ -736,7 +721,12 @@ def s15_stream_source_quota(spark, sf_dir):
         from pyspark.sql import Window as Wnd
 
         sp = batch_df.sparkSession
-        w = Wnd.partitionBy("source").orderBy("doc_id")
+        # NULLS LAST, pinned on BOTH sides: Spark's default ascending
+        # order is NULLS FIRST while DuckDB's is NULLS LAST, so a
+        # NULL-doc_id row (routed to the final batch by the stager)
+        # would jump the batch's quota queue here while the oracle
+        # ranks it last -- admitting it in place of a non-null doc
+        w = Wnd.partitionBy("source").orderBy(F.asc_nulls_last("doc_id"))
         ranked = batch_df.select("doc_id", "source").withColumn(
             "rnk", F.row_number().over(w)
         )
@@ -769,16 +759,7 @@ def s15_stream_source_quota(spark, sf_dir):
         ).select("doc_id", "source")
         write_epoch(admitted, accepted_dir, epoch_id)
 
-    q = (
-        docs.writeStream.foreachBatch(admit_batch)
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="s15_ckpt_"), "offsets"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_foreach_batch(docs, admit_batch, root)
     return spark.read.parquet(os.path.join(accepted_dir, "e*"))
 
 
@@ -801,18 +782,18 @@ def s16_stream_fingerprint(spark, sf_dir):
     flight). XOR's self-inverse merge makes the per-batch update O(1)
     state."""
     import os
-    import tempfile
 
-    from ..streaming.core import docs_batched_source
+    from ..streaming.core import (
+        batched_parquet_stream,
+        docs_batched_source,
+        run_foreach_batch,
+        scratch_state_root,
+    )
 
     src = docs_batched_source(sf_dir)
-    state_dir = os.path.join(tempfile.mkdtemp(prefix="s16_fp_"), "state")
-    schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
-    docs = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    root = scratch_state_root("s16")
+    state_dir = os.path.join(root, "state")
+    docs = batched_parquet_stream(spark, src)
 
     def update_fp(batch_df, epoch_id):
         # IDEMPOTENT under at-least-once replay: each epoch writes its
@@ -837,16 +818,7 @@ def s16_stream_fingerprint(spark, sf_dir):
             epoch_id,
         )
 
-    q = (
-        docs.writeStream.foreachBatch(update_fp)
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="s16_ckpt_"), "offsets"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_foreach_batch(docs, update_fp, root)
     parts = spark.read.parquet(os.path.join(state_dir, "e*"))
     return parts.agg(
         F.sum("n_rows").alias("n_rows"),
@@ -878,7 +850,6 @@ def s17_stream_ann_ingest(spark, sf_dir):
     oracle as c50) -- integer distances make that exact, not
     approximate."""
     import os
-    import tempfile
 
     from ..catalog import register_views
     from ..functions.similarity import (
@@ -886,7 +857,12 @@ def s17_stream_ann_ingest(spark, sf_dir):
         _sq_dist,
         quantize_vectors,
     )
-    from ..streaming.core import table_batched_source
+    from ..streaming.core import (
+        batched_parquet_stream,
+        run_foreach_batch,
+        scratch_state_root,
+        table_batched_source,
+    )
 
     register_views(spark, sf_dir)
     # offline codebook training on the static corpus (c50's loop)
@@ -896,13 +872,9 @@ def s17_stream_ann_ingest(spark, sf_dir):
     cents = cents.localCheckpoint()
 
     src = table_batched_source(sf_dir, "embeddings", "vec_id")
-    schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    index_dir = tempfile.mkdtemp(prefix="s17_ivf_") + "/index"
+    stream = batched_parquet_stream(spark, src)
+    root = scratch_state_root("s17")
+    index_dir = os.path.join(root, "index")
 
     def ingest(batch_df, epoch_id):
         assigned = (
@@ -926,16 +898,7 @@ def s17_stream_ann_ingest(spark, sf_dir):
         # small-files problem in the same pass.
         write_epoch(assigned, index_dir, epoch_id)
 
-    sq = (
-        stream.writeStream.foreachBatch(ingest)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="s17_ckpt_") + "/offsets",
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    sq.awaitTermination()
+    run_foreach_batch(stream, ingest, root)
     return spark.read.parquet(os.path.join(index_dir, "e*")).select(
         "vec_id", F.col("cell").cast("int").alias("cell")
     )
@@ -961,9 +924,9 @@ def s18_stream_scroll_pages(spark, sf_dir):
     must aggregate to exactly the batch answer: nothing dropped or
     double-read across micro-batch boundaries."""
     import os
-    import tempfile
 
     from ..sources.scroll import register_scroll_source, stage_scroll_pages
+    from ..streaming.core import scratch_state_root
 
     src_dir = stage_scroll_pages(spark, sf_dir, page_size=1000)
     register_scroll_source(spark)
@@ -981,7 +944,8 @@ def s18_stream_scroll_pages(spark, sf_dir):
             "stats STRUCT<raw_score_in: INT, raw_score_out: INT>",
         ).alias("r"),
     ).select("last_update_us", "r.from_person_id")
-    out_dir = tempfile.mkdtemp(prefix="s18_scroll_") + "/rows"
+    root = scratch_state_root("s18")
+    out_dir = os.path.join(root, "rows")
     # one micro-batch per scroll page: run the continuous trigger until
     # the sink holds every staged hit (availableNow would stop after
     # the single prefetched page -- the simple stream reader prefetches
@@ -996,8 +960,7 @@ def s18_stream_scroll_pages(spark, sf_dir):
         decoded.writeStream.format("parquet")
         .option("path", out_dir)
         .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="s18_ckpt_") + "/offsets",
+            "checkpointLocation", os.path.join(root, "_ckpt", "offsets")
         )
         .trigger(processingTime="0 seconds")
         .start()
@@ -1005,6 +968,12 @@ def s18_stream_scroll_pages(spark, sf_dir):
     deadline = time.monotonic() + 300
     drained = False
     while time.monotonic() < deadline:
+        if not q.isActive:
+            # a dead stream can never drain: fall through to
+            # awaitTermination, which re-raises the real
+            # StreamingQueryException NOW instead of after the
+            # full 300 s deadline of pointless polling
+            break
         try:
             if spark.read.parquet(out_dir).count() >= expected:
                 drained = True
@@ -1099,34 +1068,7 @@ def s19_stream_outer_join(spark, sf_dir):
     from ..streaming.core import time_split_source
 
     ev = events_stream(spark, sf_dir, path=time_split_source(sf_dir))
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", _WM)
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", _WM)
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("click_ts") + F.expr("INTERVAL 4 HOURS")
-        ),
-        "left_outer",
-    )
+    joined = _attribution_join(ev, "left_outer")
     out = run_to_memory(joined, "append", "s19_ssouter")
     return out.select(
         "click_id",
@@ -1213,16 +1155,15 @@ def s21_stream_jdbc_exactly_once(spark, sf_dir):
     fault-injected in tests/test_sinks.py; here the driver certifies
     the happy-path content equivalence through a real database.)"""
     import os
-    import tempfile
 
     from ..sinks.jdbc_sink import (
         ensure_sink_tables,
         exactly_once_jdbc_writer,
     )
-    from ..streaming.core import time_split_source
+    from ..streaming.core import scratch_state_root, time_split_source
 
     src = time_split_source(sf_dir)
-    root = tempfile.mkdtemp(prefix="s21_xonce_")
+    root = scratch_state_root("s21")
     url = f"jdbc:derby:{root}/db;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     ensure_sink_tables(
@@ -1356,12 +1297,16 @@ def s23_stream_cdc_apply(spark, sf_dir):
     I/U/D semantics). CDC family complete: c31 computes diffs, b105
     applies one, this applies a stream of them."""
     import os
-    import tempfile
 
-    from ..streaming.core import docs_batched_source
+    from ..streaming.core import (
+        batched_parquet_stream,
+        docs_batched_source,
+        run_foreach_batch,
+        scratch_state_root,
+    )
 
     src = docs_batched_source(sf_dir)
-    root = tempfile.mkdtemp(prefix="s23_cdc_")
+    root = scratch_state_root("s23")
     base = os.path.join(root, "base")
     from ..catalog import register_views
 
@@ -1369,12 +1314,7 @@ def s23_stream_cdc_apply(spark, sf_dir):
     spark.table("documents").select(
         "doc_id", "text", "source"
     ).write.mode("overwrite").parquet(base)
-    schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
-    docs = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    docs = batched_parquet_stream(spark, src)
 
     def apply_batch(batch_df, epoch_id):
         sp = batch_df.sparkSession
@@ -1428,16 +1368,7 @@ def s23_stream_cdc_apply(spark, sf_dir):
         )
         write_epoch(folded, root, epoch_id)
 
-    q = (
-        docs.writeStream.foreachBatch(apply_batch)
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="s23_ckpt_"), "offsets"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_foreach_batch(docs, apply_batch, root)
     epochs = sorted(d for d in os.listdir(root) if d.startswith("e"))
     return spark.read.parquet(
         os.path.join(root, epochs[-1]) if epochs else base
