@@ -146,7 +146,14 @@ def _staged_io(sf_dir: str, name: str, table: str, write_fn) -> str:
     if os.path.exists(d):
         return d
     tmp = f"{d}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
-    write_fn(tmp)
+    try:
+        write_fn(tmp)
+    except BaseException:
+        # a failed build must not strand its half-written tmp sibling
+        # (repeated retries would leak a full-size copy each time --
+        # the same discipline as _stage_atomic)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, d)
     except OSError:
@@ -2444,13 +2451,20 @@ def b64_nested_struct_hof(spark, sf_dir):
         "user_id",
         F.size(events).alias("n_events"),
         F.size(purchases).alias("n_purchases"),
-        F.aggregate(
-            F.transform(
-                purchases,
-                lambda e: F.round(e["v"] * 1000000, 0).cast("bigint"),
+        # SQL SUM-over-empty is NULL (DuckDB list_sum([]) IS NULL),
+        # while F.aggregate returns its initial 0 -- the repo's named
+        # recurring divergence shape. Emit NULL for zero purchases so
+        # the Spark side carries SQL semantics, not accumulator ones.
+        F.when(
+            F.size(purchases) > 0,
+            F.aggregate(
+                F.transform(
+                    purchases,
+                    lambda e: F.round(e["v"] * 1000000, 0).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
             ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
         ).alias("purchase_micros"),
         events[0]["t"].alias("first_ts_us"),
     )
@@ -3912,7 +3926,15 @@ def b91_tpch_q20(spark, sf_dir):
         .filter(F.col("p_name").like("small%"))
         .select("p_partkey")
     )
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    # NO dataframe-level l_quantity > 0 filter: only the partsupp CTE
+    # carries it in the oracle -- the correlated 1996 threshold sums
+    # ALL rows of the pair. In the fused single-scan form that split
+    # becomes per-aggregate conditions: availqty counts only positive
+    # quantities (a pair with none gets NULL, exactly its absence from
+    # the CTE -- the > comparison fails either way), qty96 counts every
+    # 1996 row regardless of sign.
+    li = _t(spark, sf_dir, "lineitem")
+    q_pos = F.col("l_quantity") > 0
     fused = (
         li.join(
             F.broadcast(small),
@@ -3924,7 +3946,9 @@ def b91_tpch_q20(spark, sf_dir):
             F.col("l_suppkey").alias("ps_suppkey"),
         )
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            F.sum(
+                F.when(q_pos, F.col("l_quantity").cast("decimal(18,6)"))
+            )
             .cast("double")
             .alias("ps_availqty"),
             F.sum(
@@ -4071,14 +4095,14 @@ def b93_ntile_binning(spark, sf_dir):
            MIN(qty_mode.m) AS mode_qty
     FROM (
       SELECT l_returnflag,
-             CAST(l_quantity AS BIGINT) AS qty_int,
+             CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty_int,
              CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
       FROM lineitem
     ) t,
     LATERAL (
       SELECT MIN(v) AS m FROM (
         SELECT qty_int AS v, COUNT(*) AS c
-        FROM (SELECT l_returnflag AS rf2, CAST(l_quantity AS BIGINT) AS qty_int
+        FROM (SELECT l_returnflag AS rf2, CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty_int
               FROM lineitem) i
         WHERE i.rf2 = t.l_returnflag
         GROUP BY v
@@ -4102,7 +4126,10 @@ def b94_order_stats(spark, sf_dir):
     the documented swap-in past that point."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        # ROUND before the bigint cast on BOTH sides: a fractional
+        # quantity would otherwise round in DuckDB's CAST but truncate
+        # in Spark's (the b64 hazard; exact on the integral fixture)
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("qty_int"),
         F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
             "price_cents"
         ),
@@ -4764,11 +4791,11 @@ def b103_time_weighted_avg(spark, sf_dir):
     "b104_bag_set_ops",
     """
     WITH a AS (
-      SELECT l_suppkey AS k, CAST(l_quantity AS BIGINT) AS q
+      SELECT l_suppkey AS k, CAST(ROUND(l_quantity, 0) AS BIGINT) AS q
       FROM lineitem WHERE l_returnflag = 'R'
     ),
     b AS (
-      SELECT l_suppkey AS k, CAST(l_quantity AS BIGINT) AS q
+      SELECT l_suppkey AS k, CAST(ROUND(l_quantity, 0) AS BIGINT) AS q
       FROM lineitem WHERE l_linestatus = 'F'
     ),
     ex AS (SELECT 'except_all' AS op, k, q FROM (
@@ -4795,11 +4822,11 @@ def b104_bag_set_ops(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     a = li.filter(F.col("l_returnflag") == "R").select(
         F.col("l_suppkey").alias("k"),
-        F.col("l_quantity").cast("bigint").alias("q"),
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("q"),
     )
     b = li.filter(F.col("l_linestatus") == "F").select(
         F.col("l_suppkey").alias("k"),
-        F.col("l_quantity").cast("bigint").alias("q"),
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("q"),
     )
     ex = a.exceptAll(b).select(F.lit("except_all").alias("op"), "k", "q")
     inx = a.intersectAll(b).select(
