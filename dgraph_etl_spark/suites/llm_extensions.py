@@ -447,10 +447,29 @@ def c04_ivf_persisted(spark, sf_dir):
     # name must NOT silently reuse a stale index.
     tag = os.path.basename(os.path.normpath(sf_dir))
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = f"{st.st_mtime_ns}_{st.st_size}"
     path = os.path.join(
-        tempfile.gettempdir(),
-        f"dgraph_etl_ivf_{tag}_{st.st_mtime_ns}_{st.st_size}",
+        tempfile.gettempdir(), f"dgraph_etl_ivf_{tag}_{key}"
     )
+    # generational eviction, the other half of the
+    # _compacted_source discipline: superseded indexes of the same
+    # fixture (stale mtime+size) are full partitioned corpus copies
+    # that would otherwise accumulate in /tmp across every
+    # regeneration round
+    import shutil
+
+    tmp_root = tempfile.gettempdir()
+    prefix = f"dgraph_etl_ivf_{tag}_"
+    for sib in os.listdir(tmp_root):
+        p = os.path.join(tmp_root, sib)
+        if (
+            sib.startswith(prefix)
+            and sib != f"dgraph_etl_ivf_{tag}_{key}"
+            and ".tmp" not in sib
+            and not sib.endswith(".lock")
+            and os.path.isdir(p)
+        ):
+            shutil.rmtree(p, ignore_errors=True)
     return S.ivf_persisted_topk(
         spark, _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10, path=path
     )
@@ -560,7 +579,12 @@ def c08_facet_stats(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id, hits_en, hits_es, hits_de,
-           CASE WHEN greatest(hits_en, hits_es, hits_de) = 0 THEN 'und'
+           -- the IS NULL arm mirrors language_id's 'und'-for-NULL-text
+           -- contract: without it every comparison is NULL and the
+           -- CASE silently falls through to ELSE 'de' (the when()-
+           -- fallthrough shape the Spark side was explicitly fixed for)
+           CASE WHEN hits_en IS NULL THEN 'und'
+                WHEN greatest(hits_en, hits_es, hits_de) = 0 THEN 'und'
                 WHEN hits_en = greatest(hits_en, hits_es, hits_de) THEN 'en'
                 WHEN hits_es = greatest(hits_en, hits_es, hits_de) THEN 'es'
                 ELSE 'de' END AS lang_guess
@@ -1305,17 +1329,26 @@ def c17_full_curation(spark, sf_dir):
         "doc_id", "n_tokens", "non_alpha_ratio"
     )
     lang = X.language_id(docs).select("doc_id", "lang_guess")
-    split = X.hash_split(docs).select("doc_id", "split")
+    # split is a pure per-row function of doc_id: attach it as an
+    # expression (c24's pattern). Joining hash_split(docs) back added
+    # a redundant documents scan + doc_id-keyed shuffle join -- a
+    # whole corpus exchange for a value computable in place
+    bucket = X.split_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < "0d", "test")
+        .when(bucket < "1a", "val")
+        .otherwise("train")
+        .alias("split")
+    )
     return (
         quality.join(canonical, "doc_id", "left_semi")
         .join(lang, "doc_id")
-        .join(split, "doc_id")
         .filter(
             (F.col("n_tokens") >= 5)
             & (F.col("non_alpha_ratio") <= 0.5)
             & (F.col("lang_guess") != "und")
         )
-        .select("doc_id", "n_tokens", "lang_guess", "split")
+        .select("doc_id", "n_tokens", "lang_guess", split)
     )
 
 
@@ -1358,7 +1391,11 @@ def c18_stopword_ratio_by_lang(spark, sf_dir):
         F.when(F.col("lang") == "en", hits_for("en"))
         .when(F.col("lang") == "es", hits_for("es"))
         .when(F.col("lang") == "de", hits_for("de"))
-        .otherwise(F.lit(0))
+        # other-language docs score 0 hits -- but ONLY for non-NULL
+        # text: the oracle's ELSE [] branch still filters the split of
+        # a NULL text (NULL), and a bare otherwise(0) dispatches on
+        # lang alone, fabricating 0 where SQL yields NULL
+        .otherwise(F.when(F.col("text").isNotNull(), F.lit(0)))
     ).cast("bigint")
     return docs.select(
         "doc_id",
@@ -1502,14 +1539,18 @@ def c15_incremental_dedup(spark, sf_dir):
 @register(
     "c14_length_outliers",
     """
+    -- HUGEINT widening before the n^2-scaled products: at ~1e9 rows
+    -- per source n*ss passes 2^63 and the BIGINT form would abort
+    -- with an overflow (mirrors the Spark side's decimal(38,0))
     SELECT doc_id, source, n_chars,
            (n * n_chars - s) * (n * n_chars - s) > 4 * (n * ss - s * s)
                AS is_outlier
     FROM (
       SELECT doc_id, source, n_chars,
-             COUNT(*) OVER w AS n,
-             SUM(n_chars) OVER w AS s,
-             SUM(n_chars * n_chars) OVER w AS ss
+             CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+             CAST(SUM(n_chars) OVER w AS HUGEINT) AS s,
+             CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) OVER w
+                  AS HUGEINT) AS ss
       FROM documents
       WINDOW w AS (PARTITION BY source)
     )
@@ -1525,9 +1566,14 @@ def c14_length_outliers(spark, sf_dir):
     from pyspark.sql import Window as W
 
     w = W.partitionBy("source")
-    x = F.col("n_chars")
+    # decimal(38,0) intermediates: the n^2-scaled products (n*ss, d*d)
+    # pass 2^63 around 1e9 rows/source at fixture-typical lengths --
+    # the bigint form would abort with an ANSI overflow exactly at the
+    # corpus sizes the docstring claims; 38 digits covers ~1e10 rows
+    # per source (the oracle widens to HUGEINT identically)
+    x = F.col("n_chars").cast("decimal(38,0)")
     n, s, ss = (
-        F.count(F.lit(1)).over(w),
+        F.count(F.lit(1)).over(w).cast("decimal(38,0)"),
         F.sum(x).over(w),
         F.sum(x * x).over(w),
     )
@@ -2110,10 +2156,15 @@ def c36_mixture_balance(spark, sf_dir):
     SELECT lang, doc_id, sort_key FROM (
       SELECT lang, doc_id,
              md5(concat('k-sample-1|', CAST(doc_id AS VARCHAR))) AS sort_key,
+             -- COALESCE sentinel (sampling._bucket's convention): a
+             -- NULL doc_id hashes to NULL, which Spark orders FIRST
+             -- ascending and DuckDB LAST -- the sentinel pins one order
              ROW_NUMBER() OVER (PARTITION BY lang
-                                ORDER BY md5(concat('k-sample-1|',
+                                ORDER BY COALESCE(md5(concat('k-sample-1|',
                                                     CAST(doc_id AS VARCHAR))),
-                                         doc_id) AS rnk
+                                                  chr(0)),
+                                         COALESCE(CAST(doc_id AS VARCHAR),
+                                                  chr(0))) AS rnk
       FROM documents
     ) r WHERE rnk <= 25
     """,
@@ -2130,7 +2181,14 @@ def c37_exact_k_sample(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     key = F.md5(F.concat(F.lit("k-sample-1|"), F.col("doc_id").cast("string")))
-    w = Wnd.partitionBy("lang").orderBy(key.asc(), F.col("doc_id"))
+    # COALESCE sentinel on the rank keys, mirrored in the oracle: a
+    # NULL doc_id's NULL hash sorts FIRST in Spark (asc) but LAST in
+    # DuckDB; chr(0) pins the same slot on both engines (the c19/c24
+    # convention from sampling._bucket)
+    skey = F.coalesce(key, F.lit("\x00"))
+    w = Wnd.partitionBy("lang").orderBy(
+        skey.asc(), F.coalesce(F.col("doc_id").cast("string"), F.lit("\x00"))
+    )
     return (
         docs.select(
             "lang",
@@ -2316,17 +2374,25 @@ def c40_hard_negatives(spark, sf_dir):
     "c41_curriculum_order",
     """
     WITH scored AS (
+      -- band IS NOT NULL on both sides: a NULL-text doc has a NULL
+      -- band, which Spark's running-sum window orders FIRST and
+      -- DuckDB LAST -- shifting EVERY band_offset. NULL-band rows
+      -- drop at the final equi-join anyway, so excluding them before
+      -- the window is result-identical and order-unambiguous.
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_tokens,
              len(string_split(text, ' ')) // 32 AS band
       FROM documents
+      WHERE len(string_split(text, ' ')) IS NOT NULL
     ),
     within AS (
       SELECT doc_id, n_tokens, band,
              ROW_NUMBER() OVER (PARTITION BY band
-                                ORDER BY md5(concat('cur-1|',
+                                ORDER BY COALESCE(md5(concat('cur-1|',
                                                     CAST(doc_id AS VARCHAR))),
-                                         doc_id) AS pos_in_band
+                                                  chr(0)),
+                                         COALESCE(CAST(doc_id AS VARCHAR),
+                                                  chr(0))) AS pos_in_band
       FROM scored
     ),
     offsets AS (
@@ -2352,11 +2418,22 @@ def c41_curriculum_order(spark, sf_dir):
     from pyspark.sql import Window as Wnd
 
     docs = _docs(spark, sf_dir)
-    scored = docs.select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
-    ).withColumn("band", F.floor(F.col("n_tokens") / 32))
+    scored = (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("band", F.floor(F.col("n_tokens") / 32))
+        # mirrored in the oracle: NULL bands out before any window (see
+        # the oracle comment -- NULLS FIRST/LAST would shift offsets)
+        .filter(F.col("band").isNotNull())
+    )
     key = F.md5(F.concat(F.lit("cur-1|"), F.col("doc_id").cast("string")))
-    w = Wnd.partitionBy("band").orderBy(key.asc(), F.col("doc_id"))
+    # chr(0) sentinels, the c19/c24/c37 convention
+    w = Wnd.partitionBy("band").orderBy(
+        F.coalesce(key, F.lit("\x00")).asc(),
+        F.coalesce(F.col("doc_id").cast("string"), F.lit("\x00")),
+    )
     within = scored.withColumn(
         "pos_in_band", F.row_number().over(w).cast("bigint")
     )
@@ -3648,13 +3725,18 @@ def c64_containment_pairs(spark, sf_dir):
 # drift from the lexical leg it claims to fuse
 _SPARSE_QTERMS = ["table", "scan", "fast"]
 
-_SPARSE_SQL_CTES = """
+# the unnest literal is BUILT from _SPARSE_QTERMS so the oracle can
+# never drift from the query list the Spark leg actually filters on
+# (the copy-drift failure mode _JACCARD_CAND_CTES documents)
+_SPARSE_QTERMS_SQL = ", ".join(f"'{t}'" for t in _SPARSE_QTERMS)
+
+_SPARSE_SQL_CTES = f"""
     corpus AS (SELECT COUNT(*) AS n FROM documents),
     tf AS (
       SELECT d.doc_id, tok.t AS term, COUNT(*) AS tf
       FROM documents d,
            LATERAL (SELECT unnest(string_split(d.text, ' ')) AS t) tok
-      JOIN (SELECT unnest(['table', 'scan', 'fast']) AS term) q
+      JOIN (SELECT unnest([{_SPARSE_QTERMS_SQL}]) AS term) q
         ON tok.t = q.term
       GROUP BY d.doc_id, tok.t
     ),
