@@ -243,8 +243,16 @@ def embedding_dim(sf_dir: str) -> int:
     return len(batch.column(0)[0])
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table with normalized (UTC-instant) timestamps."""
+def read_table_raw(
+    spark: SparkSession, sf_dir: str, name: str
+) -> tuple[DataFrame, str]:
+    """Raw fixture read + ts-unit detection WITHOUT normalization --
+    the shared preamble of load_table and the watermark scan
+    (watermark.incremental_events_scan must push its range predicate
+    on the RAW column type, so it filters between this and
+    normalize_timestamps). One definition: the unit-detection protocol
+    previously lived in two files and a fixture-encoding change had to
+    be found in both."""
     pin_session_confs(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = _compacted_source(spark, sf_dir, name) or table_path(sf_dir, name)
@@ -254,6 +262,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # footer-detected unit (the original fixture file: tables that
         # carry `ts` are never compacted, see _COMPACT_TABLES)
         unit = ts_bigint_unit(table_path(sf_dir, name))
+    return df, unit
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with normalized (UTC-instant) timestamps."""
+    df, unit = read_table_raw(spark, sf_dir, name)
     return normalize_timestamps(df, ts_unit=unit)
 
 

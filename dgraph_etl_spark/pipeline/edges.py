@@ -92,10 +92,7 @@ def aggregate_max_salted(edges: DataFrame, buckets: int = 16) -> DataFrame:
     so shuffle partitioning is stable under speculative execution and
     fetch-failure recomputes.
     """
-    salted = edges.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in edges.columns]), F.lit(buckets)),
-    )
+    salted = _with_payload_salt(edges, buckets)
     partial = salted.groupBy("src", "dst", "_salt").agg(F.max("score").alias("score"))
     return partial.groupBy("src", "dst").agg(F.max("score").alias("score"))
 
@@ -112,10 +109,18 @@ def merge_max_with_existing(new_edges: DataFrame, existing: DataFrame) -> DataFr
     return max_score_per_edge(new_edges.select(cols).unionByName(existing.select(cols)))
 
 
-def argmax_row_per_edge(edges: DataFrame, *extra_cols: str) -> DataFrame:
-    """B19: keep the whole winning row per (src, dst), not just the max
+def argmax_row_per_edge(
+    edges: DataFrame,
+    *extra_cols: str,
+    keys: tuple[str, ...] = ("src", "dst"),
+    score: str = "score",
+) -> DataFrame:
+    """B19: keep the whole winning row per key group, not just the max
     value -- window row_number over score desc. Ties broken
-    deterministically by the extra columns.
+    deterministically by the extra columns. Defaults to the edge shape
+    ((src, dst), score); ``keys``/``score`` generalize it to any
+    argmax (b19_argmax_per_key routes here, so the registered B19
+    surface IS this function, not an inline twin that could drift).
 
     Prefer max_score_per_edge when only the score is needed (hash agg
     beats a per-key sort at scale); use this when payload columns of
@@ -128,14 +133,28 @@ def argmax_row_per_edge(edges: DataFrame, *extra_cols: str) -> DataFrame:
     contract.
     """
     tiebreak = list(extra_cols) or [
-        c for c in edges.columns if c not in ("src", "dst", "score")
+        c for c in edges.columns if c not in (*keys, score)
     ]
-    order = [F.col("score").desc()] + [F.col(c) for c in tiebreak]
-    w = Window.partitionBy("src", "dst").orderBy(*order)
+    order = [F.col(score).desc()] + [F.col(c) for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         edges.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def _with_payload_salt(df: DataFrame, buckets: int) -> DataFrame:
+    """The ONE deterministic payload-salt expression (stage-retry
+    stable: a recomputed task reproduces the same salt per row, unlike
+    monotonically_increasing_id), shared by aggregate_max_salted and
+    salted_join -- two hand-kept copies previously had to stay in
+    sync, and only one carried the collision guard."""
+    if "_salt" in df.columns:
+        raise ValueError("input already has a _salt column")
+    return df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets)),
     )
 
 
@@ -153,6 +172,9 @@ _SALTED_JOIN_SAFE = {
     "leftsemi",
     "left_anti",
     "leftanti",
+    # Spark accepts the bare aliases too; both are left-preserving
+    "semi",
+    "anti",
 }
 
 
@@ -183,13 +205,9 @@ def salted_join(
             f"salted_join is only exact for left-preserving joins "
             f"{sorted(_SALTED_JOIN_SAFE)}; got how={how!r}"
         )
-    for side, df in (("skewed", skewed), ("dim", dim)):
-        if "_salt" in df.columns:
-            raise ValueError(f"{side} input already has a _salt column")
-    s = skewed.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(buckets)),
-    )
+    if "_salt" in dim.columns:
+        raise ValueError("dim input already has a _salt column")
+    s = _with_payload_salt(skewed, buckets)
     d = dim.withColumn(
         "_salt",
         F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>")),

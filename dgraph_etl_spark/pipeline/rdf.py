@@ -95,10 +95,15 @@ def edge_triples(edges: DataFrame) -> DataFrame:
             _blank(F.col("dst")),
             F.lit(" (score="),
             # Go's json.Unmarshal decodes a missing stats field to the
-            # int zero value: NULL score formats as 0, the edge stays
-            F.coalesce(F.col("score").cast("bigint"), F.lit(0)).cast(
-                "string"
-            ),
+            # int zero value: NULL score formats as 0, the edge stays.
+            # ROUND before the bigint cast (mirrored in the oracle): a
+            # fractional score would otherwise round in DuckDB's CAST
+            # but truncate in Spark's -- the b64 hazard; exact today
+            # because scores are int-derived, but the guard must be
+            # structural, not a domain comment
+            F.coalesce(
+                F.round(F.col("score"), 0).cast("bigint"), F.lit(0)
+            ).cast("string"),
             F.lit(") ."),
         ).alias("value")
     )

@@ -42,23 +42,15 @@ def incremental_events_scan(spark, sf_dir: str, watermark_unix_s: int) -> DataFr
     so NTZ wall time == the instant). Filter raw first, normalize
     after: explain shows the comparison in PushedFilters, and at 100 TB
     a time-partitioned table prunes to only the new row groups."""
-    from ..catalog import (
-        normalize_timestamps,
-        pin_session_confs,
-        table_path,
-        ts_bigint_unit,
-    )
+    from ..catalog import normalize_timestamps, read_table_raw
 
-    pin_session_confs(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = table_path(sf_dir, "events")
-    raw = spark.read.parquet(path)
+    # the shared raw-read + unit-detection preamble (catalog owns it);
+    # only the filter insertion point is this function's own
+    raw, unit = read_table_raw(spark, sf_dir, "events")
     kind = dict(raw.dtypes).get("ts")
-    unit = "ns"
     if kind == "bigint":
-        # footer-detected unit: the raw-column comparison constant must
-        # be in the column's own unit for the pushdown to be exact
-        unit = ts_bigint_unit(path)
+        # the raw-column comparison constant must be in the column's
+        # own unit for the pushdown to be exact
         per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
         raw = raw.filter(F.col("ts") >= watermark_unix_s * per_s)
     elif kind == "timestamp_ntz":

@@ -52,14 +52,18 @@ def _ur(spark, sf_dir):
     """),
 )
 def a05_incremental_scan(spark, sf_dir):
-    """A2+A5: watermark-resumed scan; the range predicate is pushed into
-    the parquet scan as a raw-nanos comparison (PushedFilters in
+    """A2+A5+A3: watermark-resumed scan; the range predicate is pushed
+    into the parquet scan as a raw-nanos comparison (PushedFilters in
     explain; see watermark.incremental_events_scan for why filtering
-    the converted timestamp would NOT push)."""
+    the converted timestamp would NOT push), and the output is sorted
+    ascending by event time (A3 -- the reference sorts the scroll,
+    elastic.go:55-58, so its watermark advances monotonically; the
+    driver's comparison is order-insensitive, the sort is the
+    exercised operator surface)."""
     from ..views import derive_user_relationship
 
     df = derive_user_relationship(W.incremental_events_scan(spark, sf_dir, WM_S))
-    return df.select(
+    return W.ordered_by_event_time(df).select(
         F.unix_micros("last_update").alias("last_update_us"),
         "from_person_id",
         "to_person_id",
@@ -387,7 +391,8 @@ _A18_TRIPLES_ORACLE = V("""
         UNION ALL
         SELECT '_:' || COALESCE(src, '') || ' <has_connection> _:'
                || COALESCE(dst, '')
-               || ' (score=' || COALESCE(CAST(CAST(score AS BIGINT)
+               || ' (score=' || COALESCE(CAST(CAST(ROUND(score, 0)
+                                              AS BIGINT)
                                               AS STRING), '0') || ') .'
         FROM edges
       ) triples

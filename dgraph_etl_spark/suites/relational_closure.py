@@ -728,14 +728,14 @@ def b18_dedup_exact(spark, sf_dir):
 def b19_argmax_per_key(spark, sf_dir):
     """B19: whole-row argmax per key (biggest order per customer),
     deterministic tie-break on the unique key."""
+    from ..pipeline.edges import argmax_row_per_edge
+
     o = _t(spark, sf_dir, "orders")
-    w = Wnd.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.col("o_orderkey")
-    )
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
+    return argmax_row_per_edge(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        "o_orderkey",
+        keys=("o_custkey",),
+        score="o_totalprice",
     )
 
 
