@@ -55,6 +55,46 @@ _LAYOUT_ROOT = os.path.join(
 )
 
 
+# Grace period before a superseded staged generation is rmtree'd:
+# Spark scans are lazy, so a sibling process may still be mid-scan on
+# the previous generation when this one lands. Deleting only dirs
+# untouched for this long lets in-flight readers finish; the stale
+# copy is then collected by a later load. 15 min covers any local
+# query by orders of magnitude.
+_EVICT_GRACE_SECONDS = 900
+
+
+def _evict_stale_generations(root: str, prefix: str, keep_prefix: str) -> None:
+    """Delete superseded staged-dir generations under ``root``: dirs
+    matching ``prefix`` but not ``keep_prefix`` (the live generation),
+    skipping in-progress ``.tmp.`` dirs and ``.lock`` files, and
+    age-gated on the dir's own mtime so a concurrent reader of the
+    previous generation is never pulled out from under its scan."""
+    import shutil
+    import time
+
+    now = time.time()
+    try:
+        sibs = os.listdir(root)
+    except OSError:
+        return
+    for sib in sibs:
+        p = os.path.join(root, sib)
+        if (
+            sib.startswith(prefix)
+            and not sib.startswith(keep_prefix)
+            and ".tmp." not in sib
+            and not sib.endswith(".lock")
+            and os.path.isdir(p)
+        ):
+            try:
+                if now - os.stat(p).st_mtime < _EVICT_GRACE_SECONDS:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def _compacted_source(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     """Return the path of a parallel-layout copy of the table, creating
     it on first use (keyed by source identity + target file count, so
@@ -76,7 +116,15 @@ def _compacted_source(spark: SparkSession, sf_dir: str, name: str) -> str | None
         if meta.num_row_groups >= max(2, n_cores // 2):
             return None  # already split-friendly
         st = os.stat(src)
-        tag = os.path.basename(os.path.normpath(sf_dir))
+        # the tag carries the FULL source identity (path hash, not just
+        # basename) -- graph_traversal._cached_edges' rule: eviction
+        # scope must equal cache scope. A basename-only tag let two
+        # fixtures with the same leaf dir name (/x/sf0.01 vs /y/sf0.01)
+        # evict each other's live compacted copy on every load.
+        import hashlib
+
+        ident = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+        tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{ident}"
         key = f"{st.st_mtime_ns}_{st.st_size}"
         dest = os.path.join(_LAYOUT_ROOT, f"{tag}_{name}_{key}_{n_cores}")
         if not os.path.exists(os.path.join(dest, "_SUCCESS")):
@@ -108,18 +156,16 @@ def _compacted_source(spark: SparkSession, sf_dir: str, name: str) -> str | None
                     # matches the CURRENT file can only serve a
                     # fixture that has since been regenerated --
                     # delete them, or every regeneration round
-                    # strands a full-size table copy in /tmp forever
-                    prefix = f"{tag}_{name}_"
-                    for sib in os.listdir(_LAYOUT_ROOT):
-                        p = os.path.join(_LAYOUT_ROOT, sib)
-                        if (
-                            sib.startswith(prefix)
-                            and not sib.startswith(f"{tag}_{name}_{key}_")
-                            and ".tmp." not in sib
-                            and not sib.endswith(".lock")
-                            and os.path.isdir(p)
-                        ):
-                            shutil.rmtree(p, ignore_errors=True)
+                    # strands a full-size table copy in /tmp forever.
+                    # AGE-GATED: only generations older than the grace
+                    # period go -- a concurrent process may still be
+                    # lazily scanning the previous generation (Spark
+                    # reads are lazy; a rmtree mid-scan is a
+                    # FileNotFoundException in someone else's query).
+                    # The stale copy is collected on a LATER load.
+                    _evict_stale_generations(
+                        _LAYOUT_ROOT, f"{tag}_{name}_", f"{tag}_{name}_{key}_"
+                    )
             finally:
                 os.close(fd)
         return dest

@@ -95,6 +95,27 @@ RECERTIFY: dict[str, int] = {
     # scientific notation outside (1e-3, 1e7), DuckDB positional) --
     # the fingerprint values change
     "b72_table_fingerprint": 5,
+    # round-9-session latent-divergence fixes (commits 108980b /
+    # d7a6902 / f4eedcc) changed the semantics-bearing SQL/plans of
+    # these certified queries AFTER their last driver rows (r4-r8);
+    # local differentials verified result-identity on current
+    # fixtures, but driver certification must be re-earned
+    # (VERDICT.md round 9, "Next round: do this" #1)
+    "b64_nested_struct_hof": 9,
+    "b91_tpch_q20": 9,
+    "b94_order_stats": 9,
+    "b104_bag_set_ops": 9,
+    "c06_language_id": 9,
+    "c18_stopword_ratio_by_lang": 9,
+    "c37_exact_k_sample": 9,
+    "c41_curriculum_order": 9,
+    "c14_length_outliers": 9,
+    "c17_full_curation": 9,
+    "a05_incremental_scan": 9,
+    "b19_argmax_per_key": 9,
+    # round-10 session: the c37 sentinel-inside-the-hash fix applied
+    # to the same latent NULL-coin divergence in c46's sampling hash
+    "c46_importance_sample": 9,
 }
 
 

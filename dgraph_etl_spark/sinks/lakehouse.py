@@ -47,6 +47,55 @@ def _have_delta(spark: SparkSession) -> bool:
     return "delta" in spark.conf.get("spark.sql.extensions", "").lower()
 
 
+# Delta's optimistic-concurrency commit-conflict exception classes
+# (delta.exceptions / io.delta wrappers). Matched by exact class-name
+# suffix, NEVER by message substring: a genuine non-conflict failure
+# whose message merely contains 'Concurrent' must surface immediately,
+# not be retried 10 times and buried under a 'writer storm' error.
+_DELTA_CONFLICT_CLASS_SUFFIXES = (
+    "ConcurrentWriteException",
+    "ConcurrentAppendException",
+    "ConcurrentDeleteReadException",
+    "ConcurrentDeleteDeleteException",
+    "ConcurrentTransactionException",
+    "MetadataChangedException",
+    "ProtocolChangedException",
+)
+
+
+def _is_delta_commit_conflict(exc: BaseException) -> bool:
+    """True iff ``exc`` is one of Delta's retryable optimistic-commit
+    conflicts. Prefers ``isinstance`` against delta.exceptions when the
+    package exposes them; falls back to the exception's (or a py4j
+    JavaObject cause's) CLASS NAME, still never the free-text message."""
+    try:
+        from delta import exceptions as dx
+
+        classes = tuple(
+            getattr(dx, n)
+            for n in _DELTA_CONFLICT_CLASS_SUFFIXES
+            if isinstance(getattr(dx, n, None), type)
+        )
+        if classes and isinstance(exc, classes):
+            return True
+    except ImportError:
+        pass
+    names = [type(exc).__name__]
+    # py4j surfaces JVM exceptions as Py4JJavaError with the Java class
+    # on exc.java_exception; read its class name, not the message
+    jexc = getattr(exc, "java_exception", None)
+    if jexc is not None:
+        try:
+            names.append(jexc.getClass().getName())
+        except Exception:  # noqa: BLE001
+            pass
+    return any(
+        n.split(".")[-1].endswith(suf)
+        for n in names
+        for suf in _DELTA_CONFLICT_CLASS_SUFFIXES
+    )
+
+
 def _versions(root: str) -> list[str]:
     """Version dirs ordered by their INTEGER suffix: lexicographic
     sorting puts v100000 before v99999, which would make the next
@@ -142,7 +191,7 @@ def merge_max_into(
                 )
                 return spark.read.format("delta").load(root)
             except Exception as exc:  # noqa: BLE001
-                if "Concurrent" not in type(exc).__name__ + str(exc):
+                if not _is_delta_commit_conflict(exc):
                     raise  # a real MERGE failure, not a commit conflict
                 last_exc = exc
         raise RuntimeError(

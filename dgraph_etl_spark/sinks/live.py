@@ -57,6 +57,15 @@ class MutationClient:
     def commit(self) -> None:  # pragma: no cover
         raise NotImplementedError
 
+    def abort(self) -> None:
+        """Discard this attempt's uncommitted work and release its
+        resources. Called by ``write_partition`` when the attempt dies
+        before ``commit()`` (retry budget exhausted, mid-write task
+        failure) -- without it every failed attempt strands its
+        transaction/temp state. Must be safe to call on an already
+        committed or already aborted client (no-op then). Default:
+        nothing to release."""
+
 
 class FileMutationClient(MutationClient):
     """File-backed stand-in for the gRPC client: one ndjson mutation
@@ -79,6 +88,7 @@ class FileMutationClient(MutationClient):
         self._f = open(self._tmp, "w")
         self._fail = fail_first
         self._calls = 0
+        self._done = False  # commit or abort already ran
 
     def mutate(self, batch: list[dict]) -> None:
         self._calls += 1
@@ -91,6 +101,30 @@ class FileMutationClient(MutationClient):
     def commit(self) -> None:
         self._f.close()
         os.replace(self._tmp, self._path)
+        self._done = True
+
+    def abort(self) -> None:
+        # attempt-unique tmp files are a per-attempt LEAK unless the
+        # non-commit exits unlink them: a retry-budget-exhausted
+        # attempt, a zombie attempt, or any mid-write failure would
+        # otherwise strand a '.tmp.<pid>_<hex>' next to the sink output
+        # (the old fixed-name tmp was self-overwriting; this one isn't)
+        if self._done:
+            return
+        self._done = True
+        try:
+            self._f.close()
+        finally:
+            try:
+                os.unlink(self._tmp)
+            except FileNotFoundError:
+                pass
+
+    def __del__(self):  # zombie attempts that never reach either path
+        try:
+            self.abort()
+        except Exception:  # noqa: BLE001  -- interpreter teardown
+            pass
 
 
 def write_partition(
@@ -116,20 +150,33 @@ def write_partition(
                     raise  # hand over to Spark task retry
                 time.sleep(backoff_s * attempt)
 
-    batch: list[dict] = []
-    for row in rows:
-        batch.append(row.asDict() if hasattr(row, "asDict") else dict(row))
-        if len(batch) >= batch_size:
+    # abort on ANY non-committed exit: the in-task retries reuse this
+    # client (transient aborts are retryable on the same transaction),
+    # but once the attempt itself dies -- retry budget exhausted, or a
+    # non-transient failure mid-drain -- Spark's task retry opens a
+    # FRESH client, and this one must release its uncommitted state
+    # (for FileMutationClient: unlink its attempt-unique tmp file)
+    try:
+        batch: list[dict] = []
+        for row in rows:
+            batch.append(row.asDict() if hasattr(row, "asDict") else dict(row))
+            if len(batch) >= batch_size:
+                with_retry(lambda b=batch: client.mutate(b))
+                batch = []
+        if batch:
             with_retry(lambda b=batch: client.mutate(b))
-            batch = []
-    if batch:
-        with_retry(lambda b=batch: client.mutate(b))
-    # commit is INSIDE the retry envelope: Dgraph surfaces transaction
-    # aborts at commit time too (dgraph.go:53-108 retries the whole
-    # txn on them) -- an unretried transient commit abort would burn a
-    # full Spark task retry (re-read + re-mutate the whole partition)
-    # for a failure the in-task loop is designed to absorb
-    with_retry(client.commit)
+        # commit is INSIDE the retry envelope: Dgraph surfaces transaction
+        # aborts at commit time too (dgraph.go:53-108 retries the whole
+        # txn on them) -- an unretried transient commit abort would burn a
+        # full Spark task retry (re-read + re-mutate the whole partition)
+        # for a failure the in-task loop is designed to absorb
+        with_retry(client.commit)
+    except BaseException:
+        try:
+            client.abort()
+        except Exception:  # noqa: BLE001 -- never mask the real failure
+            pass
+        raise
 
 
 def write_edges_live(

@@ -534,8 +534,12 @@ def batched_parquet_stream(spark: SparkSession, src: str):
     table_batched_source / the event-thirds stagers."""
     import glob
 
-    first = sorted(glob.glob(os.path.join(src, "batch*.parquet")))[0]
-    schema = spark.read.parquet(first).schema
+    staged = sorted(glob.glob(os.path.join(src, "batch*.parquet")))
+    if not staged:
+        # fail loudly with the path (the ts_bigint_unit /
+        # _stage_event_thirds discipline), not a bare IndexError
+        raise ValueError(f"no batch*.parquet staged under {src}")
+    schema = spark.read.parquet(staged[0]).schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -442,34 +442,34 @@ def c04_ivf_persisted(spark, sf_dir):
     import os
     import tempfile
 
+    import hashlib
+
+    from ..catalog import _evict_stale_generations
+
     # Key the index path by source identity (mtime_ns + size), matching
     # catalog._compacted_source: a regenerated fixture under the same dir
-    # name must NOT silently reuse a stale index.
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    # name must NOT silently reuse a stale index. The tag folds in a
+    # hash of the ABSOLUTE sf_dir (eviction scope must equal cache
+    # scope -- _cached_edges' rule): a basename-only tag let two
+    # fixtures with the same leaf name evict each other's live index.
+    ident = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{ident}"
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     key = f"{st.st_mtime_ns}_{st.st_size}"
     path = os.path.join(
         tempfile.gettempdir(), f"dgraph_etl_ivf_{tag}_{key}"
     )
-    # generational eviction, the other half of the
-    # _compacted_source discipline: superseded indexes of the same
-    # fixture (stale mtime+size) are full partitioned corpus copies
-    # that would otherwise accumulate in /tmp across every
-    # regeneration round
-    import shutil
-
-    tmp_root = tempfile.gettempdir()
-    prefix = f"dgraph_etl_ivf_{tag}_"
-    for sib in os.listdir(tmp_root):
-        p = os.path.join(tmp_root, sib)
-        if (
-            sib.startswith(prefix)
-            and sib != f"dgraph_etl_ivf_{tag}_{key}"
-            and ".tmp" not in sib
-            and not sib.endswith(".lock")
-            and os.path.isdir(p)
-        ):
-            shutil.rmtree(p, ignore_errors=True)
+    # generational eviction, the other half of the _compacted_source
+    # discipline: superseded indexes of the same fixture (stale
+    # mtime+size) are full partitioned corpus copies that would
+    # otherwise accumulate in /tmp across every regeneration round.
+    # Age-gated + path-scoped via the shared helper so an in-flight
+    # reader of the previous generation is never rmtree'd mid-scan.
+    _evict_stale_generations(
+        tempfile.gettempdir(),
+        f"dgraph_etl_ivf_{tag}_",
+        f"dgraph_etl_ivf_{tag}_{key}",
+    )
     return S.ivf_persisted_topk(
         spark, _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10, path=path
     )
@@ -2155,14 +2155,18 @@ def c36_mixture_balance(spark, sf_dir):
     """
     SELECT lang, doc_id, sort_key FROM (
       SELECT lang, doc_id,
-             md5(concat('k-sample-1|', CAST(doc_id AS VARCHAR))) AS sort_key,
-             -- COALESCE sentinel (sampling._bucket's convention): a
-             -- NULL doc_id hashes to NULL, which Spark orders FIRST
-             -- ascending and DuckDB LAST -- the sentinel pins one order
+             -- sentinel INSIDE the hash (sampling._bucket's actual
+             -- convention): DuckDB's concat() SKIPS NULL args while
+             -- Spark's propagates, so hashing the raw cast diverges on
+             -- NULL doc_ids (real hash vs NULL).  COALESCE the input,
+             -- so both engines hash the identical chr(0) sentinel.
+             md5(concat('k-sample-1|',
+                        COALESCE(CAST(doc_id AS VARCHAR), chr(0))))
+               AS sort_key,
              ROW_NUMBER() OVER (PARTITION BY lang
-                                ORDER BY COALESCE(md5(concat('k-sample-1|',
-                                                    CAST(doc_id AS VARCHAR))),
-                                                  chr(0)),
+                                ORDER BY md5(concat('k-sample-1|',
+                                               COALESCE(CAST(doc_id AS VARCHAR),
+                                                        chr(0)))),
                                          COALESCE(CAST(doc_id AS VARCHAR),
                                                   chr(0))) AS rnk
       FROM documents
@@ -2180,14 +2184,19 @@ def c37_exact_k_sample(spark, sf_dir):
     from pyspark.sql import Window as Wnd
 
     docs = _docs(spark, sf_dir)
-    key = F.md5(F.concat(F.lit("k-sample-1|"), F.col("doc_id").cast("string")))
-    # COALESCE sentinel on the rank keys, mirrored in the oracle: a
-    # NULL doc_id's NULL hash sorts FIRST in Spark (asc) but LAST in
-    # DuckDB; chr(0) pins the same slot on both engines (the c19/c24
-    # convention from sampling._bucket)
-    skey = F.coalesce(key, F.lit("\x00"))
+    # sentinel INSIDE the hash, mirrored in the oracle: Spark's concat
+    # propagates NULL while DuckDB's skips it, so hashing the raw cast
+    # would emit NULL here but a real hash there.  Coalescing the INPUT
+    # makes both engines hash the identical chr(0) sentinel, and the
+    # hash itself is then never NULL (no outer sentinel needed).
+    key = F.md5(
+        F.concat(
+            F.lit("k-sample-1|"),
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("\x00")),
+        )
+    )
     w = Wnd.partitionBy("lang").orderBy(
-        skey.asc(), F.coalesce(F.col("doc_id").cast("string"), F.lit("\x00"))
+        key.asc(), F.coalesce(F.col("doc_id").cast("string"), F.lit("\x00"))
     )
     return (
         docs.select(
@@ -2387,10 +2396,13 @@ def c40_hard_negatives(spark, sf_dir):
     ),
     within AS (
       SELECT doc_id, n_tokens, band,
+             -- sentinel INSIDE the hash (c37's convention): DuckDB
+             -- concat() skips NULL args, Spark propagates -- coalesce
+             -- the input so both engines hash the same sentinel
              ROW_NUMBER() OVER (PARTITION BY band
-                                ORDER BY COALESCE(md5(concat('cur-1|',
-                                                    CAST(doc_id AS VARCHAR))),
-                                                  chr(0)),
+                                ORDER BY md5(concat('cur-1|',
+                                               COALESCE(CAST(doc_id AS VARCHAR),
+                                                        chr(0)))),
                                          COALESCE(CAST(doc_id AS VARCHAR),
                                                   chr(0))) AS pos_in_band
       FROM scored
@@ -2428,10 +2440,17 @@ def c41_curriculum_order(spark, sf_dir):
         # the oracle comment -- NULLS FIRST/LAST would shift offsets)
         .filter(F.col("band").isNotNull())
     )
-    key = F.md5(F.concat(F.lit("cur-1|"), F.col("doc_id").cast("string")))
-    # chr(0) sentinels, the c19/c24/c37 convention
+    # sentinel INSIDE the hash (c37's convention): Spark concat
+    # propagates NULL, DuckDB skips it -- coalesce the input so both
+    # engines hash the identical chr(0) sentinel (hash never NULL)
+    key = F.md5(
+        F.concat(
+            F.lit("cur-1|"),
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("\x00")),
+        )
+    )
     w = Wnd.partitionBy("band").orderBy(
-        F.coalesce(key, F.lit("\x00")).asc(),
+        key.asc(),
         F.coalesce(F.col("doc_id").cast("string"), F.lit("\x00")),
     )
     within = scored.withColumn(
@@ -2648,10 +2667,15 @@ def c45_lexical_diversity(spark, sf_dir):
     "c46_importance_sample",
     """
     WITH w AS (
+      -- sentinel INSIDE the hash (c37's convention): DuckDB concat()
+      -- skips NULL args, Spark propagates -- a raw CAST would give a
+      -- NULL doc_id a real coin here but a NULL (always-dropped) coin
+      -- on the Spark side
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_tokens,
              CAST(concat('0x', substr(md5(concat('imp-1|',
-               CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0
+               COALESCE(CAST(doc_id AS VARCHAR), chr(0)))), 1, 8))
+               AS BIGINT) / 4294967296.0
                AS u
       FROM documents
     )
@@ -2671,10 +2695,20 @@ def c46_importance_sample(spark, sf_dir):
     is one integer ratio; acceptance is a per-row comparison, zero
     shuffle."""
     docs = _docs(spark, sf_dir)
+    # sentinel INSIDE the hash, mirrored in the oracle (c37/c41 and
+    # sampling._bucket's convention): both engines hash the identical
+    # chr(0) input, so a NULL doc_id gets the SAME coin on both sides
     u = (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit("imp-1|"), F.col("doc_id").cast("string"))),
+                F.md5(
+                    F.concat(
+                        F.lit("imp-1|"),
+                        F.coalesce(
+                            F.col("doc_id").cast("string"), F.lit("\x00")
+                        ),
+                    )
+                ),
                 1,
                 8,
             ),

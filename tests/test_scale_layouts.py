@@ -532,3 +532,37 @@ def test_bucketed_table_evicts_superseded_versions(spark):
     assert not os.path.exists(old_dir), "superseded version must be evicted"
     assert not spark.catalog.tableExists("bkt_evict_test_vold1")
     assert spark.table("bkt_evict_test_vnew2").count() == 100
+
+
+def test_evict_stale_generations_is_age_gated_and_scoped(tmp_path):
+    """The generational sweep must (a) never touch a generation younger
+    than the grace period — a concurrent process may still be lazily
+    scanning it — (b) delete old superseded generations, and (c) never
+    cross its prefix scope (a same-basename fixture under a different
+    parent keys a different prefix)."""
+    import os
+    import time
+
+    from dgraph_etl_spark.catalog import (
+        _EVICT_GRACE_SECONDS,
+        _evict_stale_generations,
+    )
+
+    root = str(tmp_path)
+    old_sib = os.path.join(root, "sf0.01_aaaa_lineitem_1_2_32")
+    young_sib = os.path.join(root, "sf0.01_aaaa_lineitem_3_4_32")
+    live = os.path.join(root, "sf0.01_aaaa_lineitem_5_6_32")
+    foreign = os.path.join(root, "sf0.01_bbbb_lineitem_1_2_32")
+    in_progress = os.path.join(root, "sf0.01_aaaa_lineitem_7_8_32.tmp.xyz")
+    for d in (old_sib, young_sib, live, foreign, in_progress):
+        os.makedirs(d)
+    stale = time.time() - _EVICT_GRACE_SECONDS - 60
+    os.utime(old_sib, (stale, stale))
+    _evict_stale_generations(
+        root, "sf0.01_aaaa_lineitem_", "sf0.01_aaaa_lineitem_5_6_"
+    )
+    assert not os.path.exists(old_sib), "aged-out generation must go"
+    assert os.path.exists(young_sib), "grace period must protect readers"
+    assert os.path.exists(live)
+    assert os.path.exists(foreign), "sweep crossed its prefix scope"
+    assert os.path.exists(in_progress), "in-progress builds are not swept"

@@ -397,3 +397,78 @@ def test_file_mutation_client_attempts_do_not_clobber(tmp_path):
     a.commit()  # last committed attempt supersedes wholly
     lines = [_json.loads(x) for x in open(path)]
     assert lines == [{"m": "a1"}, {"m": "a2"}], lines
+
+
+def test_failed_attempt_unlinks_its_tmp_file(tmp_path):
+    """A dead attempt (retry budget exhausted) must not strand its
+    attempt-unique '.tmp.<pid>_<hex>' file next to the sink output:
+    write_partition aborts the client on any non-committed exit."""
+
+    class AlwaysAborts(FileMutationClient):
+        def mutate(self, batch):
+            raise TransientSinkError("abort")
+
+    client = AlwaysAborts(str(tmp_path / "p.ndjson"))
+    with pytest.raises(TransientSinkError):
+        write_partition(iter(_rows(2)), client, max_retries=2, backoff_s=0.0)
+    leftovers = [p for p in os.listdir(tmp_path) if ".tmp." in p]
+    assert leftovers == [], leftovers
+
+
+def test_abort_is_idempotent_and_commit_wins(tmp_path):
+    """abort() after commit() must be a no-op (never unlink published
+    output), and double-abort must not raise."""
+    path = str(tmp_path / "part.ndjson")
+    client = FileMutationClient(path)
+    client.mutate([{"m": "x"}])
+    client.commit()
+    client.abort()
+    client.abort()
+    assert os.path.exists(path)
+    lines = [json.loads(x) for x in open(path)]
+    assert lines == [{"m": "x"}]
+
+
+def test_delta_conflict_matcher_reads_class_not_message():
+    """The Delta commit-conflict detector must match exception CLASS
+    names, never free-text: a real failure whose message contains
+    'Concurrent' surfaces immediately instead of being retried 10
+    times and buried under a 'writer storm' error."""
+    from dgraph_etl_spark.sinks.lakehouse import _is_delta_commit_conflict
+
+    class ConcurrentAppendException(Exception):
+        pass
+
+    class AnalysisException(Exception):
+        pass
+
+    assert _is_delta_commit_conflict(ConcurrentAppendException("x"))
+    assert not _is_delta_commit_conflict(
+        AnalysisException("Concurrent writers detected in table scan")
+    )
+
+    class _JClass:
+        def getName(self):
+            return "io.delta.exceptions.ConcurrentDeleteReadException"
+
+    class _JExc:
+        def getClass(self):
+            return _JClass()
+
+    class Py4JJavaError(Exception):
+        def __init__(self):
+            super().__init__("An error occurred")
+            self.java_exception = _JExc()
+
+    assert _is_delta_commit_conflict(Py4JJavaError())
+
+
+def test_batched_parquet_stream_empty_dir_fails_loudly(tmp_path):
+    """An empty / mis-staged batch-stream source dir must name the
+    path (the ts_bigint_unit discipline), not die with IndexError."""
+    from dgraph_etl_spark.streaming.core import batched_parquet_stream
+
+    d = str(tmp_path / "nothing_staged")
+    os.makedirs(d)
+    with pytest.raises(ValueError, match="no batch\\*.parquet"):
+        batched_parquet_stream(None, d)
