@@ -18,7 +18,7 @@ from ..functions import multimodal as M
 from ..functions import sampling as SP
 from ..functions import similarity as S
 from ..functions import text as X
-from ..registry import register
+from ..registry import REGISTRY, register
 from ..views import oracle_with_views as V
 
 
@@ -1881,7 +1881,17 @@ def c31_snapshot_diff(spark, sf_dir):
     scale; hashes compare without moving text."""
     docs = _docs(spark, sf_dir)
     v1 = docs.select("doc_id", F.md5("text").alias("h"))
-    v2 = (
+    v2 = _snapshot_v2(docs)
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    return _snapshot_diff_output(joined)
+
+
+def _snapshot_v2(docs):
+    """c31's deterministic v2 snapshot derivation (every 7th revised,
+    every 13th dropped, every 11th cloned as new), shared by the
+    shuffle lane and its bucketed twin."""
+    return (
         docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0))
         .select(
             "doc_id", F.md5(F.concat(F.col("text"), F.lit(" [rev]"))).alias("h")
@@ -1898,8 +1908,10 @@ def c31_snapshot_diff(spark, sf_dir):
             )
         )
     )
-    a, b = v1.alias("a"), v2.alias("b")
-    joined = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+
+
+def _snapshot_diff_output(joined):
+    """c31's diff-status projection, shared by both lanes."""
     return joined.select(
         F.coalesce(F.col("b.doc_id"), F.col("a.doc_id")).alias("doc_id"),
         F.when(F.col("a.doc_id").isNull(), F.lit("added"))
@@ -1908,6 +1920,42 @@ def c31_snapshot_diff(spark, sf_dir):
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+@register(
+    "c31_snapshot_diff_bucketed",
+    REGISTRY["c31_snapshot_diff"].oracle,
+    defer=True,
+)
+def c31_snapshot_diff_bucketed(spark, sf_dir):
+    """c31's layout twin: BOTH corpus snapshots are maintained as
+    bucketed-by-doc_id tables (v1 is the shared
+    bucketed_documents_base; v2 lands bucketed at its own ingest, the
+    one shuffle, amortized over every diff/audit that reads it), so
+    the recurring snapshot diff is a fully exchange-free bucket-local
+    SMJ -- at 100 TB the plain lane re-shuffles BOTH full snapshots
+    per audit; this lane moves that to ingest. Same values as
+    c31_snapshot_diff (same oracle); plan pinned in
+    tests/test_plan_shapes.py."""
+    from ..sources.bucketed import bucketed_table
+    from .relational_closure import _sf_tag_and_ver, bucketed_documents_base
+
+    base = bucketed_documents_base(spark, sf_dir)
+    v1 = base.select("doc_id", F.md5("text").alias("h"))
+    tag, _ver = _sf_tag_and_ver(sf_dir)
+    v2 = bucketed_table(
+        spark,
+        _snapshot_v2(base),
+        f"bkt_docs_v2_{tag}",
+        "doc_id",
+        n_buckets=16,
+        version=_ver("documents"),
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(
+        b.hint("merge"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    return _snapshot_diff_output(joined)
 
 
 @register(

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import register_views
-from ..registry import register
+from ..registry import REGISTRY, register
 from ..views import oracle_with_views as V
 
 
@@ -1616,7 +1616,16 @@ def b49_merge_upsert(spark, sf_dir):
         F.col("c_name").alias("name"),
         F.col("c_acctbal").alias("acctbal"),
     )
-    upd = (
+    upd = _merge_upsert_feed(cust)
+    b, u = base.alias("b"), upd.alias("u")
+    merged = b.join(u, F.col("b.k") == F.col("u.k"), "full_outer")
+    return _merge_upsert_output(merged)
+
+
+def _merge_upsert_feed(cust):
+    """b49's deterministic update feed (updates + inserts), shared by
+    the shuffle lane and its bucketed twin."""
+    return (
         cust.filter(F.col("c_custkey") % 7 == 0)
         .select(
             F.col("c_custkey").alias("k"),
@@ -1631,8 +1640,10 @@ def b49_merge_upsert(spark, sf_dir):
             )
         )
     )
-    b, u = base.alias("b"), upd.alias("u")
-    merged = b.join(u, F.col("b.k") == F.col("u.k"), "full_outer")
+
+
+def _merge_upsert_output(merged):
+    """b49's merged-row projection, shared by both lanes."""
     return merged.select(
         F.coalesce(F.col("u.k"), F.col("b.k")).alias("k"),
         F.coalesce(F.col("u.name"), F.col("b.name")).alias("name"),
@@ -1644,14 +1655,59 @@ def b49_merge_upsert(spark, sf_dir):
     )
 
 
+@register(
+    "b49_merge_upsert_bucketed",
+    REGISTRY["b49_merge_upsert"].oracle,
+    defer=True,
+)
+def b49_merge_upsert_bucketed(spark, sf_dir):
+    """b49's layout twin: the MERGE base (the maintained table a
+    nightly pipeline upserts into, 100 TB-side) lives bucketed+sorted
+    by the merge key, so the recurring full-outer merge re-shuffles
+    ONLY the update feed -- one Exchange sized O(delta), zero exchange
+    and zero network on the base (the shuffle the plain lane pays over
+    the whole base every night moves to ingest, once). Same values as
+    b49_merge_upsert (same oracle); plan pinned in
+    tests/test_plan_shapes.py::test_merge_lane_bucketed_twin_contracts."""
+    from ..sources.bucketed import bucketed_table
+
+    tag, _ver = _sf_tag_and_ver(sf_dir)
+    base = bucketed_table(
+        spark,
+        _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+        ),
+        f"bkt_merge_base_{tag}",
+        "k",
+        n_buckets=16,
+        version=_ver("customer"),
+    )
+    upd = _merge_upsert_feed(_t(spark, sf_dir, "customer"))
+    b, u = base.alias("b"), upd.alias("u")
+    # merge hint: pins the bucket-local SMJ against estimate-driven
+    # strategy flips (the b07-twin regression; full outer can also
+    # plan as a shuffled-hash join, which PLAN_AUDIT forbids)
+    merged = b.join(u.hint("merge"), F.col("b.k") == F.col("u.k"), "full_outer")
+    return _merge_upsert_output(merged)
+
+
 def _sf_tag_and_ver(sf_dir):
     """The ONE copy of the bucketed-table staleness convention: a
     catalog-safe sf tag plus a per-table source content version
-    (mtime_ns + size -- stale copies never reused)."""
+    (mtime_ns + size -- stale copies never reused). The tag folds in a
+    hash of the ABSOLUTE sf_dir (graph_traversal._cached_edges' rule:
+    eviction scope must equal cache scope) so two fixtures with the
+    same leaf dir name never share -- or evict -- each other's
+    bucketed tables."""
+    import hashlib
     import os
     import re
 
-    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+    ident = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+    tag = f"{base}_{ident}"
 
     def ver(table):
         st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
@@ -4882,6 +4938,16 @@ def b105_cdc_apply(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
+    changes = _cdc_change_feed(docs)
+    b, c = docs.alias("b"), changes.alias("c")
+    return _cdc_apply_output(
+        b.join(c, F.col("b.doc_id") == F.col("c.doc_id"), "full_outer")
+    )
+
+
+def _cdc_change_feed(docs):
+    """b105's deterministic change feed (updates / deletes / inserts),
+    shared by the shuffle lane and its bucketed twin."""
     upd = (
         docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0))
         .select(
@@ -4903,19 +4969,61 @@ def b105_cdc_apply(spark, sf_dir):
         F.concat(F.lit("new: "), F.col("text")).alias("text"),
         "source",
     )
-    changes = upd.unionByName(dele).unionByName(ins)
-    b, c = docs.alias("b"), changes.alias("c")
-    return (
-        b.join(c, F.col("b.doc_id") == F.col("c.doc_id"), "full_outer")
-        .filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
-        .select(
-            F.coalesce(F.col("c.doc_id"), F.col("b.doc_id")).alias(
-                "doc_id"
-            ),
-            F.coalesce(F.col("c.text"), F.col("b.text")).alias("text"),
-            F.coalesce(F.col("c.source"), F.col("b.source")).alias(
-                "source"
-            ),
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def _cdc_apply_output(joined):
+    """b105's fold projection (delete-filter + column coalesce), shared
+    by both lanes."""
+    return joined.filter(
+        F.col("c.op").isNull() | (F.col("c.op") != "D")
+    ).select(
+        F.coalesce(F.col("c.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("c.text"), F.col("b.text")).alias("text"),
+        F.coalesce(F.col("c.source"), F.col("b.source")).alias("source"),
+    )
+
+
+def bucketed_documents_base(spark, sf_dir):
+    """ONE bucketed+sorted-by-doc_id copy of documents, shared by every
+    recurring doc_id-keyed merge lane (b105 CDC apply twin, c31
+    snapshot-diff twin): the maintained 100 TB base a nightly pipeline
+    folds deltas into. Bucketing it once at ingest removes the base
+    side of every later merge's exchange -- the recurring cost becomes
+    O(delta), not O(base)."""
+    from ..sources.bucketed import bucketed_table
+
+    tag, _ver = _sf_tag_and_ver(sf_dir)
+    return bucketed_table(
+        spark,
+        _t(spark, sf_dir, "documents").select("doc_id", "text", "source"),
+        f"bkt_documents_id_{tag}",
+        "doc_id",
+        n_buckets=16,
+        version=_ver("documents"),
+    )
+
+
+@register(
+    "b105_cdc_apply_bucketed",
+    REGISTRY["b105_cdc_apply"].oracle,
+    defer=True,
+)
+def b105_cdc_apply_bucketed(spark, sf_dir):
+    """b105's layout twin: the CDC base snapshot lives bucketed+sorted
+    by doc_id (bucketed_documents_base), so the nightly apply
+    re-shuffles ONLY the change feed -- one Exchange sized O(changes),
+    zero exchange on the base side (the plain lane re-shuffles the
+    full base every apply). Same values as b105_cdc_apply (same
+    oracle); plan pinned in tests/test_plan_shapes.py."""
+    base = bucketed_documents_base(spark, sf_dir)
+    changes = _cdc_change_feed(base)
+    b, c = base.alias("b"), changes.alias("c")
+    # merge hint: pins the bucket-local SMJ (the b07-twin regression;
+    # a shuffled-hash plan would re-exchange the base side)
+    return _cdc_apply_output(
+        b.join(
+            c.hint("merge"), F.col("b.doc_id") == F.col("c.doc_id"), "full_outer"
         )
     )
 

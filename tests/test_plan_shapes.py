@@ -608,3 +608,37 @@ def test_headline_plan_matches_audit_lockfile(spark, sf_small, name):
         f"(committed, live): {drift} -- if intentional, regenerate "
         "PLAN_AUDIT.md in the same commit"
     )
+
+
+def test_merge_lane_bucketed_twin_contracts(spark, sf_small):
+    """The recurring keyed-merge layout twins (b49 upsert, b105 CDC
+    apply, c31 snapshot diff): (a) values identical to their shuffle
+    lanes, (b) the maintained base is read bucketed with NO exchange
+    re-partitioning it -- the recurring merge's shuffle is O(delta)
+    (b49/b105: one exchange, feed side only) or zero (c31: both
+    snapshots bucketed), never O(base). Pinned under the DEFAULT
+    config (the b07-twin silent-broadcast lesson)."""
+    import re
+
+    for plain_name, twin_name, max_exchanges in [
+        ("b49_merge_upsert", "b49_merge_upsert_bucketed", 1),
+        ("b105_cdc_apply", "b105_cdc_apply_bucketed", 1),
+        ("c31_snapshot_diff", "c31_snapshot_diff_bucketed", 0),
+    ]:
+        plain = REGISTRY[plain_name].fn(spark, sf_small)
+        twin = REGISTRY[twin_name].fn(spark, sf_small)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, twin.collect())
+        ), twin_name
+        # plan captured from a FRESH instance: after an action, the
+        # formatted explain of an AQE plan prints the final AND the
+        # initial plan, double-counting every operator
+        plan = formatted_plan(REGISTRY[twin_name].fn(spark, sf_small))
+        assert "SortMergeJoin FullOuter" in plan, (twin_name, plan)
+        assert "Bucketed: true" in plan, (twin_name, plan)
+        # count real exchange operators via numbered detail headers
+        # (bare substrings double-count tree line + header)
+        n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_ex <= max_exchanges, (twin_name, n_ex, plan)
+        if max_exchanges == 0:
+            assert plan.count("Bucketed: true") >= 2, (twin_name, plan)
