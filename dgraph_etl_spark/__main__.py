@@ -145,10 +145,34 @@ def cmd_bulk(args) -> int:
 def cmd_query(args) -> int:
     """The 2-hop traversal (cmd/query/main.go:29-43): seed by team_id,
     expand twice with visited-set exclusion, print hop counts and the
-    hop-2 person ids."""
+    hop-2 person ids. With --dql, execute a DQL query text (the
+    reference's var-block/eq/uid/@filter subset, graph/dql.py) against
+    the same graph instead -- pass the text itself or @path/to/file;
+    the literal string the reference binary sends works verbatim."""
     from .catalog import register_views
     from .graph.traverse import k_hop, team_seed
 
+    if getattr(args, "dql", None):
+        from .graph.dql import run_dql
+        from .suites.graph_traversal import dql_fixture_graph
+
+        text = args.dql
+        if text.startswith("@"):
+            with open(text[1:]) as f:
+                text = f.read()
+        spark = _spark(args)
+        out = {}
+        for res in run_dql(text, dql_fixture_graph(spark, args.source)):
+            block = {"count": res.uids.count()}
+            if res.attrs is not None:
+                block["rows"] = sorted(
+                    tuple(r) for r in res.attrs.drop("id").collect()
+                )
+            out[res.name] = block
+        print(json.dumps(out, default=str))
+        return 0
+    if args.team_id is None:
+        raise SystemExit("either --team-id or --dql is required")
     if args.hops < 1:
         raise SystemExit("--hops must be >= 1")
     spark = _spark(args)
@@ -211,8 +235,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     q = sub.add_parser("query", help="2-hop traversal (reference cmd/query)")
     common(q)
-    q.add_argument("--team-id", required=True, help="reference -teamID")
+    q.add_argument("--team-id", help="reference -teamID")
     q.add_argument("--hops", type=int, default=2)
+    q.add_argument(
+        "--dql",
+        help="DQL query text (or @file) in the reference's "
+        "var/eq/uid/@filter subset; overrides --team-id/--hops",
+    )
     q.set_defaults(fn=cmd_query)
     return p
 

@@ -320,7 +320,21 @@ def _pagerank_rounds(
     aggregates ``in_share_val(share_col)`` by dst -> ``update_expr()``
     (reads columns mass / in_share plus whatever ``base`` carries)
     rebuilds ranks -- which are referenced twice next round, so each
-    round localCheckpoints (measured faster than every-3rd here)."""
+    round localCheckpoints (measured faster than every-3rd here).
+
+    Partitioning contract (the 100x soak's dominant term): ``e`` is
+    repartitioned ONCE by src and checkpointed here, and ``out_mass``
+    is checkpointed once, so per round the big edge side joins
+    exchange-free against the share table (ranks come out of the
+    previous round's node-keyed join, and hashpartitioning propagates
+    through the node->src alias) and the only remaining per-round
+    exchange is the O(nodes) partial-agg shuffle of contribs by dst.
+    Before this, every round re-shuffled the EDGE table by src and
+    re-computed+re-shuffled out_mass from scratch (checkpointed ranks
+    start a fresh plan per round, so no cross-round stage reuse) --
+    at 100 TB the edge re-exchange is the whole job."""
+    e = e.repartition("src").localCheckpoint()
+    out_mass = out_mass.repartition("node").localCheckpoint()
     for _ in range(n_iter):
         contrib_src = ranks.join(out_mass, "node", "left")
         dangling = contrib_src.filter(F.col("om").isNull()).agg(
@@ -380,7 +394,9 @@ def pagerank(
         base=nodes,
         ranks=nodes.select("node", F.lit(1.0 / n).alias("rank")),
         out_mass=out_deg,
-        e=edges.select("src", "dst").localCheckpoint(),
+        # raw projection: _pagerank_rounds owns the one-time
+        # repartition-by-src + checkpoint of the edge side
+        e=edges.select("src", "dst"),
         n_iter=n_iter,
         in_share_val=lambda share: share,
         update_expr=lambda: (
@@ -449,7 +465,7 @@ def personalized_pagerank(
         base=tele,
         ranks=tele.select("node", F.col("tele").alias("rank")),
         out_mass=out_deg,
-        e=edges.select("src", "dst").localCheckpoint(),
+        e=edges.select("src", "dst"),
         n_iter=n_iter,
         in_share_val=lambda share: share,
         update_expr=lambda: (
@@ -714,7 +730,7 @@ def weighted_pagerank(
         base=nodes,
         ranks=nodes.select("node", F.lit(1.0 / n).alias("rank")),
         out_mass=out_w,
-        e=edges.select("src", "dst", "score").localCheckpoint(),
+        e=edges.select("src", "dst", "score"),
         n_iter=n_iter,
         # share = rank/out_w, weighted per edge by its score
         in_share_val=lambda share: share * F.col("score"),

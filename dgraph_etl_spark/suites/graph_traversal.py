@@ -182,6 +182,94 @@ def g05_fof_persons(spark, sf_dir):
     )
 
 
+# The VERBATIM query text the reference binary sends over gRPC
+# (cmd/query/main.go:29-43, fmt.Sprintf'd with the team id) -- tabs,
+# comment line and all. g30 consumes this string through the DQL
+# front-end (graph/dql.py) instead of hand-built DataFrames.
+REFERENCE_DQL = """{
+  var(func: eq(team_id, %s)){
+    src as has_member
+  }
+  var(func: uid(src)){
+    hop1 as has_connection @filter(NOT uid(src))
+  }
+  hop1_count(func: uid(hop1)){
+\t# person_id
+    hop2 as has_connection @filter(NOT uid(hop1) AND NOT uid(src))
+  }
+  hop2_count(func: uid(hop2)){
+    person_id
+  }
+}""" % TEAM
+
+
+def dql_fixture_graph(spark, sf_dir):
+    """DqlGraph binding of the fixture onto the reference's predicate
+    names: team nodes are 't:<team_id>' uids, persons 'p:<person_id>'
+    (one shared uid namespace, the way Dgraph's bulk loader assigns
+    blank-node uids per entity -- bulk/main.go:271-329);
+    ``has_member`` reads team_member, ``has_connection`` the shared
+    bucketed edge table."""
+    from ..graph.dql import DqlGraph
+
+    edges, team_member, person = _graph_inputs(spark, sf_dir)
+    p = lambda c: F.concat(F.lit("p:"), F.col(c).cast("string"))  # noqa: E731
+    return DqlGraph(
+        edge_preds={
+            "has_member": team_member.select(
+                F.concat(F.lit("t:"), F.col("team_id").cast("string")).alias(
+                    "src"
+                ),
+                p("person_id").alias("dst"),
+            ),
+            "has_connection": edges.select(
+                p("src").alias("src"), p("dst").alias("dst")
+            ),
+        },
+        eq_index={
+            "team_id": team_member.select(
+                F.concat(F.lit("t:"), F.col("team_id").cast("string")).alias(
+                    "id"
+                ),
+                F.col("team_id").cast("string").alias("value"),
+            )
+        },
+        leaf_attrs={
+            "person_id": person.select(
+                p("person_id").alias("id"), "person_id"
+            )
+        },
+    )
+
+
+@register(
+    "g30_dql_reference_query",
+    V(_HOPS + """
+      SELECT (SELECT COUNT(*) FROM hop1) AS hop1_count,
+             (SELECT COUNT(*) FROM hop2) AS hop2_count
+    """),
+    defer=True,
+)
+def g30_dql_reference_query(spark, sf_dir):
+    """EP3 verbatim parity: execute the reference binary's LITERAL
+    DQL text (REFERENCE_DQL, cmd/query/main.go:29-43) through the
+    graph/dql.py front-end and emit the two named blocks' frontier
+    counts -- certified against g04's oracle (same columns, same
+    values), so the text front-end and the hand-built g01-g05 plans
+    are pinned result-identical. Scale shape inherits run_dql's:
+    broadcast frontiers against the bucketed edge table, anti-join
+    exclusions, no edge-table movement."""
+    from ..graph.dql import run_dql
+
+    results = run_dql(REFERENCE_DQL, dql_fixture_graph(spark, sf_dir))
+    by_name = {r.name: r for r in results}
+    row = None
+    for name in ("hop1_count", "hop2_count"):
+        c = by_name[name].uids.agg(F.count(F.lit(1)).alias(name))
+        row = c if row is None else row.crossJoin(c)
+    return row
+
+
 @register(
     "g06_khop_k3",
     V(_HOPS + """

@@ -94,3 +94,27 @@ def test_cli_query(spark, capsys):
     res = _last_json_line(capsys)
     assert res["hop1_count"] > 0
     assert len(res["hop2_person_ids"]) == res["hop2_count"]
+
+
+def test_cli_query_dql_verbatim(spark, capsys, tmp_path):
+    """EP3 verbatim: the CLI consumes the reference binary's literal
+    DQL text (via @file, as a user would paste it) and its counts
+    agree with the hand-built --team-id traversal over the same
+    fixture."""
+    import json as _json
+
+    from dgraph_etl_spark.suites.graph_traversal import REFERENCE_DQL, TEAM
+
+    f = tmp_path / "ref.dql"
+    f.write_text(REFERENCE_DQL)
+    assert main(["query", "--source", SF, "--dql", f"@{f}"]) == 0
+    dql = _last_json_line(capsys)
+    assert set(dql) == {"hop1_count", "hop2_count"}
+    assert main(["query", "--source", SF, "--team-id", TEAM]) == 0
+    hand = _last_json_line(capsys)
+    assert dql["hop1_count"]["count"] == hand["hop1_count"]
+    assert dql["hop2_count"]["count"] == hand["hop2_count"]
+    # the leaf projection rows resolve person_id for every hop-2 uid
+    assert sorted(r[0] for r in dql["hop2_count"]["rows"]) == sorted(
+        hand["hop2_person_ids"]
+    )
