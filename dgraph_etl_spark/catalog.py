@@ -55,6 +55,27 @@ _LAYOUT_ROOT = os.path.join(
 )
 
 
+def source_tag(sf_dir: str) -> str:
+    """The ONE copy of the staged-artifact tag rule: a catalog-safe
+    basename plus a hash of the ABSOLUTE fixture dir, so eviction
+    scope always equals cache scope (graph_traversal._cached_edges'
+    lesson: a basename-only tag let two fixtures with the same leaf
+    dir name evict each other's live staged copies). Shared by the
+    layout compactor, the bucketed-table suites, and the persisted
+    IVF index -- three hand-kept copies of this rule would drift.
+
+    NOTE: changing this naming orphans staged dirs built under any
+    previous scheme (nothing sweeps them) -- acceptable once per
+    scheme change, since /tmp staging is scratch; never change it
+    casually."""
+    import hashlib
+    import re
+
+    ident = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+    return f"{base}_{ident}"
+
+
 # Grace period before a superseded staged generation is rmtree'd:
 # Spark scans are lazy, so a sibling process may still be mid-scan on
 # the previous generation when this one lands. Deleting only dirs
@@ -64,15 +85,26 @@ _LAYOUT_ROOT = os.path.join(
 _EVICT_GRACE_SECONDS = 900
 
 
-def _evict_stale_generations(root: str, prefix: str, keep_prefix: str) -> None:
+def _evict_stale_generations(
+    root: str,
+    prefix: str,
+    keep_prefix: str | None = None,
+    keep_name: str | None = None,
+) -> None:
     """Delete superseded staged-dir generations under ``root``: dirs
-    matching ``prefix`` but not ``keep_prefix`` (the live generation),
-    skipping in-progress ``.tmp.`` dirs and ``.lock`` files, and
-    age-gated on the dir's own mtime so a concurrent reader of the
-    previous generation is never pulled out from under its scan."""
+    matching ``prefix`` but not the live generation -- ``keep_prefix``
+    when the live dir name carries a trailing delimiter, ``keep_name``
+    for an EXACT dir name (use this when the name has no trailing
+    boundary: a stale '..._500' string-extends a live '..._50' prefix
+    and would be wrongly retained). Skips in-progress ``.tmp.`` dirs
+    and ``.lock`` files, and is age-gated on the dir's own mtime so a
+    concurrent reader of the previous generation is never pulled out
+    from under its scan."""
     import shutil
     import time
 
+    if (keep_prefix is None) == (keep_name is None):
+        raise ValueError("pass exactly one of keep_prefix / keep_name")
     now = time.time()
     try:
         sibs = os.listdir(root)
@@ -80,9 +112,14 @@ def _evict_stale_generations(root: str, prefix: str, keep_prefix: str) -> None:
         return
     for sib in sibs:
         p = os.path.join(root, sib)
+        live = (
+            sib.startswith(keep_prefix)
+            if keep_prefix is not None
+            else sib == keep_name
+        )
         if (
             sib.startswith(prefix)
-            and not sib.startswith(keep_prefix)
+            and not live
             and ".tmp." not in sib
             and not sib.endswith(".lock")
             and os.path.isdir(p)
@@ -116,15 +153,8 @@ def _compacted_source(spark: SparkSession, sf_dir: str, name: str) -> str | None
         if meta.num_row_groups >= max(2, n_cores // 2):
             return None  # already split-friendly
         st = os.stat(src)
-        # the tag carries the FULL source identity (path hash, not just
-        # basename) -- graph_traversal._cached_edges' rule: eviction
-        # scope must equal cache scope. A basename-only tag let two
-        # fixtures with the same leaf dir name (/x/sf0.01 vs /y/sf0.01)
-        # evict each other's live compacted copy on every load.
-        import hashlib
-
-        ident = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-        tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{ident}"
+        # path-hashed tag (source_tag): eviction scope == cache scope
+        tag = source_tag(sf_dir)
         key = f"{st.st_mtime_ns}_{st.st_size}"
         dest = os.path.join(_LAYOUT_ROOT, f"{tag}_{name}_{key}_{n_cores}")
         if not os.path.exists(os.path.join(dest, "_SUCCESS")):
@@ -150,24 +180,22 @@ def _compacted_source(spark: SparkSession, sf_dir: str, name: str) -> str | None
                         "overwrite"
                     ).parquet(tmp)
                     os.rename(tmp, dest)
-                    # generational eviction (the discipline of
-                    # traverse._CACHE_GENERATIONS): copies of this
-                    # table whose embedded source identity no longer
-                    # matches the CURRENT file can only serve a
-                    # fixture that has since been regenerated --
-                    # delete them, or every regeneration round
-                    # strands a full-size table copy in /tmp forever.
-                    # AGE-GATED: only generations older than the grace
-                    # period go -- a concurrent process may still be
-                    # lazily scanning the previous generation (Spark
-                    # reads are lazy; a rmtree mid-scan is a
-                    # FileNotFoundException in someone else's query).
-                    # The stale copy is collected on a LATER load.
-                    _evict_stale_generations(
-                        _LAYOUT_ROOT, f"{tag}_{name}_", f"{tag}_{name}_{key}_"
-                    )
             finally:
                 os.close(fd)
+        # generational eviction (the discipline of
+        # traverse._CACHE_GENERATIONS), on EVERY load -- not only in
+        # the build branch, or a generation still inside the grace
+        # window at its successor's build time would never be
+        # collected: copies of this table whose embedded source
+        # identity no longer matches the CURRENT file can only serve
+        # a fixture that has since been regenerated. AGE-GATED: only
+        # generations older than the grace period go -- a concurrent
+        # process may still be lazily scanning the previous generation
+        # (Spark reads are lazy; a rmtree mid-scan is a
+        # FileNotFoundException in someone else's query).
+        _evict_stale_generations(
+            _LAYOUT_ROOT, f"{tag}_{name}_", f"{tag}_{name}_{key}_"
+        )
         return dest
     except Exception:
         return None  # any surprise -> fall back to the raw source

@@ -159,14 +159,23 @@ def parse_dql(text: str) -> list[Block]:
         pos = i
     if not blocks:
         raise DqlSyntaxError("empty query: no blocks")
+    # duplicate OUTPUT names would silently overwrite each other in
+    # any name-keyed consumer (the CLI's JSON output) -- refuse, per
+    # this module's fail-loudly contract. Dgraph itself rejects them.
+    named = [b.name for b in blocks if b.name != "var"]
+    dupes = sorted({n for n in named if named.count(n) > 1})
+    if dupes:
+        raise DqlSyntaxError(f"duplicate output block name(s): {dupes}")
     return blocks
 
 
 def _body_lines(inner: str) -> list[str]:
     """Split a block body into logical lines. Bodies reach us with
-    newlines intact (we only stripped comments), so a plain split
-    suffices; guard against the space-joined form by also splitting
-    before 'NAME as' boundaries if no newline survived."""
+    newlines intact (comment stripping preserves line structure), so a
+    plain split suffices. A single-line body is one logical line: a
+    one-line MULTI-step body ('{ x as p y as q }') is therefore
+    rejected by the line grammar -- DQL's own convention is
+    line-per-step, and mis-grouping steps silently would be worse."""
     if "\n" in inner:
         return [ln.strip() for ln in inner.splitlines() if ln.strip()]
     return [inner] if inner else []
@@ -255,8 +264,9 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                         f"unbound leaf attribute {attr!r} "
                         f"(bound: {sorted(graph.leaf_attrs)})"
                     )
-                joined = root.select("id").join(tbl, "id")
-                attrs = joined if attrs is None else attrs.join(tbl, "id")
+                attrs = (
+                    attrs if attrs is not None else root.select("id")
+                ).join(tbl, "id")
             out.append(DqlResult(block.name, root.select("id"), attrs))
     return out
 

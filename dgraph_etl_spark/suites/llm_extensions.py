@@ -442,18 +442,15 @@ def c04_ivf_persisted(spark, sf_dir):
     import os
     import tempfile
 
-    import hashlib
-
-    from ..catalog import _evict_stale_generations
+    from ..catalog import _evict_stale_generations, source_tag
 
     # Key the index path by source identity (mtime_ns + size), matching
     # catalog._compacted_source: a regenerated fixture under the same dir
-    # name must NOT silently reuse a stale index. The tag folds in a
-    # hash of the ABSOLUTE sf_dir (eviction scope must equal cache
-    # scope -- _cached_edges' rule): a basename-only tag let two
-    # fixtures with the same leaf name evict each other's live index.
-    ident = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{ident}"
+    # name must NOT silently reuse a stale index. The path-hashed
+    # source_tag keeps eviction scope == cache scope (_cached_edges'
+    # rule): a basename-only tag let two fixtures with the same leaf
+    # name evict each other's live index.
+    tag = source_tag(sf_dir)
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     key = f"{st.st_mtime_ns}_{st.st_size}"
     path = os.path.join(
@@ -464,11 +461,13 @@ def c04_ivf_persisted(spark, sf_dir):
     # mtime+size) are full partitioned corpus copies that would
     # otherwise accumulate in /tmp across every regeneration round.
     # Age-gated + path-scoped via the shared helper so an in-flight
-    # reader of the previous generation is never rmtree'd mid-scan.
+    # reader of the previous generation is never rmtree'd mid-scan;
+    # keep_name EXACT because this dir name has no trailing delimiter
+    # (a stale ..._500 would string-extend a live ..._50 prefix).
     _evict_stale_generations(
         tempfile.gettempdir(),
         f"dgraph_etl_ivf_{tag}_",
-        f"dgraph_etl_ivf_{tag}_{key}",
+        keep_name=f"dgraph_etl_ivf_{tag}_{key}",
     )
     return S.ivf_persisted_topk(
         spark, _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10, path=path

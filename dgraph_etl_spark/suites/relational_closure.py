@@ -1694,20 +1694,16 @@ def b49_merge_upsert_bucketed(spark, sf_dir):
 
 
 def _sf_tag_and_ver(sf_dir):
-    """The ONE copy of the bucketed-table staleness convention: a
-    catalog-safe sf tag plus a per-table source content version
-    (mtime_ns + size -- stale copies never reused). The tag folds in a
-    hash of the ABSOLUTE sf_dir (graph_traversal._cached_edges' rule:
-    eviction scope must equal cache scope) so two fixtures with the
-    same leaf dir name never share -- or evict -- each other's
-    bucketed tables."""
-    import hashlib
+    """The bucketed-table staleness convention: the shared
+    catalog.source_tag (path-hashed, so two fixtures with the same
+    leaf dir name never share -- or evict -- each other's tables)
+    plus a per-table source content version (mtime_ns + size -- stale
+    copies never reused)."""
     import os
-    import re
 
-    ident = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    base = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
-    tag = f"{base}_{ident}"
+    from ..catalog import source_tag
+
+    tag = source_tag(sf_dir)
 
     def ver(table):
         st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))

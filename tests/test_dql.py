@@ -111,3 +111,11 @@ def test_reference_query_matches_hand_built_traversal(spark, sf_small):
     assert {r["person_id"] for r in attrs.collect()} == {
         r["id"] for r in hop2.collect()
     }
+
+
+def test_duplicate_output_block_names_are_rejected():
+    with pytest.raises(DqlSyntaxError, match="duplicate output block"):
+        parse_dql(
+            "{ a(func: eq(team_id, 7)) { x as has_member }\n"
+            "  a(func: uid(x)) { person_id } }"
+        )

@@ -566,3 +566,32 @@ def test_evict_stale_generations_is_age_gated_and_scoped(tmp_path):
     assert os.path.exists(live)
     assert os.path.exists(foreign), "sweep crossed its prefix scope"
     assert os.path.exists(in_progress), "in-progress builds are not swept"
+
+
+def test_evict_stale_generations_keep_name_is_exact(tmp_path):
+    """keep_name matches the live dir EXACTLY: a stale generation whose
+    name string-extends the live one (mtime ties, size 50 vs 500) must
+    still be collected, and the live dir itself must survive."""
+    import os
+    import time
+
+    from dgraph_etl_spark.catalog import (
+        _EVICT_GRACE_SECONDS,
+        _evict_stale_generations,
+    )
+
+    root = str(tmp_path)
+    live = os.path.join(root, "ivf_t_123_50")
+    extends = os.path.join(root, "ivf_t_123_500")
+    for d in (live, extends):
+        os.makedirs(d)
+    stale = time.time() - _EVICT_GRACE_SECONDS - 60
+    os.utime(extends, (stale, stale))
+    os.utime(live, (stale, stale))
+    _evict_stale_generations(root, "ivf_t_", keep_name="ivf_t_123_50")
+    assert os.path.exists(live)
+    assert not os.path.exists(extends), "string-extending stale dir kept"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        _evict_stale_generations(root, "ivf_t_")

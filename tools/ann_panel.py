@@ -346,6 +346,66 @@ def main() -> None:
     for name, b, sz in builds:
         print(f"\n{name} one-time build: {b:.1f}s, on-disk "
               f"{sz/1e6:.1f} MB ({corpus_bytes/max(sz,1):.1f}x vs floats)")
+
+    # marker-delimited SCALE.md section (the tool-emits-the-numbers
+    # discipline of scale_soak/graph_soak/--bracket: hand-pasted
+    # stdout tables drift; this one is replaced atomically per run)
+    from md_sections import replace_section
+
+    label = f"{n/1e6:g}M"
+    start = f"<!-- ann-panel-{label}:start -->"
+    end = f"<!-- ann-panel-{label}:end -->"
+    lines = [
+        start,
+        "",
+        f"### Serving-lane panel at {label} vectors "
+        f"(tools/ann_panel.py --lanes {args.lanes})",
+        "",
+        f"Steady-state probe (warm run then min-of-3), ncells={ncells}, "
+        f"recall@10 vs exact brute; every probe goes through the "
+        "persisted-index path (build_ivf_kmeans_index / "
+        "build_ivfpq_index -> *_scale_topk, partition-pruned):",
+        "",
+        f"| lane | t/probe at {label} | recall@10 | index footprint |",
+        "|---|---|---|---|",
+        f"| brute cosine, JVM expressions | {t_brute:.2f} s | 1.00 | "
+        f"{corpus_bytes/1e6:.0f} MB floats |",
+        f"| brute cosine, Arrow+numpy | {t_arrow:.2f} s | 1.00 | "
+        f"{corpus_bytes/1e6:.0f} MB floats |",
+    ]
+    for lane, t, recall, size_note in table_rows:
+        lines.append(f"| {lane} | {t:.2f} s | {recall:.2f} | {size_note} |")
+    if builds:
+        lines += [
+            "",
+            "One-time builds, amortized across every later probe "
+            "(build-or-load: ~0 s means this run reused the existing "
+            "content-keyed index; historical cold-build costs are in "
+            "the hand table above): "
+            + "; ".join(
+                f"{name} {b:.0f} s, {sz/1e6:.1f} MB on disk "
+                f"({corpus_bytes/max(sz,1):.1f}x vs floats)"
+                for name, b, sz in builds
+            )
+            + ".",
+        ]
+        fastest = min(table_rows, key=lambda r: r[1])
+        lines += [
+            "",
+            f"Fastest probed lane this run: {fastest[0]} at "
+            f"{fastest[1]:.2f} s vs {t_brute:.2f} s JVM brute "
+            f"({t_brute / max(fastest[1], 1e-9):.1f}x) and "
+            f"{t_arrow:.2f} s Arrow brute "
+            f"({t_arrow / max(fastest[1], 1e-9):.1f}x); recall@10 "
+            f"{fastest[2]:.2f} with the exact rerank (the honesty "
+            "bracket below shows where recall collapses as the rerank "
+            "budget shrinks).",
+        ]
+    lines += ["", end]
+    replace_section(
+        os.path.join(ROOT, "SCALE.md"), start, end, "\n".join(lines) + "\n"
+    )
+    print(f"updated SCALE.md ann-panel-{label} section", flush=True)
     spark.stop()
 
 

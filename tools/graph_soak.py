@@ -177,16 +177,28 @@ def main() -> None:
         "",
         "Result equality asserted at run time (salted == plain edge",
         "count; exactness of the re-max is property-tested in",
-        "tests/test_properties.py). Reading the two lanes: on local[32]",
-        "the shuffle is in-memory and AQE already splits skewed",
-        "partitions, so the salted lane's extra partial-agg pass is pure",
-        "overhead and the PLAIN lane wins -- salting is the remedy for",
-        "the cluster regime AQE can't fix (skew on the build side, or a",
-        "downstream window pinning partitioning; pipeline/edges.py",
-        "docstrings). The number to watch is the plain lane's ratio",
-        f"staying at/below its data growth despite the {args.replicas - 1}x",
-        "hub densification: map-side combine shrinks hub keys before the",
-        "exchange, which is why no graph query here goes superlinear.",
+        "tests/test_properties.py). Reading the two lanes (derived from",
+        "THIS run's numbers -- the winner flips with host conditions):",
+        (
+            f"this run the SALTED lane won ({t_salted:.2f} s vs "
+            f"{t_plain:.2f} s, {t_plain / t_salted:.1f}x) -- the "
+            "densified hubs were hot enough that the two-level "
+            "re-max's smaller final exchange beat the plain lane's "
+            "skewed reducers even with AQE's skew splitting."
+            if t_salted < t_plain
+            else f"this run the PLAIN lane won ({t_plain:.2f} s vs "
+            f"{t_salted:.2f} s) -- on local[32] the shuffle is "
+            "in-memory and AQE already splits skewed partitions, so "
+            "the salted lane's extra partial-agg pass was pure "
+            "overhead here."
+        ),
+        "Salting remains the remedy for the cluster regime AQE can't",
+        "fix (skew on the build side, or a downstream window pinning",
+        "partitioning; pipeline/edges.py docstrings). The number to",
+        f"watch is the plain lane's ratio staying at/below its data",
+        f"growth despite the {args.replicas - 1}x hub densification:",
+        "map-side combine shrinks hub keys before the exchange, which",
+        "is why no graph query here goes superlinear.",
         "",
         SECTION_END,
     ]
