@@ -82,10 +82,16 @@ if _SUBSET:
             "SPARK_GRAFT_BENCH_QUERIES parsed to an empty subset: "
             f"{_SUBSET!r}"
         )
-    unknown = sorted(set(wanted) - set(HEADLINE))
-    if unknown:
-        raise SystemExit(f"unknown bench queries: {unknown}")
-    HEADLINE = [n for n in HEADLINE if n in wanted]
+    extra = sorted(set(wanted) - set(HEADLINE))
+    if extra:
+        # a subset may name any REGISTERED query (the scale soak times
+        # non-headline lanes, e.g. the keyed-merge bucketed twins);
+        # only a name the registry doesn't know is an error
+        _load_suites()
+        unknown = sorted(set(extra) - set(REGISTRY))
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {unknown}")
+    HEADLINE = [n for n in HEADLINE if n in wanted] + extra
 
 
 def _sf_label(sf_dir: str) -> float:

@@ -145,6 +145,16 @@ def parse_dql(text: str) -> list[Block]:
                     raise DqlSyntaxError(
                         f"unsupported @filter fragment: {filt!r}"
                     )
+                if em.group("alias") is None:
+                    # an unaliased filtered edge step is a nested
+                    # EXPANSION in full Dgraph (per-uid child results);
+                    # this executor has no nested output, so computing
+                    # it and emitting only the root set would be a
+                    # silently wrong answer -- refuse instead
+                    raise DqlSyntaxError(
+                        "edge step with @filter but no 'VAR as' binding "
+                        f"is outside the subset: {part!r}"
+                    )
                 block.steps.append(
                     EdgeStep(em.group("pred"), em.group("alias"), not_uids)
                 )
@@ -254,7 +264,12 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                     )
                 reached = reached.join(env[var], "id", "left_anti")
             if step.alias:
-                env[step.alias] = reached
+                # truncate lineage at each binding (k_hop's per-frontier
+                # discipline): later blocks reference a var BOTH as a
+                # uid root and in NOT-uid anti-joins, so an uncut plan
+                # doubles per hop and re-runs every upstream traversal
+                # per reference
+                env[step.alias] = reached.localCheckpoint(eager=False)
         if block.name != "var":
             attrs = None
             for attr in block.leaf_attrs:

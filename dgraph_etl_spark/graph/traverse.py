@@ -133,15 +133,60 @@ def friend_of_friend(
     persons: DataFrame,
     team_id: str,
 ) -> DataFrame:
-    """The reference query end-to-end (G1-G4): persons exactly 2 hops
-    from the given team, with hop counts. Returns (person_id) rows of
-    the hop-2 frontier joined back to the person table."""
+    """The reference query end-to-end (G1/G2/G5): persons exactly 2
+    hops from the given team, materialized back to person rows
+    (person_id, name) -- the single library copy of the traversal the
+    g05 suite query registers and the oracle certifies."""
     seeds = team_seed(team_member, team_id)
-    hop1, hop2 = k_hop(edges, seeds, k=2)
+    _hop1, hop2 = k_hop(edges, seeds, k=2)
     return (
         hop2.join(persons, hop2["id"] == persons["person_id"], "inner")
-        .select("person_id")
+        .select("person_id", "name")
     )
+
+
+def relaxation_rounds(
+    seeds: DataFrame,
+    edges: DataFrame,
+    agg_fn,
+    combine,
+    rounds: int = 3,
+) -> DataFrame:
+    """Bounded semiring path relaxation (distributed Bellman-Ford /
+    pregel supersteps): from the seed set, the best achievable path
+    value within ``rounds`` hops, where ``combine(val, score)`` extends
+    a path by one edge and ``agg_fn`` picks the better of two paths
+    (must be idempotent/commutative: MAX for the max-min widest-path
+    semiring, MIN for min-plus shortest path). Returns (nid, val) for
+    every reached NON-seed vertex.
+
+    The ONE copy of the loop g24 (agg=max, combine=least) and g27
+    (agg=min, combine=+) previously hand-kept in parallel -- the
+    _pagerank_rounds consolidation rationale (hand-kept copies drift).
+    g28's temporal variant stays separate: its extension join carries
+    a time-ordering residual predicate and aggregates arrival times,
+    not path values. Shape per round: one frontier-to-edges join + one
+    hash agg, first hop broadcast-seeded, lineage cut per round."""
+    if rounds < 1:
+        raise ValueError(f"relaxation_rounds: rounds must be >= 1, got {rounds}")
+    best = (
+        F.broadcast(seeds)
+        .join(edges, F.col("id") == edges["src"])
+        .groupBy(F.col("dst").alias("nid"))
+        .agg(agg_fn(F.col("score")).alias("val"))
+    )
+    for _ in range(rounds - 1):
+        ext = best.join(edges, best["nid"] == edges["src"]).select(
+            F.col("dst").alias("nid"),
+            combine(F.col("val"), F.col("score")).alias("val"),
+        )
+        best = (
+            best.unionByName(ext)
+            .groupBy("nid")
+            .agg(agg_fn(F.col("val")).alias("val"))
+            .localCheckpoint(eager=False)
+        )
+    return best.join(seeds, best["nid"] == seeds["id"], "left_anti")
 
 
 def degree_stats(edges: DataFrame) -> DataFrame:
@@ -361,8 +406,11 @@ def _pagerank_rounds(
 
 
 def pagerank(
-    edges: DataFrame, n_iter: int = 10, damping: float = 0.85, round_dp: int = 8
+    edges: DataFrame, n_iter: int = 10, damping: float = 0.85, round_dp: int = 6
 ) -> DataFrame:
+    # round_dp default 6 matches personalized_pagerank/weighted_pagerank
+    # (and g10's oracle): a default drifting inside the family was the
+    # failure mode the _pagerank_rounds consolidation exists to prevent
     """PageRank over the directed edge table, classic power iteration:
     rank_{t+1}(v) = (1-d)/N + d * sum(rank_t(u)/out_deg(u) for u->v);
     dangling mass (nodes with no out-edges) is redistributed uniformly
@@ -640,6 +688,11 @@ def hits(
         .dropDuplicates(["node"])
         .localCheckpoint()
     )
+    if not nodes.take(1):
+        # loud, named failure -- the ranking family's convention
+        # (pagerank/weighted_pagerank raise on empty input; silence
+        # here would record 'zero hubs' instead of a bad input)
+        raise ValueError("hits: empty edge table (no nodes)")
     e = edges.select("src", "dst").localCheckpoint()
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     # n_iter=0 degrades to the initial vectors, like pagerank

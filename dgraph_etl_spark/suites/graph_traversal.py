@@ -59,9 +59,7 @@ def _session_stopped(df) -> bool:
 
 
 def _cached_edges(spark, sf_dir):
-    import hashlib
     import os
-    import re
 
     from ..catalog import table_path
     from ..sources.bucketed import bucketed_table
@@ -94,22 +92,21 @@ def _cached_edges(spark, sf_dir):
                 _EDGE_CACHE.pop(k).unpersist()
             except Exception:
                 pass
-        register_views(spark, sf_dir)
-        # the table base name carries the FULL source identity (path
-        # hash, not just basename): bucketed_table's version eviction
-        # sweeps siblings of one base name, so a same-named fixture
-        # under a different parent (/x/sf0.01 vs /y/sf0.01) must get
-        # its own base -- a basename-only tag let one fixture's build
-        # DROP the other's still-cached table out from under this
-        # cache (eviction scope must equal cache scope)
-        ident = hashlib.md5(
-            os.path.abspath(sf_dir).encode()
-        ).hexdigest()[:8]
-        tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+        _register_graph_views(spark, sf_dir)
+        # the table base name carries the FULL source identity via the
+        # shared catalog.source_tag (path hash, not just basename):
+        # bucketed_table's version eviction sweeps siblings of one base
+        # name, so a same-named fixture under a different parent
+        # (/x/sf0.01 vs /y/sf0.01) must get its own base -- a
+        # basename-only tag let one fixture's build DROP the other's
+        # still-cached table out from under this cache (eviction scope
+        # must equal cache scope)
+        from ..catalog import source_tag
+
         df = bucketed_table(
             spark,
             spark.table("edges"),
-            f"bkt_graph_edges_{tag}_{ident}",
+            f"bkt_graph_edges_{source_tag(sf_dir)}",
             "src",
             version=f"{st.st_mtime_ns}_{st.st_size}",
         ).cache()
@@ -117,8 +114,28 @@ def _cached_edges(spark, sf_dir):
     return df
 
 
+# The graph family reads ONLY the customer+events slice (every view
+# below derives from those two): partial registration skips the
+# first-use compaction jobs for lineitem/orders/documents/embeddings,
+# which a one-shot CLI --dql traversal (or a g01-only run) would
+# otherwise pay for tables it never touches. Order matters: edges
+# reads user_relationship (caller owns dependency order).
+_GRAPH_TABLES = ("customer", "events")
+_GRAPH_VIEWS = (
+    "user_relationship",
+    "team_member",
+    "person",
+    "trove_user",
+    "edges",
+)
+
+
+def _register_graph_views(spark, sf_dir):
+    register_views(spark, sf_dir, tables=_GRAPH_TABLES, views=_GRAPH_VIEWS)
+
+
 def _graph_inputs(spark, sf_dir):
-    register_views(spark, sf_dir)
+    _register_graph_views(spark, sf_dir)
     return (
         _cached_edges(spark, sf_dir),
         spark.table("team_member"),
@@ -173,13 +190,11 @@ def g04_hop_counts(spark, sf_dir):
 )
 def g05_fof_persons(spark, sf_dir):
     """G5/G4: hop-2 frontier materialized back to person rows
-    (var-block threading = intermediate cached DataFrames)."""
+    (var-block threading = intermediate cached DataFrames) -- routes
+    the library's friend_of_friend, the one copy of the reference
+    query end-to-end."""
     edges, team_member, person = _graph_inputs(spark, sf_dir)
-    seeds = G.team_seed(team_member, TEAM)
-    hop2 = G.k_hop(edges, seeds, k=2)[1]
-    return hop2.join(person, hop2["id"] == person["person_id"]).select(
-        "person_id", "name"
-    )
+    return G.friend_of_friend(edges, team_member, person, TEAM)
 
 
 # The VERBATIM query text the reference binary sends over gRPC
@@ -419,7 +434,7 @@ def g12_weakly_connected(spark, sf_dir):
 def g07_top_connections(spark, sf_dir):
     """Flagship analytics: strongest-connected trove users -- semi-join
     + hash agg + top-k (TakeOrderedAndProject, no global sort)."""
-    register_views(spark, sf_dir)
+    _register_graph_views(spark, sf_dir)
     edges, trove = _cached_edges(spark, sf_dir), spark.table("trove_user")
     return (
         edges.join(
@@ -1035,31 +1050,11 @@ def g24_bottleneck_paths(spark, sf_dir):
     + one hash agg, the same shape as a pregel superstep."""
     edges, team_member, _ = _graph_inputs(spark, sf_dir)
     seeds = G.team_seed(team_member, TEAM)
-    e = edges
-    front = (
-        F.broadcast(seeds)
-        .join(e, F.col("id") == e["src"])
-        .groupBy(F.col("dst").alias("bid"))
-        .agg(F.max("score").alias("bn"))
-    )
-    best = front
-    for _ in range(2):
-        ext = (
-            best.join(e, best["bid"] == e["src"])
-            .select(
-                F.col("dst").alias("bid"),
-                F.least(F.col("bn"), F.col("score")).alias("bn"),
-            )
-        )
-        best = (
-            best.unionByName(ext)
-            .groupBy("bid")
-            .agg(F.max("bn").alias("bn"))
-            .localCheckpoint(eager=False)
-        )
-    return (
-        best.join(seeds, best["bid"] == seeds["id"], "left_anti")
-        .select(F.col("bid").alias("id"), F.col("bn").alias("bottleneck"))
+    # max-min semiring: paths combine via LEAST (the path is as strong
+    # as its weakest edge), alternatives via MAX (keep the widest)
+    best = G.relaxation_rounds(seeds, edges, F.max, F.least, rounds=3)
+    return best.select(
+        F.col("nid").alias("id"), F.col("val").alias("bottleneck")
     )
 
 
@@ -1235,27 +1230,11 @@ def g27_weighted_shortest_path(spark, sf_dir):
     ambiguity -- unlike the PageRank family, no epsilon is needed."""
     edges, team_member, _ = _graph_inputs(spark, sf_dir)
     seeds = G.team_seed(team_member, TEAM)
-    e = edges
-    best = (
-        F.broadcast(seeds)
-        .join(e, F.col("id") == e["src"])
-        .groupBy(F.col("dst").alias("did"))
-        .agg(F.min("score").alias("dist"))
+    # min-plus semiring: paths combine via +, alternatives via MIN
+    best = G.relaxation_rounds(
+        seeds, edges, F.min, lambda v, s: v + s, rounds=3
     )
-    for _ in range(2):
-        ext = best.join(e, best["did"] == e["src"]).select(
-            F.col("dst").alias("did"),
-            (F.col("dist") + F.col("score")).alias("dist"),
-        )
-        best = (
-            best.unionByName(ext)
-            .groupBy("did")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
-        )
-    return best.join(seeds, best["did"] == seeds["id"], "left_anti").select(
-        F.col("did").alias("id"), F.col("dist").alias("cost")
-    )
+    return best.select(F.col("nid").alias("id"), F.col("val").alias("cost"))
 
 
 @register(
@@ -1305,7 +1284,7 @@ def g28_temporal_reachability(spark, sf_dir):
     epoch-micros so MIN is cross-engine exact. At 100 TB the stream
     is time-partitioned (pipeline/watermark.py), so each hop's scan
     prunes to the relevant time range before the join."""
-    register_views(spark, sf_dir)
+    _register_graph_views(spark, sf_dir)
     rel = spark.table("user_relationship")
     tedges = rel.select(
         F.col("from_person_id").alias("src"),
@@ -1399,7 +1378,7 @@ def g29_hits(spark, sf_dir):
     connections (hub) and being targeted by many initiators
     (authority) are genuinely different signals. Oracle: the identical
     5 rounds unrolled as chained CTEs, both sides rounded to 6 dp."""
-    register_views(spark, sf_dir)
+    _register_graph_views(spark, sf_dir)
     dedges = (
         spark.table("user_relationship")
         .select(

@@ -1372,3 +1372,51 @@ def test_mixture_epochs_output_can_be_remixed(spark):
     assert twice.count() == docs.count() * 2, (
         "re-mix at weight 1.0 keeps one copy per input row"
     )
+
+
+def test_hits_empty_graph_fails_loudly(spark):
+    """hits follows the ranking family's convention (pagerank /
+    weighted_pagerank): empty input raises a named error instead of
+    silently returning zero hubs."""
+    import pytest
+
+    from dgraph_etl_spark.graph.traverse import hits
+
+    empty = spark.createDataFrame([], "src string, dst string, score double")
+    with pytest.raises(ValueError, match="empty edge table"):
+        hits(empty)
+
+
+def test_relaxation_rounds_semirings_closed_form(spark):
+    """relaxation_rounds (the shared g24/g27 loop) on a hand-checkable
+    path graph: widest (max-min) and cheapest (min-plus) path values
+    within 3 hops, including a better-2-hop-than-1-hop alternative."""
+    from pyspark.sql import functions as F
+
+    from dgraph_etl_spark.graph.traverse import relaxation_rounds
+
+    # s -> a (10) -> b (5); s -> b (2); s -> c via nothing
+    edges = spark.createDataFrame(
+        [("s", "a", 10.0), ("a", "b", 5.0), ("s", "b", 2.0)],
+        ["src", "dst", "score"],
+    )
+    seeds = spark.createDataFrame([("s",)], ["id"])
+    widest = {
+        r.nid: r.val
+        for r in relaxation_rounds(seeds, edges, F.max, F.least, 3).collect()
+    }
+    # b via a: min(10,5)=5 beats direct 2
+    assert widest == {"a": 10.0, "b": 5.0}
+    cheapest = {
+        r.nid: r.val
+        for r in relaxation_rounds(
+            seeds, edges, F.min, lambda v, s: v + s, 3
+        ).collect()
+    }
+    # b direct: 2 beats via a (15)
+    assert cheapest == {"a": 10.0, "b": 2.0}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="rounds must be >= 1"):
+        relaxation_rounds(seeds, edges, F.max, F.least, 0)
