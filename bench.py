@@ -150,17 +150,6 @@ def main() -> None:
     register_views(spark, SF_DIR, force=True)
     startup = time.perf_counter() - t0
 
-    # Best of 4 INTERLEAVED rounds per query: (a) the container runs in
-    # a microVM where host steal time can multiply a single run's wall
-    # clock several-fold (observed 2.9s vs 66.9s for the identical
-    # plan); (b) HotSpot tiers compilation, so the FIRST sf-target
-    # execution of a plan routinely runs 2-6x slower than the
-    # C2-compiled third (measured: b19 3.8s -> 0.97 -> 0.66 in one
-    # session). Rounds are interleaved (run the whole set, then repeat)
-    # rather than back-to-back per query: a multi-second steal-time
-    # burst then poisons at most one SAMPLE of each query instead of
-    # all samples of one query, so the per-query min measures the
-    # operators, not the neighbor's load.
     # Two-phase timing. Phase 1, INTERLEAVED adaptive rounds (2 floor,
     # 4 cap, stop when a full round improves the summed mins <2%): runs
     # the whole set, then repeats, so a multi-second steal-time burst

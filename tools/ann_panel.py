@@ -135,21 +135,25 @@ def _bracket(args) -> None:
     reranked = [r for r in rows if r[2].startswith("topc=")]
     t_max = max(r[3] for r in reranked)
     t_min = min(r[3] for r in reranked)
-    # per corpus: the cheapest budget that still reads full recall
-    # (budgets ordered by cost: no-rerank < small topc < large topc)
+    # per (corpus, LANE): the cheapest budget that still reads full
+    # recall -- pooling lanes per corpus could cite a budget only the
+    # exhaustive PQ scan achieves while the pruned IVFPQ lane needs a
+    # bigger one, and a reader tuning IVFPQ to it would silently lose
+    # recall. (Budget cost order: no-rerank < small topc < large topc.)
     cheapest = []
-    for label in dict.fromkeys(r[0] for r in rows):
+    for label, lane in dict.fromkeys((r[0], r[1]) for r in rows):
         full = [
             r[2]
             for r in rows
-            if r[0] == label and r[4] >= 0.999
+            if r[0] == label and r[1] == lane and r[4] >= 0.999
         ]
         ranked = sorted(
             full,
             key=lambda m: -1 if m.startswith("no rerank") else int(m.split("=")[1].split(" ")[0]),
         )
         cheapest.append(
-            f"{label}: {ranked[0] if ranked else 'NONE reaches full recall'}"
+            f"{label} {lane}: "
+            f"{ranked[0] if ranked else 'NONE reaches full recall'}"
         )
     lines += [
         "",
@@ -157,7 +161,7 @@ def _bracket(args) -> None:
         "ADC rank of every true neighbor; the no-rerank rows are the raw "
         "8-bytes-per-vector ranking quality, the floor a serving tier "
         "pays if it skips the float fetch entirely. Cheapest budget "
-        "reaching full recall@10, per corpus -- "
+        "reaching full recall@10, per corpus and lane -- "
         + "; ".join(cheapest)
         + ". Context for the cliff: this synthetic corpus stacks "
         "thousands of tiny-perturbation replicas of every base vector, "
@@ -390,6 +394,17 @@ def main() -> None:
             + ".",
         ]
         fastest = min(table_rows, key=lambda r: r[1])
+        # say what the winning lane actually does: IVF k-means rows
+        # score exact floats over the probed cells (no rerank stage);
+        # only the PQ/IVFPQ rows carry the ADC-then-exact-rerank shape
+        rerank_note = (
+            "with its exact rerank (the honesty bracket below shows "
+            "where recall collapses as the rerank budget shrinks)"
+            if "rerank" in fastest[0]
+            else "scoring exact floats over the probed cells (no "
+            "rerank stage; the compressed lanes' rerank tradeoff is "
+            "bracketed below)"
+        )
         lines += [
             "",
             f"Fastest probed lane this run: {fastest[0]} at "
@@ -397,9 +412,7 @@ def main() -> None:
             f"({t_brute / max(fastest[1], 1e-9):.1f}x) and "
             f"{t_arrow:.2f} s Arrow brute "
             f"({t_arrow / max(fastest[1], 1e-9):.1f}x); recall@10 "
-            f"{fastest[2]:.2f} with the exact rerank (the honesty "
-            "bracket below shows where recall collapses as the rerank "
-            "budget shrinks).",
+            f"{fastest[2]:.2f}, {rerank_note}.",
         ]
     lines += ["", end]
     replace_section(

@@ -68,13 +68,9 @@ def main() -> None:
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.join(ROOT, "tools"))
-    from scale_soak import build_fixture, fixture_dest  # noqa: E402
+    from scale_soak import resolved_fixture  # noqa: E402
 
-    big = (
-        build_fixture(args.replicas)
-        if not args.skip_build
-        else fixture_dest(args.replicas)
-    )
+    big = resolved_fixture(args.replicas, args.skip_build)
     print(f"fixture: {big}", flush=True)
 
     from pyspark.sql import functions as F  # noqa: E402
@@ -125,13 +121,16 @@ def main() -> None:
     rel = spark.table("user_relationship")
     exploded = explode_bidirectional(rel)
 
-    def _t(df) -> float:
+    def _t(build) -> float:
+        # pass the BUILDER, not a pre-built DataFrame: steady_noop_time's
+        # contract re-plans a fresh query per sample so these lanes are
+        # measured under the same protocol as every other SCALE.md table
         from md_sections import steady_noop_time
 
-        return steady_noop_time(lambda: df)
+        return steady_noop_time(build)
 
-    t_plain = _t(max_score_per_edge(exploded))
-    t_salted = _t(aggregate_max_salted(exploded))
+    t_plain = _t(lambda: max_score_per_edge(exploded))
+    t_salted = _t(lambda: aggregate_max_salted(exploded))
     n_plain = max_score_per_edge(exploded).count()
     n_salted = aggregate_max_salted(exploded).count()
     assert n_plain == n_salted, (n_plain, n_salted)

@@ -65,6 +65,37 @@ def fixture_dest(replicas: int) -> str:
     )
 
 
+def resolved_fixture(
+    replicas: int, skip_build: bool, src_sf: str | None = None
+) -> str:
+    """The one place --skip-build resolves the scaled fixture: with
+    skip_build the _BUILT content stamp is still VERIFIED against the
+    current source fixture -- a regenerated source or a never-built
+    scratch dir fails loudly here instead of rewriting SCALE.md with
+    ratios against stale (or missing) data, the exact poisoning
+    _src_tag exists to prevent. Shared by graph_soak/stream_soak."""
+    src_sf = src_sf or SRC_SF
+    if not skip_build:
+        return build_fixture(replicas, src_sf)
+    dest = fixture_dest(replicas)
+    stamp = os.path.join(dest, "_BUILT")
+    try:
+        with open(stamp) as f:
+            stamped = f.read()
+    except OSError:
+        raise SystemExit(
+            f"--skip-build: no built fixture at {dest} (missing {stamp}); "
+            "run without --skip-build to build it"
+        )
+    if stamped != _src_tag(src_sf):
+        raise SystemExit(
+            f"--skip-build: fixture at {dest} was built from a DIFFERENT "
+            f"version of {src_sf} (content stamp mismatch); the source was "
+            "regenerated -- rerun without --skip-build"
+        )
+    return dest
+
+
 def _src_tag(src_sf: str) -> str:
     """Content key of the source fixture (mtime_ns+size per parquet):
     a regenerated /root/testdata/sf0.1 must invalidate the scaled
@@ -185,8 +216,16 @@ def _build_into(dest: str, replicas: int, src_sf: str, duckdb) -> None:
     con.close()
 
 
-def run_bench(sf_dir: str) -> dict:
+def run_bench(sf_dir: str, subset: list[str] | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    # subset is EXPLICIT per call: a lingering SPARK_GRAFT_BENCH_QUERIES
+    # from the caller's shell must never leak in -- the 10x path's
+    # SCALE.md table claims 'the UNMODIFIED bench.py headline set', and
+    # a silently narrowed subset would make that claim false (the
+    # hazard bench.py's HEADLINE_ALL comment names).
+    env.pop("SPARK_GRAFT_BENCH_QUERIES", None)
+    if subset is not None:
+        env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(subset)
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         capture_output=True,
@@ -237,16 +276,11 @@ def _second_decade(args) -> None:
     section above the AUTO_END marker is untouched)."""
     start = f"<!-- scale-soak-{args.replicas}x:start -->"
     end = f"<!-- scale-soak-{args.replicas}x:end -->"
-    big = (
-        build_fixture(args.replicas)
-        if not args.skip_build
-        else fixture_dest(args.replicas)
-    )
+    big = resolved_fixture(args.replicas, args.skip_build)
     print(f"fixture: {big}", flush=True)
-    os.environ["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(HEAVY_100X)
-    base = run_bench(SRC_SF)
+    base = run_bench(SRC_SF, subset=HEAVY_100X)
     print(f"sf0.1 subset total {base['value']}s", flush=True)
-    scaled = run_bench(big)
+    scaled = run_bench(big, subset=HEAVY_100X)
     print(f"{args.replicas}x subset total {scaled['value']}s", flush=True)
 
     lines = [
@@ -297,7 +331,7 @@ def _second_decade(args) -> None:
         ]
     plain = scaled["queries"].get("b07_join_inner")
     bucketed = scaled["queries"].get("b07_join_inner_bucketed")
-    if plain and bucketed:
+    if plain is not None and bucketed is not None:
         b_ratio = bucketed / max(base["queries"]["b07_join_inner_bucketed"], 1e-9)
         p_ratio = plain / max(base["queries"]["b07_join_inner"], 1e-9)
         lines += [
@@ -316,7 +350,7 @@ def _second_decade(args) -> None:
         ]
     q21 = scaled["queries"].get("b87_tpch_q21")
     q21b = scaled["queries"].get("b87_tpch_q21_bucketed")
-    if q21 and q21b:
+    if q21 is not None and q21b is not None:
         q21_ratio = q21 / max(base["queries"]["b87_tpch_q21"], 1e-9)
         lines += [
             "",
@@ -352,7 +386,7 @@ def _second_decade(args) -> None:
             scaled["queries"].get(plain_name),
             scaled["queries"].get(twin_name),
         )
-        if p and t:
+        if p is not None and t is not None:
             merge_rows.append(
                 f"| {plain_name} | {p:.2f} | {t:.2f} | {p / t:.1f}x | {what} |"
             )
@@ -470,11 +504,7 @@ def _dedup_skew(args) -> None:
     distribution is the shipped operator's, not a reconstruction."""
     start = "<!-- dedup-skew-soak:start -->"
     end = "<!-- dedup-skew-soak:end -->"
-    big = (
-        build_fixture(args.replicas)
-        if not args.skip_build
-        else fixture_dest(args.replicas)
-    )
+    big = resolved_fixture(args.replicas, args.skip_build)
     print(f"fixture: {big}", flush=True)
     sys.path.insert(0, ROOT)
     from dgraph_etl_spark.catalog import register_views
@@ -591,11 +621,7 @@ def main() -> None:
         _second_decade(args)
         return
 
-    big = (
-        build_fixture(args.replicas)
-        if not args.skip_build
-        else fixture_dest(args.replicas)
-    )
+    big = resolved_fixture(args.replicas, args.skip_build)
     print(f"fixture: {big}", flush=True)
     base = run_bench(SRC_SF)
     print(f"sf0.1 total {base['value']}s", flush=True)

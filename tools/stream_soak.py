@@ -82,13 +82,20 @@ def _stateful_probe(spark, sf_dir: str) -> dict:
         if url is None:
             url = f"jdbc:derby:{os.path.join(work, 'xonce')}/db"
         try:
-            spark._jvm.java.sql.DriverManager.getConnection(  # type: ignore[union-attr]
-                f"{url};shutdown=true"
-            )
-        except Exception as ex:
-            if "08006" not in str(ex) and "XJ004" not in str(ex):
-                raise  # XJ004: database not found (probe died pre-boot)
-        shutil.rmtree(work, ignore_errors=True)
+            try:
+                spark._jvm.java.sql.DriverManager.getConnection(  # type: ignore[union-attr]
+                    f"{url};shutdown=true"
+                )
+            except Exception as ex:
+                if "08006" not in str(ex) and "XJ004" not in str(ex):
+                    raise  # XJ004: db not found (probe died pre-boot)
+        finally:
+            # the rmtree must run even when the shutdown attempt itself
+            # dies unexpectedly (e.g. a py4j gateway crash after the
+            # probe error) -- otherwise a failed 100x probe leaks
+            # multi-GB of staged events + checkpoints in /tmp, the
+            # exact leak this cleanup exists to prevent
+            shutil.rmtree(work, ignore_errors=True)
 
 
 def _stateful_probe_body(
@@ -204,7 +211,7 @@ def main() -> None:
     args = ap.parse_args()
     jobs = [j.strip() for j in args.jobs.split(",") if j.strip()]
 
-    from scale_soak import SRC_SF, build_fixture, fixture_dest  # noqa: E402
+    from scale_soak import SRC_SF, resolved_fixture  # noqa: E402
 
     from dgraph_etl_spark.registry import REGISTRY, _load_suites  # noqa: E402
     from dgraph_etl_spark.streaming.core import drop_memory_sinks  # noqa: E402
@@ -220,11 +227,7 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown --jobs names: {', '.join(unknown)}")
 
-    big = (
-        build_fixture(args.replicas)
-        if not args.skip_build
-        else fixture_dest(args.replicas)
-    )
+    big = resolved_fixture(args.replicas, args.skip_build)
     print(f"fixture: {big}", flush=True)
     spark = get_spark(app_name="stream_soak")
     spark.sparkContext.setLogLevel("ERROR")
