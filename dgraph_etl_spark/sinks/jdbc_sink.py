@@ -97,8 +97,14 @@ def ensure_sink_tables(
     ]:
         try:
             jdbc_exec(spark, url, [ddl])
-        except Exception as ex:  # Derby: X0Y32 = table already exists
-            if "X0Y32" not in str(ex) and "already exists" not in str(ex):
+        except Exception as ex:
+            # Derby SQLState X0Y32 = object already exists. Match the
+            # STATE CODE only, never free message text (lakehouse.py's
+            # never-match-by-message rule): a creation that failed for
+            # a real reason whose message merely mentions 'already
+            # exists' must surface now, not as a confusing
+            # table-not-found at the first write.
+            if "X0Y32" not in str(ex):
                 raise
 
 
@@ -120,6 +126,16 @@ def exactly_once_jdbc_writer(
     props = dict(properties or {})
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        clash = {"batch_id", "query_name"} & set(batch_df.columns)
+        if clash:
+            # withColumn below would silently REPLACE the user's
+            # columns (destroying their values in the sink) and the
+            # replay-DELETE would then key on the overwritten value --
+            # refuse loudly, BEFORE any round-trip to the database
+            raise ValueError(
+                f"exactly-once sink reserves column(s) {sorted(clash)}; "
+                "rename them in the stream before writing"
+            )
         spark = batch_df.sparkSession
         done = jdbc_query_long(
             spark,

@@ -100,15 +100,17 @@ def _versions(root: str) -> list[str]:
     """Version dirs ordered by their INTEGER suffix: lexicographic
     sorting puts v100000 before v99999, which would make the next
     merge union against a stale latest and silently drop the v100000
-    batch from the lineage (the numeric-parse discipline of
-    streaming/core.earlier_epoch_dirs). Non-numeric v* names are
-    ignored rather than crashing the listing."""
-    if not os.path.isdir(root):
-        return []
-    return sorted(
-        (d for d in os.listdir(root) if d.startswith("v") and d[1:].isdigit()),
-        key=lambda d: int(d[1:]),
-    )
+    batch from the lineage. Routes streaming/core.earlier_epoch_dirs
+    (the ONE copy of the numeric-parse-and-sort listing; non-numeric
+    v* names are skipped, not crashed on) with an unbounded epoch."""
+    import sys
+
+    from ..streaming.core import earlier_epoch_dirs
+
+    return [
+        os.path.basename(p)
+        for p in earlier_epoch_dirs(root, sys.maxsize, prefix="v")
+    ]
 
 
 def _delta_log_present(root: str) -> bool:
@@ -233,7 +235,15 @@ def merge_max_into(
         )
         n = len(vs)
         tmp = os.path.join(root, f".tmp-{uuid.uuid4().hex[:8]}")
-        merged.write.mode("overwrite").parquet(tmp)
+        try:
+            merged.write.mode("overwrite").parquet(tmp)
+        except BaseException:
+            # a failed write (executor OOM, cancelled job, disk full)
+            # must not strand partial parquet inside the store root --
+            # _versions() ignores .tmp-* so nothing else ever reclaims
+            # it (streaming/core._stage_atomic's rule)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         dest = os.path.join(root, f"v{n:05d}")
         try:
             os.rename(tmp, dest)

@@ -73,7 +73,12 @@ def zorder_write(
     to up to 2**(address_bits - key_bits) * n_files directories, so
     pass it explicitly when the address builder used non-default
     bits."""
-    width = max((1 << key_bits) // n_files, 1)
+    # CEILING division: a floored width puts the top sliver of the
+    # address space (zkey in [n_files*width, 2^key_bits)) into an
+    # n_files+1-th bucket whenever n_files doesn't divide 2^key_bits,
+    # breaking the 'exactly n_files equal-width spans' contract by one
+    # sliver file. Ceiling keeps every zkey < n_files * width.
+    width = max(-((1 << key_bits) // -n_files), 1)
     (
         # integer `div`, not F.floor(col / width): `/` computes in
         # double, which misassigns boundary rows once zkey exceeds

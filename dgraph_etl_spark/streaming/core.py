@@ -161,7 +161,15 @@ def _scratch_stream_dir(sf_dir: str) -> str:
     target = table_path(sf_dir, "events")
     try:
         if os.path.lexists(link):
-            if os.readlink(link) != target:
+            try:
+                current = os.readlink(link)
+            except OSError:
+                # the entry exists but is NOT a symlink (a real file
+                # copied in by older tooling or a manual fixture copy):
+                # readlink raises EINVAL, which the docstring's repair
+                # promise must cover too -- treat it as mispaired
+                current = None
+            if current != target:
                 # atomic re-point: build a temp symlink and rename over
                 # the old one. remove-then-create had two races: a
                 # concurrent remover turned os.remove into an uncaught

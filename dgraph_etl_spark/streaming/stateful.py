@@ -139,6 +139,42 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
+    def _fold_totals(pdfs, prev):
+        """The ONE copy of the (n, total_fp, n_vals) fold both state
+        APIs run -- which copy executes depends on the RUNTIME
+        (has_tws_runtime gates on google.protobuf), so hand-kept twins
+        would let the protobuf-equipped path silently diverge from the
+        one certified in offline containers.
+
+        n_vals tracks NON-NULL values: SQL SUM over zero non-NULL rows
+        is NULL, while pandas' skipna sum of an all-NaN column is 0.0
+        -- without the mask a user whose every value is NULL would
+        emit total_fp=0 and diverge from the oracle's NULL.
+        dropna().astype('int64'): an Arrow chunk holding any NULL
+        arrives as float64, and a float summation loses exactness past
+        2^53 -- the exact 64-bit SQL SUM must be matched
+        integer-for-integer."""
+        n, tot, nv = 0, 0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            vals = pdf["value_fp"].dropna().astype("int64")
+            nv += int(len(vals))
+            tot += int(vals.sum())
+        if prev is not None:
+            n += int(prev[0])
+            tot += int(prev[1])
+            nv += int(prev[2])
+        return n, tot, nv
+
+    def _emit(key, n, tot, nv):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_fp": [tot if nv else None],
+            }
+        )
+
     class RunningTotals(StatefulProcessor):
         def init(self, handle):
             self._totals = handle.getValueState(
@@ -146,34 +182,9 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
             )
 
         def handleInputRows(self, key, rows, timer_values):
-            # n_vals tracks NON-NULL values: SQL SUM over zero non-NULL
-            # rows is NULL, while pandas' skipna sum of an all-NaN
-            # column is 0.0 -- without the mask a user whose every
-            # value is NULL would emit total_fp=0 and diverge from the
-            # oracle's NULL (s08's fold mirrors SQL the same way)
-            n, tot, nv = 0, 0, 0
-            for pdf in rows:
-                n += len(pdf)
-                # dropna().astype('int64'): an Arrow chunk holding any
-                # NULL arrives as float64, and a float summation loses
-                # exactness past 2^53 -- the exact 64-bit SQL SUM the
-                # oracle computes must be matched integer-for-integer
-                vals = pdf["value_fp"].dropna().astype("int64")
-                nv += int(len(vals))
-                tot += int(vals.sum())
-            prev = self._totals.get()
-            if prev is not None:
-                n += int(prev[0])
-                tot += int(prev[1])
-                nv += int(prev[2])
+            n, tot, nv = _fold_totals(rows, self._totals.get())
             self._totals.update((n, tot, nv))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "total_fp": [tot if nv else None],
-                }
-            )
+            yield _emit(key, n, tot, nv)
 
         def close(self):
             pass
@@ -211,28 +222,12 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
     )
 
     def fold(key, pdfs, state):
-        # n_vals: SQL SUM over zero non-NULL rows is NULL; see the
-        # TWS processor above
-        n, tot, nv = 0, 0, 0
-        for pdf in pdfs:
-            n += len(pdf)
-            # exact int64 fold; see the TWS processor above
-            vals = pdf["value_fp"].dropna().astype("int64")
-            nv += int(len(vals))
-            tot += int(vals.sum())
-        if state.exists:
-            pn, ptot, pnv = state.get
-            n += int(pn)
-            tot += int(ptot)
-            nv += int(pnv)
-        state.update((n, tot, nv))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "total_fp": [tot if nv else None],
-            }
+        # same _fold_totals, prior-generation state handle shape
+        n, tot, nv = _fold_totals(
+            pdfs, state.get if state.exists else None
         )
+        state.update((n, tot, nv))
+        yield _emit(key, n, tot, nv)
 
     return prepared.groupBy("user_id").applyInPandasWithState(
         fold,

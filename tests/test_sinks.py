@@ -472,3 +472,71 @@ def test_batched_parquet_stream_empty_dir_fails_loudly(tmp_path):
     os.makedirs(d)
     with pytest.raises(ValueError, match="no batch\\*.parquet"):
         batched_parquet_stream(None, d)
+
+
+def test_exactly_once_writer_rejects_reserved_columns(spark):
+    """The sink's tag columns must never silently overwrite same-named
+    user columns (the replay-DELETE would then key on destroyed
+    values); the guard fires before any database round-trip."""
+    from dgraph_etl_spark.sinks.jdbc_sink import exactly_once_jdbc_writer
+
+    wb = exactly_once_jdbc_writer(
+        "jdbc:derby:memory:neverused", "t", "l", "q"
+    )
+    df = spark.createDataFrame([(1, 2)], ["batch_id", "x"])
+    with pytest.raises(ValueError, match="reserves column"):
+        wb(df, 0)
+
+
+def test_merge_max_into_cleans_tmp_on_failed_write(spark, tmp_path):
+    """A failed version write must not strand .tmp-* partials inside
+    the store root (nothing else ever reclaims them)."""
+    from pyspark.sql import functions as F
+
+    from dgraph_etl_spark.sinks.lakehouse import merge_max_into
+
+    root = str(tmp_path / "store")
+    # a batch whose evaluation fails at write time: ANSI division by
+    # zero inside the projected column
+    bad = spark.range(3).select(
+        F.col("id").cast("string").alias("src"),
+        F.lit("d").alias("dst"),
+        (F.lit(1) / F.lit(0)).alias("score"),
+    )
+    with pytest.raises(Exception):
+        merge_max_into(spark, bad, root)
+    leftovers = [
+        p for p in os.listdir(root) if p.startswith(".tmp-")
+    ] if os.path.isdir(root) else []
+    assert leftovers == [], leftovers
+
+
+def test_scratch_stream_dir_repairs_non_symlink_entry(tmp_path):
+    """A plain FILE squatting on the staged symlink's name (older
+    tooling, manual copy) must be repaired, not crash readlink with
+    EINVAL."""
+    import os as _os
+
+    from dgraph_etl_spark.streaming.core import (
+        _scratch_stream_dir,
+        _source_tag,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    import tempfile
+
+    tag = _source_tag(sf, "events")
+    d = _os.path.join(tempfile.gettempdir(), f"dgraph_etl_streamsrc_{tag}")
+    _os.makedirs(d, exist_ok=True)
+    link = _os.path.join(d, "events.parquet")
+    # squat a REGULAR FILE on the link path
+    try:
+        _os.remove(link)
+    except FileNotFoundError:
+        pass
+    with open(link, "w") as f:
+        f.write("not a symlink")
+    out = _scratch_stream_dir(sf)
+    assert out == d
+    assert _os.path.islink(link), "entry must be repaired to a symlink"
+    assert _os.readlink(link).endswith("events.parquet")
