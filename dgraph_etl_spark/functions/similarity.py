@@ -1156,12 +1156,20 @@ def _pq_adc(
     n_iter: int,
     scale: int,
     vec_col: str,
+    scope: DataFrame | None = None,
 ) -> DataFrame:
     """Shared PQ pipeline through ADC scoring: train per-subspace
-    codebooks, encode the corpus, score every vector's approximate
+    codebooks, encode the corpus, score each vector's approximate
     cosine against the query -- returns (vec_id, adc_sim). pq_topk
-    takes the global top candidates; ivfpq_topk intersects with the
-    IVF probe first."""
+    takes the global top candidates; ivfpq_topk passes ``scope`` (a
+    vec_id relation, its IVF probe set) so the ADC join/aggregation
+    runs ONLY over probed vectors -- scoring all cells and discarding
+    (ncells - nprobe)/ncells of the work afterwards would forfeit the
+    IVF pruning this composition exists for. Codebook TRAINING always
+    sees the full corpus (the codebook is a function of the corpus,
+    pinned by the unrolled oracle), and restricting the per-vector
+    scoring commutes with the vec_id semi-join, so results are
+    identical."""
     q = quantize_vectors(emb, scale, vec_col).localCheckpoint()
     sd = F.floor(F.size("qv") / m_sub).cast("int")
     subs = q.select(
@@ -1195,8 +1203,10 @@ def _pq_adc(
         .localCheckpoint()
     )
 
-    def assign(codebook):
-        scored = subs.join(F.broadcast(codebook), "m").withColumn(
+    def assign(codebook, rel=None):
+        scored = (rel if rel is not None else subs).join(
+            F.broadcast(codebook), "m"
+        ).withColumn(
             "dist", _sq_dist(F.col("sv"), F.col("cv"))
         )
         return scored.groupBy("vec_id", "m").agg(
@@ -1233,7 +1243,14 @@ def _pq_adc(
             .localCheckpoint()
         )
 
-    codes = assign(cents).select("vec_id", "m", "code")
+    # the final ENCODE pass is scoped to the probe set too (the Lloyd
+    # training rounds above always saw the full corpus): the per-vector
+    # argmin over the codebook is the dominant per-row cost, and an
+    # unprobed vector's code would be discarded unread
+    enc_subs = (
+        subs if scope is None else subs.join(scope, "vec_id", "left_semi")
+    )
+    codes = assign(cents, rel=enc_subs).select("vec_id", "m", "code")
 
     qv = quantize_vectors(
         query.select(F.lit(-1).alias("vec_id"), F.col("qvec")), scale, "qvec"
@@ -1334,12 +1351,13 @@ def ivfpq_topk(
         .select("cell")
     )
     in_cells = cells.join(F.broadcast(probed), "cell", "left_semi")
-    approx = _pq_adc(emb, query, m_sub, k_codes, pq_iter, scale, vec_col)
-    cands = (
-        approx.join(in_cells, "vec_id", "left_semi")
-        .orderBy(F.desc("adc_sim"), "vec_id")
-        .limit(topc)
+    # the probe set scopes the ADC scoring INSIDE _pq_adc (encode/score
+    # only probed vectors); scoring everything and semi-joining after
+    # threw away (ncells - nprobe)/ncells of the dominant scan
+    approx = _pq_adc(
+        emb, query, m_sub, k_codes, pq_iter, scale, vec_col, scope=in_cells
     )
+    cands = approx.orderBy(F.desc("adc_sim"), "vec_id").limit(topc)
     reranked = emb.join(F.broadcast(cands), "vec_id", "left_semi")
     return brute_topk(reranked, query, k, vec_col)
 

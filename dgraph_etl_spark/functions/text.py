@@ -242,11 +242,19 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set
     (normalized bag-of-words identity -- catches reordered/duplicated
-    token soup that exact text hashing misses)."""
-    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens())))
+    token soup that exact text hashing misses).
+
+    NULL-text contract (family-wide; token_ngrams/doc_span_hashes'
+    guard): a NULL text yields a NULL fingerprint -- concat_ws over
+    the NULL token array would otherwise fabricate md5(''), merging
+    every NULL-text doc with each other AND with genuinely-empty docs
+    in any fingerprint-keyed dedup, and diverging from the oracle's
+    NULL (DuckDB array_to_string(NULL) is NULL)."""
+    t = tokens()
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(t)))
     return docs.select(
         "doc_id",
-        F.md5(canon).alias("fingerprint"),
+        F.when(t.isNotNull(), F.md5(canon)).alias("fingerprint"),
         F.sha2(F.col("text"), 256).alias("content_hash"),
     )
 
@@ -271,9 +279,17 @@ def winnowing_fingerprints(
     oracle-checks against plain SQL window functions."""
     t = tokens()
     cnt = F.size(t) - (k - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    # NULL-text guard (fingerprint's contract): greatest() skips NULLs,
+    # so a NULL token array would otherwise build the [''] gram list
+    # and emit md5('') as a fingerprint shared by every NULL-text and
+    # empty-text doc; a NULL gram array posexplodes to NO rows, which
+    # is what the oracle computes too
+    grams = F.when(
+        t.isNotNull(),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        ),
     )
     pos = docs.select(
         "doc_id",
@@ -333,6 +349,14 @@ def sequence_chunks(
         ),
         1 + F.floor((F.col("n_tokens") - 1) / stride),
     )
+    # NULL-text guard (the family's no-fabricated-rows contract):
+    # greatest/least SKIP NULLs, so a NULL n_tokens would otherwise
+    # compute n_chunks=1 and emit one phantom chunk claiming seq_len
+    # tokens for a tokenless doc -- a downstream token-budget packer
+    # then overcounts by seq_len per NULL-text doc. NULL n_chunks ->
+    # NULL sequence -> explode yields no rows (matching the oracle's
+    # empty generate_series over NULL).
+    n_chunks = F.when(F.col("n_tokens").isNotNull(), n_chunks)
     exploded = base.withColumn("n_chunks", n_chunks.cast("int")).select(
         "doc_id",
         "toks",
@@ -385,8 +409,16 @@ def split_bucket(key: Column) -> Column:
     """The ONE definition of the split-bucket expression (first 2 hex
     chars of md5(key)): hash_split and the pipelines that attach a
     split label inline (c24's release gate) must bucket identically or
-    holdout docs leak between pipeline stages."""
-    return F.substring(F.md5(key.cast("string")), 1, 2)
+    holdout docs leak between pipeline stages.
+
+    NULL keys bucket via the chr(0) sentinel INSIDE the hash
+    (sampling._bucket's convention, mirrored as COALESCE(...) in the
+    consuming oracles): a raw md5(NULL) bucket is NULL, both when()
+    arms fall through, and every NULL-keyed record silently lands in
+    'train' with no bucket -- never eligible for test/val."""
+    return F.substring(
+        F.md5(F.coalesce(key.cast("string"), F.lit("\x00"))), 1, 2
+    )
 
 
 def hash_split(

@@ -116,6 +116,18 @@ RECERTIFY: dict[str, int] = {
     # round-10 session: the c37 sentinel-inside-the-hash fix applied
     # to the same latent NULL-coin divergence in c46's sampling hash
     "c46_importance_sample": 9,
+    # round-10 session, NULL-text/NULL-key divergence sweep over the
+    # text family (fingerprint md5('') fabrication, winnowing/chunking
+    # phantom rows, split_bucket when()-fallthrough) plus the IVFPQ
+    # probe-scoped ADC plan -- all verified result-identical on the
+    # NULL-free fixtures and re-passed precert, but the
+    # semantics-bearing SQL/plans changed after their last driver rows
+    "c07_fingerprint": 9,
+    "c22_winnowing_fingerprints": 9,
+    "c26_sequence_chunks": 9,
+    "c11_hash_split": 9,
+    "c24_release_gate": 9,
+    "c63_ivfpq_topk": 9,
 }
 
 

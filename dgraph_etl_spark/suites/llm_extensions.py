@@ -772,10 +772,14 @@ def c07_tfidf_top_terms(spark, sf_dir):
 @register(
     "c11_hash_split",
     """
+    -- chr(0) sentinel INSIDE the hash (split_bucket's convention):
+    -- a raw md5(NULL) bucket falls through both CASE arms and lands
+    -- every NULL-keyed record in 'train' with no bucket
     SELECT doc_id,
-           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
-           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
-                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+           substr(md5(COALESCE(CAST(doc_id AS VARCHAR), chr(0))), 1, 2)
+             AS bucket,
+           CASE WHEN substr(md5(COALESCE(CAST(doc_id AS VARCHAR), chr(0))), 1, 2) < '0d' THEN 'test'
+                WHEN substr(md5(COALESCE(CAST(doc_id AS VARCHAR), chr(0))), 1, 2) < '1a' THEN 'val'
                 ELSE 'train' END AS split
     FROM documents
     """,
@@ -1012,8 +1016,14 @@ def c25_mixture_epochs(spark, sf_dir):
     FROM (
       SELECT doc_id, toks, n_tokens,
              unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM (
+        -- NULL-text guard mirrored from sequence_chunks: greatest()
+        -- skips NULLs in both engines, so without the CASE a NULL
+        -- n_tokens computed n_chunks=1 and emitted one phantom chunk
+        -- for a tokenless doc; NULL n_chunks -> empty generate_series
         SELECT doc_id, toks, n_tokens,
-               1 + (greatest(n_tokens - 64, 0) + 47) // 48 AS n_chunks
+               CASE WHEN n_tokens IS NULL THEN NULL
+                    ELSE 1 + (greatest(n_tokens - 64, 0) + 47) // 48
+               END AS n_chunks
         FROM (SELECT doc_id, string_split(text, ' ') AS toks,
                      len(string_split(text, ' ')) AS n_tokens
               FROM documents)))
@@ -1089,8 +1099,14 @@ def c21_contamination_screen(spark, sf_dir):
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
     g AS (
+      -- NULL-text guard mirrored from winnowing_fingerprints:
+      -- greatest() skips NULLs in both engines, so a NULL token list
+      -- previously fabricated one gram row whose md5(NULL) fingerprint
+      -- was emitted; NULL bound -> empty range -> no rows
       SELECT doc_id, greatest(len(t) - 2, 1) AS n_grams,
-             unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i, t
+             unnest(range(1, CASE WHEN len(t) IS NULL THEN NULL
+                                  ELSE greatest(len(t) - 2, 1) + 1
+                             END)) AS i, t
       FROM toks
     ),
     hashes AS (
@@ -1137,9 +1153,9 @@ def c22_winnowing_fingerprints(spark, sf_dir):
       WHERE e.doc_id % 50 <> 0
     )
     SELECT r.doc_id, r.lang,
-           CASE WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 2) < '0d'
+           CASE WHEN substr(md5(COALESCE(CAST(r.doc_id AS VARCHAR), chr(0))), 1, 2) < '0d'
                   THEN 'test'
-                WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 2) < '1a'
+                WHEN substr(md5(COALESCE(CAST(r.doc_id AS VARCHAR), chr(0))), 1, 2) < '1a'
                   THEN 'val'
                 ELSE 'train' END AS split
     FROM quality_ranked r

@@ -204,12 +204,22 @@ def test_ts_bigint_unit_names_path_on_empty_file(tmp_path):
 
 def test_compacted_layout_evicts_stale_generations(spark, tmp_path):
     """Regenerating a fixture must not strand the previous
-    generation's full-size layout copy in /tmp forever: building the
-    new generation's compacted copy deletes siblings of the same
-    (fixture, table) whose embedded source identity no longer matches."""
+    generation's full-size layout copy in /tmp forever: loading the
+    table deletes same-(fixture, table) siblings whose embedded source
+    identity no longer matches -- under the round-10 contract: the
+    sibling must carry the PATH-HASHED tag (eviction scope == cache
+    scope; a same-basename sibling from a different parent is NOT
+    touched) and must be OLDER than the grace window (a fresh sibling
+    may still be mid-scan in a concurrent process)."""
     import shutil
+    import time
 
-    from dgraph_etl_spark.catalog import _LAYOUT_ROOT, _compacted_source
+    from dgraph_etl_spark.catalog import (
+        _EVICT_GRACE_SECONDS,
+        _LAYOUT_ROOT,
+        _compacted_source,
+        source_tag,
+    )
 
     sf = str(tmp_path / "sf_evict")
     os.makedirs(sf)
@@ -218,18 +228,32 @@ def test_compacted_layout_evicts_stale_generations(spark, tmp_path):
         os.path.join(sf, "documents.parquet"),
     )
     os.makedirs(_LAYOUT_ROOT, exist_ok=True)
-    stale = os.path.join(_LAYOUT_ROOT, "sf_evict_documents_1_1_8")
-    os.makedirs(stale, exist_ok=True)
-    open(os.path.join(stale, "_SUCCESS"), "w").close()
+    tag = source_tag(sf)
+    stale = os.path.join(_LAYOUT_ROOT, f"{tag}_documents_1_1_8")
+    young = os.path.join(_LAYOUT_ROOT, f"{tag}_documents_2_2_8")
+    foreign = os.path.join(
+        _LAYOUT_ROOT, "sf_evict_otherhash_documents_1_1_8"
+    )
+    for d in (stale, young, foreign):
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+    old = time.time() - _EVICT_GRACE_SECONDS - 60
+    os.utime(stale, (old, old))
 
     dest = _compacted_source(spark, sf, "documents")
     assert dest is not None and os.path.exists(
         os.path.join(dest, "_SUCCESS")
     ), "documents at 500 rows in one row group must compact"
     assert not os.path.exists(stale), (
-        "the stale generation must be evicted by the new build"
+        "the aged-out stale generation must be evicted on load"
     )
-    shutil.rmtree(dest, ignore_errors=True)
+    assert os.path.exists(young), (
+        "a generation inside the grace window must survive (a "
+        "concurrent reader may be mid-scan)"
+    )
+    assert os.path.exists(foreign), "eviction crossed its tag scope"
+    for d in (dest, young, foreign):
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def test_load_suites_rolls_back_on_partial_import_failure(tmp_path):

@@ -1420,3 +1420,47 @@ def test_relaxation_rounds_semirings_closed_form(spark):
 
     with pytest.raises(ValueError, match="rounds must be >= 1"):
         relaxation_rounds(seeds, edges, F.max, F.least, 0)
+
+
+def test_null_text_contract_fingerprint_winnow_chunk_split(spark):
+    """The family-wide NULL-text/NULL-key contract across the round-10
+    sweep: NULL text yields a NULL fingerprint (never md5('') shared
+    with empty docs), zero winnowing fingerprints, zero sequence
+    chunks; a NULL split key buckets via the chr(0) sentinel instead
+    of falling through to 'train' with a NULL bucket."""
+    from pyspark.sql import functions as F
+
+    from dgraph_etl_spark.functions.text import (
+        fingerprint,
+        hash_split,
+        sequence_chunks,
+        winnowing_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, None), (3, "")],
+        ["doc_id", "text"],
+    )
+    fp = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    assert fp[2] is None, "NULL text must yield a NULL fingerprint"
+    assert fp[3] is not None and fp[2] != fp[3]
+
+    win = winnowing_fingerprints(docs).groupBy("doc_id").count().collect()
+    by_id = {r.doc_id: r["count"] for r in win}
+    assert 2 not in by_id, "NULL text fabricated a winnowing fingerprint"
+    assert by_id.get(1, 0) >= 1
+
+    chunks = sequence_chunks(docs, seq_len=4, stride=3).collect()
+    assert all(r.doc_id != 2 for r in chunks), "phantom chunk for NULL text"
+    assert any(r.doc_id == 1 for r in chunks)
+
+    nulled = spark.createDataFrame(
+        [(None, "x"), (7, "y")], ["doc_id", "text"]
+    )
+    split = {r.asDict()["doc_id"]: r for r in hash_split(nulled).collect()}
+    null_row = split[None]
+    assert null_row.bucket is not None, "NULL key must bucket via sentinel"
+    # the sentinel bucket is md5('\x00')[:2] on every engine
+    import hashlib
+
+    assert null_row.bucket == hashlib.md5(b"\x00").hexdigest()[:2]
