@@ -160,6 +160,19 @@ def build_fixture(
 def _build_into(dest: str, replicas: int, src_sf: str, duckdb) -> None:
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
+    # third-decade builds (600M-row lineitem COPY) OOM an in-memory
+    # DuckDB with default settings: order-preserving parquet COPY
+    # buffers the whole cross product, and :memory: connections cannot
+    # spill without a temp_directory. Replica order is meaningless in
+    # the fixture (oracle comparisons are order-insensitive; ordered
+    # queries sort in-plan), so drop preservation and bound memory
+    # with a spill dir. Measured: replicas=1000 climbed past 80 GiB
+    # RSS mid-lineitem under the defaults.
+    con.execute("SET preserve_insertion_order = false")
+    con.execute("SET memory_limit = '48GB'")
+    tmp_spill = os.path.join(dest, "_duckdb_spill")
+    os.makedirs(tmp_spill, exist_ok=True)
+    con.execute(f"SET temp_directory = '{tmp_spill}'")
 
     def copy(sql: str, name: str) -> None:
         con.execute(
@@ -214,6 +227,7 @@ def _build_into(dest: str, replicas: int, src_sf: str, duckdb) -> None:
         "embeddings",
     )
     con.close()
+    shutil.rmtree(tmp_spill, ignore_errors=True)
 
 
 def run_bench(sf_dir: str, subset: list[str] | None = None) -> dict:
