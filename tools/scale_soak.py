@@ -537,8 +537,11 @@ def _dedup_skew(args) -> None:
     SAME library function the query uses (band_table /
     span_doc_counts / source_span_sets), so the measured key
     distribution is the shipped operator's, not a reconstruction."""
-    start = "<!-- dedup-skew-soak:start -->"
-    end = "<!-- dedup-skew-soak:end -->"
+    # per-replicas markers (graph_soak's convention): a third-decade
+    # run adds its own section instead of overwriting the 100x record
+    sfx = "" if args.replicas == 100 else f"-{args.replicas}x"
+    start = f"<!-- dedup-skew-soak{sfx}:start -->"
+    end = f"<!-- dedup-skew-soak{sfx}:end -->"
     big = resolved_fixture(args.replicas, args.skip_build)
     print(f"fixture: {big}", flush=True)
     sys.path.insert(0, ROOT)
