@@ -62,6 +62,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )
+    # harness-level conf overrides without code edits: the soak tools
+    # run bench.py as a subprocess at synthetic scales where e.g.
+    # spark.cleaner.periodicGC.interval decides whether dereferenced
+    # shuffle files (tens of GB per full-fact exchange at 1000x) are
+    # reclaimed mid-run or linger until disk exhaustion. Format:
+    # SPARK_GRAFT_EXTRA_CONF="key=value;key=value". Applied before
+    # extra_conf so CODE always outranks environment.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, sep, v = pair.partition("=")
+        if not sep or not k.strip():
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF entry {pair!r} is not key=value"
+            )
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
