@@ -112,3 +112,22 @@ def test_get_spark_rejects_invalid_cpus_loudly():
     for bad in (-4, "0", "4x"):
         with pytest.raises(ValueError, match="cpus must be"):
             get_spark(cpus=bad)
+
+
+def test_get_spark_rejects_malformed_extra_conf_loudly():
+    """A SPARK_GRAFT_EXTRA_CONF entry without '=' (or with an empty
+    key) must raise the documented ValueError naming the entry --
+    silently dropping it would let a soak run believe e.g. periodic
+    shuffle GC was active while the disk quietly fills."""
+    import pytest
+
+    from dgraph_etl_spark.session import get_spark
+
+    for bad in ("novalue", "=v", " = v", "a=1;junk"):
+        monkey = {"SPARK_GRAFT_EXTRA_CONF": bad}
+        import os
+        from unittest import mock
+
+        with mock.patch.dict(os.environ, monkey):
+            with pytest.raises(ValueError, match="not key=value"):
+                get_spark(cpus=1)
