@@ -29,13 +29,17 @@ reported separately, never silently dropped into the totals.
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRATCH = os.path.join(os.environ.get("TMPDIR", "/tmp"), "dgraph_etl_ab")
+
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+# the ONE copy of the bench-subprocess protocol (env hygiene + JSON
+# scan) -- re-implementing it here is how the two tools drift
+from scale_soak import run_bench as _run_bench  # noqa: E402
 
 
 def control_worktree(ref: str) -> str:
@@ -65,6 +69,13 @@ def control_worktree(ref: str) -> str:
             ["git", "worktree", "remove", "--force", dest], cwd=ROOT
         )
     os.makedirs(SCRATCH, exist_ok=True)
+    # recover from stale state before adding: a registered-but-missing
+    # worktree (TMPDIR wiped on reboot) or a leftover partial dir
+    # without .git makes `git worktree add` fail permanently otherwise
+    subprocess.run(["git", "worktree", "prune"], cwd=ROOT)
+    import shutil
+
+    shutil.rmtree(dest, ignore_errors=True)
     subprocess.run(
         ["git", "worktree", "add", "--detach", dest, sha],
         cwd=ROOT,
@@ -74,22 +85,15 @@ def control_worktree(ref: str) -> str:
 
 
 def run_bench(tree: str, sf_dir: str, subset: list[str] | None) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-    env.pop("SPARK_GRAFT_BENCH_QUERIES", None)
-    if subset:
-        env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(subset)
-    out = subprocess.run(
-        [sys.executable, os.path.join(tree, "bench.py")],
-        capture_output=True,
-        text=True,
-        env=env,
-        cwd=tree,
-    )
-    for line in reversed(out.stdout.splitlines()):
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(
-        f"bench in {tree} produced no JSON:\n{out.stderr[-2000:]}"
+    # strip SPARK_GRAFT_EXTRA_CONF: only trees new enough to parse it
+    # would honor it, so a forgotten export (e.g. the 1000x soak's
+    # periodic-GC setting) would skew the A/B asymmetrically and the
+    # tool would misattribute a pure config difference to code
+    return _run_bench(
+        sf_dir,
+        subset=subset,
+        tree=tree,
+        strip_env=("SPARK_GRAFT_EXTRA_CONF",),
     )
 
 

@@ -144,10 +144,25 @@ def build_fixture(
         fcntl.flock(fd, fcntl.LOCK_EX)  # kernel-released on crash
         if built():
             return dest
+        # sweep EVERY stale tmp sibling, not just our own pid's: a
+        # crashed builder leaks its pid-suffixed dir (with up to tens
+        # of GB of DuckDB spill inside), and retries always run under
+        # a NEW pid -- safe because builders serialize on this flock,
+        # so any existing tmp dir belongs to a dead attempt
+        import glob as _glob
+
+        for stale in _glob.glob(f"{dest}.tmp.*"):
+            shutil.rmtree(stale, ignore_errors=True)
         tmp = f"{dest}.tmp.{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
-        _build_into(tmp, replicas, src_sf, duckdb)
+        try:
+            _build_into(tmp, replicas, src_sf, duckdb)
+        except BaseException:
+            # reclaim the spill/partial parquet NOW -- leaving it to
+            # the next attempt's sweep shrinks scratch space exactly
+            # when a disk-pressure failure is being retried
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         with open(os.path.join(tmp, "_BUILT"), "w") as f:
             f.write(tag)
         shutil.rmtree(dest, ignore_errors=True)
@@ -169,7 +184,12 @@ def _build_into(dest: str, replicas: int, src_sf: str, duckdb) -> None:
     # with a spill dir. Measured: replicas=1000 climbed past 80 GiB
     # RSS mid-lineitem under the defaults.
     con.execute("SET preserve_insertion_order = false")
-    con.execute("SET memory_limit = '48GB'")
+    # cap at half of physical RAM (never above 48GB): a hardcoded
+    # 48GB on a smaller host would let DuckDB buffer toward a budget
+    # the machine doesn't have and OOM before the spill path engages
+    ram = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    limit_gb = max(1, min(48, int(ram / 2 / 2**30)))
+    con.execute(f"SET memory_limit = '{limit_gb}GB'")
     tmp_spill = os.path.join(dest, "_duckdb_spill")
     os.makedirs(tmp_spill, exist_ok=True)
     con.execute(f"SET temp_directory = '{tmp_spill}'")
@@ -230,7 +250,17 @@ def _build_into(dest: str, replicas: int, src_sf: str, duckdb) -> None:
     shutil.rmtree(tmp_spill, ignore_errors=True)
 
 
-def run_bench(sf_dir: str, subset: list[str] | None = None) -> dict:
+def run_bench(
+    sf_dir: str,
+    subset: list[str] | None = None,
+    tree: str | None = None,
+    strip_env: tuple[str, ...] = (),
+) -> dict:
+    """Run ``tree``'s bench.py (default: this repo) at ``sf_dir`` and
+    parse its JSON line. The one copy of the bench-subprocess protocol
+    -- bench_ab imports it rather than re-implementing the env
+    handling and output scan (two copies drift independently)."""
+    tree = tree or ROOT
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     # subset is EXPLICIT per call: a lingering SPARK_GRAFT_BENCH_QUERIES
     # from the caller's shell must never leak in -- the 10x path's
@@ -238,14 +268,21 @@ def run_bench(sf_dir: str, subset: list[str] | None = None) -> dict:
     # a silently narrowed subset would make that claim false (the
     # hazard bench.py's HEADLINE_ALL comment names).
     env.pop("SPARK_GRAFT_BENCH_QUERIES", None)
+    # strip_env: vars the CALLER declares must not reach the child --
+    # bench_ab strips SPARK_GRAFT_EXTRA_CONF because only trees new
+    # enough to parse it would honor it, skewing an A/B asymmetrically;
+    # the soak tools deliberately PASS it through (periodic shuffle GC
+    # at synthetic scales), so it is not popped unconditionally here.
+    for k in strip_env:
+        env.pop(k, None)
     if subset is not None:
         env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(subset)
     out = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "bench.py")],
+        [sys.executable, os.path.join(tree, "bench.py")],
         capture_output=True,
         text=True,
         env=env,
-        cwd=ROOT,
+        cwd=tree,
     )
     for line in reversed(out.stdout.splitlines()):
         if line.startswith("{"):
