@@ -57,3 +57,11 @@ def test_empty_intersection_raises():
             {"control": {"a": 1.0}, "head": {"b": 1.0}},
             {"control": [], "head": []},
         )
+
+
+def test_single_run_verdict_carries_low_sample_caveat():
+    best = {"control": {"q1": 1.0}, "head": {"q1": 1.5}}
+    out = attribution(best, {"control": [0.1], "head": [0.1]})
+    assert "Caveat: fewer than 2 runs" in out
+    out = attribution(best, {"control": [0.1, 0.2], "head": [0.1, 0.2]})
+    assert "Caveat" not in out

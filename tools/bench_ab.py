@@ -185,6 +185,15 @@ def attribution(
         "not host noise"
     )
     lines.append(f"Attribution: {verdict}.")
+    if min(len(steals["control"]), len(steals["head"])) < 2:
+        # single-run best-per-query is one noisy sample, not a floor --
+        # round 9 needed 2+ interleaved cycles before per-query minima
+        # stabilized under this host's steal spikes
+        lines.append(
+            "Caveat: fewer than 2 runs per tree -- per-query minima are "
+            "single samples; re-run with --runs 2+ before acting on the "
+            "verdict."
+        )
     return "\n".join(lines)
 
 
