@@ -390,3 +390,36 @@ def test_stage_derby_table_is_content_keyed_and_reused(spark, tmp_path):
     assert {f.name for f in got.schema.fields} == {
         "c_custkey", "c_nationkey", "c_acctbal"
     }
+
+
+def test_register_views_partial_memoizes_and_scopes_coverage(spark):
+    """Coverage-aware registration idempotence: a partial registration
+    after a full one for the same source must be a cache HIT (the
+    first cut re-ran the view DDL per query AND invalidated the full
+    entry -- g03_hop2's bench floor moved 0.14s -> 0.70s, round-10
+    A/B); a partial for a DIFFERENT source must invalidate, because
+    its overwritten views make the old catalog mixed."""
+    from dgraph_etl_spark import catalog as C
+
+    sf1, sf2 = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    C.register_views(spark, sf1, force=True)
+    full_entry = C._REGISTERED.peek(spark)
+    # partial subset of the full registration: no re-registration, the
+    # cached entry is untouched (identity, not just equality)
+    C.register_views(
+        spark, sf1, tables=("customer", "events"),
+        views=("user_relationship", "edges"),
+    )
+    assert C._REGISTERED.peek(spark) is full_entry
+    # partial for a DIFFERENT source: entry replaced, coverage scoped
+    # to exactly the names just written
+    C.register_views(spark, sf2, tables=("customer",), views=())
+    entry = C._REGISTERED.peek(spark)
+    assert entry is not full_entry
+    assert entry[0] == sf2 and entry[2] == frozenset({"customer"})
+    # a full call for sf2 now re-registers (customer-only coverage
+    # does not satisfy it) and unions coverage to everything
+    C.register_views(spark, sf2)
+    assert frozenset(C.BASE_TABLES) <= C._REGISTERED.peek(spark)[2]
+    # restore the suite-wide default registration for later tests
+    C.register_views(spark, sf1, force=True)
