@@ -327,12 +327,32 @@ def neardup_components(
     grow; the convergence test rides the same pass (max of per-row
     change flags), not a separate join. At 100 TB the edge list is the
     LSH/jaccard pair output (linear in docs, not quadratic), labels are
-    2 longs per doc, and every round is shuffle-partitioned by doc_id."""
-    edges = (
+    2 longs per doc, and every round is shuffle-partitioned by doc_id.
+
+    The symmetrized edge table is materialized ONCE as a
+    partition-pinned cache on ``u`` (session.pinned_partition_cache --
+    a checkpoint loses its partitioning under AQE, see the helper's
+    docstring), so every round's labels-onto-edges join exchanges only
+    the 2-long-per-doc label table, never the edge table -- at WCC
+    scale (110M+ edges when this backs weakly_connected_components)
+    the per-round edge re-shuffle was the loop's dominant cost."""
+    from ..session import pinned_partition_cache
+
+    edges = pinned_partition_cache(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .localCheckpoint()
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))),
+        "u",
     )
+    try:
+        labels = _hash_to_min_rounds(edges, docs, max_iter)
+    finally:
+        edges.unpersist()
+    return labels
+
+
+def _hash_to_min_rounds(
+    edges: DataFrame, docs: DataFrame, max_iter: int
+) -> DataFrame:
     labels = docs.select("doc_id", F.col("doc_id").alias("component"))
     for _ in range(max_iter):
         nbr_min = (

@@ -367,41 +367,57 @@ def _pagerank_rounds(
     rebuilds ranks -- which are referenced twice next round, so each
     round localCheckpoints (measured faster than every-3rd here).
 
-    Partitioning contract (the 100x soak's dominant term): ``e`` is
-    repartitioned ONCE by src and checkpointed here, and ``out_mass``
-    is checkpointed once, so per round the big edge side joins
-    exchange-free against the share table (ranks come out of the
-    previous round's node-keyed join, and hashpartitioning propagates
-    through the node->src alias) and the only remaining per-round
-    exchange is the O(nodes) partial-agg shuffle of contribs by dst.
-    Before this, every round re-shuffled the EDGE table by src and
-    re-computed+re-shuffled out_mass from scratch (checkpointed ranks
-    start a fresh plan per round, so no cross-round stage reuse) --
-    at 100 TB the edge re-exchange is the whole job."""
-    e = e.repartition("src").localCheckpoint()
-    out_mass = out_mass.repartition("node").localCheckpoint()
-    for _ in range(n_iter):
-        contrib_src = ranks.join(out_mass, "node", "left")
-        dangling = contrib_src.filter(F.col("om").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
-        )
-        contribs = (
-            e.join(
-                contrib_src.filter(F.col("om").isNotNull()).select(
-                    F.col("node").alias("src"),
-                    (F.col("rank") / F.col("om")).alias("share"),
-                ),
-                "src",
+    Partitioning contract (the 100x soak's dominant term): ``e``,
+    ``out_mass``, and ``base`` are materialized ONCE as
+    partition-pinned caches (session.pinned_partition_cache -- a
+    ``repartition().localCheckpoint()`` LOSES its partitioning under
+    AQE: the LogicalRDD reports UnknownPartitioning, so the round-10
+    first cut of this fix still re-exchanged the edge table every
+    round; the pinned cache's InMemoryRelation advertises
+    HashPartitioning to every later plan). Per round the big edge
+    side therefore joins exchange-free against the share table, and
+    the remaining per-round exchanges are O(nodes): the share table
+    by src, the contribs partial-agg by dst, and the rebuilt ranks by
+    node. Before any of this, every round re-shuffled the EDGE table
+    by src and re-computed+re-shuffled out_mass from scratch
+    (checkpointed ranks start a fresh plan per round, so no
+    cross-round stage reuse) -- at 100 TB the edge re-exchange is the
+    whole job."""
+    from ..session import pinned_partition_cache
+
+    e = pinned_partition_cache(e, "src")
+    out_mass = pinned_partition_cache(out_mass, "node")
+    base = pinned_partition_cache(base, "node")
+    try:
+        for _ in range(n_iter):
+            contrib_src = ranks.join(out_mass, "node", "left")
+            dangling = contrib_src.filter(F.col("om").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
             )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(in_share_val(F.col("share"))).alias("in_share"))
-        )
-        ranks = (
-            base.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select("node", update_expr().alias("rank"))
-            .localCheckpoint()
-        )
+            contribs = (
+                e.join(
+                    contrib_src.filter(F.col("om").isNotNull()).select(
+                        F.col("node").alias("src"),
+                        (F.col("rank") / F.col("om")).alias("share"),
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(in_share_val(F.col("share"))).alias("in_share"))
+            )
+            ranks = (
+                base.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select("node", update_expr().alias("rank"))
+                .localCheckpoint()
+            )
+    finally:
+        # the per-round checkpoints materialized every consumer of the
+        # caches; the driver certifies 270+ queries in one session, so
+        # caches must not outlive their loop
+        e.unpersist()
+        out_mass.unpersist()
+        base.unpersist()
     return ranks
 
 

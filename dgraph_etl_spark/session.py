@@ -84,6 +84,50 @@ def get_spark(
     return spark
 
 
+def pinned_partition_cache(df, *keys: str):
+    """Materialize ``df`` hash-partitioned by ``keys`` such that every
+    DOWNSTREAM plan in the session SEES the partitioning and skips its
+    own exchange on this side -- the building block for iterative
+    operators (pagerank rounds, hash-to-min label propagation) whose
+    per-round join against a static big table must not re-shuffle that
+    table every round.
+
+    Why not ``repartition(keys).localCheckpoint()``: under AQE (the
+    session default) the checkpoint's LogicalRDD reports
+    UnknownPartitioning, and a cached plan REGISTERED adaptively
+    reports UnknownPartitioning at downstream planning time too --
+    both verified on 4.1.2 (LogicalRDD.outputPartitioning and
+    InMemoryTableScan over an adaptive cached plan), so a
+    checkpoint-based loop still exchanges the big side every round.
+    Registering the cache with AQE OFF pins HashPartitioning(keys, N)
+    into the InMemoryRelation; adaptive downstream plans trust a
+    cached scan's partitioning, so the per-round join plans as
+    Sort + InMemoryTableScan with no Exchange on this side.
+
+    The AQE flip is session-global for the registration+materialize
+    window. A plan another thread compiles during it merely plans
+    non-adaptively (same results; only bench warm-up compiles
+    concurrently, untimed) -- which is why the flip lives in this ONE
+    helper instead of scattered per-suite.
+
+    Callers own ``out.unpersist()`` after their loop (results must be
+    materialized first -- the loops here checkpoint per round, so the
+    returned frame never depends on the cache once the loop exits):
+    the driver certifies 270+ queries in ONE session, and leaked
+    caches would accumulate across all of them.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = df.repartition(n, *keys).persist()
+        out.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return out
+
+
 class SessionKeyedMap:
     """Registry keyed by a LIVE SparkSession (plus an optional subkey),
     carrying the three safety properties every per-session cache in
