@@ -375,31 +375,48 @@ def _pagerank_rounds(
     first cut of this fix still re-exchanged the edge table every
     round; the pinned cache's InMemoryRelation advertises
     HashPartitioning to every later plan). Per round the big edge
-    side therefore joins exchange-free against the share table, and
-    the remaining per-round exchanges are O(nodes): the share table
-    by src, the contribs partial-agg by dst, and the rebuilt ranks by
-    node. Before any of this, every round re-shuffled the EDGE table
-    by src and re-computed+re-shuffled out_mass from scratch
-    (checkpointed ranks start a fresh plan per round, so no
-    cross-round stage reuse) -- at 100 TB the edge re-exchange is the
-    whole job."""
+    side therefore joins exchange-free against the share table --
+    via an EXPLICIT broadcast of the share side while the node
+    universe fits the broadcast ceiling (the interleaved 100x A/B
+    read ratio 1.01 vs the prior checkpoint+runtime-broadcast form),
+    and via a never-re-exchanged, never-re-sorted SMJ lane past it --
+    and the remaining per-round exchanges are O(nodes). Before any
+    of this, every round re-shuffled the EDGE table by src and
+    re-computed+re-shuffled out_mass from scratch (checkpointed
+    ranks start a fresh plan per round, so no cross-round stage
+    reuse) -- at 100 TB the edge re-exchange is the whole job."""
     from ..session import pinned_partition_cache
 
     e = pinned_partition_cache(e, "src")
     out_mass = pinned_partition_cache(out_mass, "node")
     base = pinned_partition_cache(base, "node")
+    # Broadcastable share table (the measured common case: ranks are 2
+    # longs/node, so anything under ~2M nodes fits the 64MB broadcast
+    # comfortably): hint the broadcast EXPLICITLY. The share side is
+    # built from a checkpointed ranks frame whose LogicalRDD carries no
+    # size stats, so the static planner never broadcasts it on its own,
+    # and against the pinned cache the zero-exchange SMJ looks free --
+    # but its per-round probe-side merge measured SLOWER than BHJ over
+    # the same cache (100x A/B: 20.2 s vs 17.5 s). Past the broadcast
+    # ceiling the pinned cache still guarantees the SMJ lane never
+    # re-exchanges or re-sorts the edge table.
+    # base is cached by the helper, so this count is a cheap columnar
+    # pass and equals the node-universe size the share table is
+    # bounded by
+    bcast_share = base.count() < 2_000_000
     try:
         for _ in range(n_iter):
             contrib_src = ranks.join(out_mass, "node", "left")
             dangling = contrib_src.filter(F.col("om").isNull()).agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
             )
+            share = contrib_src.filter(F.col("om").isNotNull()).select(
+                F.col("node").alias("src"),
+                (F.col("rank") / F.col("om")).alias("share"),
+            )
             contribs = (
                 e.join(
-                    contrib_src.filter(F.col("om").isNotNull()).select(
-                        F.col("node").alias("src"),
-                        (F.col("rank") / F.col("om")).alias("share"),
-                    ),
+                    F.broadcast(share) if bcast_share else share,
                     "src",
                 )
                 .groupBy(F.col("dst").alias("node"))
