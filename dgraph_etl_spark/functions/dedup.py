@@ -329,19 +329,23 @@ def neardup_components(
     LSH/jaccard pair output (linear in docs, not quadratic), labels are
     2 longs per doc, and every round is shuffle-partitioned by doc_id.
 
-    The symmetrized edge table is materialized ONCE as a
-    partition-pinned cache on ``u`` (session.pinned_partition_cache --
-    a checkpoint loses its partitioning under AQE, see the helper's
-    docstring), so every round's labels-onto-edges join exchanges only
-    the 2-long-per-doc label table, never the edge table -- at WCC
-    scale (110M+ edges when this backs weakly_connected_components)
-    the per-round edge re-shuffle was the loop's dominant cost."""
-    from ..session import pinned_partition_cache
+    The symmetrized edge table is materialized ONCE via
+    session.iterative_loop_side keyed on ``u``: under the broadcast
+    ceiling the 2-long-per-doc label table broadcasts and a cheap
+    serialized checkpoint of the edges suffices; past it the edges
+    become a partition+order pinned cache (a checkpoint loses its
+    partitioning under AQE, see pinned_partition_cache's docstring),
+    so every round's labels-onto-edges join still exchanges only the
+    label table, never the edge table -- at WCC scale (110M+ edges
+    when this backs weakly_connected_components) the per-round edge
+    re-shuffle was the loop's dominant cost."""
+    from ..session import iterative_loop_side
 
-    edges = pinned_partition_cache(
+    edges = iterative_loop_side(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))),
         "u",
+        small_side_rows=docs.count(),
     )
     try:
         labels = _hash_to_min_rounds(edges, docs, max_iter)

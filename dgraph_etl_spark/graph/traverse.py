@@ -319,6 +319,10 @@ def weakly_connected_components(edges: DataFrame, max_iter: int = 25) -> DataFra
         edges.select(F.col("src").alias("doc_id"))
         .union(edges.select(F.col("dst").alias("doc_id")))
         .dropDuplicates(["doc_id"])
+        # materialized once: the clusterer's lane-selection count and
+        # its round-1 label build both read these blocks instead of
+        # re-running the union+distinct
+        .localCheckpoint()
     )
     pairs = undirected_edges(edges).select(
         F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
@@ -352,6 +356,7 @@ def _pagerank_rounds(
     n_iter: int,
     in_share_val,
     update_expr,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """The ONE power-iteration round shared by the PageRank family
     (pagerank / personalized_pagerank / weighted_pagerank) -- three
@@ -367,43 +372,49 @@ def _pagerank_rounds(
     rebuilds ranks -- which are referenced twice next round, so each
     round localCheckpoints (measured faster than every-3rd here).
 
-    Partitioning contract (the 100x soak's dominant term): ``e``,
-    ``out_mass``, and ``base`` are materialized ONCE as
-    partition-pinned caches (session.pinned_partition_cache -- a
+    Partitioning contract (the 100x soak's dominant term): ``e`` and
+    ``out_mass`` are materialized ONCE, and the per-round join never
+    touches the edge table beyond a scan. Which lane does that
+    depends on the node-universe size (session.iterative_loop_side):
+    under the broadcast ceiling the share side is broadcast
+    EXPLICITLY (the hint matters: ranks are checkpointed, their
+    LogicalRDD carries no size stats, so the static planner never
+    broadcasts unaided, and AQE's runtime conversion still writes the
+    edge side's map-side shuffle files first) over cheap serialized
+    checkpoints; past it, the edge table becomes a partition+order
+    pinned cache (session.pinned_partition_cache -- a
     ``repartition().localCheckpoint()`` LOSES its partitioning under
-    AQE: the LogicalRDD reports UnknownPartitioning, so the round-10
-    first cut of this fix still re-exchanged the edge table every
-    round; the pinned cache's InMemoryRelation advertises
-    HashPartitioning to every later plan). Per round the big edge
-    side therefore joins exchange-free against the share table --
-    via an EXPLICIT broadcast of the share side while the node
-    universe fits the broadcast ceiling (the interleaved 100x A/B
-    read ratio 1.01 vs the prior checkpoint+runtime-broadcast form),
-    and via a never-re-exchanged, never-re-sorted SMJ lane past it --
-    and the remaining per-round exchanges are O(nodes). Before any
-    of this, every round re-shuffled the EDGE table by src and
+    AQE, so the first cut of this fix still re-exchanged the edge
+    table every round) whose SMJ lane neither re-exchanges nor
+    re-sorts it. Remaining per-round exchanges are O(nodes). Before
+    any of this, every round re-shuffled the EDGE table by src and
     re-computed+re-shuffled out_mass from scratch (checkpointed
     ranks start a fresh plan per round, so no cross-round stage
     reuse) -- at 100 TB the edge re-exchange is the whole job."""
-    from ..session import pinned_partition_cache
+    from ..session import BROADCAST_CEILING_ROWS, iterative_loop_side
 
-    e = pinned_partition_cache(e, "src")
-    out_mass = pinned_partition_cache(out_mass, "node")
-    base = pinned_partition_cache(base, "node")
-    # Broadcastable share table (the measured common case: ranks are 2
-    # longs/node, so anything under ~2M nodes fits the 64MB broadcast
-    # comfortably): hint the broadcast EXPLICITLY. The share side is
-    # built from a checkpointed ranks frame whose LogicalRDD carries no
-    # size stats, so the static planner never broadcasts it on its own,
-    # and against the pinned cache the zero-exchange SMJ looks free --
-    # but its per-round probe-side merge measured SLOWER than BHJ over
-    # the same cache (100x A/B: 20.2 s vs 17.5 s). Past the broadcast
-    # ceiling the pinned cache still guarantees the SMJ lane never
-    # re-exchanges or re-sorts the edge table.
-    # base is cached by the helper, so this count is a cheap columnar
-    # pass and equals the node-universe size the share table is
-    # bounded by
-    bcast_share = base.count() < 2_000_000
+    # node-universe size decides the lane (callers that already counted
+    # pass it; base is one row per node, so the fallback count is exact)
+    if n_nodes is None:
+        n_nodes = base.count()
+    e = iterative_loop_side(e, "src", small_side_rows=n_nodes)
+    # materialized once (recompute per round was the original sin); no
+    # repartition -- the partitioning would not survive the checkpoint
+    # under AQE, and out_mass is O(nodes) small
+    out_mass = out_mass.localCheckpoint()
+    # Broadcastable share table (ranks are 2 narrow columns/node, so
+    # anything under the ceiling fits the 64MB broadcast comfortably):
+    # hint the broadcast EXPLICITLY. The share side is built from a
+    # checkpointed ranks frame whose LogicalRDD carries no size stats,
+    # so the static planner never broadcasts it unaided, and leaving it
+    # to AQE's runtime conversion still writes the edge side's map-side
+    # shuffle files first; the hint plans BHJ from the start, so the
+    # edge side streams straight out of its materialized form. Past
+    # the ceiling the pinned-cache lane guarantees the SMJ never
+    # re-exchanges or re-sorts the edge table (the interleaved 100x
+    # A/B read ratio 1.01 for the hinted-broadcast lane vs the prior
+    # checkpoint+runtime-broadcast form).
+    bcast_share = n_nodes < BROADCAST_CEILING_ROWS
     try:
         for _ in range(n_iter):
             contrib_src = ranks.join(out_mass, "node", "left")
@@ -429,12 +440,10 @@ def _pagerank_rounds(
                 .localCheckpoint()
             )
     finally:
-        # the per-round checkpoints materialized every consumer of the
-        # caches; the driver certifies 270+ queries in one session, so
-        # caches must not outlive their loop
+        # the per-round checkpoints materialized every consumer; the
+        # driver certifies 270+ queries in one session, so a pinned
+        # cache must not outlive its loop (no-op on the checkpoint lane)
         e.unpersist()
-        out_mass.unpersist()
-        base.unpersist()
     return ranks
 
 
@@ -479,6 +488,7 @@ def pagerank(
         # repartition-by-src + checkpoint of the edge side
         e=edges.select("src", "dst"),
         n_iter=n_iter,
+        n_nodes=n,
         in_share_val=lambda share: share,
         update_expr=lambda: (
             F.lit((1.0 - damping) / n)

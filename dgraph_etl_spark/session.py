@@ -138,6 +138,38 @@ def pinned_partition_cache(df, *keys: str):
     return out
 
 
+# Rows above which a 2-narrow-column per-node table stops fitting the
+# session's 64MB broadcast comfortably -- the lane boundary for
+# iterative_loop_side and the pagerank share-side broadcast hint.
+BROADCAST_CEILING_ROWS = 2_000_000
+
+
+def iterative_loop_side(df, *keys: str, small_side_rows: int):
+    """Materialize the BIG side of an iterative per-round join, picking
+    the lane by whether the loop's SMALL side (per-node labels/ranks)
+    can broadcast:
+
+    - under the ceiling, the small side broadcasts (explicitly or via
+      AQE), so the per-round join never exchanges the big side anyway
+      -- the cheap serialized ``repartition().localCheckpoint()`` wins
+      (the pinned cache's columnar encode + sort measured 1.2-1.7x
+      fixed overhead on sf0.1 in the round-10 interleaved A/B, buying
+      nothing at that scale);
+    - at or past it, broadcast is off the table and only
+      pinned_partition_cache gives a per-round join that neither
+      re-exchanges nor re-sorts the big side (mechanism A/B: -26%
+      steady-state over 8 rounds at 20M edges).
+
+    Either return value accepts ``.unpersist()`` in the caller's
+    finally (a no-op on the checkpoint lane)."""
+    if small_side_rows < BROADCAST_CEILING_ROWS:
+        # no repartition: the partitioning would not survive the
+        # checkpoint under AQE anyway (UnknownPartitioning), so the
+        # shuffle would be pure build-time waste on this lane
+        return df.localCheckpoint()
+    return pinned_partition_cache(df, *keys)
+
+
 class SessionKeyedMap:
     """Registry keyed by a LIVE SparkSession (plus an optional subkey),
     carrying the three safety properties every per-session cache in

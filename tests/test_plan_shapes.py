@@ -642,3 +642,79 @@ def test_merge_lane_bucketed_twin_contracts(spark, sf_small):
         assert n_ex <= max_exchanges, (twin_name, n_ex, plan)
         if max_exchanges == 0:
             assert plan.count("Bucketed: true") >= 2, (twin_name, plan)
+
+
+def test_pinned_partition_cache_join_contract(spark):
+    """session.pinned_partition_cache: the big side of a keyed join
+    against the pinned cache plans with NO Exchange and NO Sort above
+    the InMemoryTableScan (the cache is registered AQE-off so the
+    InMemoryRelation advertises HashPartitioning + ordering; under
+    plain persist/localCheckpoint both report UnknownPartitioning and
+    the per-round join re-shuffles -- the round-10 regression class),
+    and iterative_loop_side only pays for the cache past the
+    broadcast ceiling."""
+    import re
+
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from dgraph_etl_spark.session import (
+        BROADCAST_CEILING_ROWS,
+        iterative_loop_side,
+        pinned_partition_cache,
+    )
+
+    # DISTINCT logical plans per probe: the cache manager matches
+    # entries by plan equality, so an unpersist of one probe would
+    # silently evict an identical-plan sibling's cache (the loops
+    # unpersist only in their own finally, sequentially, so production
+    # worst-case is a benign recompute -- but the test must not race
+    # itself)
+    base = spark.range(2000).select(
+        (F.col("id") % 97).alias("u"), F.col("id").alias("v")
+    )
+    base2 = spark.range(2001).select(
+        (F.col("id") % 97).alias("u"), F.col("id").alias("v")
+    )
+    base3 = spark.range(2002).select(
+        (F.col("id") % 97).alias("u"), F.col("id").alias("v")
+    )
+    pinned = pinned_partition_cache(base, "u")
+    try:
+        # lane selection: below the ceiling -> cheap checkpoint (not
+        # cached); at/past it -> the pinned cache
+        cold = iterative_loop_side(base2, "u", small_side_rows=10)
+        assert cold.storageLevel == StorageLevel.NONE, cold.storageLevel
+        hot = iterative_loop_side(
+            base3, "u", small_side_rows=BROADCAST_CEILING_ROWS
+        )
+        try:
+            assert hot.storageLevel != StorageLevel.NONE
+        finally:
+            hot.unpersist()
+
+        right = spark.range(500).select(
+            F.col("id").alias("k"), F.lit(1).alias("w")
+        )
+        j = (
+            pinned.join(
+                right.hint("merge"), pinned["u"] == right["k"]
+            )
+            .groupBy("v")
+            .agg(F.sum("w").alias("s"))
+        )
+        plan = formatted_plan(j)
+        scan = re.search(r"\((\d+)\) InMemoryTableScan", plan)
+        assert scan, plan
+        # the cached side's join branch: between the SMJ and the scan
+        # there must be neither an Exchange nor a Sort (tree renders
+        # the left branch lines as ':- ...' up to the right branch)
+        tree = plan.split("(1) ", 1)[0]
+        left_branch = "\n".join(
+            line for line in tree.splitlines() if ":-" in line or "InMemory" in line
+        )
+        assert "InMemoryTableScan" in left_branch, plan
+        assert "Exchange" not in left_branch, plan
+        assert not re.search(r"\bSort\b(?!MergeJoin)", left_branch), plan
+    finally:
+        pinned.unpersist()
