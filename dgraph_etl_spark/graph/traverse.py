@@ -828,6 +828,7 @@ def weighted_pagerank(
         out_mass=out_w,
         e=edges.select("src", "dst", "score"),
         n_iter=n_iter,
+        n_nodes=n,
         # share = rank/out_w, weighted per edge by its score
         in_share_val=lambda share: share * F.col("score"),
         update_expr=lambda: (
