@@ -731,45 +731,74 @@ def hits(
         .dropDuplicates(["node"])
         .localCheckpoint()
     )
-    if not nodes.take(1):
+    n = nodes.count()
+    if n == 0:
         # loud, named failure -- the ranking family's convention
         # (pagerank/weighted_pagerank raise on empty input; silence
         # here would record 'zero hubs' instead of a bad input)
         raise ValueError("hits: empty edge table (no nodes)")
-    e = edges.select("src", "dst").localCheckpoint()
+    # Lane gate, the _pagerank_rounds discipline: under the broadcast
+    # ceiling the per-node hub/auth vectors broadcast explicitly (the
+    # checkpointed frames carry no stats, so the static planner never
+    # does it unaided) over one cheap serialized checkpoint of the
+    # edges; past it, HITS joins the edge table on BOTH orientations
+    # per round, so each gets its own partition+order pinned copy --
+    # the per-round joins then neither re-exchange nor re-sort the
+    # edge side (session.pinned_partition_cache).
+    from ..session import BROADCAST_CEILING_ROWS, pinned_partition_cache
+
+    small = n < BROADCAST_CEILING_ROWS
+    if small:
+        e_src = e_dst = edges.select("src", "dst").localCheckpoint()
+    else:
+        e_src = pinned_partition_cache(edges.select("src", "dst"), "src")
+        e_dst = pinned_partition_cache(edges.select("src", "dst"), "dst")
+    _bc = F.broadcast if small else (lambda df: df)
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     # n_iter=0 degrades to the initial vectors, like pagerank
     auth = nodes.select("node", F.lit(1.0).alias("auth"))
-    for _ in range(n_iter):
-        in_sum = (
-            e.join(hub.select(F.col("node").alias("src"), "hub"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub").alias("v"))
-        )
-        auth_raw = nodes.join(in_sum, "node", "left").select(
-            "node", F.coalesce(F.col("v"), F.lit(0.0)).alias("auth")
-        )
-        a_norm = auth_raw.agg(F.sum("auth").alias("a_tot"))
-        auth = (
-            auth_raw.crossJoin(F.broadcast(a_norm))
-            .select("node", (F.col("auth") / F.col("a_tot")).alias("auth"))
-            .localCheckpoint(eager=False)
-        )
-        out_sum = (
-            e.join(auth.select(F.col("node").alias("dst"), "auth"), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("auth").alias("v"))
-        )
-        hub_raw = nodes.join(out_sum, "node", "left").select(
-            "node", F.coalesce(F.col("v"), F.lit(0.0)).alias("hub")
-        )
-        h_norm = hub_raw.agg(F.sum("hub").alias("h_tot"))
-        hub = (
-            hub_raw.crossJoin(F.broadcast(h_norm))
-            .select("node", (F.col("hub") / F.col("h_tot")).alias("hub"))
-            .localCheckpoint(eager=False)
-        )
-    return hub.join(auth, "node").select(
+    try:
+        for _ in range(n_iter):
+            in_sum = (
+                e_src.join(
+                    _bc(hub.select(F.col("node").alias("src"), "hub")), "src"
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("v"))
+            )
+            auth_raw = nodes.join(in_sum, "node", "left").select(
+                "node", F.coalesce(F.col("v"), F.lit(0.0)).alias("auth")
+            )
+            a_norm = auth_raw.agg(F.sum("auth").alias("a_tot"))
+            auth = (
+                auth_raw.crossJoin(F.broadcast(a_norm))
+                .select("node", (F.col("auth") / F.col("a_tot")).alias("auth"))
+                .localCheckpoint(eager=False)
+            )
+            out_sum = (
+                e_dst.join(
+                    _bc(auth.select(F.col("node").alias("dst"), "auth")), "dst"
+                )
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("auth").alias("v"))
+            )
+            hub_raw = nodes.join(out_sum, "node", "left").select(
+                "node", F.coalesce(F.col("v"), F.lit(0.0)).alias("hub")
+            )
+            h_norm = hub_raw.agg(F.sum("hub").alias("h_tot"))
+            hub = (
+                hub_raw.crossJoin(F.broadcast(h_norm))
+                .select("node", (F.col("hub") / F.col("h_tot")).alias("hub"))
+                .localCheckpoint(eager=False)
+            )
+        # materialize the final vectors BEFORE the caches they derive
+        # from can be unpersisted (the eager=False round checkpoints
+        # only pin blocks once computed)
+        result = hub.join(auth, "node").localCheckpoint()
+    finally:
+        e_src.unpersist()
+        e_dst.unpersist()
+    return result.select(
         "node",
         F.round("hub", round_dp).alias("hub"),
         F.round("auth", round_dp).alias("auth"),
