@@ -145,10 +145,13 @@ def cmd_bulk(args) -> int:
 def cmd_query(args) -> int:
     """The 2-hop traversal (cmd/query/main.go:29-43): seed by team_id,
     expand twice with visited-set exclusion, print hop counts and the
-    hop-2 person ids. With --dql, execute a DQL query text (the
-    reference's var-block/eq/uid/@filter subset, graph/dql.py) against
-    the same graph instead -- pass the text itself or @path/to/file;
-    the literal string the reference binary sends works verbatim."""
+    hop-2 person ids. With --dql, execute a DQL query text
+    (graph/dql.py: the reference's var-block/eq/uid/@filter subset
+    plus root @filter boolean algebra, has/ge/le/gt/lt funcs,
+    orderasc/orderdesc + first/offset pagination and count(pred))
+    against the same graph instead -- pass the text itself or
+    @path/to/file; the literal string the reference binary sends
+    works verbatim."""
     from .catalog import register_views
     from .graph.traverse import k_hop, team_seed
 
@@ -239,8 +242,10 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--hops", type=int, default=2)
     q.add_argument(
         "--dql",
-        help="DQL query text (or @file) in the reference's "
-        "var/eq/uid/@filter subset; overrides --team-id/--hops",
+        help="DQL query text (or @file): the reference's "
+        "var/eq/uid/@filter subset plus root filters, has/ge/le/"
+        "gt/lt, orderasc/first/offset and count(pred); overrides "
+        "--team-id/--hops",
     )
     q.set_defaults(fn=cmd_query)
     return p

@@ -1,32 +1,59 @@
-"""DQL text front-end for the reference's query subset (EP3 verbatim
-parity): parse the EXACT query text the reference's query binary sends
-over gRPC (cmd/query/main.go:29-43) and execute it as the same
+"""DQL text front-end: the reference's query subset (EP3 verbatim
+parity) plus the practical Dgraph DQL features a user of the reference
+would reach for next. Parses query text and executes it as the same
 broadcast-frontier traversal plan g01-g05 run.
 
-Supported subset -- precisely what the reference emits:
+The reference's query binary sends exactly one shape over gRPC
+(cmd/query/main.go:29-43): var blocks, ``eq``/``uid`` roots, edge
+steps with ``@filter(NOT uid(...) AND ...)``, leaf projections. That
+subset is covered verbatim (g30). On top of it this module supports
+the documented public DQL semantics for:
 
     query   := '{' block+ '}'
-    block   := NAME '(' 'func:' root ')' '{' line* '}'
+    block   := NAME '(' 'func:' root {',' modifier} ')'
+               ['@filter(' filter ')'] '{' line* '}'
     root    := 'eq(' ATTR ',' VALUE ')' | 'uid(' VAR ')'
+             | 'has(' PRED ')'
+             | ('ge'|'le'|'gt'|'lt') '(' ATTR ',' VALUE ')'
+    modifier:= 'orderasc:' ATTR | 'orderdesc:' ATTR
+             | 'first:' INT | 'offset:' INT
     line    := '#' comment
-             | [VAR 'as'] PRED [ '@filter(' filter ')' ]   # edge step
-             | ATTR                                        # leaf proj
-    filter  := 'NOT uid(' VAR ')' { 'AND' 'NOT uid(' VAR ')' }
+             | [VAR 'as'] PRED [ '@filter(' filter ')' ]  # edge step
+             | 'count(' PRED ')'                          # fan-out
+             | ATTR                                       # leaf proj
+    filter  := orx ; orx := andx {'OR' andx}
+             ; andx := unary {'AND' unary}
+             ; unary := 'NOT' unary | '(' orx ')' | term
+    term    := 'uid(' VAR ')' | 'eq(' ATTR ',' VALUE ')'
+             | 'has(' PRED ')'
+             | ('ge'|'le'|'gt'|'lt') '(' ATTR ',' VALUE ')'
 
 Semantics (Dgraph's, for this subset):
-- a block's root is a uid set: ``eq(attr, v)`` selects nodes whose
-  attribute equals v; ``uid(x)`` references a previously bound var;
-- an edge step follows the named predicate out of every root uid,
-  optionally excluding the uids of earlier vars (``@filter(NOT
-  uid(x) AND ...)``), and ``x as pred`` binds the reached set;
-- ``var`` blocks bind only; NAMED blocks are outputs (the reference
-  names them hop1_count / hop2_count and reads the counts).
+- a block's root is a uid set; ``@filter`` after the head filters the
+  root set BEFORE ordering/pagination (Dgraph's evaluation order);
+- ``orderasc/orderdesc`` sort by an attribute -- nodes MISSING the
+  order attribute are dropped from the result, exactly as Dgraph
+  documents for sorted queries; ties break on uid (here: ``id``);
+- ``first``/``offset`` paginate the (ordered) root set; without an
+  explicit order Dgraph pages in uid order, mirrored here on ``id``;
+- an edge step follows the named predicate out of every root uid; its
+  ``@filter`` prunes the REACHED set; ``x as pred`` binds it;
+- ``count(pred)`` projects each root uid's distinct out-neighbor
+  count through ``pred`` (0 when none);
+- inequality terms compare by the attribute's declared type
+  (``DqlGraph.attr_types``): numeric attributes compare numerically,
+  strings lexicographically -- a numeric comparison against an
+  unparseable literal is a loud error, never a silent string compare;
+- ``var`` blocks bind only; NAMED blocks are outputs.
 
 Execution: uid sets are DataFrames with one ``id`` column; an edge
 step is a broadcast-frontier join against the bound predicate's edge
 table (the k_hop scale shape: the 100 TB edge table never moves, the
-frontier does) and each NOT-uid filter is a left-anti join -- the
-relational reading documented at graph/traverse.py:1.
+frontier does); NOT is a left-anti join, AND a left-semi fold, OR a
+union-dedup of branch survivors; ``first: N`` plans as the
+TakeOrderedAndProject top-k (the b24 shape -- never a global sort),
+with the page's row_number computed on the <= offset+first surviving
+rows. The relational reading is documented at graph/traverse.py:1.
 
 The graph itself is supplied as ``DqlGraph`` bindings (edge tables per
 predicate, eq-attribute index, leaf attributes), so the front-end is
@@ -38,8 +65,13 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# filter/root terms: tagged tuples
+#   ("uid", var) ("eq", attr, val) ("has", pred) ("cmp", op, attr, val)
+#   ("and", [..]) ("or", [..]) ("not", expr)
+_CMP_OPS = ("ge", "le", "gt", "lt")
 
 
 # ---------------------------------------------------------------- AST
@@ -49,16 +81,42 @@ from pyspark.sql import functions as F
 class EdgeStep:
     pred: str
     alias: str | None  # 'x as pred' binding, or None
-    not_uids: list[str] = field(default_factory=list)
+    filt: tuple | None = None  # filter expr AST, or None
+
+    @property
+    def not_uids(self) -> list[str]:
+        """The NOT-uid vars when the filter is the reference subset's
+        pure conjunction shape (``NOT uid(a) AND NOT uid(b)``); []
+        when unfiltered. Raises on any richer filter -- reading a
+        boolean algebra through this keyhole would be silently wrong."""
+        if self.filt is None:
+            return []
+        terms = (
+            list(self.filt[1]) if self.filt[0] == "and" else [self.filt]
+        )
+        out = []
+        for t in terms:
+            if t[0] == "not" and t[1][0] == "uid":
+                out.append(t[1][1])
+            else:
+                raise ValueError(
+                    f"filter is not a pure NOT-uid conjunction: {self.filt!r}"
+                )
+        return out
 
 
 @dataclass
 class Block:
     name: str  # 'var' or an output name
-    root_kind: str  # 'eq' | 'uid'
-    root_args: tuple  # ('team_id', '7') for eq; ('src',) for uid
+    root_kind: str  # 'eq' | 'uid' | 'has' | 'ge' | 'le' | 'gt' | 'lt'
+    root_args: tuple  # ('team_id', '7') for eq/cmp; ('src',) for uid/has
     steps: list[EdgeStep] = field(default_factory=list)
     leaf_attrs: list[str] = field(default_factory=list)
+    counts: list[str] = field(default_factory=list)  # count(pred) lines
+    root_filter: tuple | None = None  # @filter on the block head
+    order: tuple | None = None  # (attr, ascending: bool)
+    first: int | None = None
+    offset: int | None = None
 
 
 class DqlSyntaxError(ValueError):
@@ -66,22 +124,184 @@ class DqlSyntaxError(ValueError):
     fragment (the repo's fail-loudly discipline)."""
 
 
-_BLOCK_HEAD = re.compile(
-    r"^(?P<name>\w+)\s*\(\s*func\s*:\s*"
-    r"(?:eq\s*\(\s*(?P<eq_attr>\w+)\s*,\s*(?P<eq_val>[^)]+?)\s*\)"
-    r"|uid\s*\(\s*(?P<uid_var>\w+)\s*\))\s*\)\s*$"
+_HEAD = re.compile(
+    r"^(?P<name>\w+)\s*\(\s*func\s*:\s*(?P<inner>.*?)\s*\)\s*"
+    r"(?:@filter\s*\(\s*(?P<filter>.*?)\s*\)\s*)?$",
+    re.DOTALL,
 )
 _EDGE_LINE = re.compile(
     r"^(?:(?P<alias>\w+)\s+as\s+)?(?P<pred>\w+)"
     r"(?:\s*@filter\s*\((?P<filter>[^)]*(?:\([^)]*\)[^)]*)*)\))?\s*$"
 )
-_NOT_UID = re.compile(r"NOT\s+uid\s*\(\s*(\w+)\s*\)")
+_COUNT_LINE = re.compile(r"^count\s*\(\s*(?P<pred>\w+)\s*\)\s*$")
+_FILTER_TOKEN = re.compile(
+    r"\s*(?:(?P<lp>\()|(?P<rp>\))|(?P<comma>,)"
+    r"|(?P<word>AND\b|OR\b|NOT\b)"
+    r"|(?P<quoted>\"[^\"]*\"|'[^']*')"
+    r"|(?P<atom>[^\s(),\"']+))"
+)
+
+
+def _tokenize_filter(text: str) -> list[str]:
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _FILTER_TOKEN.match(text, pos)
+        if m is None or m.end() == pos:
+            raise DqlSyntaxError(f"unreadable filter fragment: {text[pos:]!r}")
+        pos = m.end()
+        for kind in ("lp", "rp", "comma", "word", "quoted", "atom"):
+            v = m.group(kind)
+            if v is not None:
+                toks.append(v)
+                break
+    return toks
+
+
+def _parse_func_term(toks: list[str], i: int) -> tuple[tuple, int]:
+    """Parse ``name(arg, ...)`` at ``toks[i]`` into a term tuple."""
+    name = toks[i]
+    if i + 1 >= len(toks) or toks[i + 1] != "(":
+        raise DqlSyntaxError(f"expected '(' after {name!r} in filter")
+    args, j = [], i + 2
+    while j < len(toks) and toks[j] != ")":
+        if toks[j] != ",":
+            args.append(toks[j].strip("\"'"))
+        j += 1
+    if j >= len(toks):
+        raise DqlSyntaxError(f"unclosed {name}(...) in filter")
+    j += 1  # past ')'
+    if name == "uid":
+        if len(args) != 1:
+            raise DqlSyntaxError(f"uid() takes one var, got {args!r}")
+        return ("uid", args[0]), j
+    if name == "eq":
+        if len(args) != 2:
+            raise DqlSyntaxError(f"eq() takes (attr, value), got {args!r}")
+        return ("eq", args[0], args[1]), j
+    if name == "has":
+        if len(args) != 1:
+            raise DqlSyntaxError(f"has() takes one predicate, got {args!r}")
+        return ("has", args[0]), j
+    if name in _CMP_OPS:
+        if len(args) != 2:
+            raise DqlSyntaxError(f"{name}() takes (attr, value), got {args!r}")
+        return ("cmp", name, args[0], args[1]), j
+    raise DqlSyntaxError(f"unsupported filter function: {name!r}")
+
+
+def _parse_unary(toks: list[str], i: int) -> tuple[tuple, int]:
+    if i >= len(toks):
+        raise DqlSyntaxError("filter ends mid-expression")
+    if toks[i] == "NOT":
+        inner, j = _parse_unary(toks, i + 1)
+        return ("not", inner), j
+    if toks[i] == "(":
+        inner, j = _parse_or(toks, i + 1)
+        if j >= len(toks) or toks[j] != ")":
+            raise DqlSyntaxError("unbalanced parens in filter")
+        return inner, j + 1
+    return _parse_func_term(toks, i)
+
+
+def _parse_and(toks: list[str], i: int) -> tuple[tuple, int]:
+    parts, j = [], i
+    expr, j = _parse_unary(toks, j)
+    parts.append(expr)
+    while j < len(toks) and toks[j] == "AND":
+        expr, j = _parse_unary(toks, j + 1)
+        parts.append(expr)
+    return (parts[0] if len(parts) == 1 else ("and", parts)), j
+
+
+def _parse_or(toks: list[str], i: int) -> tuple[tuple, int]:
+    parts, j = [], i
+    expr, j = _parse_and(toks, j)
+    parts.append(expr)
+    while j < len(toks) and toks[j] == "OR":
+        expr, j = _parse_and(toks, j + 1)
+        parts.append(expr)
+    return (parts[0] if len(parts) == 1 else ("or", parts)), j
+
+
+def parse_filter(text: str) -> tuple:
+    """Parse a ``@filter(...)`` body into a term/boolean AST. Raises
+    DqlSyntaxError on anything outside the subset."""
+    toks = _tokenize_filter(text)
+    if not toks:
+        raise DqlSyntaxError("empty @filter()")
+    expr, i = _parse_or(toks, 0)
+    if i != len(toks):
+        raise DqlSyntaxError(
+            f"trailing content in filter: {' '.join(toks[i:])!r}"
+        )
+    return expr
+
+
+def _split_head_args(inner: str) -> list[str]:
+    """Split the head's paren body on depth-0 commas, so function
+    arguments (``eq(a, b)``) stay intact."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(inner):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(inner[start:i].strip())
+            start = i + 1
+    parts.append(inner[start:].strip())
+    return [p for p in parts if p]
+
+
+def _parse_head(head: str) -> Block:
+    m = _HEAD.match(head)
+    if not m:
+        raise DqlSyntaxError(f"unsupported block head: {head!r}")
+    parts = _split_head_args(m.group("inner"))
+    if not parts:
+        raise DqlSyntaxError(f"empty func: in block head: {head!r}")
+    term, j = _parse_func_term(_tokenize_filter(parts[0]), 0)
+    if term[0] == "uid":
+        root_kind, root_args = "uid", (term[1],)
+    elif term[0] == "eq":
+        root_kind, root_args = "eq", (term[1], term[2])
+    elif term[0] == "has":
+        root_kind, root_args = "has", (term[1],)
+    else:  # ("cmp", op, attr, val)
+        root_kind, root_args = term[1], (term[2], term[3])
+    block = Block(m.group("name"), root_kind, root_args)
+    for part in parts[1:]:
+        if ":" not in part:
+            raise DqlSyntaxError(f"unsupported root modifier: {part!r}")
+        key, _, val = part.partition(":")
+        key, val = key.strip(), val.strip().strip("\"'")
+        if key in ("orderasc", "orderdesc"):
+            if block.order is not None:
+                raise DqlSyntaxError(f"duplicate order modifier: {part!r}")
+            block.order = (val, key == "orderasc")
+        elif key in ("first", "offset"):
+            try:
+                n = int(val)
+            except ValueError:
+                raise DqlSyntaxError(
+                    f"{key}: expects an integer, got {val!r}"
+                ) from None
+            if n < 0:
+                raise DqlSyntaxError(f"{key}: must be >= 0, got {n}")
+            if getattr(block, key) is not None:
+                raise DqlSyntaxError(f"duplicate {key}: modifier")
+            setattr(block, key, n)
+        else:
+            raise DqlSyntaxError(f"unsupported root modifier: {part!r}")
+    if m.group("filter") is not None:
+        block.root_filter = parse_filter(m.group("filter"))
+    return block
 
 
 def parse_dql(text: str) -> list[Block]:
-    """Parse the reference's DQL subset into block ASTs. Raises
-    DqlSyntaxError (with the fragment) on anything outside the
-    subset -- silently mis-reading a query is worse than refusing."""
+    """Parse the DQL subset into block ASTs. Raises DqlSyntaxError
+    (with the fragment) on anything outside the subset -- silently
+    mis-reading a query is worse than refusing."""
     # strip comments, then tokenize on braces so block bodies are
     # delimited exactly (the reference indents with tabs and spaces)
     lines = []
@@ -105,9 +325,6 @@ def parse_dql(text: str) -> list[Block]:
                 )
             break
         head = " ".join(body[pos:open_i].split())
-        m = _BLOCK_HEAD.match(head)
-        if not m:
-            raise DqlSyntaxError(f"unsupported block head: {head!r}")
         depth, i = 1, open_i + 1
         while i < len(body) and depth:
             if body[i] == "{":
@@ -122,29 +339,17 @@ def parse_dql(text: str) -> list[Block]:
             raise DqlSyntaxError(
                 f"nested blocks are outside the reference subset: {inner[:60]!r}"
             )
-        if m.group("eq_attr"):
-            root_kind, root_args = "eq", (
-                m.group("eq_attr"),
-                m.group("eq_val").strip().strip("\"'"),
-            )
-        else:
-            root_kind, root_args = "uid", (m.group("uid_var"),)
-        block = Block(m.group("name"), root_kind, root_args)
+        block = _parse_head(head)
         for part in _body_lines(inner):
+            cm = _COUNT_LINE.match(part)
+            if cm is not None:
+                block.counts.append(cm.group("pred"))
+                continue
             em = _EDGE_LINE.match(part)
             if em is None:
                 raise DqlSyntaxError(f"unsupported body line: {part!r}")
             if em.group("filter") is not None:
-                filt = em.group("filter").strip()
-                not_uids = _NOT_UID.findall(filt)
-                # the subset allows ONLY AND-joined NOT uid(...) terms:
-                # verify nothing else lurks in the filter text
-                leftover = _NOT_UID.sub("", filt)
-                leftover = re.sub(r"\bAND\b", "", leftover).strip()
-                if leftover:
-                    raise DqlSyntaxError(
-                        f"unsupported @filter fragment: {filt!r}"
-                    )
+                filt = parse_filter(em.group("filter"))
                 if em.group("alias") is None:
                     # an unaliased filtered edge step is a nested
                     # EXPANSION in full Dgraph (per-uid child results);
@@ -156,11 +361,11 @@ def parse_dql(text: str) -> list[Block]:
                         f"is outside the subset: {part!r}"
                     )
                 block.steps.append(
-                    EdgeStep(em.group("pred"), em.group("alias"), not_uids)
+                    EdgeStep(em.group("pred"), em.group("alias"), filt)
                 )
             elif em.group("alias"):
                 block.steps.append(
-                    EdgeStep(em.group("pred"), em.group("alias"), [])
+                    EdgeStep(em.group("pred"), em.group("alias"), None)
                 )
             else:
                 # a bare word: leaf attribute projection
@@ -199,25 +404,35 @@ class DqlGraph:
     """Schema binding from DQL predicate names onto DataFrames.
 
     edge_preds: predicate -> DataFrame(src, dst) -- the edge table the
-        predicate traverses (ids in one shared namespace).
+        predicate traverses (ids in one shared namespace; one row per
+        (src, dst) pair -- a SET of edges, the Dgraph uid-list model).
     eq_index: attribute -> DataFrame(id, value:string) -- node ids by
-        attribute value, for ``func: eq(attr, v)`` roots.
+        attribute value, for ``eq``/``ge``/``le``/``gt``/``lt`` roots
+        and filter terms, and for ``orderasc/orderdesc`` keys.
     leaf_attrs: attribute -> DataFrame(id, <attribute>) -- node
-        attribute lookup for leaf projections."""
+        attribute lookup for leaf projections (also an order-key
+        fallback when the attribute has no eq_index entry).
+    attr_types: attribute -> 'string' | 'int' | 'float' (default
+        'string') -- how inequality terms and order keys compare.
+        Dgraph compares by the predicate's schema type; a numeric
+        attribute left at the string default would sort '10' < '9'."""
 
     edge_preds: dict[str, DataFrame]
     eq_index: dict[str, DataFrame]
     leaf_attrs: dict[str, DataFrame]
+    attr_types: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
 class DqlResult:
     """One named (non-var) block's output: its root uid set, resolved
-    leaf attributes (if any), and the vars it bound."""
+    projections (if any), and the vars it bound. A paginated/ordered
+    block's ``uids`` carries an extra ``rn`` column (the 1-based
+    global rank, offset included) pinning the page order."""
 
     name: str
-    uids: DataFrame  # column: id
-    attrs: DataFrame | None  # uids joined onto leaf attributes
+    uids: DataFrame  # column: id [, rn]
+    attrs: DataFrame | None  # uids joined onto leaf attrs / counts
 
 
 def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
@@ -228,12 +443,16 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
     predicate's edge table (never moves the edges), exclusions are
     anti-joins, every bound set is dropDuplicates'd -- identical to
     graph/traverse.expand, which executes the same reference query as
-    hand-built DataFrames (g01-g05)."""
+    hand-built DataFrames (g01-g05). Pagination is top-k
+    (TakeOrderedAndProject), never a global sort."""
     env: dict[str, DataFrame] = {}
     out: list[DqlResult] = []
     n_steps = 0
     for block in parse_dql(text):
         root = _root_set(block, env, graph)
+        if block.root_filter is not None:
+            root = _apply_filter(root, block.root_filter, env, graph)
+        root = _order_page(root, block, graph)
         for step in block.steps:
             edges = graph.edge_preds.get(step.pred)
             if edges is None:
@@ -257,12 +476,8 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                 .select(F.col(f"{ea}.dst").alias("id"))
                 .dropDuplicates(["id"])
             )
-            for var in step.not_uids:
-                if var not in env:
-                    raise DqlSyntaxError(
-                        f"@filter references unbound var {var!r}"
-                    )
-                reached = reached.join(env[var], "id", "left_anti")
+            if step.filt is not None:
+                reached = _apply_filter(reached, step.filt, env, graph)
             if step.alias:
                 # truncate lineage at each binding (k_hop's per-frontier
                 # discipline): later blocks reference a var BOTH as a
@@ -271,6 +486,7 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                 # per reference
                 env[step.alias] = reached.localCheckpoint(eager=False)
         if block.name != "var":
+            base_cols = ["id"] + (["rn"] if "rn" in root.columns else [])
             attrs = None
             for attr in block.leaf_attrs:
                 tbl = graph.leaf_attrs.get(attr)
@@ -280,9 +496,32 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                         f"(bound: {sorted(graph.leaf_attrs)})"
                     )
                 attrs = (
-                    attrs if attrs is not None else root.select("id")
+                    attrs if attrs is not None else root.select(*base_cols)
                 ).join(tbl, "id")
-            out.append(DqlResult(block.name, root.select("id"), attrs))
+            for pred in block.counts:
+                edges = graph.edge_preds.get(pred)
+                if edges is None:
+                    raise DqlSyntaxError(
+                        f"count() of unbound edge predicate {pred!r} "
+                        f"(bound: {sorted(graph.edge_preds)})"
+                    )
+                # distinct out-neighbors per root uid, 0 when none
+                # (Dgraph's count(pred) over the uid list); map-side
+                # partial agg, then a broadcast-or-shuffle join back
+                # onto the (small) root frame
+                cnt = (
+                    edges.filter(F.col("dst").isNotNull())
+                    .groupBy(F.col("src").alias("id"))
+                    .agg(
+                        F.countDistinct("dst").alias(f"count_{pred}")
+                    )
+                )
+                attrs = (
+                    (attrs if attrs is not None else root.select(*base_cols))
+                    .join(cnt, "id", "left")
+                    .fillna(0, subset=[f"count_{pred}"])
+                )
+            out.append(DqlResult(block.name, root, attrs))
     return out
 
 
@@ -292,13 +531,197 @@ def _root_set(block: Block, env: dict, graph: DqlGraph) -> DataFrame:
         if var not in env:
             raise DqlSyntaxError(f"func: uid({var}) references unbound var")
         return env[var]
+    if block.root_kind == "has":
+        (pred,) = block.root_args
+        return _has_set(pred, graph)
+    if block.root_kind == "eq":
+        attr, val = block.root_args
+        idx = _eq_idx(attr, graph)
+        return (
+            idx.filter(F.col("value") == val)
+            .select("id")
+            .dropDuplicates(["id"])
+        )
+    # ge / le / gt / lt
     attr, val = block.root_args
+    return _cmp_set(block.root_kind, attr, val, graph)
+
+
+def _eq_idx(attr: str, graph: DqlGraph) -> DataFrame:
     idx = graph.eq_index.get(attr)
     if idx is None:
         raise DqlSyntaxError(
             f"no eq-index for attribute {attr!r} (bound: "
             f"{sorted(graph.eq_index)})"
         )
-    return (
-        idx.filter(F.col("value") == val).select("id").dropDuplicates(["id"])
+    return idx
+
+
+def _typed_value_col(attr: str, graph: DqlGraph):
+    """The eq-index value column cast per the attribute's declared
+    type (string stays lexicographic)."""
+    ty = graph.attr_types.get(attr, "string")
+    col = F.col("value")
+    if ty in ("int", "float"):
+        return col.cast("double")
+    if ty == "string":
+        return col
+    raise DqlSyntaxError(
+        f"unsupported attr_types[{attr!r}] = {ty!r} "
+        "(expected 'string' | 'int' | 'float')"
     )
+
+
+def _typed_literal(attr: str, val: str, graph: DqlGraph):
+    ty = graph.attr_types.get(attr, "string")
+    if ty in ("int", "float"):
+        try:
+            return F.lit(float(val))
+        except ValueError:
+            raise DqlSyntaxError(
+                f"numeric attribute {attr!r} compared against "
+                f"non-numeric literal {val!r}"
+            ) from None
+    return F.lit(val)
+
+
+def _cmp_set(op: str, attr: str, val: str, graph: DqlGraph) -> DataFrame:
+    idx = _eq_idx(attr, graph)
+    key = _typed_value_col(attr, graph)
+    lit = _typed_literal(attr, val, graph)
+    cond = {
+        "ge": key >= lit,
+        "le": key <= lit,
+        "gt": key > lit,
+        "lt": key < lit,
+    }[op]
+    return idx.filter(cond).select("id").dropDuplicates(["id"])
+
+
+def _has_set(pred: str, graph: DqlGraph) -> DataFrame:
+    """has(pred): nodes where the predicate exists -- sources of an
+    edge predicate, or ids carrying a scalar attribute. A name bound
+    in several tables unions them (one predicate namespace)."""
+    parts = []
+    e = graph.edge_preds.get(pred)
+    if e is not None:
+        parts.append(
+            e.filter(F.col("dst").isNotNull()).select(
+                F.col("src").alias("id")
+            )
+        )
+    leaf = graph.leaf_attrs.get(pred)
+    if leaf is not None:
+        parts.append(leaf.select("id"))
+    idx = graph.eq_index.get(pred)
+    if idx is not None and leaf is None:
+        parts.append(idx.select("id"))
+    if not parts:
+        raise DqlSyntaxError(
+            f"has({pred}): predicate bound nowhere (edges: "
+            f"{sorted(graph.edge_preds)}, attrs: {sorted(graph.leaf_attrs)})"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["id"])
+
+
+def _term_uids(term: tuple, env: dict, graph: DqlGraph) -> DataFrame:
+    kind = term[0]
+    if kind == "uid":
+        var = term[1]
+        if var not in env:
+            raise DqlSyntaxError(f"@filter references unbound var {var!r}")
+        return env[var]
+    if kind == "eq":
+        _, attr, val = term
+        idx = _eq_idx(attr, graph)
+        return idx.filter(F.col("value") == val).select("id")
+    if kind == "has":
+        return _has_set(term[1], graph)
+    if kind == "cmp":
+        _, op, attr, val = term
+        return _cmp_set(op, attr, val, graph)
+    raise DqlSyntaxError(f"unknown filter term: {term!r}")
+
+
+def _apply_filter(
+    cand: DataFrame, expr: tuple, env: dict, graph: DqlGraph
+) -> DataFrame:
+    """Filter the candidate uid set by the boolean term algebra:
+    AND folds left-semi joins, OR union-dedups branch survivors, NOT
+    is a left-anti join against the branch's survivors -- pure set
+    algebra on ``id``, no row ever widens."""
+    kind = expr[0]
+    if kind == "and":
+        out = cand
+        for part in expr[1]:
+            out = _apply_filter(out, part, env, graph)
+        return out
+    if kind == "or":
+        branches = [_apply_filter(cand, part, env, graph) for part in expr[1]]
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out.dropDuplicates(["id"])
+    if kind == "not":
+        return cand.join(
+            _apply_filter(cand, expr[1], env, graph), "id", "left_anti"
+        )
+    return cand.join(
+        _term_uids(expr, env, graph).select("id"), "id", "left_semi"
+    )
+
+
+def _order_page(root: DataFrame, block: Block, graph: DqlGraph) -> DataFrame:
+    """Apply orderasc/orderdesc + first/offset to the root set.
+
+    ``first: N`` plans as orderBy().limit(offset+first) -- Spark's
+    TakeOrderedAndProject top-k (per-partition heaps + driver merge,
+    the b24 shape), then row_number over the <= offset+first
+    survivors; the global window only ever sees one page of rows.
+    ``offset``/order without ``first`` ranks the whole root set (root
+    sets are frontiers, small by construction; the unbounded form is
+    kept for parity, the paginated form is the scale path)."""
+    if block.order is None and block.first is None and block.offset is None:
+        return root
+    if block.order is not None:
+        attr, asc = block.order
+        if attr in graph.eq_index:
+            vals = graph.eq_index[attr].select(
+                "id", _typed_value_col(attr, graph).alias("_ord")
+            )
+        elif attr in graph.leaf_attrs:
+            ty = graph.attr_types.get(attr, "string")
+            col = F.col(attr).cast(
+                "double" if ty in ("int", "float") else "string"
+            )
+            vals = graph.leaf_attrs[attr].select("id", col.alias("_ord"))
+        else:
+            raise DqlSyntaxError(
+                f"order attribute {attr!r} bound nowhere (eq_index: "
+                f"{sorted(graph.eq_index)}, attrs: {sorted(graph.leaf_attrs)})"
+            )
+        # Dgraph drops nodes missing the order attribute from sorted
+        # results: inner join, not left
+        ranked = root.select("id").join(
+            vals.dropDuplicates(["id"]), "id"
+        )
+        keys = [
+            F.col("_ord").asc() if asc else F.col("_ord").desc(),
+            F.col("id").asc(),
+        ]
+    else:
+        ranked = root.select("id")
+        keys = [F.col("id").asc()]
+    offset = block.offset or 0
+    if block.first is not None:
+        page = ranked.orderBy(*keys).limit(offset + block.first)
+    else:
+        page = ranked
+    w = Window.orderBy(*keys)
+    page = page.withColumn("rn", F.row_number().over(w).cast("long"))
+    if offset:
+        page = page.filter(F.col("rn") > offset)
+    return page.select("id", "rn")

@@ -247,13 +247,20 @@ def dql_fixture_graph(spark, sf_dir):
                     "id"
                 ),
                 F.col("team_id").cast("string").alias("value"),
-            )
+            ),
+            # numeric person_id index: ge/le/gt/lt filter terms and
+            # orderasc keys compare 9 < 10, not '10' < '9'
+            "person_id": person.select(
+                p("person_id").alias("id"),
+                F.col("person_id").cast("string").alias("value"),
+            ),
         },
         leaf_attrs={
             "person_id": person.select(
                 p("person_id").alias("id"), "person_id"
             )
         },
+        attr_types={"person_id": "int"},
     )
 
 
@@ -283,6 +290,142 @@ def g30_dql_reference_query(spark, sf_dir):
         c = by_name[name].uids.agg(F.count(F.lit(1)).alias(name))
         row = c if row is None else row.crossJoin(c)
     return row
+
+
+# ---- DQL beyond the reference's literal text: the practical Dgraph
+# subset a reference user writes next (root @filter boolean algebra,
+# has/ge root funcs, orderasc+first/offset pagination, count(pred)
+# fan-out). Each lane is a DQL TEXT consumed through graph/dql.py and
+# certified against a plain-SQL oracle -- the front-end is the unit
+# under test, not hand-built DataFrames.
+
+_DQL_FILTER_ALGEBRA = """{
+  var(func: eq(team_id, %s)){
+    src as has_member
+  }
+  var(func: uid(src)){
+    h1 as has_connection
+  }
+  picked(func: uid(h1)) @filter((ge(person_id, 40) OR NOT has(has_connection)) AND NOT uid(src)){
+    person_id
+  }
+}""" % TEAM
+
+
+@register(
+    "g31_dql_filter_algebra",
+    V("""
+    , seeds AS (
+        SELECT DISTINCT person_id AS id
+        FROM team_member WHERE team_id = '7'
+    ),
+    h1 AS (
+        SELECT DISTINCT e.dst AS id
+        FROM edges e JOIN seeds s ON e.src = s.id
+        WHERE e.dst IS NOT NULL
+    )
+    SELECT p.person_id AS person_id
+    FROM h1 JOIN person p ON h1.id = p.person_id
+    WHERE (CAST(p.person_id AS DOUBLE) >= 40
+           OR h1.id NOT IN (SELECT DISTINCT src FROM edges
+                            WHERE dst IS NOT NULL))
+      AND h1.id NOT IN (SELECT id FROM seeds)
+    """),
+    defer=True,
+)
+def g31_dql_filter_algebra(spark, sf_dir):
+    """DQL root @filter with the full boolean algebra: (ge(attr, n)
+    OR NOT has(pred)) AND NOT uid(var) over the 1-hop frontier --
+    OR is a union-dedup of branch survivors, NOT a left-anti join,
+    the ge term a typed (numeric) eq-index range, has(pred) the edge
+    table's source set. Public DQL semantics (Dgraph docs); executed
+    from the query TEXT via graph/dql.py."""
+    from ..graph.dql import run_dql
+
+    (res,) = run_dql(
+        _DQL_FILTER_ALGEBRA, dql_fixture_graph(spark, sf_dir)
+    )
+    return res.attrs.select("person_id")
+
+
+_DQL_ORDERED_PAGE = """{
+  var(func: eq(team_id, %s)){
+    src as has_member
+  }
+  page(func: uid(src), orderasc: person_id, offset: 3, first: 12){
+    person_id
+  }
+}""" % TEAM
+
+
+@register(
+    "g32_dql_ordered_page",
+    V("""
+    , seeds AS (
+        SELECT DISTINCT person_id AS id
+        FROM team_member WHERE team_id = '7'
+    ),
+    ranked AS (
+        SELECT p.person_id AS person_id,
+               CAST(ROW_NUMBER() OVER (
+                    ORDER BY CAST(p.person_id AS DOUBLE), s.id
+               ) AS BIGINT) AS rn
+        FROM seeds s JOIN person p ON s.id = p.person_id
+    )
+    SELECT person_id, rn FROM ranked WHERE rn > 3 AND rn <= 15
+    """),
+    defer=True,
+)
+def g32_dql_ordered_page(spark, sf_dir):
+    """DQL ordered pagination: orderasc on a numeric attribute with
+    offset+first. Plans as TakeOrderedAndProject top-(offset+first)
+    (the b24 shape -- per-partition heaps, never a global sort), then
+    row_number over the one page of survivors; rn pins the page order
+    through the driver's order-insensitive hash."""
+    from ..graph.dql import run_dql
+
+    (res,) = run_dql(_DQL_ORDERED_PAGE, dql_fixture_graph(spark, sf_dir))
+    return res.attrs.select("person_id", "rn")
+
+
+_DQL_COUNT_FANOUT = """{
+  var(func: eq(team_id, %s)){
+    src as has_member
+  }
+  fanout(func: uid(src)){
+    person_id
+    count(has_connection)
+  }
+}""" % TEAM
+
+
+@register(
+    "g33_dql_count_fanout",
+    V("""
+    , seeds AS (
+        SELECT DISTINCT person_id AS id
+        FROM team_member WHERE team_id = '7'
+    )
+    SELECT p.person_id AS person_id,
+           CAST(COALESCE(c.cnt, 0) AS BIGINT) AS count_has_connection
+    FROM seeds s
+    JOIN person p ON s.id = p.person_id
+    LEFT JOIN (
+        SELECT src, COUNT(DISTINCT dst) AS cnt
+        FROM edges WHERE dst IS NOT NULL GROUP BY src
+    ) c ON c.src = s.id
+    """),
+    defer=True,
+)
+def g33_dql_count_fanout(spark, sf_dir):
+    """DQL count(pred) projection: each seed member's distinct
+    out-neighbor count through has_connection, 0 when none -- a
+    map-side partial countDistinct on the edge table joined back onto
+    the (small) root frame, Dgraph's count-of-uid-list semantics."""
+    from ..graph.dql import run_dql
+
+    (res,) = run_dql(_DQL_COUNT_FANOUT, dql_fixture_graph(spark, sf_dir))
+    return res.attrs.select("person_id", "count_has_connection")
 
 
 @register(

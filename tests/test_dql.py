@@ -49,11 +49,24 @@ def test_eq_value_quoting_and_whitespace_are_tolerated():
     "bad, why",
     [
         ("var(func: eq(a, 1)) { x as p }", "no outer braces"),
-        ("{ var(func: has(a)) { x as p } }", "unsupported root func"),
-        ("{ var(func: uid(s)) { x as p @filter(uid(t)) } }",
-         "positive uid filter is outside the subset"),
-        ("{ var(func: uid(s)) { x as p @filter(NOT uid(t) OR NOT uid(u)) } }",
-         "OR is outside the subset"),
+        ("{ var(func: anyofterms(a, b)) { x as p } }",
+         "unsupported root func"),
+        ("{ var(func: uid(s)) { p @filter(uid(t)) } }",
+         "filtered edge step without a 'VAR as' binding"),
+        ("{ var(func: uid(s)) { x as p @filter(regexp(a, /b/)) } }",
+         "regexp filter term is outside the subset"),
+        ("{ var(func: uid(s)) { x as p @filter(uid(t) and uid(u)) } }",
+         "lowercase 'and' is not the DQL connective"),
+        ("{ var(func: uid(s)) { x as p @filter(uid(t) AND) } }",
+         "dangling connective"),
+        ("{ var(func: uid(s), first: x) { x as p } }",
+         "non-integer first:"),
+        ("{ var(func: uid(s), first: -1) { x as p } }",
+         "negative first:"),
+        ("{ var(func: uid(s), sort: a) { x as p } }",
+         "unknown root modifier"),
+        ("{ var(func: uid(s), orderasc: a, orderdesc: b) { x as p } }",
+         "duplicate order modifier"),
         ("{ }", "empty query"),
         ("{ var(func: uid(s)) { inner(func: uid(x)) { y } } }",
          "nested blocks"),
@@ -62,6 +75,43 @@ def test_eq_value_quoting_and_whitespace_are_tolerated():
 def test_out_of_subset_queries_fail_loudly(bad, why):
     with pytest.raises(DqlSyntaxError):
         parse_dql(bad)
+
+
+def test_parses_extended_head_filter_and_count():
+    blocks = parse_dql(
+        "{\n"
+        "  seeds(func: has(knows), orderasc: age, offset: 2, first: 5) "
+        "@filter((ge(age, 30) OR NOT has(knows)) AND NOT uid(v)){\n"
+        "    name\n"
+        "    count(knows)\n"
+        "  }\n"
+        "}"
+    )
+    (b,) = blocks
+    assert b.root_kind == "has" and b.root_args == ("knows",)
+    assert b.order == ("age", True)
+    assert b.offset == 2 and b.first == 5
+    assert b.leaf_attrs == ["name"] and b.counts == ["knows"]
+    assert b.root_filter == (
+        "and",
+        [
+            ("or", [("cmp", "ge", "age", "30"), ("not", ("has", "knows"))]),
+            ("not", ("uid", "v")),
+        ],
+    )
+
+
+def test_edge_step_boolean_filter_parses():
+    blocks = parse_dql(
+        "{ var(func: uid(s)) { x as p @filter(NOT uid(t) OR eq(kind, a)) } }"
+    )
+    step = blocks[0].steps[0]
+    assert step.filt == (
+        "or", [("not", ("uid", "t")), ("eq", "kind", "a")]
+    )
+    # the reference-subset keyhole refuses to flatten a boolean algebra
+    with pytest.raises(ValueError, match="pure NOT-uid conjunction"):
+        step.not_uids
 
 
 def test_unbound_references_fail_loudly(spark, sf_small):
@@ -111,6 +161,139 @@ def test_reference_query_matches_hand_built_traversal(spark, sf_small):
     assert {r["person_id"] for r in attrs.collect()} == {
         r["id"] for r in hop2.collect()
     }
+
+
+@pytest.fixture()
+def toy_graph(spark):
+    """Five people: ages 25/30/35/40/None, 'knows' edges out of a/b/c.
+    Small enough to reason through every lane by hand."""
+    from dgraph_etl_spark.graph.dql import DqlGraph
+
+    people = [
+        ("a", 25),
+        ("b", 30),
+        ("c", 35),
+        ("d", 40),
+        ("e", None),
+    ]
+    # e knows someone but has NO age row: the ordered lanes must DROP
+    # it (Dgraph's sorted-query semantics), the unordered ones keep it
+    knows = [
+        ("a", "b"),
+        ("a", "c"),
+        ("b", "c"),
+        ("c", "a"),
+        ("c", "d"),
+        ("e", "a"),
+    ]
+    age = spark.createDataFrame(
+        [(i, str(v)) for i, v in people if v is not None],
+        "id string, value string",
+    )
+    return DqlGraph(
+        edge_preds={
+            "knows": spark.createDataFrame(knows, "src string, dst string")
+        },
+        eq_index={"age": age},
+        leaf_attrs={
+            "age": spark.createDataFrame(
+                [(i, v) for i, v in people if v is not None],
+                "id string, age int",
+            )
+        },
+        attr_types={"age": "int"},
+    )
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_root_funcs_and_boolean_filter(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    # has(knows) = sources of knows edges
+    (res,) = run_dql("{ out(func: has(knows)) { age } }", toy_graph)
+    assert _ids(res.uids) == ["a", "b", "c", "e"]
+    # ge root: numeric compare (30 <= age), 'e' (no age) excluded
+    (res,) = run_dql("{ out(func: ge(age, 30)) { age } }", toy_graph)
+    assert _ids(res.uids) == ["b", "c", "d"]
+    # boolean algebra on the root filter: (lt OR NOT has) AND NOT eq
+    (res,) = run_dql(
+        "{ v(func: has(age)) "
+        "@filter((lt(age, 30) OR NOT has(knows)) AND NOT eq(age, 40))"
+        "{ age } }",
+        toy_graph,
+    )
+    # lt(30) -> a; NOT has(knows) -> d; NOT eq(40) kills d -> {a}
+    assert _ids(res.uids) == ["a"]
+
+
+def test_edge_step_positive_filter(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    # neighbors of a, kept only when they know someone themselves
+    (res,) = run_dql(
+        "{ var(func: eq(age, 25)) { n as knows @filter(has(knows)) }\n"
+        "  out(func: uid(n)) { age } }",
+        toy_graph,
+    )
+    assert _ids(res.uids) == ["b", "c"]
+
+
+def test_ordered_pagination_and_missing_attr_drop(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    (res,) = run_dql(
+        "{ page(func: has(age), orderdesc: age, offset: 1, first: 2)"
+        " { age } }",
+        toy_graph,
+    )
+    rows = {r["id"]: r["rn"] for r in res.uids.collect()}
+    # desc order d(40) c(35) b(30) a(25); offset 1, first 2 -> c, b
+    assert rows == {"c": 2, "b": 3}
+    # attrs carry the rank through
+    got = {(r["id"], r["rn"], r["age"]) for r in res.attrs.collect()}
+    assert got == {("c", 2, 35), ("b", 3, 30)}
+    # ordering by an attribute DROPS nodes missing it: e is in
+    # has(knows) but carries no age row
+    (res,) = run_dql(
+        "{ page(func: has(knows), orderasc: age, first: 10) { age } }",
+        toy_graph,
+    )
+    assert _ids(res.uids) == ["a", "b", "c"]
+
+
+def test_pagination_without_order_pages_by_id(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    (res,) = run_dql(
+        "{ page(func: has(knows), offset: 1, first: 1) { age } }",
+        toy_graph,
+    )
+    rows = [(r["id"], r["rn"]) for r in res.uids.collect()]
+    assert rows == [("b", 2)]
+
+
+def test_count_fanout_includes_zero(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    (res,) = run_dql(
+        "{ fanout(func: ge(age, 25)) { count(knows) } }", toy_graph
+    )
+    got = {
+        (r["id"], r["count_knows"]) for r in res.attrs.collect()
+    }
+    assert got == {("a", 2), ("b", 1), ("c", 2), ("d", 0)}
+
+
+def test_numeric_attr_with_nonnumeric_literal_fails_loudly(
+    spark, toy_graph
+):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    with pytest.raises(DqlSyntaxError, match="non-numeric literal"):
+        run_dql("{ v(func: ge(age, old)) { age } }", toy_graph)
 
 
 def test_duplicate_output_block_names_are_rejected():
