@@ -129,10 +129,7 @@ _HEAD = re.compile(
     r"(?:@filter\s*\(\s*(?P<filter>.*?)\s*\)\s*)?$",
     re.DOTALL,
 )
-_EDGE_LINE = re.compile(
-    r"^(?:(?P<alias>\w+)\s+as\s+)?(?P<pred>\w+)"
-    r"(?:\s*@filter\s*\((?P<filter>[^)]*(?:\([^)]*\)[^)]*)*)\))?\s*$"
-)
+_EDGE_PREFIX = re.compile(r"^(?:(?P<alias>\w+)\s+as\s+)?(?P<pred>\w+)$")
 _COUNT_LINE = re.compile(r"^count\s*\(\s*(?P<pred>\w+)\s*\)\s*$")
 _FILTER_TOKEN = re.compile(
     r"\s*(?:(?P<lp>\()|(?P<rp>\))|(?P<comma>,)"
@@ -345,11 +342,12 @@ def parse_dql(text: str) -> list[Block]:
             if cm is not None:
                 block.counts.append(cm.group("pred"))
                 continue
-            em = _EDGE_LINE.match(part)
+            prefix, filter_text = _split_edge_filter(part)
+            em = _EDGE_PREFIX.match(prefix)
             if em is None:
                 raise DqlSyntaxError(f"unsupported body line: {part!r}")
-            if em.group("filter") is not None:
-                filt = parse_filter(em.group("filter"))
+            if filter_text is not None:
+                filt = parse_filter(filter_text)
                 if em.group("alias") is None:
                     # an unaliased filtered edge step is a nested
                     # EXPANSION in full Dgraph (per-uid child results);
@@ -382,6 +380,32 @@ def parse_dql(text: str) -> list[Block]:
     if dupes:
         raise DqlSyntaxError(f"duplicate output block name(s): {dupes}")
     return blocks
+
+
+def _split_edge_filter(part: str) -> tuple[str, str | None]:
+    """Split an edge-step line into its '[VAR as] PRED' prefix and the
+    ``@filter(...)`` body (None when unfiltered), scanning BALANCED
+    parens -- a regex bounded to fixed nesting depth silently truncates
+    filters like ``((a OR b) AND c)`` (found by the DQL fuzzer)."""
+    idx = part.find("@filter")
+    if idx < 0:
+        return part.strip(), None
+    rest = part[idx + len("@filter") :].lstrip()
+    if not rest.startswith("("):
+        raise DqlSyntaxError(f"expected '(' after @filter: {part!r}")
+    depth = 0
+    for j, ch in enumerate(rest):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                if rest[j + 1 :].strip():
+                    raise DqlSyntaxError(
+                        f"trailing content after @filter(...): {part!r}"
+                    )
+                return part[:idx].strip(), rest[1:j].strip()
+    raise DqlSyntaxError(f"unbalanced parens in @filter: {part!r}")
 
 
 def _body_lines(inner: str) -> list[str]:

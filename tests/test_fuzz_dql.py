@@ -1,0 +1,301 @@
+"""Differential fuzzing of the DQL front-end: random graphs + random
+queries in the supported subset, executed by graph/dql.py on Spark and
+INDEPENDENTLY by a ~40-line pure-Python set evaluator implementing the
+documented Dgraph semantics (uid sets, boolean filter algebra, typed
+inequality, order-drops-missing-attr, offset/first pagination, distinct
+count fan-out).
+
+The registered g30-g33 queries pin four known shapes against DuckDB;
+this fuzzes the space BETWEEN them -- arbitrary filter trees, chained
+var bindings, pagination over duplicate order keys (the id tie-break),
+empty frontiers -- where a parser or executor bug would hide. Seeded
+per-case, so CI never flakes; FUZZ_SCALE multiplies the case count for
+a deep local pass.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from dgraph_etl_spark.graph.dql import DqlGraph, run_dql
+
+_SCALE = int(os.environ.get("FUZZ_SCALE", "1"))
+_CASES = 8 * _SCALE
+
+ATTR = "score"  # the one scalar attribute; typed int
+
+
+# ----------------------------------------------------------- generator
+
+
+def _gen_graph(rng: random.Random):
+    n = rng.randint(6, 12)
+    ids = [f"n{i:02d}" for i in range(n)]
+    preds = ["knows"] + (["likes"] if rng.random() < 0.5 else [])
+    edges = {p: set() for p in preds}
+    for p in preds:
+        for _ in range(rng.randint(0, 2 * n)):
+            edges[p].add((rng.choice(ids), rng.choice(ids)))
+    # small value domain -> duplicate order keys (exercises the id
+    # tie-break); ~20% of nodes have NO score (exercises order-drop)
+    score = {i: rng.randint(0, 5) for i in ids if rng.random() < 0.8}
+    return ids, preds, edges, score
+
+
+def _gen_term(rng, preds, bound):
+    kinds = ["eq", "cmp", "has"] + (["uid"] if bound else [])
+    k = rng.choice(kinds)
+    if k == "uid":
+        return ("uid", rng.choice(bound))
+    if k == "eq":
+        return ("eq", ATTR, str(rng.randint(0, 5)))
+    if k == "cmp":
+        op = rng.choice(["ge", "le", "gt", "lt"])
+        return ("cmp", op, ATTR, str(rng.randint(0, 5)))
+    return ("has", rng.choice(preds + [ATTR]))
+
+
+def _gen_filter(rng, preds, bound, depth=0):
+    r = rng.random()
+    if depth < 2 and r < 0.3:
+        parts = [
+            _gen_filter(rng, preds, bound, depth + 1)
+            for _ in range(rng.randint(2, 3))
+        ]
+        return (rng.choice(["and", "or"]), parts)
+    if depth < 2 and r < 0.45:
+        return ("not", _gen_filter(rng, preds, bound, depth + 1))
+    return _gen_term(rng, preds, bound)
+
+
+def _render_filter(expr) -> str:
+    kind = expr[0]
+    if kind == "and":
+        return "(" + " AND ".join(_render_filter(p) for p in expr[1]) + ")"
+    if kind == "or":
+        return "(" + " OR ".join(_render_filter(p) for p in expr[1]) + ")"
+    if kind == "not":
+        return f"NOT {_render_filter(expr[1])}"
+    if kind == "uid":
+        return f"uid({expr[1]})"
+    if kind == "eq":
+        return f"eq({expr[1]}, {expr[2]})"
+    if kind == "cmp":
+        return f"{expr[1]}({expr[2]}, {expr[3]})"
+    return f"has({expr[1]})"
+
+
+def _gen_query(rng, preds, score):
+    """Random query: 1-3 var blocks chaining edge steps, then one
+    named output block with optional root filter / pagination / count.
+    Returns (text, plan) where plan is the AST mirror the reference
+    evaluator walks."""
+    blocks = []
+    bound: list[str] = []
+    n_var = rng.randint(0, 2)
+    for _ in range(n_var + 1):
+        last = len(blocks) == n_var
+        if bound and rng.random() < 0.6:
+            root = ("uid", rng.choice(bound))
+        else:
+            root = _gen_term(rng, preds, [])
+            if root[0] == "uid":  # unreachable, but keep the invariant
+                root = ("has", preds[0])
+        root_filter = (
+            _gen_filter(rng, preds, bound) if rng.random() < 0.5 else None
+        )
+        steps = []
+        if not last or rng.random() < 0.3:
+            for _ in range(rng.randint(1 if not last else 0, 2)):
+                alias = f"v{len(bound)}"
+                filt = (
+                    _gen_filter(rng, preds, bound)
+                    if rng.random() < 0.5
+                    else None
+                )
+                steps.append((rng.choice(preds), alias, filt))
+                bound.append(alias)
+        order = first = offset = None
+        counts = []
+        if last:
+            if rng.random() < 0.5:
+                order = rng.choice([True, False])  # ascending?
+            if rng.random() < 0.6:
+                first = rng.randint(1, 5)
+            if rng.random() < 0.4:
+                offset = rng.randint(0, 3)
+            if rng.random() < 0.5:
+                counts = [rng.choice(preds)]
+        blocks.append(
+            {
+                "name": "out" if last else "var",
+                "root": root,
+                "root_filter": root_filter,
+                "steps": steps,
+                "order": order,
+                "first": first,
+                "offset": offset,
+                "counts": counts,
+            }
+        )
+    # render
+    lines = ["{"]
+    for b in blocks:
+        mods = ""
+        if b["order"] is not None:
+            mods += f", {'orderasc' if b['order'] else 'orderdesc'}: {ATTR}"
+        if b["offset"] is not None:
+            mods += f", offset: {b['offset']}"
+        if b["first"] is not None:
+            mods += f", first: {b['first']}"
+        head = f"  {b['name']}(func: {_render_filter(b['root'])}{mods})"
+        if b["root_filter"] is not None:
+            head += f" @filter({_render_filter(b['root_filter'])})"
+        lines.append(head + "{")
+        for pred, alias, filt in b["steps"]:
+            step = f"    {alias} as {pred}"
+            if filt is not None:
+                step += f" @filter({_render_filter(filt)})"
+            lines.append(step)
+        for pred in b["counts"]:
+            lines.append(f"    count({pred})")
+        lines.append("  }")
+    lines.append("}")
+    return "\n".join(lines), blocks
+
+
+# --------------------------------------------- reference set evaluator
+
+
+def _ref_term(term, env, edges, score):
+    kind = term[0]
+    if kind == "uid":
+        return set(env[term[1]])
+    if kind == "eq":
+        return {i for i, v in score.items() if str(v) == term[2]}
+    if kind == "cmp":
+        _, op, _, val = term
+        v = float(val)
+        cmpf = {
+            "ge": lambda x: x >= v,
+            "le": lambda x: x <= v,
+            "gt": lambda x: x > v,
+            "lt": lambda x: x < v,
+        }[op]
+        return {i for i, x in score.items() if cmpf(float(x))}
+    # has
+    name = term[1]
+    if name in edges:
+        return {s for s, _ in edges[name]}
+    return set(score)
+
+
+def _ref_filter(cand, expr, env, edges, score):
+    kind = expr[0]
+    if kind == "and":
+        out = set(cand)
+        for part in expr[1]:
+            out = _ref_filter(out, part, env, edges, score)
+        return out
+    if kind == "or":
+        return set().union(
+            *(_ref_filter(cand, p, env, edges, score) for p in expr[1])
+        )
+    if kind == "not":
+        return set(cand) - _ref_filter(cand, expr[1], env, edges, score)
+    return set(cand) & _ref_term(expr, env, edges, score)
+
+
+def _ref_eval(blocks, edges, score):
+    """Walk the plan with plain sets; returns (uids, rn_map|None,
+    counts_map|None) for the 'out' block."""
+    env: dict[str, set] = {}
+    out = None
+    for b in blocks:
+        root = _ref_term(b["root"], env, edges, score)
+        if b["root_filter"] is not None:
+            root = _ref_filter(root, b["root_filter"], env, edges, score)
+        rn = None
+        if (
+            b["order"] is not None
+            or b["first"] is not None
+            or b["offset"] is not None
+        ):
+            if b["order"] is not None:
+                kept = [i for i in root if i in score]
+                key = (
+                    (lambda i: (score[i], i))
+                    if b["order"]
+                    else (lambda i: (-score[i], i))
+                )
+            else:
+                kept, key = list(root), lambda i: i
+            ranked = sorted(kept, key=key)
+            off = b["offset"] or 0
+            hi = off + b["first"] if b["first"] is not None else len(ranked)
+            rn = {
+                i: pos + 1
+                for pos, i in enumerate(ranked)
+                if off <= pos < hi
+            }
+            root = set(rn)
+        for pred, alias, filt in b["steps"]:
+            reached = {d for s, d in edges[pred] if s in root}
+            if filt is not None:
+                reached = _ref_filter(reached, filt, env, edges, score)
+            env[alias] = reached
+        if b["name"] != "var":
+            counts = None
+            if b["counts"]:
+                pred = b["counts"][0]
+                counts = {
+                    i: len({d for s, d in edges[pred] if s == i})
+                    for i in root
+                }
+            out = (root, rn, counts)
+    return out
+
+
+# ---------------------------------------------------------------- test
+
+
+@pytest.mark.parametrize("seed", range(_CASES))
+def test_dql_matches_reference_set_semantics(spark, seed):
+    rng = random.Random(20260816 + seed)
+    ids, preds, edges, score = _gen_graph(rng)
+    text, blocks = _gen_query(rng, preds, score)
+
+    graph = DqlGraph(
+        edge_preds={
+            p: spark.createDataFrame(
+                sorted(edges[p]) or [], "src string, dst string"
+            )
+            for p in preds
+        },
+        eq_index={
+            ATTR: spark.createDataFrame(
+                sorted((i, str(v)) for i, v in score.items()) or [],
+                "id string, value string",
+            )
+        },
+        leaf_attrs={},
+        attr_types={ATTR: "int"},
+    )
+    (res,) = run_dql(text, graph)
+    exp_uids, exp_rn, exp_counts = _ref_eval(blocks, edges, score)
+
+    got_rows = res.uids.collect()
+    got_uids = {r["id"] for r in got_rows}
+    assert got_uids == exp_uids, f"uid set diverged for:\n{text}"
+    if exp_rn is not None:
+        got_rn = {r["id"]: r["rn"] for r in got_rows}
+        assert got_rn == exp_rn, f"page ranks diverged for:\n{text}"
+    if exp_counts is not None:
+        pred = blocks[-1]["counts"][0]
+        got_counts = {
+            r["id"]: r[f"count_{pred}"] for r in res.attrs.collect()
+        }
+        assert got_counts == exp_counts, f"counts diverged for:\n{text}"
