@@ -11,7 +11,9 @@ the documented public DQL semantics for:
 
     query   := '{' block+ '}'
     block   := NAME '(' 'func:' root {',' modifier} ')'
-               ['@filter(' filter ')'] '{' line* '}'
+               ['@filter(' filter ')'] ['@recurse(' rargs ')']
+               '{' line* '}'
+    rargs   := 'depth:' INT [',' 'loop:' ('true'|'false')]
     root    := 'eq(' ATTR ',' VALUE ')' | 'uid(' VAR ')'
              | 'has(' PRED ')'
              | ('ge'|'le'|'gt'|'lt') '(' ATTR ',' VALUE ')'
@@ -40,6 +42,10 @@ Semantics (Dgraph's, for this subset):
   ``@filter`` prunes the REACHED set; ``x as pred`` binds it;
 - ``count(pred)`` projects each root uid's distinct out-neighbor
   count through ``pred`` (0 when none);
+- ``@recurse(depth: N)`` expands the block's listed edge predicates
+  recursively, N-1 levels out of the root set; the block's output is
+  the flattened reach set (root included). Bare body words that name
+  an edge predicate are followed; the rest project as leaves;
 - inequality terms compare by the attribute's declared type
   (``DqlGraph.attr_types``): numeric attributes compare numerically,
   strings lexicographically -- a numeric comparison against an
@@ -117,6 +123,7 @@ class Block:
     order: tuple | None = None  # (attr, ascending: bool)
     first: int | None = None
     offset: int | None = None
+    recurse: tuple | None = None  # (depth: int, loop: bool)
 
 
 class DqlSyntaxError(ValueError):
@@ -124,11 +131,7 @@ class DqlSyntaxError(ValueError):
     fragment (the repo's fail-loudly discipline)."""
 
 
-_HEAD = re.compile(
-    r"^(?P<name>\w+)\s*\(\s*func\s*:\s*(?P<inner>.*?)\s*\)\s*"
-    r"(?:@filter\s*\(\s*(?P<filter>.*?)\s*\)\s*)?$",
-    re.DOTALL,
-)
+_HEAD_PREFIX = re.compile(r"^(?P<name>\w+)\s*\(\s*func\s*:\s*")
 _EDGE_PREFIX = re.compile(r"^(?:(?P<alias>\w+)\s+as\s+)?(?P<pred>\w+)$")
 _COUNT_LINE = re.compile(r"^count\s*\(\s*(?P<pred>\w+)\s*\)\s*$")
 _FILTER_TOKEN = re.compile(
@@ -250,11 +253,66 @@ def _split_head_args(inner: str) -> list[str]:
     return [p for p in parts if p]
 
 
+def _scan_parens(s: str, open_idx: int) -> tuple[str, int]:
+    """Return (content, index-after-close) of the balanced paren group
+    opening at ``s[open_idx]``."""
+    depth = 0
+    for j in range(open_idx, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return s[open_idx + 1 : j], j + 1
+    raise DqlSyntaxError(f"unbalanced parens in: {s!r}")
+
+
+def _parse_recurse(content: str) -> tuple[int, bool]:
+    """@recurse(depth: N[, loop: true|false]) -> (depth, loop).
+    depth is required and >= 1; loop defaults false (Dgraph's default).
+    The flattened uid-set output this executor produces makes loop
+    observationally irrelevant (it changes Dgraph's NESTED tree shape,
+    never the reach set: visited-pruned BFS still reaches every node
+    within depth-1 steps at its first visit), so both values are
+    accepted and executed as the cheaper visited-pruned expansion."""
+    depth, loop = None, False
+    for part in _split_head_args(content):
+        key, _, val = part.partition(":")
+        key, val = key.strip(), val.strip().strip("\"'")
+        if key == "depth":
+            try:
+                depth = int(val)
+            except ValueError:
+                raise DqlSyntaxError(
+                    f"depth: expects an integer, got {val!r}"
+                ) from None
+            if depth < 1:
+                raise DqlSyntaxError(f"depth: must be >= 1, got {depth}")
+        elif key == "loop":
+            if val not in ("true", "false"):
+                raise DqlSyntaxError(
+                    f"loop: expects true|false, got {val!r}"
+                )
+            loop = val == "true"
+        else:
+            raise DqlSyntaxError(f"unsupported @recurse argument: {part!r}")
+    if depth is None:
+        raise DqlSyntaxError(
+            "@recurse requires an explicit depth: N (unbounded recursion "
+            "over a cyclic graph has no flattened fixed output)"
+        )
+    return depth, loop
+
+
 def _parse_head(head: str) -> Block:
-    m = _HEAD.match(head)
+    m = re.match(r"^(?P<name>\w+)\s*\(", head)
     if not m:
         raise DqlSyntaxError(f"unsupported block head: {head!r}")
-    parts = _split_head_args(m.group("inner"))
+    raw_inner, pos = _scan_parens(head, m.end() - 1)
+    im = re.match(r"^\s*func\s*:\s*(?P<inner>.*)$", raw_inner, re.DOTALL)
+    if not im:
+        raise DqlSyntaxError(f"block head missing 'func:': {head!r}")
+    parts = _split_head_args(im.group("inner"))
     if not parts:
         raise DqlSyntaxError(f"empty func: in block head: {head!r}")
     term, j = _parse_func_term(_tokenize_filter(parts[0]), 0)
@@ -290,8 +348,26 @@ def _parse_head(head: str) -> Block:
             setattr(block, key, n)
         else:
             raise DqlSyntaxError(f"unsupported root modifier: {part!r}")
-    if m.group("filter") is not None:
-        block.root_filter = parse_filter(m.group("filter"))
+    rest = head[pos:].strip()
+    while rest:
+        dm = re.match(r"^@(?P<dname>\w+)\s*\(", rest)
+        if not dm:
+            raise DqlSyntaxError(
+                f"unsupported trailing content in block head: {rest!r}"
+            )
+        content, after = _scan_parens(rest, dm.end() - 1)
+        dname = dm.group("dname")
+        if dname == "filter":
+            if block.root_filter is not None:
+                raise DqlSyntaxError("duplicate @filter on block head")
+            block.root_filter = parse_filter(content)
+        elif dname == "recurse":
+            if block.recurse is not None:
+                raise DqlSyntaxError("duplicate @recurse on block head")
+            block.recurse = _parse_recurse(content)
+        else:
+            raise DqlSyntaxError(f"unsupported directive @{dname}")
+        rest = rest[after:].strip()
     return block
 
 
@@ -366,8 +442,31 @@ def parse_dql(text: str) -> list[Block]:
                     EdgeStep(em.group("pred"), em.group("alias"), None)
                 )
             else:
-                # a bare word: leaf attribute projection
+                # a bare word: leaf attribute projection (in a
+                # @recurse block: an edge predicate to follow OR a
+                # leaf -- resolved against the bindings at execution)
                 block.leaf_attrs.append(em.group("pred"))
+        if block.recurse is not None:
+            if block.steps:
+                raise DqlSyntaxError(
+                    "@recurse blocks take bare predicate names; "
+                    "'VAR as pred' bindings are outside the subset"
+                )
+            if block.name == "var":
+                raise DqlSyntaxError(
+                    "a var @recurse block binds nothing and returns "
+                    "nothing -- name the block to get its reach set"
+                )
+            if (
+                block.order is not None
+                or block.first is not None
+                or block.offset is not None
+            ):
+                raise DqlSyntaxError(
+                    "@recurse with order/first/offset is outside the "
+                    "subset (Dgraph applies them per recursion level, "
+                    "which a flattened reach set cannot represent)"
+                )
         blocks.append(block)
         pos = i
     if not blocks:
@@ -477,6 +576,10 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
         if block.root_filter is not None:
             root = _apply_filter(root, block.root_filter, env, graph)
         root = _order_page(root, block, graph)
+        leaf_list = block.leaf_attrs
+        if block.recurse is not None:
+            n_steps += 1
+            root, leaf_list = _recurse_reach(root, block, graph, n_steps)
         for step in block.steps:
             edges = graph.edge_preds.get(step.pred)
             if edges is None:
@@ -512,7 +615,7 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
         if block.name != "var":
             base_cols = ["id"] + (["rn"] if "rn" in root.columns else [])
             attrs = None
-            for attr in block.leaf_attrs:
+            for attr in leaf_list:
                 tbl = graph.leaf_attrs.get(attr)
                 if tbl is None:
                     raise DqlSyntaxError(
@@ -547,6 +650,54 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                 )
             out.append(DqlResult(block.name, root, attrs))
     return out
+
+
+def _recurse_reach(
+    root: DataFrame, block: Block, graph: DqlGraph, tag: int
+) -> tuple[DataFrame, list[str]]:
+    """@recurse execution: visited-pruned BFS over the union of the
+    block's listed edge predicates, depth-1 expansions from the root
+    set. Returns (reach set incl. root, remaining leaf projections).
+
+    Scale shape: per level, broadcast the frontier against the (never
+    moved) edge table and anti-join the visited set -- the k_hop
+    discipline, with per-level localCheckpoints truncating lineage.
+    Each level's frontier is materialized once for the empty-frontier
+    early exit; visited grows by disjoint union (the anti-join
+    guarantees disjointness, so no dedup shuffle). loop: true is
+    accepted but executes the same pruned BFS -- the flattened reach
+    set is identical (see _parse_recurse)."""
+    depth, _loop = block.recurse
+    trav = [w for w in block.leaf_attrs if w in graph.edge_preds]
+    leaves = [w for w in block.leaf_attrs if w not in graph.edge_preds]
+    if not trav:
+        raise DqlSyntaxError(
+            "@recurse block follows no bound edge predicate (body: "
+            f"{block.leaf_attrs!r}, edges: {sorted(graph.edge_preds)})"
+        )
+    edges = graph.edge_preds[trav[0]].select("src", "dst")
+    for p in trav[1:]:
+        edges = edges.unionByName(graph.edge_preds[p].select("src", "dst"))
+    visited = (
+        root.select("id").dropDuplicates(["id"]).localCheckpoint(eager=False)
+    )
+    frontier = visited
+    for lvl in range(depth - 1):
+        ea = f"_dqlr{tag}_{lvl}"
+        e = edges.alias(ea)
+        reached = (
+            F.broadcast(frontier.select("id"))
+            .join(e, F.col("id") == F.col(f"{ea}.src"))
+            .filter(F.col(f"{ea}.dst").isNotNull())
+            .select(F.col(f"{ea}.dst").alias("id"))
+            .dropDuplicates(["id"])
+            .join(visited, "id", "left_anti")
+        )
+        frontier = reached.localCheckpoint(eager=False)
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+    return visited, leaves
 
 
 def _root_set(block: Block, env: dict, graph: DqlGraph) -> DataFrame:

@@ -428,6 +428,50 @@ def g33_dql_count_fanout(spark, sf_dir):
     return res.attrs.select("person_id", "count_has_connection")
 
 
+_DQL_RECURSE = """{
+  var(func: eq(team_id, %s)){
+    src as has_member
+  }
+  reach(func: uid(src)) @recurse(depth: 4, loop: false){
+    has_connection
+  }
+}""" % TEAM
+
+
+@register(
+    "g34_dql_recurse",
+    V("""
+    , seeds AS (
+        SELECT DISTINCT person_id AS id
+        FROM team_member WHERE team_id = '7'
+    ),
+    walk AS (
+        SELECT id, 0 AS lvl FROM seeds
+        UNION
+        SELECT e.dst AS id, w.lvl + 1 AS lvl
+        FROM walk w JOIN edges e ON e.src = w.id
+        WHERE w.lvl < 3 AND e.dst IS NOT NULL
+    )
+    SELECT DISTINCT id FROM walk
+    """, recursive=True),
+    defer=True,
+)
+def g34_dql_recurse(spark, sf_dir):
+    """DQL @recurse(depth: 4): the flattened reach set within 3
+    expansions of the seed team, from query TEXT through graph/dql.py
+    -- visited-pruned BFS (broadcast frontier vs the never-moved edge
+    table, anti-join pruning, per-level checkpoints) certified against
+    DuckDB's WITH RECURSIVE transitive walk. Ids are emitted in the
+    raw person namespace ('p:' prefix stripped) so the oracle reads
+    the same keys the seeds CTE produces."""
+    from ..graph.dql import run_dql
+
+    (res,) = run_dql(_DQL_RECURSE, dql_fixture_graph(spark, sf_dir))
+    return res.uids.select(
+        F.expr("substring(id, 3)").alias("id")
+    )
+
+
 @register(
     "g06_khop_k3",
     V(_HOPS + """

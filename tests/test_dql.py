@@ -287,6 +287,60 @@ def test_count_fanout_includes_zero(spark, toy_graph):
     assert got == {("a", 2), ("b", 1), ("c", 2), ("d", 0)}
 
 
+def test_recurse_parse_and_constraints():
+    (b,) = parse_dql(
+        "{ r(func: uid(s)) @filter(NOT uid(t)) "
+        "@recurse(depth: 3, loop: true) { knows\n age } }"
+    )
+    assert b.recurse == (3, True)
+    assert b.root_filter == ("not", ("uid", "t"))
+    assert b.leaf_attrs == ["knows", "age"]
+    # directive order is free
+    (b,) = parse_dql(
+        "{ r(func: uid(s)) @recurse(depth: 2) @filter(uid(t)) { knows } }"
+    )
+    assert b.recurse == (2, False) and b.root_filter == ("uid", "t")
+    for bad, why in [
+        ("{ r(func: uid(s)) @recurse(loop: true) { p } }", "depth required"),
+        ("{ r(func: uid(s)) @recurse(depth: 0) { p } }", "depth >= 1"),
+        ("{ var(func: uid(s)) @recurse(depth: 2) { p } }",
+         "var recurse binds nothing"),
+        ("{ r(func: uid(s), first: 2) @recurse(depth: 2) { p } }",
+         "pagination is per-level in Dgraph; flattened output refuses"),
+        ("{ r(func: uid(s)) @recurse(depth: 2) { x as p } }",
+         "recurse bodies take bare predicates"),
+        ("{ r(func: uid(s)) @cascade { p } }", "unknown directive"),
+    ]:
+        with pytest.raises(DqlSyntaxError):
+            parse_dql(bad)
+
+
+def test_recurse_reach_set(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    def reach(depth):
+        (res,) = run_dql(
+            "{ r(func: eq(age, 25)) @recurse(depth: %d) { knows } }"
+            % depth,
+            toy_graph,
+        )
+        return _ids(res.uids)
+
+    # a -> {b,c} -> {d} (c->a pruned by visited)
+    assert reach(1) == ["a"]
+    assert reach(2) == ["a", "b", "c"]
+    assert reach(3) == ["a", "b", "c", "d"]
+    assert reach(9) == ["a", "b", "c", "d"]  # fixpoint, early exit
+    # leaf words that aren't edge predicates project over the reach
+    # set (inner join: nodes without the attr drop from attrs only)
+    (res,) = run_dql(
+        "{ r(func: eq(age, 25)) @recurse(depth: 3) { knows\n age } }",
+        toy_graph,
+    )
+    got = {(r["id"], r["age"]) for r in res.attrs.collect()}
+    assert got == {("a", 25), ("b", 30), ("c", 35), ("d", 40)}
+
+
 def test_numeric_attr_with_nonnumeric_literal_fails_loudly(
     spark, toy_graph
 ):

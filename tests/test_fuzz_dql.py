@@ -118,9 +118,17 @@ def _gen_query(rng, preds, score):
                 )
                 steps.append((rng.choice(preds), alias, filt))
                 bound.append(alias)
-        order = first = offset = None
+        order = first = offset = recurse = None
+        rpreds: list[str] = []
         counts = []
-        if last:
+        if last and rng.random() < 0.35:
+            # @recurse output block: bare predicates, no pagination
+            recurse = rng.randint(1, 4)
+            rpreds = rng.sample(preds, rng.randint(1, len(preds)))
+            steps = []
+            if rng.random() < 0.5:
+                counts = [rng.choice(preds)]
+        elif last:
             if rng.random() < 0.5:
                 order = rng.choice([True, False])  # ascending?
             if rng.random() < 0.6:
@@ -139,6 +147,8 @@ def _gen_query(rng, preds, score):
                 "first": first,
                 "offset": offset,
                 "counts": counts,
+                "recurse": recurse,
+                "rpreds": rpreds,
             }
         )
     # render
@@ -154,7 +164,12 @@ def _gen_query(rng, preds, score):
         head = f"  {b['name']}(func: {_render_filter(b['root'])}{mods})"
         if b["root_filter"] is not None:
             head += f" @filter({_render_filter(b['root_filter'])})"
+        if b["recurse"] is not None:
+            loop = "true" if b["recurse"] % 2 else "false"
+            head += f" @recurse(depth: {b['recurse']}, loop: {loop})"
         lines.append(head + "{")
+        for pred in b["rpreds"]:
+            lines.append(f"    {pred}")
         for pred, alias, filt in b["steps"]:
             step = f"    {alias} as {pred}"
             if filt is not None:
@@ -218,6 +233,16 @@ def _ref_eval(blocks, edges, score):
         root = _ref_term(b["root"], env, edges, score)
         if b["root_filter"] is not None:
             root = _ref_filter(root, b["root_filter"], env, edges, score)
+        if b["recurse"] is not None:
+            ee = set().union(*(edges[p] for p in b["rpreds"]))
+            reach, frontier = set(root), set(root)
+            for _ in range(b["recurse"] - 1):
+                nxt = {d for s, d in ee if s in frontier} - reach
+                if not nxt:
+                    break
+                reach |= nxt
+                frontier = nxt
+            root = reach
         rn = None
         if (
             b["order"] is not None
