@@ -11,8 +11,9 @@ the documented public DQL semantics for:
 
     query   := '{' block+ '}'
     block   := NAME '(' 'func:' root {',' modifier} ')'
-               ['@filter(' filter ')'] ['@recurse(' rargs ')']
-               '{' line* '}'
+               directive* '{' line* '}'
+    directive := '@filter(' filter ')' | '@recurse(' rargs ')'
+               | '@cascade'
     rargs   := 'depth:' INT [',' 'loop:' ('true'|'false')]
     root    := 'eq(' ATTR ',' VALUE ')' | 'uid(' VAR ')'
              | 'has(' PRED ')'
@@ -46,6 +47,9 @@ Semantics (Dgraph's, for this subset):
   recursively, N-1 levels out of the root set; the block's output is
   the flattened reach set (root included). Bare body words that name
   an edge predicate are followed; the rest project as leaves;
+- ``@cascade`` keeps only uids carrying EVERY listed leaf predicate,
+  applied AFTER pagination exactly as Dgraph documents (the known
+  gotcha: a cascaded page may return fewer than ``first: N`` rows);
 - inequality terms compare by the attribute's declared type
   (``DqlGraph.attr_types``): numeric attributes compare numerically,
   strings lexicographically -- a numeric comparison against an
@@ -124,6 +128,7 @@ class Block:
     first: int | None = None
     offset: int | None = None
     recurse: tuple | None = None  # (depth: int, loop: bool)
+    cascade: bool = False  # @cascade: require every listed leaf
 
 
 class DqlSyntaxError(ValueError):
@@ -350,21 +355,35 @@ def _parse_head(head: str) -> Block:
             raise DqlSyntaxError(f"unsupported root modifier: {part!r}")
     rest = head[pos:].strip()
     while rest:
-        dm = re.match(r"^@(?P<dname>\w+)\s*\(", rest)
+        dm = re.match(r"^@(?P<dname>\w+)\s*", rest)
         if not dm:
             raise DqlSyntaxError(
                 f"unsupported trailing content in block head: {rest!r}"
             )
-        content, after = _scan_parens(rest, dm.end() - 1)
         dname = dm.group("dname")
+        after = dm.end()
+        content = None
+        if after < len(rest) and rest[after] == "(":
+            content, after = _scan_parens(rest, after)
         if dname == "filter":
+            if content is None:
+                raise DqlSyntaxError("@filter requires (...)")
             if block.root_filter is not None:
                 raise DqlSyntaxError("duplicate @filter on block head")
             block.root_filter = parse_filter(content)
         elif dname == "recurse":
+            if content is None:
+                raise DqlSyntaxError("@recurse requires (depth: N)")
             if block.recurse is not None:
                 raise DqlSyntaxError("duplicate @recurse on block head")
             block.recurse = _parse_recurse(content)
+        elif dname == "cascade":
+            if content is not None:
+                raise DqlSyntaxError(
+                    "@cascade takes no arguments in this subset "
+                    "(field-scoped cascade is outside it)"
+                )
+            block.cascade = True
         else:
             raise DqlSyntaxError(f"unsupported directive @{dname}")
         rest = rest[after:].strip()
@@ -466,6 +485,22 @@ def parse_dql(text: str) -> list[Block]:
                     "@recurse with order/first/offset is outside the "
                     "subset (Dgraph applies them per recursion level, "
                     "which a flattened reach set cannot represent)"
+                )
+        if block.cascade:
+            if block.name == "var":
+                raise DqlSyntaxError(
+                    "a var @cascade block binds nothing to prune -- "
+                    "name the block"
+                )
+            if block.steps:
+                raise DqlSyntaxError(
+                    "@cascade with edge steps is outside the subset "
+                    "(tree-pruning child results has no flattened "
+                    "reading); list leaf predicates to require instead"
+                )
+            if not block.leaf_attrs:
+                raise DqlSyntaxError(
+                    "@cascade block lists no predicates to require"
                 )
         blocks.append(block)
         pos = i
@@ -580,6 +615,24 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
         if block.recurse is not None:
             n_steps += 1
             root, leaf_list = _recurse_reach(root, block, graph, n_steps)
+        if block.cascade:
+            # @cascade: keep only uids carrying EVERY listed leaf
+            # predicate. Runs AFTER pagination, as Dgraph documents
+            # (a cascaded page may return fewer than first: N rows);
+            # a left-semi per required leaf, so no row ever widens.
+            if not leaf_list:
+                raise DqlSyntaxError(
+                    "@cascade block lists no leaf predicates to "
+                    "require (every body word is an edge predicate)"
+                )
+            for attr in leaf_list:
+                tbl = graph.leaf_attrs.get(attr)
+                if tbl is None:
+                    raise DqlSyntaxError(
+                        f"unbound leaf attribute {attr!r} "
+                        f"(bound: {sorted(graph.leaf_attrs)})"
+                    )
+                root = root.join(tbl.select("id"), "id", "left_semi")
         for step in block.steps:
             edges = graph.edge_preds.get(step.pred)
             if edges is None:

@@ -309,7 +309,7 @@ def test_recurse_parse_and_constraints():
          "pagination is per-level in Dgraph; flattened output refuses"),
         ("{ r(func: uid(s)) @recurse(depth: 2) { x as p } }",
          "recurse bodies take bare predicates"),
-        ("{ r(func: uid(s)) @cascade { p } }", "unknown directive"),
+        ("{ r(func: uid(s)) @normalize { p } }", "unknown directive"),
     ]:
         with pytest.raises(DqlSyntaxError):
             parse_dql(bad)
@@ -339,6 +339,36 @@ def test_recurse_reach_set(spark, toy_graph):
     )
     got = {(r["id"], r["age"]) for r in res.attrs.collect()}
     assert got == {("a", 25), ("b", 30), ("c", 35), ("d", 40)}
+
+
+def test_cascade_parse_constraints():
+    (b,) = parse_dql("{ v(func: has(knows)) @cascade { age } }")
+    assert b.cascade and b.leaf_attrs == ["age"]
+    for bad in [
+        "{ v(func: has(knows)) @cascade(age) { age } }",  # no args
+        "{ var(func: has(knows)) @cascade { age } }",  # var binds nothing
+        "{ v(func: uid(s)) @cascade { x as knows\n age } }",  # steps
+        "{ v(func: has(knows)) @cascade { } }",  # nothing to require
+    ]:
+        with pytest.raises(DqlSyntaxError):
+            parse_dql(bad)
+
+
+def test_cascade_prunes_after_pagination(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    # e is in has(knows) but has no age: cascade drops it
+    (res,) = run_dql(
+        "{ v(func: has(knows)) @cascade { age } }", toy_graph
+    )
+    assert _ids(res.uids) == ["a", "b", "c"]
+    # Dgraph's documented gotcha: cascade applies AFTER first: N, so
+    # the page comes back short (e occupied the 4th slot, rank kept)
+    (res,) = run_dql(
+        "{ v(func: has(knows), first: 4) @cascade { age } }", toy_graph
+    )
+    rows = {r["id"]: r["rn"] for r in res.uids.collect()}
+    assert rows == {"a": 1, "b": 2, "c": 3}
 
 
 def test_numeric_attr_with_nonnumeric_literal_fails_loudly(

@@ -137,6 +137,9 @@ def _gen_query(rng, preds, score):
                 offset = rng.randint(0, 3)
             if rng.random() < 0.5:
                 counts = [rng.choice(preds)]
+        cascade = (
+            last and recurse is None and not steps and rng.random() < 0.3
+        )
         blocks.append(
             {
                 "name": "out" if last else "var",
@@ -149,6 +152,7 @@ def _gen_query(rng, preds, score):
                 "counts": counts,
                 "recurse": recurse,
                 "rpreds": rpreds,
+                "cascade": cascade,
             }
         )
     # render
@@ -167,7 +171,11 @@ def _gen_query(rng, preds, score):
         if b["recurse"] is not None:
             loop = "true" if b["recurse"] % 2 else "false"
             head += f" @recurse(depth: {b['recurse']}, loop: {loop})"
+        if b["cascade"]:
+            head += " @cascade"
         lines.append(head + "{")
+        if b["cascade"]:
+            lines.append(f"    {ATTR}")
         for pred in b["rpreds"]:
             lines.append(f"    {pred}")
         for pred, alias, filt in b["steps"]:
@@ -267,6 +275,11 @@ def _ref_eval(blocks, edges, score):
                 if off <= pos < hi
             }
             root = set(rn)
+        if b["cascade"]:
+            # cascade prunes AFTER pagination (ranks keep their slots)
+            root = root & set(score)
+            if rn is not None:
+                rn = {i: r for i, r in rn.items() if i in root}
         for pred, alias, filt in b["steps"]:
             reached = {d for s, d in edges[pred] if s in root}
             if filt is not None:
@@ -306,7 +319,12 @@ def test_dql_matches_reference_set_semantics(spark, seed):
                 "id string, value string",
             )
         },
-        leaf_attrs={},
+        leaf_attrs={
+            ATTR: spark.createDataFrame(
+                sorted((i, v) for i, v in score.items()) or [],
+                f"id string, {ATTR} int",
+            )
+        },
         attr_types={ATTR: "int"},
     )
     (res,) = run_dql(text, graph)
