@@ -136,7 +136,6 @@ class DqlSyntaxError(ValueError):
     fragment (the repo's fail-loudly discipline)."""
 
 
-_HEAD_PREFIX = re.compile(r"^(?P<name>\w+)\s*\(\s*func\s*:\s*")
 _EDGE_PREFIX = re.compile(r"^(?:(?P<alias>\w+)\s+as\s+)?(?P<pred>\w+)$")
 _COUNT_LINE = re.compile(r"^count\s*\(\s*(?P<pred>\w+)\s*\)\s*$")
 _FILTER_TOKEN = re.compile(
@@ -320,7 +319,16 @@ def _parse_head(head: str) -> Block:
     parts = _split_head_args(im.group("inner"))
     if not parts:
         raise DqlSyntaxError(f"empty func: in block head: {head!r}")
-    term, j = _parse_func_term(_tokenize_filter(parts[0]), 0)
+    root_toks = _tokenize_filter(parts[0])
+    term, j = _parse_func_term(root_toks, 0)
+    if j != len(root_toks):
+        # 'func: eq(a, 1) AND eq(b, 2)' must refuse, not silently run
+        # as the first conjunct (root functions don't compose in DQL;
+        # composition belongs in @filter)
+        raise DqlSyntaxError(
+            f"trailing content after root function: "
+            f"{' '.join(root_toks[j:])!r}"
+        )
     if term[0] == "uid":
         root_kind, root_args = "uid", (term[1],)
     elif term[0] == "eq":
@@ -486,6 +494,16 @@ def parse_dql(text: str) -> list[Block]:
                     "subset (Dgraph applies them per recursion level, "
                     "which a flattened reach set cannot represent)"
                 )
+        for what, seq in (("field", block.leaf_attrs), ("count", block.counts)):
+            dupes = sorted({w for w in seq if seq.count(w) > 1})
+            if dupes:
+                # a doubled projection line would join the same table
+                # twice and emit duplicate output columns (ambiguous
+                # to every downstream select); Dgraph rejects repeats
+                raise DqlSyntaxError(
+                    f"duplicate {what} line(s) in block "
+                    f"{block.name!r}: {dupes}"
+                )
         if block.cascade:
             if block.name == "var":
                 raise DqlSyntaxError(
@@ -646,7 +664,11 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
             # ambiguous self-join reference
             n_steps += 1
             ea = f"_dql_e{n_steps}"
-            e = edges.alias(ea)
+            # project to the documented (src, dst) contract before
+            # aliasing: a binding carrying extra columns (e.g. its own
+            # 'id') would make the unqualified join key ambiguous and
+            # drag dead columns through the broadcast
+            e = edges.select("src", "dst").alias(ea)
             reached = (
                 F.broadcast(root.select("id"))
                 .join(e, F.col("id") == F.col(f"{ea}.src"))
@@ -675,9 +697,14 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                         f"unbound leaf attribute {attr!r} "
                         f"(bound: {sorted(graph.leaf_attrs)})"
                     )
+                # LEFT join: Dgraph returns a node with the fields it
+                # HAS -- a chain of inner joins here would silently
+                # apply @cascade semantics nobody asked for (a node
+                # missing one of three requested attrs would vanish
+                # entirely); @cascade is the explicit opt-in
                 attrs = (
                     attrs if attrs is not None else root.select(*base_cols)
-                ).join(tbl, "id")
+                ).join(tbl, "id", "left")
             for pred in block.counts:
                 edges = graph.edge_preds.get(pred)
                 if edges is None:
@@ -686,11 +713,19 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                         f"(bound: {sorted(graph.edge_preds)})"
                     )
                 # distinct out-neighbors per root uid, 0 when none
-                # (Dgraph's count(pred) over the uid list); map-side
-                # partial agg, then a broadcast-or-shuffle join back
-                # onto the (small) root frame
+                # (Dgraph's count(pred) over the uid list). The edge
+                # table is semi-joined against the broadcast root
+                # BEFORE aggregating -- a full-table groupBy would
+                # shuffle every (src, dst) pair to count a handful of
+                # root uids (the 'edges never move' discipline)
                 cnt = (
-                    edges.filter(F.col("dst").isNotNull())
+                    edges.select("src", "dst")
+                    .filter(F.col("dst").isNotNull())
+                    .join(
+                        F.broadcast(root.select(F.col("id").alias("src"))),
+                        "src",
+                        "left_semi",
+                    )
                     .groupBy(F.col("src").alias("id"))
                     .agg(
                         F.countDistinct("dst").alias(f"count_{pred}")
@@ -764,12 +799,7 @@ def _root_set(block: Block, env: dict, graph: DqlGraph) -> DataFrame:
         return _has_set(pred, graph)
     if block.root_kind == "eq":
         attr, val = block.root_args
-        idx = _eq_idx(attr, graph)
-        return (
-            idx.filter(F.col("value") == val)
-            .select("id")
-            .dropDuplicates(["id"])
-        )
+        return _eq_set(attr, val, graph)
     # ge / le / gt / lt
     attr, val = block.root_args
     return _cmp_set(block.root_kind, attr, val, graph)
@@ -813,6 +843,23 @@ def _typed_literal(attr: str, val: str, graph: DqlGraph):
     return F.lit(val)
 
 
+def _eq_set(attr: str, val: str, graph: DqlGraph) -> DataFrame:
+    """eq(attr, v) by the attribute's DECLARED type, same as the
+    inequality terms -- an untyped string eq would make eq(age, 30)
+    and ge(age,30) AND le(age,30) disagree on '30.0'/'030'. A NULL
+    stored value is an absent attribute (Dgraph's reading): it
+    matches nothing."""
+    idx = _eq_idx(attr, graph)
+    key = _typed_value_col(attr, graph)
+    lit = _typed_literal(attr, val, graph)
+    return (
+        idx.filter(F.col("value").isNotNull())
+        .filter(key == lit)
+        .select("id")
+        .dropDuplicates(["id"])
+    )
+
+
 def _cmp_set(op: str, attr: str, val: str, graph: DqlGraph) -> DataFrame:
     idx = _eq_idx(attr, graph)
     key = _typed_value_col(attr, graph)
@@ -823,7 +870,12 @@ def _cmp_set(op: str, attr: str, val: str, graph: DqlGraph) -> DataFrame:
         "gt": key > lit,
         "lt": key < lit,
     }[op]
-    return idx.filter(cond).select("id").dropDuplicates(["id"])
+    return (
+        idx.filter(F.col("value").isNotNull())
+        .filter(cond)
+        .select("id")
+        .dropDuplicates(["id"])
+    )
 
 
 def _has_set(pred: str, graph: DqlGraph) -> DataFrame:
@@ -864,8 +916,7 @@ def _term_uids(term: tuple, env: dict, graph: DqlGraph) -> DataFrame:
         return env[var]
     if kind == "eq":
         _, attr, val = term
-        idx = _eq_idx(attr, graph)
-        return idx.filter(F.col("value") == val).select("id")
+        return _eq_set(attr, val, graph)
     if kind == "has":
         return _has_set(term[1], graph)
     if kind == "cmp":
@@ -931,6 +982,10 @@ def _order_page(root: DataFrame, block: Block, graph: DqlGraph) -> DataFrame:
                 f"order attribute {attr!r} bound nowhere (eq_index: "
                 f"{sorted(graph.eq_index)}, attrs: {sorted(graph.leaf_attrs)})"
             )
+        # a NULL stored value is an absent attribute: sorted queries
+        # drop it (otherwise asc NULLS-FIRST would hand it the top
+        # first: N slots)
+        vals = vals.filter(F.col("_ord").isNotNull())
         # Dgraph drops nodes missing the order attribute from sorted
         # results: inner join, not left
         ranked = root.select("id").join(

@@ -345,7 +345,12 @@ def g31_dql_filter_algebra(spark, sf_dir):
     (res,) = run_dql(
         _DQL_FILTER_ALGEBRA, dql_fixture_graph(spark, sf_dir)
     )
-    return res.attrs.select("person_id")
+    # leaf projection is a LEFT join (Dgraph returns partial nodes);
+    # this lane emits only the resolvable person_ids, mirroring the
+    # oracle's inner person join
+    return res.attrs.select("person_id").filter(
+        F.col("person_id").isNotNull()
+    )
 
 
 _DQL_ORDERED_PAGE = """{

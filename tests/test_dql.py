@@ -341,6 +341,48 @@ def test_recurse_reach_set(spark, toy_graph):
     assert got == {("a", 25), ("b", 30), ("c", 35), ("d", 40)}
 
 
+def test_root_function_trailing_content_rejected():
+    # 'func: eq(a,1) AND eq(b,2)' must refuse, not silently run as
+    # the first conjunct (root funcs don't compose; @filter does)
+    with pytest.raises(DqlSyntaxError, match="trailing content after root"):
+        parse_dql(
+            "{ out(func: eq(team_id, 7) AND eq(score, 1)) { person_id } }"
+        )
+    with pytest.raises(DqlSyntaxError, match="trailing content after root"):
+        parse_dql("{ out(func: uid(v) junk) { person_id } }")
+
+
+def test_duplicate_projection_lines_rejected():
+    with pytest.raises(DqlSyntaxError, match="duplicate field"):
+        parse_dql("{ out(func: has(knows)) { age\n age } }")
+    with pytest.raises(DqlSyntaxError, match="duplicate count"):
+        parse_dql(
+            "{ out(func: has(knows)) { count(knows)\n count(knows) } }"
+        )
+
+
+def test_eq_compares_by_declared_type(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    # int-typed attribute: '25.0' and '025' are the same number, so
+    # eq must agree with ge-AND-le (string eq would return nothing)
+    (res,) = run_dql("{ v(func: eq(age, 25.0)) { age } }", toy_graph)
+    assert _ids(res.uids) == ["a"]
+    (res,) = run_dql("{ v(func: eq(age, 025)) { age } }", toy_graph)
+    assert _ids(res.uids) == ["a"]
+
+
+def test_leaf_projection_is_left_join(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    # e has knows edges but no age: Dgraph returns the node with the
+    # fields it has, so the projection keeps the row with a NULL age
+    # (@cascade is the explicit opt-in to pruning)
+    (res,) = run_dql("{ v(func: has(knows)) { age } }", toy_graph)
+    got = {(r["id"], r["age"]) for r in res.attrs.collect()}
+    assert got == {("a", 25), ("b", 30), ("c", 35), ("e", None)}
+
+
 def test_cascade_parse_constraints():
     (b,) = parse_dql("{ v(func: has(knows)) @cascade { age } }")
     assert b.cascade and b.leaf_attrs == ["age"]

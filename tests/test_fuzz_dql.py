@@ -137,9 +137,11 @@ def _gen_query(rng, preds, score):
                 offset = rng.randint(0, 3)
             if rng.random() < 0.5:
                 counts = [rng.choice(preds)]
-        cascade = (
-            last and recurse is None and not steps and rng.random() < 0.3
-        )
+        # cascade composes with recurse (steps are [] there); leaf
+        # projection fuzzes the LEFT-join semantics and is forced on
+        # under cascade so there's something to require
+        cascade = last and not steps and rng.random() < 0.3
+        leaf = last and (cascade or rng.random() < 0.4)
         blocks.append(
             {
                 "name": "out" if last else "var",
@@ -153,6 +155,7 @@ def _gen_query(rng, preds, score):
                 "recurse": recurse,
                 "rpreds": rpreds,
                 "cascade": cascade,
+                "leaf": leaf,
             }
         )
     # render
@@ -174,7 +177,7 @@ def _gen_query(rng, preds, score):
         if b["cascade"]:
             head += " @cascade"
         lines.append(head + "{")
-        if b["cascade"]:
+        if b["leaf"]:
             lines.append(f"    {ATTR}")
         for pred in b["rpreds"]:
             lines.append(f"    {pred}")
@@ -198,7 +201,8 @@ def _ref_term(term, env, edges, score):
     if kind == "uid":
         return set(env[term[1]])
     if kind == "eq":
-        return {i for i, v in score.items() if str(v) == term[2]}
+        # typed compare, mirroring the executor (attr_types[ATTR]=int)
+        return {i for i, v in score.items() if float(v) == float(term[2])}
     if kind == "cmp":
         _, op, _, val = term
         v = float(val)
@@ -342,3 +346,9 @@ def test_dql_matches_reference_set_semantics(spark, seed):
             r["id"]: r[f"count_{pred}"] for r in res.attrs.collect()
         }
         assert got_counts == exp_counts, f"counts diverged for:\n{text}"
+    if blocks[-1]["leaf"]:
+        # LEFT-join projection: every output uid keeps a row; the
+        # attr is None exactly where the node has no score
+        got_attrs = {(r["id"], r[ATTR]) for r in res.attrs.collect()}
+        exp_attrs = {(i, score.get(i)) for i in exp_uids}
+        assert got_attrs == exp_attrs, f"leaf projection diverged for:\n{text}"
