@@ -214,6 +214,37 @@ CONTRACTS += [
         "equi-join (label inequality is a residual); an all-pairs "
         "nested loop means the bucketing fell out of the join keys",
     ),
+    (
+        "g31_dql_filter_algebra",
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "DQL filter algebra is broadcast semi/anti set ops on small "
+        "uid frontiers; a sort-merge join means a frontier stopped "
+        "broadcasting",
+    ),
+    (
+        "g32_dql_ordered_page",
+        ["TakeOrderedAndProject"],
+        ["rangepartitioning"],
+        "DQL orderasc+first pagination is per-partition heaps (the "
+        "b24 shape), never a global range sort",
+    ),
+    (
+        "g33_dql_count_fanout",
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["SortMergeJoin"],
+        "count(pred) semi-joins the broadcast root into the edge "
+        "table BEFORE aggregating; a sort-merge join or full-table "
+        "agg means the root-scoping fell out",
+    ),
+    (
+        "g34_dql_recurse",
+        [],
+        ["Exchange", "SortMergeJoin"],
+        "the recurse reach set is a checkpointed BFS result: its "
+        "consuming plan is a plain scan with no residual exchange "
+        "(per-level lineage truncation held)",
+    ),
 ]
 
 
