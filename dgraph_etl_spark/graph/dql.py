@@ -885,10 +885,11 @@ def _has_set(pred: str, graph: DqlGraph) -> DataFrame:
     parts = []
     e = graph.edge_preds.get(pred)
     if e is not None:
+        # NULL src must not become a phantom uid (traverse.expand's
+        # phantom-node note)
         parts.append(
-            e.filter(F.col("dst").isNotNull()).select(
-                F.col("src").alias("id")
-            )
+            e.filter(F.col("dst").isNotNull() & F.col("src").isNotNull())
+            .select(F.col("src").alias("id"))
         )
     leaf = graph.leaf_attrs.get(pred)
     if leaf is not None:

@@ -327,8 +327,13 @@ _DQL_FILTER_ALGEBRA = """{
     SELECT p.person_id AS person_id
     FROM h1 JOIN person p ON h1.id = p.person_id
     WHERE (CAST(p.person_id AS DOUBLE) >= 40
+           -- src IS NOT NULL: a NULL in a NOT-IN subquery silently
+           -- empties the whole result in SQL, while the Spark side's
+           -- anti-join just ignores NULL ids (latent-divergence
+           -- class from the round-9 review)
            OR h1.id NOT IN (SELECT DISTINCT src FROM edges
-                            WHERE dst IS NOT NULL))
+                            WHERE dst IS NOT NULL
+                              AND src IS NOT NULL))
       AND h1.id NOT IN (SELECT id FROM seeds)
     """),
     defer=True,
