@@ -44,6 +44,7 @@ GRAPH_QUERIES = [
     "g08_degree_stats",       # degree distribution agg
     "g10_pagerank",           # 10 fixed-point iterations
     "g12_weakly_connected",   # O(diameter) label propagation
+    "g34_dql_recurse",        # DQL text -> visited-pruned BFS (khop shape)
 ]
 
 def _markers(replicas: int) -> tuple[str, str]:
