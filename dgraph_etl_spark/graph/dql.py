@@ -22,14 +22,19 @@ the documented public DQL semantics for:
              | 'first:' INT | 'offset:' INT
     line    := '#' comment
              | [VAR 'as'] PRED [ '@filter(' filter ')' ]  # edge step
+             | VAR 'as' ATTR                              # value bind
+             | VAR 'as' 'count(' PRED ')'                 # value bind
              | 'count(' PRED ')'                          # fan-out
+             | AGGFN '(val(' VAR '))'                     # aggregate
              | ATTR                                       # leaf proj
+    AGGFN   := 'min' | 'max' | 'sum' | 'avg'
     filter  := orx ; orx := andx {'OR' andx}
              ; andx := unary {'AND' unary}
              ; unary := 'NOT' unary | '(' orx ')' | term
-    term    := 'uid(' VAR ')' | 'eq(' ATTR ',' VALUE ')'
+    term    := 'uid(' VAR ')' | 'eq(' REF ',' VALUE ')'
              | 'has(' PRED ')'
-             | ('ge'|'le'|'gt'|'lt') '(' ATTR ',' VALUE ')'
+             | ('ge'|'le'|'gt'|'lt') '(' REF ',' VALUE ')'
+    REF     := ATTR | 'val(' VAR ')'
 
 Semantics (Dgraph's, for this subset):
 - a block's root is a uid set; ``@filter`` after the head filters the
@@ -50,6 +55,13 @@ Semantics (Dgraph's, for this subset):
 - ``@cascade`` keeps only uids carrying EVERY listed leaf predicate,
   applied AFTER pagination exactly as Dgraph documents (the known
   gotcha: a cascaded page may return fewer than ``first: N`` rows);
+- ``x as <attr>`` / ``x as count(pred)`` bind VALUE variables (per-uid
+  scalars over the block's root set: the attribute's values where it
+  exists, or the distinct out-degree including 0); ``val(x)`` then
+  appears in eq/ge/le/gt/lt filter terms, ``uid(x)`` is the uid set a
+  value var is defined on, and a block of ``min/max/sum/avg(val(x))``
+  lines emits a one-row aggregate (sum/avg via exact decimal sums,
+  the registry's cross-engine convention);
 - inequality terms compare by the attribute's declared type
   (``DqlGraph.attr_types``): numeric attributes compare numerically,
   strings lexicographically -- a numeric comparison against an
@@ -92,6 +104,7 @@ class EdgeStep:
     pred: str
     alias: str | None  # 'x as pred' binding, or None
     filt: tuple | None = None  # filter expr AST, or None
+    count_bind: bool = False  # 'x as count(pred)': per-uid value bind
 
     @property
     def not_uids(self) -> list[str]:
@@ -129,6 +142,7 @@ class Block:
     offset: int | None = None
     recurse: tuple | None = None  # (depth: int, loop: bool)
     cascade: bool = False  # @cascade: require every listed leaf
+    aggs: list = field(default_factory=list)  # (fn, var): min(val(x)) ...
 
 
 class DqlSyntaxError(ValueError):
@@ -138,6 +152,12 @@ class DqlSyntaxError(ValueError):
 
 _EDGE_PREFIX = re.compile(r"^(?:(?P<alias>\w+)\s+as\s+)?(?P<pred>\w+)$")
 _COUNT_LINE = re.compile(r"^count\s*\(\s*(?P<pred>\w+)\s*\)\s*$")
+_AGG_LINE = re.compile(
+    r"^(?P<fn>min|max|sum|avg)\s*\(\s*val\s*\(\s*(?P<var>\w+)\s*\)\s*\)\s*$"
+)
+_COUNT_BIND = re.compile(
+    r"^(?P<alias>\w+)\s+as\s+count\s*\(\s*(?P<pred>\w+)\s*\)\s*$"
+)
 _FILTER_TOKEN = re.compile(
     r"\s*(?:(?P<lp>\()|(?P<rp>\))|(?P<comma>,)"
     r"|(?P<word>AND\b|OR\b|NOT\b)"
@@ -161,35 +181,79 @@ def _tokenize_filter(text: str) -> list[str]:
     return toks
 
 
+def _parse_func_args(toks: list[str], i: int, name: str):
+    """Collect ``name( ... )``'s arguments at toks[i] == '(' with paren
+    awareness, splitting on depth-1 commas. Each argument comes back
+    as a token list (so nested ``val(x)`` stays intact). Returns
+    (args, index-after-close)."""
+    if i >= len(toks) or toks[i] != "(":
+        raise DqlSyntaxError(f"expected '(' after {name!r} in filter")
+    args: list[list[str]] = [[]]
+    depth, j = 1, i + 1
+    while j < len(toks):
+        t = toks[j]
+        if t == "(":
+            depth += 1
+            args[-1].append(t)
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                j += 1
+                break
+            args[-1].append(t)
+        elif t == "," and depth == 1:
+            args.append([])
+        else:
+            args[-1].append(t)
+        j += 1
+    else:
+        raise DqlSyntaxError(f"unclosed {name}(...) in filter")
+    return [a for a in args if a], j
+
+
+def _arg_atom(arg: list[str], ctx: str) -> str:
+    """An argument that must be a single bare token (attr/var/value)."""
+    if len(arg) != 1:
+        raise DqlSyntaxError(f"{ctx}: expected a single token, got {arg!r}")
+    return arg[0].strip("\"'")
+
+
+def _arg_ref(arg: list[str], ctx: str):
+    """An attr name OR a ``val(x)`` reference: returns ('attr', name)
+    or ('val', var)."""
+    if len(arg) == 4 and arg[0] == "val" and arg[1] == "(" and arg[3] == ")":
+        return ("val", arg[2])
+    return ("attr", _arg_atom(arg, ctx))
+
+
 def _parse_func_term(toks: list[str], i: int) -> tuple[tuple, int]:
     """Parse ``name(arg, ...)`` at ``toks[i]`` into a term tuple."""
     name = toks[i]
-    if i + 1 >= len(toks) or toks[i + 1] != "(":
-        raise DqlSyntaxError(f"expected '(' after {name!r} in filter")
-    args, j = [], i + 2
-    while j < len(toks) and toks[j] != ")":
-        if toks[j] != ",":
-            args.append(toks[j].strip("\"'"))
-        j += 1
-    if j >= len(toks):
-        raise DqlSyntaxError(f"unclosed {name}(...) in filter")
-    j += 1  # past ')'
+    args, j = _parse_func_args(toks, i + 1, name)
     if name == "uid":
         if len(args) != 1:
             raise DqlSyntaxError(f"uid() takes one var, got {args!r}")
-        return ("uid", args[0]), j
+        return ("uid", _arg_atom(args[0], "uid()")), j
     if name == "eq":
         if len(args) != 2:
             raise DqlSyntaxError(f"eq() takes (attr, value), got {args!r}")
-        return ("eq", args[0], args[1]), j
+        ref = _arg_ref(args[0], "eq()")
+        val = _arg_atom(args[1], "eq() value")
+        if ref[0] == "val":
+            return ("eqval", ref[1], val), j
+        return ("eq", ref[1], val), j
     if name == "has":
         if len(args) != 1:
             raise DqlSyntaxError(f"has() takes one predicate, got {args!r}")
-        return ("has", args[0]), j
+        return ("has", _arg_atom(args[0], "has()")), j
     if name in _CMP_OPS:
         if len(args) != 2:
             raise DqlSyntaxError(f"{name}() takes (attr, value), got {args!r}")
-        return ("cmp", name, args[0], args[1]), j
+        ref = _arg_ref(args[0], f"{name}()")
+        val = _arg_atom(args[1], f"{name}() value")
+        if ref[0] == "val":
+            return ("cmpval", name, ref[1], val), j
+        return ("cmp", name, ref[1], val), j
     raise DqlSyntaxError(f"unsupported filter function: {name!r}")
 
 
@@ -441,6 +505,21 @@ def parse_dql(text: str) -> list[Block]:
             )
         block = _parse_head(head)
         for part in _body_lines(inner):
+            am = _AGG_LINE.match(part)
+            if am is not None:
+                block.aggs.append((am.group("fn"), am.group("var")))
+                continue
+            cb = _COUNT_BIND.match(part)
+            if cb is not None:
+                block.steps.append(
+                    EdgeStep(
+                        cb.group("pred"),
+                        cb.group("alias"),
+                        None,
+                        count_bind=True,
+                    )
+                )
+                continue
             cm = _COUNT_LINE.match(part)
             if cm is not None:
                 block.counts.append(cm.group("pred"))
@@ -494,7 +573,31 @@ def parse_dql(text: str) -> list[Block]:
                     "subset (Dgraph applies them per recursion level, "
                     "which a flattened reach set cannot represent)"
                 )
-        for what, seq in (("field", block.leaf_attrs), ("count", block.counts)):
+        if block.aggs:
+            if block.name == "var":
+                raise DqlSyntaxError(
+                    "an aggregation block is an output -- name it"
+                )
+            if (
+                block.steps
+                or block.leaf_attrs
+                or block.counts
+                or block.cascade
+                or block.recurse is not None
+                or block.order is not None
+                or block.first is not None
+                or block.offset is not None
+            ):
+                raise DqlSyntaxError(
+                    "aggregation blocks take ONLY min/max/sum/avg"
+                    "(val(x)) lines (mixing per-uid projections into a "
+                    "one-row aggregate output has no flattened shape)"
+                )
+        for what, seq in (
+            ("field", block.leaf_attrs),
+            ("count", block.counts),
+            ("aggregate", ["%s(val(%s))" % a for a in block.aggs]),
+        ):
             dupes = sorted({w for w in seq if seq.count(w) > 1})
             if dupes:
                 # a doubled projection line would join the same table
@@ -652,8 +755,56 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                     )
                 root = root.join(tbl.select("id"), "id", "left_semi")
         for step in block.steps:
+            if step.count_bind:
+                # 'x as count(pred)': per-root-uid distinct out-degree
+                # as a VALUE variable -- defined (as 0) on every root
+                # uid, Dgraph's count-over-uid-list reading. Same
+                # root-scoped aggregation shape as the count(pred)
+                # projection.
+                cedges = graph.edge_preds.get(step.pred)
+                if cedges is None:
+                    raise DqlSyntaxError(
+                        f"count() of unbound edge predicate "
+                        f"{step.pred!r} (bound: {sorted(graph.edge_preds)})"
+                    )
+                cnt = (
+                    cedges.select("src", "dst")
+                    .filter(F.col("dst").isNotNull())
+                    .join(
+                        F.broadcast(
+                            root.select(F.col("id").alias("src"))
+                        ),
+                        "src",
+                        "left_semi",
+                    )
+                    .groupBy(F.col("src").alias("id"))
+                    .agg(F.countDistinct("dst").cast("double").alias("val"))
+                )
+                frame = (
+                    root.select("id")
+                    .join(cnt, "id", "left")
+                    .fillna(0.0, subset=["val"])
+                )
+                env[step.alias] = frame.localCheckpoint(eager=False)
+                continue
             edges = graph.edge_preds.get(step.pred)
             if edges is None:
+                if (
+                    step.alias
+                    and step.filt is None
+                    and (
+                        step.pred in graph.eq_index
+                        or step.pred in graph.leaf_attrs
+                    )
+                ):
+                    # 'x as <attr>': bind the attribute's values over
+                    # the root uids as a value variable (defined only
+                    # where the attribute exists, Dgraph's val() rule)
+                    frame = _attr_value_frame(step.pred, graph).join(
+                        F.broadcast(root.select("id")), "id", "left_semi"
+                    )
+                    env[step.alias] = frame.localCheckpoint(eager=False)
+                    continue
                 raise DqlSyntaxError(
                     f"unbound edge predicate {step.pred!r} "
                     f"(bound: {sorted(graph.edge_preds)})"
@@ -687,6 +838,53 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                 # doubles per hop and re-runs every upstream traversal
                 # per reference
                 env[step.alias] = reached.localCheckpoint(eager=False)
+        if block.name != "var" and block.aggs:
+            # aggregation block: one row, one column per agg line.
+            # Each value frame is scoped to the (broadcast-small) root
+            # uid set by a semi-join, then reduced map-side -- the
+            # one-row results cross-join (the g30 hop-counts shape).
+            # sum/avg go through the repo's exact-decimal convention
+            # so IEEE summation order can't flip a certified hash.
+            from pyspark.sql.types import StringType
+
+            row = None
+            for fn, var in block.aggs:
+                frame = _value_frame_of(var, env, f"{fn}(val({var}))")
+                scoped = frame.join(
+                    F.broadcast(root.select("id")), "id", "left_semi"
+                )
+                is_str = isinstance(
+                    frame.schema["val"].dataType, StringType
+                )
+                if fn in ("sum", "avg") and is_str:
+                    raise DqlSyntaxError(
+                        f"{fn}(val({var})): var holds strings; only "
+                        "min/max order a string value variable"
+                    )
+                col = F.col("val")
+                name_col = f"{fn}_{var}"
+                if fn == "min":
+                    one = scoped.agg(F.min(col).alias(name_col))
+                elif fn == "max":
+                    one = scoped.agg(F.max(col).alias(name_col))
+                elif fn == "sum":
+                    one = scoped.agg(
+                        F.sum(col.cast("decimal(18,6)"))
+                        .cast("double")
+                        .alias(name_col)
+                    )
+                else:  # avg = exact-sum / count, never engine AVG
+                    one = scoped.agg(
+                        (
+                            F.sum(col.cast("decimal(18,6)"))
+                            / F.count(col)
+                        )
+                        .cast("double")
+                        .alias(name_col)
+                    )
+                row = one if row is None else row.crossJoin(one)
+            out.append(DqlResult(block.name, root.select("id"), row))
+            continue
         if block.name != "var":
             base_cols = ["id"] + (["rn"] if "rn" in root.columns else [])
             attrs = None
@@ -793,7 +991,8 @@ def _root_set(block: Block, env: dict, graph: DqlGraph) -> DataFrame:
         (var,) = block.root_args
         if var not in env:
             raise DqlSyntaxError(f"func: uid({var}) references unbound var")
-        return env[var]
+        # uid(x) over a VALUE var is the uid set it is defined on
+        return env[var].select("id")
     if block.root_kind == "has":
         (pred,) = block.root_args
         return _has_set(pred, graph)
@@ -878,6 +1077,55 @@ def _cmp_set(op: str, attr: str, val: str, graph: DqlGraph) -> DataFrame:
     )
 
 
+def _attr_value_frame(attr: str, graph: DqlGraph) -> DataFrame:
+    """(id, val) for an attribute, typed per attr_types, NULL values
+    dropped (a NULL stored value is an absent attribute)."""
+    if attr in graph.eq_index:
+        vals = graph.eq_index[attr].select(
+            "id", _typed_value_col(attr, graph).alias("val")
+        )
+    elif attr in graph.leaf_attrs:
+        ty = graph.attr_types.get(attr, "string")
+        col = F.col(attr).cast(
+            "double" if ty in ("int", "float") else "string"
+        )
+        vals = graph.leaf_attrs[attr].select("id", col.alias("val"))
+    else:
+        raise DqlSyntaxError(
+            f"attribute {attr!r} bound nowhere (eq_index: "
+            f"{sorted(graph.eq_index)}, attrs: {sorted(graph.leaf_attrs)})"
+        )
+    return vals.filter(F.col("val").isNotNull()).dropDuplicates(["id"])
+
+
+def _value_frame_of(var: str, env: dict, what: str) -> DataFrame:
+    """env[var] checked to be a VALUE frame (id, val)."""
+    frame = env.get(var)
+    if frame is None:
+        raise DqlSyntaxError(f"{what} references unbound var {var!r}")
+    if "val" not in frame.columns:
+        raise DqlSyntaxError(
+            f"{what}: {var!r} is a uid set, not a value variable "
+            "(bind it with 'x as <attr>' or 'x as count(pred)')"
+        )
+    return frame
+
+
+def _val_literal(frame: DataFrame, val: str, ctx: str):
+    """Literal typed to the value frame's own val column dtype."""
+    from pyspark.sql.types import StringType
+
+    if isinstance(frame.schema["val"].dataType, StringType):
+        return F.lit(val)
+    try:
+        return F.lit(float(val))
+    except ValueError:
+        raise DqlSyntaxError(
+            f"{ctx}: numeric value variable compared against "
+            f"non-numeric literal {val!r}"
+        ) from None
+
+
 def _has_set(pred: str, graph: DqlGraph) -> DataFrame:
     """has(pred): nodes where the predicate exists -- sources of an
     edge predicate, or ids carrying a scalar attribute. A name bound
@@ -923,6 +1171,23 @@ def _term_uids(term: tuple, env: dict, graph: DqlGraph) -> DataFrame:
     if kind == "cmp":
         _, op, attr, val = term
         return _cmp_set(op, attr, val, graph)
+    if kind == "eqval":
+        _, var, val = term
+        frame = _value_frame_of(var, env, "eq(val(...))")
+        lit = _val_literal(frame, val, "eq(val(...))")
+        return frame.filter(F.col("val") == lit).select("id")
+    if kind == "cmpval":
+        _, op, var, val = term
+        frame = _value_frame_of(var, env, f"{op}(val(...))")
+        lit = _val_literal(frame, val, f"{op}(val(...))")
+        key = F.col("val")
+        cond = {
+            "ge": key >= lit,
+            "le": key <= lit,
+            "gt": key > lit,
+            "lt": key < lit,
+        }[op]
+        return frame.filter(cond).select("id")
     raise DqlSyntaxError(f"unknown filter term: {term!r}")
 
 
@@ -968,30 +1233,13 @@ def _order_page(root: DataFrame, block: Block, graph: DqlGraph) -> DataFrame:
         return root
     if block.order is not None:
         attr, asc = block.order
-        if attr in graph.eq_index:
-            vals = graph.eq_index[attr].select(
-                "id", _typed_value_col(attr, graph).alias("_ord")
-            )
-        elif attr in graph.leaf_attrs:
-            ty = graph.attr_types.get(attr, "string")
-            col = F.col(attr).cast(
-                "double" if ty in ("int", "float") else "string"
-            )
-            vals = graph.leaf_attrs[attr].select("id", col.alias("_ord"))
-        else:
-            raise DqlSyntaxError(
-                f"order attribute {attr!r} bound nowhere (eq_index: "
-                f"{sorted(graph.eq_index)}, attrs: {sorted(graph.leaf_attrs)})"
-            )
-        # a NULL stored value is an absent attribute: sorted queries
-        # drop it (otherwise asc NULLS-FIRST would hand it the top
-        # first: N slots)
-        vals = vals.filter(F.col("_ord").isNotNull())
+        # typed + NULL-dropped via the shared value-frame helper;
         # Dgraph drops nodes missing the order attribute from sorted
         # results: inner join, not left
-        ranked = root.select("id").join(
-            vals.dropDuplicates(["id"]), "id"
+        vals = _attr_value_frame(attr, graph).withColumnRenamed(
+            "val", "_ord"
         )
+        ranked = root.select("id").join(vals, "id")
         keys = [
             F.col("_ord").asc() if asc else F.col("_ord").desc(),
             F.col("id").asc(),

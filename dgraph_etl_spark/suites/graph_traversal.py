@@ -482,6 +482,102 @@ def g34_dql_recurse(spark, sf_dir):
     )
 
 
+# shared oracle CTE: each seed member's distinct out-degree (0 kept),
+# the value variable 'd as count(has_connection)' binds
+_DEGREES = """
+    , seeds AS (
+        SELECT DISTINCT person_id AS id
+        FROM team_member WHERE team_id = '7'
+    ),
+    degrees AS (
+        SELECT s.id, COALESCE(c.cnt, 0) AS cnt
+        FROM seeds s
+        LEFT JOIN (
+            SELECT src, COUNT(DISTINCT dst) AS cnt
+            FROM edges
+            WHERE dst IS NOT NULL AND src IS NOT NULL
+            GROUP BY src
+        ) c ON c.src = s.id
+    )
+"""
+
+_DQL_VALUE_AGGS = """{
+  var(func: eq(team_id, %s)){
+    src as has_member
+  }
+  var(func: uid(src)){
+    d as count(has_connection)
+  }
+  stats(func: uid(d)){
+    min(val(d))
+    max(val(d))
+    sum(val(d))
+    avg(val(d))
+  }
+}""" % TEAM
+
+
+@register(
+    "g35_dql_value_aggregates",
+    V(_DEGREES + """
+    SELECT CAST(MIN(cnt) AS DOUBLE) AS min_d,
+           CAST(MAX(cnt) AS DOUBLE) AS max_d,
+           CAST(CAST(SUM(CAST(cnt AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                AS DOUBLE) AS sum_d,
+           CAST(SUM(CAST(cnt AS DECIMAL(18,6))) / COUNT(cnt)
+                AS DOUBLE) AS avg_d
+    FROM degrees
+    """),
+    defer=True,
+)
+def g35_dql_value_aggregates(spark, sf_dir):
+    """DQL value variables + aggregation: bind each seed member's
+    distinct out-degree as a value var (d as count(has_connection)),
+    then emit a one-row min/max/sum/avg(val(d)) block -- per-uid
+    scalars reduced map-side, sum/avg through exact decimal sums (the
+    registry's cross-engine convention). Public Dgraph semantics
+    (value variables, aggregation blocks); executed from query TEXT."""
+    from ..graph.dql import run_dql
+
+    (res,) = run_dql(_DQL_VALUE_AGGS, dql_fixture_graph(spark, sf_dir))
+    return res.attrs
+
+
+_DQL_VALUE_FILTER = """{
+  var(func: eq(team_id, %s)){
+    src as has_member
+  }
+  var(func: uid(src)){
+    d as count(has_connection)
+  }
+  active(func: uid(d)) @filter(gt(val(d), 0) AND lt(val(d), 50)){
+    person_id
+  }
+}""" % TEAM
+
+
+@register(
+    "g36_dql_value_filter",
+    V(_DEGREES + """
+    SELECT p.person_id AS person_id
+    FROM degrees d JOIN person p ON d.id = p.person_id
+    WHERE d.cnt > 0 AND d.cnt < 50
+    """),
+    defer=True,
+)
+def g36_dql_value_filter(spark, sf_dir):
+    """DQL val() filter terms: root over the uids a value var is
+    defined on, pruned by gt/lt comparisons against the bound
+    per-uid scalar -- each term filters the (root-scoped) value frame
+    and semi-joins back, no row ever widens."""
+    from ..graph.dql import run_dql
+
+    (res,) = run_dql(_DQL_VALUE_FILTER, dql_fixture_graph(spark, sf_dir))
+    return res.attrs.select("person_id").filter(
+        F.col("person_id").isNotNull()
+    )
+
+
 @register(
     "g06_khop_k3",
     V(_HOPS + """

@@ -413,6 +413,60 @@ def test_cascade_prunes_after_pagination(spark, toy_graph):
     assert rows == {"a": 1, "b": 2, "c": 3}
 
 
+def test_value_variable_binding_and_filters(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    # attr bind: defined only where the attribute exists (e drops)
+    (res,) = run_dql(
+        "{ var(func: has(knows)) { a as age }\n"
+        "  out(func: uid(a)) @filter(ge(val(a), 30)) { age } }",
+        toy_graph,
+    )
+    assert _ids(res.uids) == ["b", "c"]
+    # count bind: defined (as 0) on every root uid
+    (res,) = run_dql(
+        "{ var(func: eq(age, 40)) { k as count(knows) }\n"
+        "  z(func: uid(k)) @filter(eq(val(k), 0)) { age } }",
+        toy_graph,
+    )
+    assert _ids(res.uids) == ["d"]
+
+
+def test_value_aggregation_block(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    (res,) = run_dql(
+        "{ var(func: has(age)) { s as age }\n"
+        "  stats(func: uid(s)) {\n"
+        "    min(val(s))\n    max(val(s))\n"
+        "    sum(val(s))\n    avg(val(s))\n  } }",
+        toy_graph,
+    )
+    (row,) = res.attrs.collect()
+    assert (row["min_s"], row["max_s"]) == (25.0, 40.0)
+    assert row["sum_s"] == 130.0
+    assert row["avg_s"] == 32.5
+
+
+def test_value_variable_misuse_fails_loudly(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    # val() over a uid var
+    with pytest.raises(DqlSyntaxError, match="uid set, not a value"):
+        run_dql(
+            "{ var(func: eq(age, 25)) { u as knows }\n"
+            "  out(func: uid(u)) @filter(gt(val(u), 1)) { age } }",
+            toy_graph,
+        )
+    # aggregation blocks are outputs and take only agg lines
+    with pytest.raises(DqlSyntaxError, match="is an output"):
+        parse_dql("{ var(func: uid(x)) { min(val(x)) } }")
+    with pytest.raises(DqlSyntaxError, match="ONLY min/max/sum/avg"):
+        parse_dql("{ s(func: uid(x)) { min(val(x))\n age } }")
+    with pytest.raises(DqlSyntaxError, match="duplicate aggregate"):
+        parse_dql("{ s(func: uid(x)) { min(val(x))\n min(val(x)) } }")
+
+
 def test_numeric_attr_with_nonnumeric_literal_fails_loudly(
     spark, toy_graph
 ):

@@ -45,8 +45,10 @@ def _gen_graph(rng: random.Random):
     return ids, preds, edges, score
 
 
-def _gen_term(rng, preds, bound):
+def _gen_term(rng, preds, bound, value_vars=()):
     kinds = ["eq", "cmp", "has"] + (["uid"] if bound else [])
+    if value_vars:
+        kinds += ["eqval", "cmpval"]
     k = rng.choice(kinds)
     if k == "uid":
         return ("uid", rng.choice(bound))
@@ -55,20 +57,25 @@ def _gen_term(rng, preds, bound):
     if k == "cmp":
         op = rng.choice(["ge", "le", "gt", "lt"])
         return ("cmp", op, ATTR, str(rng.randint(0, 5)))
+    if k == "eqval":
+        return ("eqval", rng.choice(value_vars), str(rng.randint(0, 6)))
+    if k == "cmpval":
+        op = rng.choice(["ge", "le", "gt", "lt"])
+        return ("cmpval", op, rng.choice(value_vars), str(rng.randint(0, 6)))
     return ("has", rng.choice(preds + [ATTR]))
 
 
-def _gen_filter(rng, preds, bound, depth=0):
+def _gen_filter(rng, preds, bound, depth=0, value_vars=()):
     r = rng.random()
     if depth < 2 and r < 0.3:
         parts = [
-            _gen_filter(rng, preds, bound, depth + 1)
+            _gen_filter(rng, preds, bound, depth + 1, value_vars)
             for _ in range(rng.randint(2, 3))
         ]
         return (rng.choice(["and", "or"]), parts)
     if depth < 2 and r < 0.45:
-        return ("not", _gen_filter(rng, preds, bound, depth + 1))
-    return _gen_term(rng, preds, bound)
+        return ("not", _gen_filter(rng, preds, bound, depth + 1, value_vars))
+    return _gen_term(rng, preds, bound, value_vars)
 
 
 def _render_filter(expr) -> str:
@@ -85,6 +92,10 @@ def _render_filter(expr) -> str:
         return f"eq({expr[1]}, {expr[2]})"
     if kind == "cmp":
         return f"{expr[1]}({expr[2]}, {expr[3]})"
+    if kind == "eqval":
+        return f"eq(val({expr[1]}), {expr[2]})"
+    if kind == "cmpval":
+        return f"{expr[1]}(val({expr[2]}), {expr[3]})"
     return f"has({expr[1]})"
 
 
@@ -94,7 +105,8 @@ def _gen_query(rng, preds, score):
     Returns (text, plan) where plan is the AST mirror the reference
     evaluator walks."""
     blocks = []
-    bound: list[str] = []
+    bound: list[str] = []  # every var (uid refs allowed over both)
+    value_vars: list[str] = []  # the subset holding per-uid scalars
     n_var = rng.randint(0, 2)
     for _ in range(n_var + 1):
         last = len(blocks) == n_var
@@ -105,23 +117,57 @@ def _gen_query(rng, preds, score):
             if root[0] == "uid":  # unreachable, but keep the invariant
                 root = ("has", preds[0])
         root_filter = (
-            _gen_filter(rng, preds, bound) if rng.random() < 0.5 else None
+            _gen_filter(rng, preds, bound, value_vars=value_vars)
+            if rng.random() < 0.5
+            else None
         )
+        # snapshot BEFORE this block's steps: the agg branch below may
+        # discard the steps it just generated, so an agg var picked
+        # from the live list could be a ghost binding
+        prior_value_vars = list(value_vars)
         steps = []
         if not last or rng.random() < 0.3:
             for _ in range(rng.randint(1 if not last else 0, 2)):
                 alias = f"v{len(bound)}"
-                filt = (
-                    _gen_filter(rng, preds, bound)
-                    if rng.random() < 0.5
-                    else None
-                )
-                steps.append((rng.choice(preds), alias, filt))
+                r = rng.random()
+                if r < 0.2:
+                    steps.append(
+                        {"kind": "countbind", "pred": rng.choice(preds),
+                         "alias": alias, "filt": None}
+                    )
+                    value_vars.append(alias)
+                elif r < 0.35:
+                    steps.append(
+                        {"kind": "attrbind", "pred": ATTR,
+                         "alias": alias, "filt": None}
+                    )
+                    value_vars.append(alias)
+                else:
+                    filt = (
+                        _gen_filter(rng, preds, bound, value_vars=value_vars)
+                        if rng.random() < 0.5
+                        else None
+                    )
+                    steps.append(
+                        {"kind": "edge", "pred": rng.choice(preds),
+                         "alias": alias, "filt": filt}
+                    )
                 bound.append(alias)
         order = first = offset = recurse = None
         rpreds: list[str] = []
         counts = []
-        if last and rng.random() < 0.35:
+        aggs: list[tuple] = []
+        if last and prior_value_vars and rng.random() < 0.25:
+            # aggregation output block: only agg lines
+            var = rng.choice(prior_value_vars)
+            aggs = [
+                (fn, var)
+                for fn in rng.sample(
+                    ["min", "max", "sum"], rng.randint(1, 3)
+                )
+            ]
+            steps = []
+        elif last and rng.random() < 0.35:
             # @recurse output block: bare predicates, no pagination
             recurse = rng.randint(1, 4)
             rpreds = rng.sample(preds, rng.randint(1, len(preds)))
@@ -140,8 +186,10 @@ def _gen_query(rng, preds, score):
         # cascade composes with recurse (steps are [] there); leaf
         # projection fuzzes the LEFT-join semantics and is forced on
         # under cascade so there's something to require
-        cascade = last and not steps and rng.random() < 0.3
-        leaf = last and (cascade or rng.random() < 0.4)
+        cascade = (
+            last and not steps and not aggs and rng.random() < 0.3
+        )
+        leaf = last and not aggs and (cascade or rng.random() < 0.4)
         blocks.append(
             {
                 "name": "out" if last else "var",
@@ -156,6 +204,7 @@ def _gen_query(rng, preds, score):
                 "rpreds": rpreds,
                 "cascade": cascade,
                 "leaf": leaf,
+                "aggs": aggs,
             }
         )
     # render
@@ -181,13 +230,20 @@ def _gen_query(rng, preds, score):
             lines.append(f"    {ATTR}")
         for pred in b["rpreds"]:
             lines.append(f"    {pred}")
-        for pred, alias, filt in b["steps"]:
-            step = f"    {alias} as {pred}"
-            if filt is not None:
-                step += f" @filter({_render_filter(filt)})"
-            lines.append(step)
+        for st in b["steps"]:
+            if st["kind"] == "countbind":
+                lines.append(f"    {st['alias']} as count({st['pred']})")
+            elif st["kind"] == "attrbind":
+                lines.append(f"    {st['alias']} as {st['pred']}")
+            else:
+                step = f"    {st['alias']} as {st['pred']}"
+                if st["filt"] is not None:
+                    step += f" @filter({_render_filter(st['filt'])})"
+                lines.append(step)
         for pred in b["counts"]:
             lines.append(f"    count({pred})")
+        for fn, var in b["aggs"]:
+            lines.append(f"    {fn}(val({var}))")
         lines.append("  }")
     lines.append("}")
     return "\n".join(lines), blocks
@@ -199,7 +255,21 @@ def _gen_query(rng, preds, score):
 def _ref_term(term, env, edges, score):
     kind = term[0]
     if kind == "uid":
+        # a value var's uid set is the ids it is defined on
         return set(env[term[1]])
+    if kind == "eqval":
+        _, var, val = term
+        return {i for i, v in env[var].items() if v == float(val)}
+    if kind == "cmpval":
+        _, op, var, val = term
+        x = float(val)
+        cmpf = {
+            "ge": lambda v: v >= x,
+            "le": lambda v: v <= x,
+            "gt": lambda v: v > x,
+            "lt": lambda v: v < x,
+        }[op]
+        return {i for i, v in env[var].items() if cmpf(v)}
     if kind == "eq":
         # typed compare, mirroring the executor (attr_types[ATTR]=int)
         return {i for i, v in score.items() if float(v) == float(term[2])}
@@ -284,11 +354,25 @@ def _ref_eval(blocks, edges, score):
             root = root & set(score)
             if rn is not None:
                 rn = {i: r for i, r in rn.items() if i in root}
-        for pred, alias, filt in b["steps"]:
-            reached = {d for s, d in edges[pred] if s in root}
-            if filt is not None:
-                reached = _ref_filter(reached, filt, env, edges, score)
-            env[alias] = reached
+        for st in b["steps"]:
+            if st["kind"] == "countbind":
+                env[st["alias"]] = {
+                    i: float(
+                        len({d for s, d in edges[st["pred"]] if s == i})
+                    )
+                    for i in root
+                }
+            elif st["kind"] == "attrbind":
+                env[st["alias"]] = {
+                    i: float(score[i]) for i in root if i in score
+                }
+            else:
+                reached = {d for s, d in edges[st["pred"]] if s in root}
+                if st["filt"] is not None:
+                    reached = _ref_filter(
+                        reached, st["filt"], env, edges, score
+                    )
+                env[st["alias"]] = reached
         if b["name"] != "var":
             counts = None
             if b["counts"]:
@@ -297,7 +381,22 @@ def _ref_eval(blocks, edges, score):
                     i: len({d for s, d in edges[pred] if s == i})
                     for i in root
                 }
-            out = (root, rn, counts)
+            agg_row = None
+            if b["aggs"]:
+                agg_row = {}
+                for fn, var in b["aggs"]:
+                    vals = [
+                        v for i, v in env[var].items() if i in root
+                    ]
+                    if not vals:
+                        agg_row[f"{fn}_{var}"] = None
+                    elif fn == "min":
+                        agg_row[f"{fn}_{var}"] = min(vals)
+                    elif fn == "max":
+                        agg_row[f"{fn}_{var}"] = max(vals)
+                    else:  # sum of small ints: float-exact
+                        agg_row[f"{fn}_{var}"] = float(sum(vals))
+            out = (root, rn, counts, agg_row)
     return out
 
 
@@ -332,7 +431,13 @@ def test_dql_matches_reference_set_semantics(spark, seed):
         attr_types={ATTR: "int"},
     )
     (res,) = run_dql(text, graph)
-    exp_uids, exp_rn, exp_counts = _ref_eval(blocks, edges, score)
+    exp_uids, exp_rn, exp_counts, exp_aggs = _ref_eval(
+        blocks, edges, score
+    )
+    if exp_aggs is not None:
+        (row,) = res.attrs.collect()
+        got_aggs = {k: row[k] for k in exp_aggs}
+        assert got_aggs == exp_aggs, f"aggregates diverged for:\n{text}"
 
     got_rows = res.uids.collect()
     got_uids = {r["id"] for r in got_rows}
