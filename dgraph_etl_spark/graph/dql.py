@@ -399,8 +399,13 @@ def _parse_head(head: str) -> Block:
         root_kind, root_args = "eq", (term[1], term[2])
     elif term[0] == "has":
         root_kind, root_args = "has", (term[1],)
-    else:  # ("cmp", op, attr, val)
+    elif term[0] == "cmp":  # ("cmp", op, attr, val)
         root_kind, root_args = term[1], (term[2], term[3])
+    elif term[0] in ("eqval", "cmpval"):
+        # func: eq/ge/le/gt/lt(val(x), N) -- root over a value var
+        root_kind, root_args = term[0], term[1:]
+    else:
+        raise DqlSyntaxError(f"unsupported root function: {parts[0]!r}")
     block = Block(m.group("name"), root_kind, root_args)
     for part in parts[1:]:
         if ":" not in part:
@@ -754,49 +759,25 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                         f"(bound: {sorted(graph.leaf_attrs)})"
                     )
                 root = root.join(tbl.select("id"), "id", "left_semi")
+        value_binds: list[str] = []  # this block's value-bind aliases
         for step in block.steps:
             if step.count_bind:
                 # 'x as count(pred)': per-root-uid distinct out-degree
                 # as a VALUE variable -- defined (as 0) on every root
-                # uid, Dgraph's count-over-uid-list reading. Same
-                # root-scoped aggregation shape as the count(pred)
-                # projection.
-                cedges = graph.edge_preds.get(step.pred)
-                if cedges is None:
-                    raise DqlSyntaxError(
-                        f"count() of unbound edge predicate "
-                        f"{step.pred!r} (bound: {sorted(graph.edge_preds)})"
-                    )
-                cnt = (
-                    cedges.select("src", "dst")
-                    .filter(F.col("dst").isNotNull())
-                    .join(
-                        F.broadcast(
-                            root.select(F.col("id").alias("src"))
-                        ),
-                        "src",
-                        "left_semi",
-                    )
-                    .groupBy(F.col("src").alias("id"))
-                    .agg(F.countDistinct("dst").cast("double").alias("val"))
-                )
-                frame = (
-                    root.select("id")
-                    .join(cnt, "id", "left")
-                    .fillna(0.0, subset=["val"])
-                )
+                # uid, Dgraph's count-over-uid-list reading
+                frame = _degree_frame(
+                    step.pred, root, graph, "val"
+                ).withColumn("val", F.col("val").cast("double"))
                 env[step.alias] = frame.localCheckpoint(eager=False)
+                value_binds.append(step.alias)
                 continue
             edges = graph.edge_preds.get(step.pred)
             if edges is None:
-                if (
-                    step.alias
-                    and step.filt is None
-                    and (
-                        step.pred in graph.eq_index
-                        or step.pred in graph.leaf_attrs
-                    )
-                ):
+                is_attr = (
+                    step.pred in graph.eq_index
+                    or step.pred in graph.leaf_attrs
+                )
+                if is_attr and step.alias and step.filt is None:
                     # 'x as <attr>': bind the attribute's values over
                     # the root uids as a value variable (defined only
                     # where the attribute exists, Dgraph's val() rule)
@@ -804,7 +785,15 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                         F.broadcast(root.select("id")), "id", "left_semi"
                     )
                     env[step.alias] = frame.localCheckpoint(eager=False)
+                    value_binds.append(step.alias)
                     continue
+                if is_attr:
+                    raise DqlSyntaxError(
+                        f"{step.pred!r} is an attribute: @filter on a "
+                        "value bind is outside the subset -- bind it "
+                        f"plain ('VAR as {step.pred}') and filter with "
+                        "val() terms in the next block"
+                    )
                 raise DqlSyntaxError(
                     f"unbound edge predicate {step.pred!r} "
                     f"(bound: {sorted(graph.edge_preds)})"
@@ -847,41 +836,50 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
             # so IEEE summation order can't flip a certified hash.
             from pyspark.sql.types import StringType
 
-            row = None
+            # one aggregation pass per VARIABLE (all of a var's agg
+            # lines reduce in a single scan of its scoped frame);
+            # cross-join only between different vars' one-row frames
+            by_var: dict[str, list[str]] = {}
             for fn, var in block.aggs:
-                frame = _value_frame_of(var, env, f"{fn}(val({var}))")
+                by_var.setdefault(var, []).append(fn)
+            row = None
+            for var, fns in by_var.items():
+                frame = _value_frame_of(var, env, f"agg(val({var}))")
                 scoped = frame.join(
                     F.broadcast(root.select("id")), "id", "left_semi"
                 )
                 is_str = isinstance(
                     frame.schema["val"].dataType, StringType
                 )
-                if fn in ("sum", "avg") and is_str:
-                    raise DqlSyntaxError(
-                        f"{fn}(val({var})): var holds strings; only "
-                        "min/max order a string value variable"
-                    )
                 col = F.col("val")
-                name_col = f"{fn}_{var}"
-                if fn == "min":
-                    one = scoped.agg(F.min(col).alias(name_col))
-                elif fn == "max":
-                    one = scoped.agg(F.max(col).alias(name_col))
-                elif fn == "sum":
-                    one = scoped.agg(
-                        F.sum(col.cast("decimal(18,6)"))
-                        .cast("double")
-                        .alias(name_col)
-                    )
-                else:  # avg = exact-sum / count, never engine AVG
-                    one = scoped.agg(
-                        (
-                            F.sum(col.cast("decimal(18,6)"))
-                            / F.count(col)
+                exprs = []
+                for fn in fns:
+                    if fn in ("sum", "avg") and is_str:
+                        raise DqlSyntaxError(
+                            f"{fn}(val({var})): var holds strings; only "
+                            "min/max order a string value variable"
                         )
-                        .cast("double")
-                        .alias(name_col)
-                    )
+                    name_col = f"{fn}_{var}"
+                    if fn == "min":
+                        exprs.append(F.min(col).alias(name_col))
+                    elif fn == "max":
+                        exprs.append(F.max(col).alias(name_col))
+                    elif fn == "sum":
+                        exprs.append(
+                            F.sum(col.cast("decimal(18,6)"))
+                            .cast("double")
+                            .alias(name_col)
+                        )
+                    else:  # avg = exact-sum / count, never engine AVG
+                        exprs.append(
+                            (
+                                F.sum(col.cast("decimal(18,6)"))
+                                / F.count(col)
+                            )
+                            .cast("double")
+                            .alias(name_col)
+                        )
+                one = scoped.agg(*exprs)
                 row = one if row is None else row.crossJoin(one)
             out.append(DqlResult(block.name, root.select("id"), row))
             continue
@@ -904,36 +902,17 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                     attrs if attrs is not None else root.select(*base_cols)
                 ).join(tbl, "id", "left")
             for pred in block.counts:
-                edges = graph.edge_preds.get(pred)
-                if edges is None:
-                    raise DqlSyntaxError(
-                        f"count() of unbound edge predicate {pred!r} "
-                        f"(bound: {sorted(graph.edge_preds)})"
-                    )
-                # distinct out-neighbors per root uid, 0 when none
-                # (Dgraph's count(pred) over the uid list). The edge
-                # table is semi-joined against the broadcast root
-                # BEFORE aggregating -- a full-table groupBy would
-                # shuffle every (src, dst) pair to count a handful of
-                # root uids (the 'edges never move' discipline)
-                cnt = (
-                    edges.select("src", "dst")
-                    .filter(F.col("dst").isNotNull())
-                    .join(
-                        F.broadcast(root.select(F.col("id").alias("src"))),
-                        "src",
-                        "left_semi",
-                    )
-                    .groupBy(F.col("src").alias("id"))
-                    .agg(
-                        F.countDistinct("dst").alias(f"count_{pred}")
-                    )
-                )
+                cnt = _degree_frame(pred, root, graph, f"count_{pred}")
                 attrs = (
-                    (attrs if attrs is not None else root.select(*base_cols))
-                    .join(cnt, "id", "left")
-                    .fillna(0, subset=[f"count_{pred}"])
-                )
+                    attrs if attrs is not None else root.select(*base_cols)
+                ).join(cnt, "id", "left")
+            for alias in value_binds:
+                # a value bind in an OUTPUT block also projects (Dgraph
+                # returns the bound field with each node); left join --
+                # attr binds are defined only where the attribute is
+                attrs = (
+                    attrs if attrs is not None else root.select(*base_cols)
+                ).join(env[alias].withColumnRenamed("val", alias), "id", "left")
             out.append(DqlResult(block.name, root, attrs))
     return out
 
@@ -999,6 +978,11 @@ def _root_set(block: Block, env: dict, graph: DqlGraph) -> DataFrame:
     if block.root_kind == "eq":
         attr, val = block.root_args
         return _eq_set(attr, val, graph)
+    if block.root_kind in ("eqval", "cmpval"):
+        # root over a value variable: same evaluation as the filter
+        # term, just without a candidate set to scope it
+        term = (block.root_kind,) + tuple(block.root_args)
+        return _term_uids(term, env, graph).dropDuplicates(["id"])
     # ge / le / gt / lt
     attr, val = block.root_args
     return _cmp_set(block.root_kind, attr, val, graph)
@@ -1095,7 +1079,45 @@ def _attr_value_frame(attr: str, graph: DqlGraph) -> DataFrame:
             f"attribute {attr!r} bound nowhere (eq_index: "
             f"{sorted(graph.eq_index)}, attrs: {sorted(graph.leaf_attrs)})"
         )
-    return vals.filter(F.col("val").isNotNull()).dropDuplicates(["id"])
+    # deterministic reduction, not dropDuplicates: a multi-valued id
+    # (a binding-contract violation for scalar predicates, but nothing
+    # enforces it) must not feed an ARBITRARY row into hash-certified
+    # order keys or sum/avg aggregates -- min is stable run to run
+    return (
+        vals.filter(F.col("val").isNotNull())
+        .groupBy("id")
+        .agg(F.min("val").alias("val"))
+    )
+
+
+def _degree_frame(
+    pred: str, root: DataFrame, graph: DqlGraph, out_col: str
+) -> DataFrame:
+    """Per-root-uid distinct out-degree through ``pred``, 0 kept
+    (Dgraph's count-over-uid-list). The edge table is semi-joined
+    against the broadcast root BEFORE aggregating -- a full-table
+    groupBy would shuffle every (src, dst) pair to count a handful of
+    root uids (the 'edges never move' discipline)."""
+    edges = graph.edge_preds.get(pred)
+    if edges is None:
+        raise DqlSyntaxError(
+            f"count() of unbound edge predicate {pred!r} "
+            f"(bound: {sorted(graph.edge_preds)})"
+        )
+    cnt = (
+        edges.select("src", "dst")
+        .filter(F.col("dst").isNotNull())
+        .join(
+            F.broadcast(root.select(F.col("id").alias("src"))),
+            "src",
+            "left_semi",
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.countDistinct("dst").alias(out_col))
+    )
+    return (
+        root.select("id").join(cnt, "id", "left").fillna(0, subset=[out_col])
+    )
 
 
 def _value_frame_of(var: str, env: dict, what: str) -> DataFrame:

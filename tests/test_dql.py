@@ -432,6 +432,46 @@ def test_value_variable_binding_and_filters(spark, toy_graph):
     assert _ids(res.uids) == ["d"]
 
 
+def test_value_variable_root_function(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    # func: ge(val(x), N) roots directly over a value variable
+    (res,) = run_dql(
+        "{ var(func: has(knows)) { a as age }\n"
+        "  out(func: ge(val(a), 30)) { age } }",
+        toy_graph,
+    )
+    assert _ids(res.uids) == ["b", "c"]
+    (res,) = run_dql(
+        "{ var(func: has(age)) { a as age }\n"
+        "  out(func: eq(val(a), 40)) { age } }",
+        toy_graph,
+    )
+    assert _ids(res.uids) == ["d"]
+
+
+def test_value_bind_in_output_block_projects(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    # a value bind in a NAMED block also projects the bound field
+    # (Dgraph returns it with each node); attr binds stay NULL where
+    # the attribute is absent
+    (res,) = run_dql(
+        "{ out(func: has(knows)) {\n"
+        "    k as count(knows)\n    a as age\n  } }",
+        toy_graph,
+    )
+    got = {
+        (r["id"], r["k"], r["a"]) for r in res.attrs.collect()
+    }
+    assert got == {
+        ("a", 2.0, 25.0),
+        ("b", 1.0, 30.0),
+        ("c", 2.0, 35.0),
+        ("e", 1.0, None),
+    }
+
+
 def test_value_aggregation_block(spark, toy_graph):
     from dgraph_etl_spark.graph.dql import run_dql
 

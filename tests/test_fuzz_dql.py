@@ -110,7 +110,17 @@ def _gen_query(rng, preds, score):
     n_var = rng.randint(0, 2)
     for _ in range(n_var + 1):
         last = len(blocks) == n_var
-        if bound and rng.random() < 0.6:
+        if value_vars and rng.random() < 0.25:
+            # root over a value variable: func: ge(val(x), N) etc.
+            op = rng.choice(["eq", "ge", "le", "gt", "lt"])
+            var = rng.choice(value_vars)
+            v = str(rng.randint(0, 6))
+            root = (
+                ("eqval", var, v)
+                if op == "eq"
+                else ("cmpval", op, var, v)
+            )
+        elif bound and rng.random() < 0.6:
             root = ("uid", rng.choice(bound))
         else:
             root = _gen_term(rng, preds, [])
@@ -163,7 +173,7 @@ def _gen_query(rng, preds, score):
             aggs = [
                 (fn, var)
                 for fn in rng.sample(
-                    ["min", "max", "sum"], rng.randint(1, 3)
+                    ["min", "max", "sum", "avg"], rng.randint(1, 3)
                 )
             ]
             steps = []
@@ -394,9 +404,16 @@ def _ref_eval(blocks, edges, score):
                         agg_row[f"{fn}_{var}"] = min(vals)
                     elif fn == "max":
                         agg_row[f"{fn}_{var}"] = max(vals)
-                    else:  # sum of small ints: float-exact
+                    elif fn == "sum":  # sum of small ints: float-exact
                         agg_row[f"{fn}_{var}"] = float(sum(vals))
-            out = (root, rn, counts, agg_row)
+                    else:  # avg: compared approx (decimal-div vs float)
+                        agg_row[f"{fn}_{var}"] = sum(vals) / len(vals)
+            binds = {
+                st["alias"]: {i: env[st["alias"]].get(i) for i in root}
+                for st in b["steps"]
+                if st["kind"] in ("countbind", "attrbind")
+            }
+            out = (root, rn, counts, agg_row, binds or None)
     return out
 
 
@@ -431,13 +448,30 @@ def test_dql_matches_reference_set_semantics(spark, seed):
         attr_types={ATTR: "int"},
     )
     (res,) = run_dql(text, graph)
-    exp_uids, exp_rn, exp_counts, exp_aggs = _ref_eval(
+    exp_uids, exp_rn, exp_counts, exp_aggs, exp_binds = _ref_eval(
         blocks, edges, score
     )
     if exp_aggs is not None:
         (row,) = res.attrs.collect()
-        got_aggs = {k: row[k] for k in exp_aggs}
-        assert got_aggs == exp_aggs, f"aggregates diverged for:\n{text}"
+        for k, v in exp_aggs.items():
+            g = row[k]
+            if v is None:
+                assert g is None, f"{k} should be NULL for:\n{text}"
+            elif k.startswith("avg_"):
+                # decimal-scale division vs float division: equal to
+                # within representation
+                assert g == pytest.approx(v, rel=1e-9), (
+                    f"{k} diverged for:\n{text}"
+                )
+            else:
+                assert g == v, f"{k} diverged for:\n{text}"
+    if exp_binds is not None:
+        attr_rows = res.attrs.collect()
+        for alias, expected in exp_binds.items():
+            got = {r["id"]: r[alias] for r in attr_rows}
+            assert got == expected, (
+                f"value-bind projection {alias!r} diverged for:\n{text}"
+            )
 
     got_rows = res.uids.collect()
     got_uids = {r["id"] for r in got_rows}
