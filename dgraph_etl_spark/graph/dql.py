@@ -870,14 +870,22 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                             .cast("double")
                             .alias(name_col)
                         )
-                    else:  # avg = exact-sum / count, never engine AVG
+                    else:
+                        # avg = exact-decimal sum, THEN one IEEE
+                        # double division -- dividing in decimal and
+                        # casting after lets each engine round the
+                        # quotient to its own decimal scale first
+                        # (caught as a 1-ulp divergence by the sf0.1
+                        # cross-scale sweep); double division of
+                        # identical exact operands is bit-equal
+                        # everywhere
                         exprs.append(
                             (
-                                F.sum(col.cast("decimal(18,6)"))
-                                / F.count(col)
-                            )
-                            .cast("double")
-                            .alias(name_col)
+                                F.sum(col.cast("decimal(18,6)")).cast(
+                                    "double"
+                                )
+                                / F.count(col).cast("double")
+                            ).alias(name_col)
                         )
                 one = scoped.agg(*exprs)
                 row = one if row is None else row.crossJoin(one)

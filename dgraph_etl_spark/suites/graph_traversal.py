@@ -524,8 +524,8 @@ _DQL_VALUE_AGGS = """{
            CAST(MAX(cnt) AS DOUBLE) AS max_d,
            CAST(CAST(SUM(CAST(cnt AS DECIMAL(18,6))) AS DECIMAL(38,6))
                 AS DOUBLE) AS sum_d,
-           CAST(SUM(CAST(cnt AS DECIMAL(18,6))) / COUNT(cnt)
-                AS DOUBLE) AS avg_d
+           CAST(SUM(CAST(cnt AS DECIMAL(18,6))) AS DOUBLE)
+                / CAST(COUNT(cnt) AS DOUBLE) AS avg_d
     FROM degrees
     """),
     defer=True,
