@@ -13,7 +13,7 @@ the documented public DQL semantics for:
     block   := NAME '(' 'func:' root {',' modifier} ')'
                directive* '{' line* '}'
     directive := '@filter(' filter ')' | '@recurse(' rargs ')'
-               | '@cascade'
+               | '@cascade' | '@groupby(' ATTR ')'
     rargs   := 'depth:' INT [',' 'loop:' ('true'|'false')]
     root    := 'eq(' ATTR ',' VALUE ')' | 'uid(' VAR ')'
              | 'has(' PRED ')'
@@ -21,10 +21,12 @@ the documented public DQL semantics for:
     modifier:= 'orderasc:' ATTR | 'orderdesc:' ATTR
              | 'first:' INT | 'offset:' INT
     line    := '#' comment
-             | [VAR 'as'] PRED [ '@filter(' filter ')' ]  # edge step
+             | [VAR 'as'] PRED [ '@filter(' filter ')' ]
+                              [ '@facets(' facetpred ')' ]  # edge step
              | VAR 'as' ATTR                              # value bind
              | VAR 'as' 'count(' PRED ')'                 # value bind
              | 'count(' PRED ')'                          # fan-out
+             | 'count(uid)'                               # cardinality
              | AGGFN '(val(' VAR '))'                     # aggregate
              | ATTR                                       # leaf proj
     AGGFN   := 'min' | 'max' | 'sum' | 'avg'
@@ -55,6 +57,12 @@ Semantics (Dgraph's, for this subset):
 - ``@cascade`` keeps only uids carrying EVERY listed leaf predicate,
   applied AFTER pagination exactly as Dgraph documents (the known
   gotcha: a cascaded page may return fewer than ``first: N`` rows);
+- ``@facets(pred)`` on an edge step prunes EDGES by facet columns
+  (the binding's extra columns beyond src/dst) -- a row filter on the
+  edge scan, pushed down, never a join;
+- ``@groupby(attr)`` with a ``count(uid)`` body buckets the root uids
+  by the attribute's value (uids lacking it drop) and counts each
+  group; a plain ``count(uid)`` block emits the root cardinality;
 - ``x as <attr>`` / ``x as count(pred)`` bind VALUE variables (per-uid
   scalars over the block's root set: the attribute's values where it
   exists, or the distinct out-degree including 0); ``val(x)`` then
@@ -105,6 +113,7 @@ class EdgeStep:
     alias: str | None  # 'x as pred' binding, or None
     filt: tuple | None = None  # filter expr AST, or None
     count_bind: bool = False  # 'x as count(pred)': per-uid value bind
+    facets: tuple | None = None  # @facets(...) edge-row predicate AST
 
     @property
     def not_uids(self) -> list[str]:
@@ -143,6 +152,8 @@ class Block:
     recurse: tuple | None = None  # (depth: int, loop: bool)
     cascade: bool = False  # @cascade: require every listed leaf
     aggs: list = field(default_factory=list)  # (fn, var): min(val(x)) ...
+    groupby: str | None = None  # @groupby(attr)
+    count_uid: bool = False  # 'count(uid)' body line
 
 
 class DqlSyntaxError(ValueError):
@@ -151,6 +162,7 @@ class DqlSyntaxError(ValueError):
 
 
 _EDGE_PREFIX = re.compile(r"^(?:(?P<alias>\w+)\s+as\s+)?(?P<pred>\w+)$")
+_COUNT_UID_LINE = re.compile(r"^count\s*\(\s*uid\s*\)\s*$")
 _COUNT_LINE = re.compile(r"^count\s*\(\s*(?P<pred>\w+)\s*\)\s*$")
 _AGG_LINE = re.compile(
     r"^(?P<fn>min|max|sum|avg)\s*\(\s*val\s*\(\s*(?P<var>\w+)\s*\)\s*\)\s*$"
@@ -289,6 +301,24 @@ def _parse_or(toks: list[str], i: int) -> tuple[tuple, int]:
         expr, j = _parse_and(toks, j + 1)
         parts.append(expr)
     return (parts[0] if len(parts) == 1 else ("or", parts)), j
+
+
+def _validate_facet_expr(expr: tuple, part: str) -> None:
+    """@facets(...) predicates are ROW-level tests on the edge table's
+    facet columns: only eq/ge/le/gt/lt over facet names (composed with
+    AND/OR/NOT) are meaningful -- uid/has/val terms are uid-set tests
+    and would silently change meaning if accepted here."""
+    kind = expr[0]
+    if kind in ("and", "or"):
+        for p in expr[1]:
+            _validate_facet_expr(p, part)
+    elif kind == "not":
+        _validate_facet_expr(expr[1], part)
+    elif kind not in ("eq", "cmp"):
+        raise DqlSyntaxError(
+            "@facets supports eq/ge/le/gt/lt over facet names "
+            f"(AND/OR/NOT composed); got {expr[0]!r} in: {part!r}"
+        )
 
 
 def parse_filter(text: str) -> tuple:
@@ -461,6 +491,17 @@ def _parse_head(head: str) -> Block:
                     "(field-scoped cascade is outside it)"
                 )
             block.cascade = True
+        elif dname == "groupby":
+            if content is None or not re.fullmatch(
+                r"\w+", content.strip().strip("\"'")
+            ):
+                raise DqlSyntaxError(
+                    "@groupby takes one attribute name, got "
+                    f"{content!r}"
+                )
+            if block.groupby is not None:
+                raise DqlSyntaxError("duplicate @groupby on block head")
+            block.groupby = content.strip().strip("\"'")
         else:
             raise DqlSyntaxError(f"unsupported directive @{dname}")
         rest = rest[after:].strip()
@@ -525,32 +566,41 @@ def parse_dql(text: str) -> list[Block]:
                     )
                 )
                 continue
+            if _COUNT_UID_LINE.match(part):
+                block.count_uid = True
+                continue
             cm = _COUNT_LINE.match(part)
             if cm is not None:
                 block.counts.append(cm.group("pred"))
                 continue
-            prefix, filter_text = _split_edge_filter(part)
+            prefix, directives = _split_edge_directives(part)
             em = _EDGE_PREFIX.match(prefix)
             if em is None:
                 raise DqlSyntaxError(f"unsupported body line: {part!r}")
-            if filter_text is not None:
-                filt = parse_filter(filter_text)
-                if em.group("alias") is None:
-                    # an unaliased filtered edge step is a nested
-                    # EXPANSION in full Dgraph (per-uid child results);
-                    # this executor has no nested output, so computing
-                    # it and emitting only the root set would be a
-                    # silently wrong answer -- refuse instead
-                    raise DqlSyntaxError(
-                        "edge step with @filter but no 'VAR as' binding "
-                        f"is outside the subset: {part!r}"
-                    )
-                block.steps.append(
-                    EdgeStep(em.group("pred"), em.group("alias"), filt)
+            filt = facets = None
+            if "filter" in directives:
+                filt = parse_filter(directives["filter"])
+            if "facets" in directives:
+                facets = parse_filter(directives["facets"])
+                _validate_facet_expr(facets, part)
+            if directives and em.group("alias") is None:
+                # an unaliased filtered/facet-pruned edge step is a
+                # nested EXPANSION in full Dgraph (per-uid child
+                # results); this executor has no nested output, so
+                # computing it and emitting only the root set would be
+                # a silently wrong answer -- refuse instead
+                raise DqlSyntaxError(
+                    "edge step with @filter/@facets but no 'VAR as' "
+                    f"binding is outside the subset: {part!r}"
                 )
-            elif em.group("alias"):
+            if em.group("alias"):
                 block.steps.append(
-                    EdgeStep(em.group("pred"), em.group("alias"), None)
+                    EdgeStep(
+                        em.group("pred"),
+                        em.group("alias"),
+                        filt,
+                        facets=facets,
+                    )
                 )
             else:
                 # a bare word: leaf attribute projection (in a
@@ -577,6 +627,40 @@ def parse_dql(text: str) -> list[Block]:
                     "@recurse with order/first/offset is outside the "
                     "subset (Dgraph applies them per recursion level, "
                     "which a flattened reach set cannot represent)"
+                )
+        if block.groupby is not None:
+            if block.name == "var":
+                raise DqlSyntaxError(
+                    "a @groupby block is an output -- name it"
+                )
+            if not block.count_uid:
+                raise DqlSyntaxError(
+                    "@groupby blocks need a 'count(uid)' body line "
+                    "(the one group aggregate in this subset)"
+                )
+            if (
+                block.steps
+                or block.leaf_attrs
+                or block.counts
+                or block.aggs
+                or block.cascade
+                or block.recurse is not None
+                or block.order is not None
+                or block.first is not None
+                or block.offset is not None
+            ):
+                raise DqlSyntaxError(
+                    "@groupby blocks take ONLY the count(uid) line"
+                )
+        elif block.count_uid:
+            if block.name == "var":
+                raise DqlSyntaxError(
+                    "a count(uid) block is an output -- name it"
+                )
+            if block.steps or block.leaf_attrs or block.counts or block.aggs:
+                raise DqlSyntaxError(
+                    "count(uid) mixes a one-row total into per-uid "
+                    "projections -- split it into its own block"
                 )
         if block.aggs:
             if block.name == "var":
@@ -642,30 +726,38 @@ def parse_dql(text: str) -> list[Block]:
     return blocks
 
 
-def _split_edge_filter(part: str) -> tuple[str, str | None]:
-    """Split an edge-step line into its '[VAR as] PRED' prefix and the
-    ``@filter(...)`` body (None when unfiltered), scanning BALANCED
+def _split_edge_directives(part: str) -> tuple[str, dict]:
+    """Split an edge-step line into its '[VAR as] PRED' prefix and its
+    ``@name(...)`` directives ({name: content}), scanning BALANCED
     parens -- a regex bounded to fixed nesting depth silently truncates
     filters like ``((a OR b) AND c)`` (found by the DQL fuzzer)."""
-    idx = part.find("@filter")
+    idx = part.find("@")
     if idx < 0:
-        return part.strip(), None
-    rest = part[idx + len("@filter") :].lstrip()
-    if not rest.startswith("("):
-        raise DqlSyntaxError(f"expected '(' after @filter: {part!r}")
-    depth = 0
-    for j, ch in enumerate(rest):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth == 0:
-                if rest[j + 1 :].strip():
-                    raise DqlSyntaxError(
-                        f"trailing content after @filter(...): {part!r}"
-                    )
-                return part[:idx].strip(), rest[1:j].strip()
-    raise DqlSyntaxError(f"unbalanced parens in @filter: {part!r}")
+        return part.strip(), {}
+    prefix, rest = part[:idx].strip(), part[idx:]
+    directives: dict[str, str] = {}
+    while rest:
+        dm = re.match(r"^@(?P<dname>\w+)\s*", rest)
+        if not dm:
+            raise DqlSyntaxError(
+                f"unreadable edge-step directive in: {part!r}"
+            )
+        dname = dm.group("dname")
+        after = dm.end()
+        if after >= len(rest) or rest[after] != "(":
+            raise DqlSyntaxError(f"@{dname} requires (...) in: {part!r}")
+        content, after = _scan_parens(rest, after)
+        if dname in directives:
+            raise DqlSyntaxError(f"duplicate @{dname} in: {part!r}")
+        directives[dname] = content.strip()
+        rest = rest[after:].strip()
+    unknown = set(directives) - {"filter", "facets"}
+    if unknown:
+        raise DqlSyntaxError(
+            f"unsupported edge-step directive(s) {sorted(unknown)} "
+            f"in: {part!r}"
+        )
+    return prefix, directives
 
 
 def _body_lines(inner: str) -> list[str]:
@@ -804,11 +896,19 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
             # ambiguous self-join reference
             n_steps += 1
             ea = f"_dql_e{n_steps}"
+            eframe = edges
+            if step.facets is not None:
+                # @facets(...) prunes EDGES (not reached nodes): a
+                # plain row filter on the edge scan before the join
+                eframe = eframe.filter(
+                    _facet_predicate(step.facets, eframe, step.pred)
+                )
             # project to the documented (src, dst) contract before
-            # aliasing: a binding carrying extra columns (e.g. its own
-            # 'id') would make the unqualified join key ambiguous and
-            # drag dead columns through the broadcast
-            e = edges.select("src", "dst").alias(ea)
+            # aliasing: facet columns served the filter above, and a
+            # binding carrying extra columns (e.g. its own 'id') would
+            # make the unqualified join key ambiguous and drag dead
+            # columns through the broadcast
+            e = eframe.select("src", "dst").alias(ea)
             reached = (
                 F.broadcast(root.select("id"))
                 .join(e, F.col("id") == F.col(f"{ea}.src"))
@@ -827,6 +927,34 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                 # doubles per hop and re-runs every upstream traversal
                 # per reference
                 env[step.alias] = reached.localCheckpoint(eager=False)
+        if block.name != "var" and block.groupby is not None:
+            # @groupby(attr): bucket the root uids by the attribute's
+            # value (uids lacking it drop, Dgraph's grouping rule) and
+            # count each group -- one hash aggregate over the root-
+            # scoped value frame
+            vals = _attr_value_frame(block.groupby, graph).withColumnRenamed(
+                "val", block.groupby
+            )
+            grouped = (
+                root.select("id")
+                .join(vals, "id")
+                .groupBy(block.groupby)
+                .agg(F.count(F.lit(1)).alias("count"))
+            )
+            out.append(DqlResult(block.name, root.select("id"), grouped))
+            continue
+        if block.name != "var" and block.count_uid:
+            # count(uid): the root set's cardinality as one row
+            out.append(
+                DqlResult(
+                    block.name,
+                    root.select("id"),
+                    root.select("id").agg(
+                        F.count(F.lit(1)).alias("count")
+                    ),
+                )
+            )
+            continue
         if block.name != "var" and block.aggs:
             # aggregation block: one row, one column per agg line.
             # Each value frame is scoped to the (broadcast-small) root
@@ -1096,6 +1224,56 @@ def _attr_value_frame(attr: str, graph: DqlGraph) -> DataFrame:
         .groupBy("id")
         .agg(F.min("val").alias("val"))
     )
+
+
+def _facet_predicate(expr: tuple, eframe: DataFrame, pred: str):
+    """Build the row-level Column for an ``@facets(...)`` predicate
+    over an edge table's facet columns (everything beyond src/dst in
+    the binding). Stays a plain filter ON the edge scan -- pushed to
+    parquet in a real deployment, never a join."""
+    from pyspark.sql.types import NumericType
+
+    kind = expr[0]
+    if kind == "and":
+        out = _facet_predicate(expr[1][0], eframe, pred)
+        for p in expr[1][1:]:
+            out = out & _facet_predicate(p, eframe, pred)
+        return out
+    if kind == "or":
+        out = _facet_predicate(expr[1][0], eframe, pred)
+        for p in expr[1][1:]:
+            out = out | _facet_predicate(p, eframe, pred)
+        return out
+    if kind == "not":
+        return ~_facet_predicate(expr[1], eframe, pred)
+    if kind == "eq":
+        _, name, val = expr
+        op = "eq"
+    else:  # ("cmp", op, name, val) -- _validate_facet_expr pinned this
+        _, op, name, val = expr
+    if name in ("src", "dst") or name not in eframe.columns:
+        raise DqlSyntaxError(
+            f"facet {name!r} not present on edge predicate {pred!r} "
+            f"(facets: {[c for c in eframe.columns if c not in ('src', 'dst')]})"
+        )
+    col = F.col(name)
+    if isinstance(eframe.schema[name].dataType, NumericType):
+        try:
+            lit = F.lit(float(val))
+        except ValueError:
+            raise DqlSyntaxError(
+                f"numeric facet {name!r} compared against "
+                f"non-numeric literal {val!r}"
+            ) from None
+    else:
+        lit = F.lit(val)
+    return {
+        "eq": col == lit,
+        "ge": col >= lit,
+        "le": col <= lit,
+        "gt": col > lit,
+        "lt": col < lit,
+    }[op]
 
 
 def _degree_frame(

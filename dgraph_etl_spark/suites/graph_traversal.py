@@ -228,6 +228,7 @@ def dql_fixture_graph(spark, sf_dir):
     from ..graph.dql import DqlGraph
 
     edges, team_member, person = _graph_inputs(spark, sf_dir)
+    customer = spark.table("customer")
     p = lambda c: F.concat(F.lit("p:"), F.col(c).cast("string"))  # noqa: E731
     return DqlGraph(
         edge_preds={
@@ -237,8 +238,13 @@ def dql_fixture_graph(spark, sf_dir):
                 ),
                 p("person_id").alias("dst"),
             ),
+            # score rides along as the edge's FACET column (the
+            # reference's A10 edge score is a Dgraph facet); @facets
+            # predicates filter on it, plain traversals project it away
             "has_connection": edges.select(
-                p("src").alias("src"), p("dst").alias("dst")
+                p("src").alias("src"),
+                p("dst").alias("dst"),
+                "score",
             ),
         },
         eq_index={
@@ -253,6 +259,11 @@ def dql_fixture_graph(spark, sf_dir):
             "person_id": person.select(
                 p("person_id").alias("id"),
                 F.col("person_id").cast("string").alias("value"),
+            ),
+            # a categorical attribute for @groupby lanes
+            "nation_id": customer.select(
+                p("c_custkey").alias("id"),
+                F.col("c_nationkey").cast("string").alias("value"),
             ),
         },
         leaf_attrs={
@@ -576,6 +587,86 @@ def g36_dql_value_filter(spark, sf_dir):
     return res.attrs.select("person_id").filter(
         F.col("person_id").isNotNull()
     )
+
+
+_DQL_GROUPBY = """{
+  var(func: eq(team_id, %s)){
+    src as has_member
+  }
+  var(func: uid(src)){
+    h1 as has_connection
+  }
+  by_nation(func: uid(h1)) @groupby(nation_id){
+    count(uid)
+  }
+}""" % TEAM
+
+
+@register(
+    "g37_dql_groupby",
+    V("""
+    , seeds AS (
+        SELECT DISTINCT person_id AS id
+        FROM team_member WHERE team_id = '7'
+    ),
+    h1 AS (
+        SELECT DISTINCT e.dst AS id
+        FROM edges e JOIN seeds s ON e.src = s.id
+        WHERE e.dst IS NOT NULL
+    )
+    SELECT CAST(c.c_nationkey AS VARCHAR) AS nation_id,
+           COUNT(*) AS count
+    FROM h1 JOIN customer c ON h1.id = CAST(c.c_custkey AS VARCHAR)
+    GROUP BY c.c_nationkey
+    """),
+    defer=True,
+)
+def g37_dql_groupby(spark, sf_dir):
+    """DQL @groupby: bucket the 1-hop frontier by a node attribute
+    (nation) and count each group -- uids lacking the attribute drop
+    (Dgraph's grouping rule), one hash aggregate over the root-scoped
+    value frame."""
+    from ..graph.dql import run_dql
+
+    (res,) = run_dql(_DQL_GROUPBY, dql_fixture_graph(spark, sf_dir))
+    return res.attrs
+
+
+_DQL_FACETS = """{
+  var(func: eq(team_id, %s)){
+    src as has_member
+  }
+  var(func: uid(src)){
+    strong as has_connection @facets(ge(score, 1))
+  }
+  reached(func: uid(strong)){
+    count(uid)
+  }
+}""" % TEAM
+
+
+@register(
+    "g38_dql_facet_filter",
+    V("""
+    , seeds AS (
+        SELECT DISTINCT person_id AS id
+        FROM team_member WHERE team_id = '7'
+    )
+    SELECT COUNT(DISTINCT e.dst) AS count
+    FROM edges e JOIN seeds s ON e.src = s.id
+    WHERE e.dst IS NOT NULL AND e.score >= 1
+    """),
+    defer=True,
+)
+def g38_dql_facet_filter(spark, sf_dir):
+    """DQL @facets edge pruning: traverse only edges whose score
+    facet clears the threshold (the reference's A10 edge score IS a
+    Dgraph facet) -- a row filter on the edge scan before the
+    broadcast-frontier join, never a join of its own."""
+    from ..graph.dql import run_dql
+
+    (res,) = run_dql(_DQL_FACETS, dql_fixture_graph(spark, sf_dir))
+    return res.attrs
 
 
 @register(

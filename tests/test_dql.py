@@ -177,14 +177,16 @@ def toy_graph(spark):
         ("e", None),
     ]
     # e knows someone but has NO age row: the ordered lanes must DROP
-    # it (Dgraph's sorted-query semantics), the unordered ones keep it
+    # it (Dgraph's sorted-query semantics), the unordered ones keep it.
+    # The third column is the 'weight' FACET (@facets lanes filter on
+    # it; plain traversals project it away).
     knows = [
-        ("a", "b"),
-        ("a", "c"),
-        ("b", "c"),
-        ("c", "a"),
-        ("c", "d"),
-        ("e", "a"),
+        ("a", "b", 3),
+        ("a", "c", 7),
+        ("b", "c", 5),
+        ("c", "a", 1),
+        ("c", "d", 9),
+        ("e", "a", 2),
     ]
     age = spark.createDataFrame(
         [(i, str(v)) for i, v in people if v is not None],
@@ -192,7 +194,9 @@ def toy_graph(spark):
     )
     return DqlGraph(
         edge_preds={
-            "knows": spark.createDataFrame(knows, "src string, dst string")
+            "knows": spark.createDataFrame(
+                knows, "src string, dst string, weight int"
+            )
         },
         eq_index={"age": age},
         leaf_attrs={
@@ -430,6 +434,62 @@ def test_value_variable_binding_and_filters(spark, toy_graph):
         toy_graph,
     )
     assert _ids(res.uids) == ["d"]
+
+
+def test_facet_filter_prunes_edges(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    # a's edges: b (weight 3), c (weight 7) -- only c clears ge(5)
+    (res,) = run_dql(
+        "{ var(func: eq(age, 25)) { n as knows @facets(ge(weight, 5)) }\n"
+        "  out(func: uid(n)) { age } }",
+        toy_graph,
+    )
+    assert _ids(res.uids) == ["c"]
+    # boolean facet algebra composes
+    (res,) = run_dql(
+        "{ var(func: eq(age, 25)) "
+        "{ n as knows @facets(ge(weight, 5) OR eq(weight, 3)) }\n"
+        "  out(func: uid(n)) { age } }",
+        toy_graph,
+    )
+    assert _ids(res.uids) == ["b", "c"]
+    # unknown facet name and uid-set terms fail loudly
+    with pytest.raises(DqlSyntaxError, match="not present on edge"):
+        run_dql(
+            "{ var(func: eq(age, 25)) { n as knows @facets(ge(bogus, 1)) }\n"
+            "  out(func: uid(n)) { age } }",
+            toy_graph,
+        )
+    with pytest.raises(DqlSyntaxError, match="@facets supports"):
+        parse_dql("{ var(func: uid(s)) { n as p @facets(uid(t)) } }")
+
+
+def test_groupby_and_count_uid(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    (res,) = run_dql(
+        "{ g(func: has(age)) @groupby(age) { count(uid) } }", toy_graph
+    )
+    got = {(r["age"], r["count"]) for r in res.attrs.collect()}
+    assert got == {(25.0, 1), (30.0, 1), (35.0, 1), (40.0, 1)}
+    # uids lacking the grouped attribute drop (e has no age)
+    (res,) = run_dql(
+        "{ g(func: has(knows)) @groupby(age) { count(uid) } }", toy_graph
+    )
+    assert sum(r["count"] for r in res.attrs.collect()) == 3
+    # plain count(uid): root cardinality as one row
+    (res,) = run_dql(
+        "{ c(func: has(knows)) { count(uid) } }", toy_graph
+    )
+    assert res.attrs.collect()[0]["count"] == 4
+    for bad in [
+        "{ g(func: has(age)) @groupby(age) { age } }",  # needs count(uid)
+        "{ var(func: has(age)) @groupby(age) { count(uid) } }",
+        "{ c(func: has(age)) { count(uid)\n age } }",  # no mixing
+    ]:
+        with pytest.raises(DqlSyntaxError):
+            parse_dql(bad)
 
 
 def test_value_variable_root_function(spark, toy_graph):

@@ -35,10 +35,11 @@ def _gen_graph(rng: random.Random):
     n = rng.randint(6, 12)
     ids = [f"n{i:02d}" for i in range(n)]
     preds = ["knows"] + (["likes"] if rng.random() < 0.5 else [])
-    edges = {p: set() for p in preds}
+    # each edge carries a 'weight' FACET (@facets lanes filter on it)
+    edges = {p: {} for p in preds}
     for p in preds:
         for _ in range(rng.randint(0, 2 * n)):
-            edges[p].add((rng.choice(ids), rng.choice(ids)))
+            edges[p][(rng.choice(ids), rng.choice(ids))] = rng.randint(0, 5)
     # small value domain -> duplicate order keys (exercises the id
     # tie-break); ~20% of nodes have NO score (exercises order-drop)
     score = {i: rng.randint(0, 5) for i in ids if rng.random() < 0.8}
@@ -158,16 +159,34 @@ def _gen_query(rng, preds, score):
                         if rng.random() < 0.5
                         else None
                     )
+                    facet = None
+                    if rng.random() < 0.35:
+                        op = rng.choice(["eq", "ge", "le", "gt", "lt"])
+                        v = str(rng.randint(0, 5))
+                        facet = (
+                            ("eq", "weight", v)
+                            if op == "eq"
+                            else ("cmp", op, "weight", v)
+                        )
                     steps.append(
                         {"kind": "edge", "pred": rng.choice(preds),
-                         "alias": alias, "filt": filt}
+                         "alias": alias, "filt": filt, "facet": facet}
                     )
                 bound.append(alias)
         order = first = offset = recurse = None
         rpreds: list[str] = []
         counts = []
         aggs: list[tuple] = []
-        if last and prior_value_vars and rng.random() < 0.25:
+        groupby = countuid = False
+        if last and rng.random() < 0.15:
+            # @groupby output: ONLY the count(uid) line
+            groupby = countuid = True
+            steps = []
+        elif last and rng.random() < 0.1:
+            # bare count(uid): root cardinality
+            countuid = True
+            steps = []
+        elif last and prior_value_vars and rng.random() < 0.25:
             # aggregation output block: only agg lines
             var = rng.choice(prior_value_vars)
             aggs = [
@@ -197,9 +216,20 @@ def _gen_query(rng, preds, score):
         # projection fuzzes the LEFT-join semantics and is forced on
         # under cascade so there's something to require
         cascade = (
-            last and not steps and not aggs and rng.random() < 0.3
+            last
+            and not steps
+            and not aggs
+            and not groupby
+            and not countuid
+            and rng.random() < 0.3
         )
-        leaf = last and not aggs and (cascade or rng.random() < 0.4)
+        leaf = (
+            last
+            and not aggs
+            and not groupby
+            and not countuid
+            and (cascade or rng.random() < 0.4)
+        )
         blocks.append(
             {
                 "name": "out" if last else "var",
@@ -215,6 +245,8 @@ def _gen_query(rng, preds, score):
                 "cascade": cascade,
                 "leaf": leaf,
                 "aggs": aggs,
+                "groupby": groupby,
+                "countuid": countuid,
             }
         )
     # render
@@ -230,6 +262,8 @@ def _gen_query(rng, preds, score):
         head = f"  {b['name']}(func: {_render_filter(b['root'])}{mods})"
         if b["root_filter"] is not None:
             head += f" @filter({_render_filter(b['root_filter'])})"
+        if b["groupby"]:
+            head += f" @groupby({ATTR})"
         if b["recurse"] is not None:
             loop = "true" if b["recurse"] % 2 else "false"
             head += f" @recurse(depth: {b['recurse']}, loop: {loop})"
@@ -249,17 +283,36 @@ def _gen_query(rng, preds, score):
                 step = f"    {st['alias']} as {st['pred']}"
                 if st["filt"] is not None:
                     step += f" @filter({_render_filter(st['filt'])})"
+                if st.get("facet") is not None:
+                    step += f" @facets({_render_filter(st['facet'])})"
                 lines.append(step)
         for pred in b["counts"]:
             lines.append(f"    count({pred})")
         for fn, var in b["aggs"]:
             lines.append(f"    {fn}(val({var}))")
+        if b["countuid"]:
+            lines.append("    count(uid)")
         lines.append("  }")
     lines.append("}")
     return "\n".join(lines), blocks
 
 
 # --------------------------------------------- reference set evaluator
+
+
+def _facet_ok(fac, w) -> bool:
+    if fac is None:
+        return True
+    if fac[0] == "eq":
+        return float(w) == float(fac[2])
+    _, op, _, val = fac
+    x = float(val)
+    return {
+        "ge": w >= x,
+        "le": w <= x,
+        "gt": w > x,
+        "lt": w < x,
+    }[op]
 
 
 def _ref_term(term, env, edges, score):
@@ -377,7 +430,11 @@ def _ref_eval(blocks, edges, score):
                     i: float(score[i]) for i in root if i in score
                 }
             else:
-                reached = {d for s, d in edges[st["pred"]] if s in root}
+                reached = {
+                    d
+                    for (s, d), w in edges[st["pred"]].items()
+                    if s in root and _facet_ok(st.get("facet"), w)
+                }
                 if st["filt"] is not None:
                     reached = _ref_filter(
                         reached, st["filt"], env, edges, score
@@ -413,7 +470,15 @@ def _ref_eval(blocks, edges, score):
                 for st in b["steps"]
                 if st["kind"] in ("countbind", "attrbind")
             }
-            out = (root, rn, counts, agg_row, binds or None)
+            groups = None
+            if b["groupby"]:
+                groups = {}
+                for i in root:
+                    if i in score:
+                        k = float(score[i])
+                        groups[k] = groups.get(k, 0) + 1
+            total = len(root) if (b["countuid"] and not b["groupby"]) else None
+            out = (root, rn, counts, agg_row, binds or None, groups, total)
     return out
 
 
@@ -429,7 +494,11 @@ def test_dql_matches_reference_set_semantics(spark, seed):
     graph = DqlGraph(
         edge_preds={
             p: spark.createDataFrame(
-                sorted(edges[p]) or [], "src string, dst string"
+                sorted(
+                    (s, d, float(w)) for (s, d), w in edges[p].items()
+                )
+                or [],
+                "src string, dst string, weight double",
             )
             for p in preds
         },
@@ -448,9 +517,24 @@ def test_dql_matches_reference_set_semantics(spark, seed):
         attr_types={ATTR: "int"},
     )
     (res,) = run_dql(text, graph)
-    exp_uids, exp_rn, exp_counts, exp_aggs, exp_binds = _ref_eval(
-        blocks, edges, score
-    )
+    (
+        exp_uids,
+        exp_rn,
+        exp_counts,
+        exp_aggs,
+        exp_binds,
+        exp_groups,
+        exp_total,
+    ) = _ref_eval(blocks, edges, score)
+    if exp_groups is not None:
+        got_groups = {
+            r[ATTR]: r["count"] for r in res.attrs.collect()
+        }
+        assert got_groups == exp_groups, f"groups diverged for:\n{text}"
+    elif exp_total is not None:
+        assert res.attrs.collect()[0]["count"] == exp_total, (
+            f"count(uid) diverged for:\n{text}"
+        )
     if exp_aggs is not None:
         (row,) = res.attrs.collect()
         for k, v in exp_aggs.items():
