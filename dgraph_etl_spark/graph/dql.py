@@ -567,6 +567,12 @@ def parse_dql(text: str) -> list[Block]:
                 )
                 continue
             if _COUNT_UID_LINE.match(part):
+                if block.count_uid:
+                    # same refusal as doubled field/count/agg lines
+                    raise DqlSyntaxError(
+                        f"duplicate count(uid) line in block "
+                        f"{block.name!r}"
+                    )
                 block.count_uid = True
                 continue
             cm = _COUNT_LINE.match(part)
@@ -869,7 +875,12 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                     step.pred in graph.eq_index
                     or step.pred in graph.leaf_attrs
                 )
-                if is_attr and step.alias and step.filt is None:
+                if (
+                    is_attr
+                    and step.alias
+                    and step.filt is None
+                    and step.facets is None
+                ):
                     # 'x as <attr>': bind the attribute's values over
                     # the root uids as a value variable (defined only
                     # where the attribute exists, Dgraph's val() rule)
@@ -881,10 +892,10 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
                     continue
                 if is_attr:
                     raise DqlSyntaxError(
-                        f"{step.pred!r} is an attribute: @filter on a "
-                        "value bind is outside the subset -- bind it "
-                        f"plain ('VAR as {step.pred}') and filter with "
-                        "val() terms in the next block"
+                        f"{step.pred!r} is an attribute: @filter/@facets "
+                        "on a value bind is outside the subset -- bind "
+                        f"it plain ('VAR as {step.pred}') and filter "
+                        "with val() terms in the next block"
                     )
                 raise DqlSyntaxError(
                     f"unbound edge predicate {step.pred!r} "
@@ -935,8 +946,11 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
             vals = _attr_value_frame(block.groupby, graph).withColumnRenamed(
                 "val", block.groupby
             )
+            # broadcast the frontier, like every other root-scoping
+            # join -- without the hint a big attribute table can plan
+            # a sort-merge join that shuffles both sides
             grouped = (
-                root.select("id")
+                F.broadcast(root.select("id"))
                 .join(vals, "id")
                 .groupBy(block.groupby)
                 .agg(F.count(F.lit(1)).alias("count"))
@@ -1149,16 +1163,33 @@ def _typed_value_col(attr: str, graph: DqlGraph):
     )
 
 
+def _numeric_literal(val: str, ctx: str):
+    """float literal or a loud error -- the ONE coercion every numeric
+    comparison lane (typed attrs, value vars, facets) shares."""
+    try:
+        return F.lit(float(val))
+    except ValueError:
+        raise DqlSyntaxError(
+            f"{ctx}: numeric comparison against non-numeric "
+            f"literal {val!r}"
+        ) from None
+
+
+def _cmp_condition(col, op: str, lit):
+    """op -> Column predicate, shared by attr/value-var/facet lanes."""
+    return {
+        "eq": col == lit,
+        "ge": col >= lit,
+        "le": col <= lit,
+        "gt": col > lit,
+        "lt": col < lit,
+    }[op]
+
+
 def _typed_literal(attr: str, val: str, graph: DqlGraph):
     ty = graph.attr_types.get(attr, "string")
     if ty in ("int", "float"):
-        try:
-            return F.lit(float(val))
-        except ValueError:
-            raise DqlSyntaxError(
-                f"numeric attribute {attr!r} compared against "
-                f"non-numeric literal {val!r}"
-            ) from None
+        return _numeric_literal(val, f"numeric attribute {attr!r}")
     return F.lit(val)
 
 
@@ -1183,15 +1214,9 @@ def _cmp_set(op: str, attr: str, val: str, graph: DqlGraph) -> DataFrame:
     idx = _eq_idx(attr, graph)
     key = _typed_value_col(attr, graph)
     lit = _typed_literal(attr, val, graph)
-    cond = {
-        "ge": key >= lit,
-        "le": key <= lit,
-        "gt": key > lit,
-        "lt": key < lit,
-    }[op]
     return (
         idx.filter(F.col("value").isNotNull())
-        .filter(cond)
+        .filter(_cmp_condition(key, op, lit))
         .select("id")
         .dropDuplicates(["id"])
     )
@@ -1230,7 +1255,12 @@ def _facet_predicate(expr: tuple, eframe: DataFrame, pred: str):
     """Build the row-level Column for an ``@facets(...)`` predicate
     over an edge table's facet columns (everything beyond src/dst in
     the binding). Stays a plain filter ON the edge scan -- pushed to
-    parquet in a real deployment, never a join."""
+    parquet in a real deployment, never a join.
+
+    A NULL facet value is an ABSENT facet: it matches no predicate,
+    negated or not (SQL three-valued logic drops the row either way)
+    -- the same reading as Dgraph, where an edge without the facet
+    never passes a facet filter."""
     from pyspark.sql.types import NumericType
 
     kind = expr[0]
@@ -1258,22 +1288,10 @@ def _facet_predicate(expr: tuple, eframe: DataFrame, pred: str):
         )
     col = F.col(name)
     if isinstance(eframe.schema[name].dataType, NumericType):
-        try:
-            lit = F.lit(float(val))
-        except ValueError:
-            raise DqlSyntaxError(
-                f"numeric facet {name!r} compared against "
-                f"non-numeric literal {val!r}"
-            ) from None
+        lit = _numeric_literal(val, f"numeric facet {name!r}")
     else:
         lit = F.lit(val)
-    return {
-        "eq": col == lit,
-        "ge": col >= lit,
-        "le": col <= lit,
-        "gt": col > lit,
-        "lt": col < lit,
-    }[op]
+    return _cmp_condition(col, op, lit)
 
 
 def _degree_frame(
@@ -1325,13 +1343,7 @@ def _val_literal(frame: DataFrame, val: str, ctx: str):
 
     if isinstance(frame.schema["val"].dataType, StringType):
         return F.lit(val)
-    try:
-        return F.lit(float(val))
-    except ValueError:
-        raise DqlSyntaxError(
-            f"{ctx}: numeric value variable compared against "
-            f"non-numeric literal {val!r}"
-        ) from None
+    return _numeric_literal(val, f"{ctx}: numeric value variable")
 
 
 def _has_set(pred: str, graph: DqlGraph) -> DataFrame:
@@ -1388,14 +1400,9 @@ def _term_uids(term: tuple, env: dict, graph: DqlGraph) -> DataFrame:
         _, op, var, val = term
         frame = _value_frame_of(var, env, f"{op}(val(...))")
         lit = _val_literal(frame, val, f"{op}(val(...))")
-        key = F.col("val")
-        cond = {
-            "ge": key >= lit,
-            "le": key <= lit,
-            "gt": key > lit,
-            "lt": key < lit,
-        }[op]
-        return frame.filter(cond).select("id")
+        return frame.filter(
+            _cmp_condition(F.col("val"), op, lit)
+        ).select("id")
     raise DqlSyntaxError(f"unknown filter term: {term!r}")
 
 

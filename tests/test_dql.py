@@ -465,6 +465,52 @@ def test_facet_filter_prunes_edges(spark, toy_graph):
         parse_dql("{ var(func: uid(s)) { n as p @facets(uid(t)) } }")
 
 
+def test_null_facet_never_matches_even_under_not(spark):
+    from dgraph_etl_spark.graph.dql import DqlGraph, run_dql
+
+    g = DqlGraph(
+        edge_preds={
+            "knows": spark.createDataFrame(
+                [("a", "b", 3.0), ("a", "c", None)],
+                "src string, dst string, weight double",
+            )
+        },
+        eq_index={},
+        leaf_attrs={},
+    )
+    # c's weight facet is NULL (absent): it fails the predicate even
+    # NEGATED (SQL three-valued logic == Dgraph's facet-filter rule)
+    (res,) = run_dql(
+        "{ var(func: has(knows)) { n as knows @facets(NOT eq(weight, 4)) }"
+        "\n  out(func: uid(n)) { }\n}",
+        g,
+    )
+    assert _ids(res.uids) == ["b"]
+    (res,) = run_dql(
+        "{ var(func: has(knows)) { n as knows @facets(NOT eq(weight, 3)) }"
+        "\n  out(func: uid(n)) { }\n}",
+        g,
+    )
+    assert _ids(res.uids) == []
+    # a facet on an attribute VALUE BIND refuses (it would otherwise
+    # silently drop the predicate)
+    g2 = DqlGraph(
+        edge_preds={},
+        eq_index={
+            "age": spark.createDataFrame(
+                [("a", "1")], "id string, value string"
+            )
+        },
+        leaf_attrs={},
+    )
+    with pytest.raises(DqlSyntaxError, match="value bind"):
+        run_dql(
+            "{ var(func: has(age)) { x as age @facets(ge(weight, 1)) }\n"
+            "  out(func: uid(x)) { }\n}",
+            g2,
+        )
+
+
 def test_groupby_and_count_uid(spark, toy_graph):
     from dgraph_etl_spark.graph.dql import run_dql
 

@@ -100,6 +100,22 @@ def _render_filter(expr) -> str:
     return f"has({expr[1]})"
 
 
+def _gen_facet(rng, depth=0):
+    """Facet predicate: eq/cmp atoms on 'weight', composed under
+    AND/OR/NOT one level deep."""
+    r = rng.random()
+    if depth < 1 and r < 0.25:
+        return (
+            rng.choice(["and", "or"]),
+            [_gen_facet(rng, 1), _gen_facet(rng, 1)],
+        )
+    if depth < 1 and r < 0.4:
+        return ("not", _gen_facet(rng, 1))
+    op = rng.choice(["eq", "ge", "le", "gt", "lt"])
+    v = str(rng.randint(0, 5))
+    return ("eq", "weight", v) if op == "eq" else ("cmp", op, "weight", v)
+
+
 def _gen_query(rng, preds, score):
     """Random query: 1-3 var blocks chaining edge steps, then one
     named output block with optional root filter / pagination / count.
@@ -159,15 +175,9 @@ def _gen_query(rng, preds, score):
                         if rng.random() < 0.5
                         else None
                     )
-                    facet = None
-                    if rng.random() < 0.35:
-                        op = rng.choice(["eq", "ge", "le", "gt", "lt"])
-                        v = str(rng.randint(0, 5))
-                        facet = (
-                            ("eq", "weight", v)
-                            if op == "eq"
-                            else ("cmp", op, "weight", v)
-                        )
+                    facet = (
+                        _gen_facet(rng) if rng.random() < 0.35 else None
+                    )
                     steps.append(
                         {"kind": "edge", "pred": rng.choice(preds),
                          "alias": alias, "filt": filt, "facet": facet}
@@ -303,7 +313,14 @@ def _gen_query(rng, preds, score):
 def _facet_ok(fac, w) -> bool:
     if fac is None:
         return True
-    if fac[0] == "eq":
+    kind = fac[0]
+    if kind == "and":
+        return all(_facet_ok(p, w) for p in fac[1])
+    if kind == "or":
+        return any(_facet_ok(p, w) for p in fac[1])
+    if kind == "not":
+        return not _facet_ok(fac[1], w)
+    if kind == "eq":
         return float(w) == float(fac[2])
     _, op, _, val = fac
     x = float(val)
