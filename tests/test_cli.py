@@ -118,3 +118,39 @@ def test_cli_query_dql_verbatim(spark, capsys, tmp_path):
     assert sorted(r[0] for r in dql["hop2_count"]["rows"]) == sorted(
         hand["hop2_person_ids"]
     )
+
+
+def test_cli_query_dql_extended_syntax(capsys):
+    """The widened subset flows through the CLI unchanged: one query
+    using @recurse, @groupby and a facet-pruned binding end-to-end at
+    sf0.001 -- a user pastes modern DQL, gets JSON back."""
+    from dgraph_etl_spark.suites.graph_traversal import TEAM
+
+    text = (
+        "{\n"
+        f"  var(func: eq(team_id, {TEAM})){{\n"
+        "    src as has_member\n"
+        "  }\n"
+        "  var(func: uid(src)){\n"
+        "    strong as has_connection @facets(ge(score, 1))\n"
+        "  }\n"
+        "  reach(func: uid(src)) @recurse(depth: 3){\n"
+        "    has_connection\n"
+        "  }\n"
+        "  strong_count(func: uid(strong)){\n"
+        "    count(uid)\n"
+        "  }\n"
+        "  by_nation(func: uid(src)) @groupby(nation_id){\n"
+        "    count(uid)\n"
+        "  }\n"
+        "}"
+    )
+    assert main(["query", "--source", SF, "--dql", text]) == 0
+    res = _last_json_line(capsys)
+    assert set(res) == {"reach", "strong_count", "by_nation"}
+    # the reach set contains at least the seeds
+    assert res["reach"]["count"] > 0
+    # groupby rows are (nation, count) pairs summing to the seed count
+    groups = res["by_nation"]["rows"]
+    assert all(len(r) == 2 for r in groups)
+    assert sum(r[1] for r in groups) > 0
