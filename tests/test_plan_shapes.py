@@ -245,6 +245,22 @@ CONTRACTS += [
         "consuming plan is a plain scan with no residual exchange "
         "(per-level lineage truncation held)",
     ),
+    (
+        "g37_dql_groupby",
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "rangepartitioning"],
+        "@groupby broadcasts the frontier into the attribute join and "
+        "reduces with one hash aggregate -- never a shuffle of the "
+        "attribute table or a sort-based agg",
+    ),
+    (
+        "g38_dql_facet_filter",
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "@facets is a row filter on the edge scan before the "
+        "broadcast-frontier join -- a join appearing for the facet "
+        "predicate means it stopped being a scan-level filter",
+    ),
 ]
 
 
