@@ -255,11 +255,12 @@ CONTRACTS += [
     ),
     (
         "g38_dql_facet_filter",
-        ["BroadcastHashJoin"],
+        ["HashAggregate"],
         ["SortMergeJoin", "CartesianProduct"],
-        "@facets is a row filter on the edge scan before the "
-        "broadcast-frontier join -- a join appearing for the facet "
-        "predicate means it stopped being a scan-level filter",
+        "the facet-pruned traversal is checkpointed (like g34), so "
+        "the count's consuming plan is scan + hash aggregate -- a "
+        "join or sort appearing means the facet predicate stopped "
+        "being a scan-level filter upstream",
     ),
 ]
 
