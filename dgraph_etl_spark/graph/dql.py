@@ -18,6 +18,8 @@ the documented public DQL semantics for:
     root    := 'eq(' ATTR ',' VALUE ')' | 'uid(' VAR ')'
              | 'has(' PRED ')'
              | ('ge'|'le'|'gt'|'lt') '(' ATTR ',' VALUE ')'
+             | ('anyofterms'|'allofterms') '(' ATTR ',' '"' TERMS '"' ')'
+             | 'regexp(' ATTR ',' '/' RE '/' ['i'] ')'
     modifier:= 'orderasc:' ATTR | 'orderdesc:' ATTR
              | 'first:' INT | 'offset:' INT
     line    := '#' comment
@@ -36,6 +38,8 @@ the documented public DQL semantics for:
     term    := 'uid(' VAR ')' | 'eq(' REF ',' VALUE ')'
              | 'has(' PRED ')'
              | ('ge'|'le'|'gt'|'lt') '(' REF ',' VALUE ')'
+             | ('anyofterms'|'allofterms') '(' ATTR ',' '"' TERMS '"' ')'
+             | 'regexp(' ATTR ',' '/' RE '/' ['i'] ')'
     REF     := ATTR | 'val(' VAR ')'
 
 Semantics (Dgraph's, for this subset):
@@ -70,6 +74,16 @@ Semantics (Dgraph's, for this subset):
   value var is defined on, and a block of ``min/max/sum/avg(val(x))``
   lines emits a one-row aggregate (sum/avg via exact decimal sums,
   the registry's cross-engine convention);
+- ``anyofterms``/``allofterms`` match Dgraph's term index semantics:
+  the stored string is tokenized (lowercased, split on any run of
+  non-alphanumeric characters) and the node matches when its token set
+  intersects (any) or covers (all) the query's terms -- a NULL or
+  termless stored value matches nothing;
+- ``regexp(attr, /re/)`` matches the raw stored string against the
+  pattern (substring semantics, Dgraph's trigram-index reading);
+  ``/re/i`` is case-insensitive. The pattern must survive the filter
+  tokenizer: whitespace, parens, commas, and quotes inside the pattern
+  are out-of-subset and refuse loudly (use character classes);
 - inequality terms compare by the attribute's declared type
   (``DqlGraph.attr_types``): numeric attributes compare numerically,
   strings lexicographically -- a numeric comparison against an
@@ -266,7 +280,45 @@ def _parse_func_term(toks: list[str], i: int) -> tuple[tuple, int]:
         if ref[0] == "val":
             return ("cmpval", name, ref[1], val), j
         return ("cmp", name, ref[1], val), j
+    if name in ("anyofterms", "allofterms"):
+        if len(args) != 2:
+            raise DqlSyntaxError(
+                f'{name}() takes (attr, "terms"), got {args!r}'
+            )
+        attr = _arg_atom(args[0], f"{name}()")
+        terms = _term_tokens(_arg_atom(args[1], f"{name}() terms"))
+        if not terms:
+            raise DqlSyntaxError(
+                f"{name}({attr}, ...): the query string holds no "
+                "searchable terms"
+            )
+        return ("terms", "any" if name == "anyofterms" else "all",
+                attr, terms), j
+    if name == "regexp":
+        if len(args) != 2:
+            raise DqlSyntaxError(f"regexp() takes (attr, /re/), got {args!r}")
+        attr = _arg_atom(args[0], "regexp()")
+        raw = _arg_atom(args[1], "regexp() pattern")
+        m = re.fullmatch(r"/(?P<re>.+)/(?P<flag>i?)", raw)
+        if m is None:
+            # either not slash-delimited, or the pattern contains
+            # whitespace/parens/commas/quotes the tokenizer split --
+            # both out-of-subset (the docstring's regexp note)
+            raise DqlSyntaxError(
+                f"regexp() pattern must be a /re/ or /re/i literal "
+                "without whitespace/parens/commas/quotes, got "
+                f"{raw!r}"
+            )
+        return ("regexp", attr, m.group("re"), m.group("flag") == "i"), j
     raise DqlSyntaxError(f"unsupported filter function: {name!r}")
+
+
+def _term_tokens(raw: str) -> tuple[str, ...]:
+    """Dgraph's term tokenizer: lowercase, split on any run of
+    non-alphanumeric characters, drop empties. The SAME convention the
+    executor applies to stored values (_terms_set) -- one tokenizer on
+    both sides or anyofterms('A-B') silently never matches."""
+    return tuple(t for t in re.split(r"[^a-z0-9]+", raw.lower()) if t)
 
 
 def _parse_unary(toks: list[str], i: int) -> tuple[tuple, int]:
@@ -335,11 +387,45 @@ def parse_filter(text: str) -> tuple:
     return expr
 
 
+def _find_unquoted_brace(s: str, start: int) -> int:
+    """Index of the first '{' at or after ``start`` that is not inside
+    a quoted value; -1 when none. The block head/body splitter's
+    counterpart to _skip_quote -- a '{' inside eq(name, "a{b") is
+    content, not the body opener."""
+    i = start
+    while i < len(s):
+        ch = s[i]
+        if ch in "\"'":
+            i = _skip_quote(s, i)
+            continue
+        if ch == "{":
+            return i
+        i += 1
+    return -1
+
+
+def _skip_quote(s: str, i: int) -> int:
+    """Index just past the string literal opening at ``s[i]`` (the
+    subset has no escape sequences: a quote runs to its next matching
+    character). Keeps every structural scanner below from counting a
+    paren/brace/comma INSIDE a quoted value -- eq(name, "a(b") must
+    parse, not die on phantom unbalanced parens (round-10 advisory)."""
+    j = s.find(s[i], i + 1)
+    if j < 0:
+        raise DqlSyntaxError(f"unterminated quote in: {s[i:][:60]!r}")
+    return j + 1
+
+
 def _split_head_args(inner: str) -> list[str]:
     """Split the head's paren body on depth-0 commas, so function
-    arguments (``eq(a, b)``) stay intact."""
-    parts, depth, start = [], 0, 0
-    for i, ch in enumerate(inner):
+    arguments (``eq(a, b)``) stay intact. Quoted values are opaque:
+    parens/commas inside them are content, not structure."""
+    parts, depth, start, i = [], 0, 0, 0
+    while i < len(inner):
+        ch = inner[i]
+        if ch in "\"'":
+            i = _skip_quote(inner, i)
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -347,21 +433,28 @@ def _split_head_args(inner: str) -> list[str]:
         elif ch == "," and depth == 0:
             parts.append(inner[start:i].strip())
             start = i + 1
+        i += 1
     parts.append(inner[start:].strip())
     return [p for p in parts if p]
 
 
 def _scan_parens(s: str, open_idx: int) -> tuple[str, int]:
     """Return (content, index-after-close) of the balanced paren group
-    opening at ``s[open_idx]``."""
-    depth = 0
-    for j in range(open_idx, len(s)):
-        if s[j] == "(":
+    opening at ``s[open_idx]``. Parens inside quoted values are content
+    (see _skip_quote)."""
+    depth, j = 0, open_idx
+    while j < len(s):
+        ch = s[j]
+        if ch in "\"'":
+            j = _skip_quote(s, j)
+            continue
+        if ch == "(":
             depth += 1
-        elif s[j] == ")":
+        elif ch == ")":
             depth -= 1
             if depth == 0:
                 return s[open_idx + 1 : j], j + 1
+        j += 1
     raise DqlSyntaxError(f"unbalanced parens in: {s!r}")
 
 
@@ -431,8 +524,9 @@ def _parse_head(head: str) -> Block:
         root_kind, root_args = "has", (term[1],)
     elif term[0] == "cmp":  # ("cmp", op, attr, val)
         root_kind, root_args = term[1], (term[2], term[3])
-    elif term[0] in ("eqval", "cmpval"):
-        # func: eq/ge/le/gt/lt(val(x), N) -- root over a value var
+    elif term[0] in ("eqval", "cmpval", "terms", "regexp"):
+        # func: eq/ge/le/gt/lt(val(x), N) -- root over a value var --
+        # or a string-search root (anyofterms/allofterms/regexp)
         root_kind, root_args = term[0], term[1:]
     else:
         raise DqlSyntaxError(f"unsupported root function: {parts[0]!r}")
@@ -527,7 +621,7 @@ def parse_dql(text: str) -> list[Block]:
     blocks: list[Block] = []
     pos = 0
     while pos < len(body):
-        open_i = body.find("{", pos)
+        open_i = _find_unquoted_brace(body, pos)
         if open_i < 0:
             if body[pos:].strip():
                 raise DqlSyntaxError(
@@ -537,6 +631,10 @@ def parse_dql(text: str) -> list[Block]:
         head = " ".join(body[pos:open_i].split())
         depth, i = 1, open_i + 1
         while i < len(body) and depth:
+            # braces inside quoted values are content, not structure
+            if body[i] in "\"'":
+                i = _skip_quote(body, i)
+                continue
             if body[i] == "{":
                 depth += 1
             elif body[i] == "}":
@@ -701,6 +799,33 @@ def parse_dql(text: str) -> list[Block]:
                 raise DqlSyntaxError(
                     f"duplicate {what} line(s) in block "
                     f"{block.name!r}: {dupes}"
+                )
+        if block.name != "var":
+            # an output block's projected column names must be distinct
+            # ACROSS families too: a bind like 'score as score' next to
+            # a 'score' leaf line would otherwise surface only as a
+            # downstream ambiguous-column error (round-10 advisory).
+            # 'id'/'rn' are the executor's own output columns -- same
+            # refusal. Edge-step aliases are included even though an
+            # edge bind projects nothing: whether an alias is a value
+            # bind or an edge bind resolves only at execution, and an
+            # alias shadowing a projected name is confusing either way.
+            projected = (
+                ["id", "rn"]
+                + list(block.leaf_attrs)
+                + [f"count_{p}" for p in block.counts]
+                + [f"{fn}_{var}" for fn, var in block.aggs]
+                + [s.alias for s in block.steps if s.alias]
+            )
+            dupes = sorted(
+                {n for n in projected if projected.count(n) > 1}
+            )
+            if dupes:
+                raise DqlSyntaxError(
+                    f"output block {block.name!r} column name "
+                    f"collision(s): {dupes} (leaf/count/agg projections, "
+                    "'VAR as' aliases, and the reserved id/rn columns "
+                    "must all be distinct)"
                 )
         if block.cascade:
             if block.name == "var":
@@ -1128,9 +1253,9 @@ def _root_set(block: Block, env: dict, graph: DqlGraph) -> DataFrame:
     if block.root_kind == "eq":
         attr, val = block.root_args
         return _eq_set(attr, val, graph)
-    if block.root_kind in ("eqval", "cmpval"):
-        # root over a value variable: same evaluation as the filter
-        # term, just without a candidate set to scope it
+    if block.root_kind in ("eqval", "cmpval", "terms", "regexp"):
+        # root over a value variable or a string-search function: same
+        # evaluation as the filter term, just without a candidate set
         term = (block.root_kind,) + tuple(block.root_args)
         return _term_uids(term, env, graph).dropDuplicates(["id"])
     # ge / le / gt / lt
@@ -1217,6 +1342,55 @@ def _cmp_set(op: str, attr: str, val: str, graph: DqlGraph) -> DataFrame:
     return (
         idx.filter(F.col("value").isNotNull())
         .filter(_cmp_condition(key, op, lit))
+        .select("id")
+        .dropDuplicates(["id"])
+    )
+
+
+def _string_index(attr: str, what: str, graph: DqlGraph) -> DataFrame:
+    """The eq-index for a STRING-typed attribute (term/regexp search
+    needs raw text; a numeric declared type means the query is
+    malformed, not that the numerals should be searched)."""
+    ty = graph.attr_types.get(attr, "string")
+    if ty != "string":
+        raise DqlSyntaxError(
+            f"{what}({attr}, ...): string search needs a string "
+            f"attribute; {attr!r} is declared {ty!r}"
+        )
+    return _eq_idx(attr, graph).filter(F.col("value").isNotNull())
+
+
+def _terms_set(
+    mode: str, attr: str, terms: tuple, graph: DqlGraph
+) -> DataFrame:
+    """anyofterms/allofterms: ids whose stored string's term set
+    (lowercased, split on non-alphanumeric runs -- _term_tokens'
+    convention, applied engine-side) intersects (any) or covers (all)
+    the query terms. A pure scan-side row filter on the eq-index: no
+    join, no shuffle beyond the final dedup."""
+    idx = _string_index(attr, f"{mode}ofterms", graph)
+    toks = F.array_remove(
+        F.split(F.lower(F.col("value")), "[^a-z0-9]+"), ""
+    )
+    q = F.array(*[F.lit(t) for t in terms])
+    if mode == "any":
+        cond = F.arrays_overlap(toks, q)
+    else:
+        cond = F.size(F.array_except(q, toks)) == 0
+    return idx.filter(cond).select("id").dropDuplicates(["id"])
+
+
+def _regexp_set(
+    attr: str, pattern: str, ci: bool, graph: DqlGraph
+) -> DataFrame:
+    """regexp(attr, /re/[i]): ids whose raw stored string contains a
+    match (substring semantics, both engines' default). The /i flag
+    becomes an embedded (?i) -- understood identically by Spark's Java
+    regex and DuckDB's RE2."""
+    idx = _string_index(attr, "regexp", graph)
+    pat = ("(?i)" if ci else "") + pattern
+    return (
+        idx.filter(F.col("value").rlike(pat))
         .select("id")
         .dropDuplicates(["id"])
     )
@@ -1349,7 +1523,11 @@ def _val_literal(frame: DataFrame, val: str, ctx: str):
 def _has_set(pred: str, graph: DqlGraph) -> DataFrame:
     """has(pred): nodes where the predicate exists -- sources of an
     edge predicate, or ids carrying a scalar attribute. A name bound
-    in several tables unions them (one predicate namespace)."""
+    in several tables unions them ALL (one predicate namespace): when
+    leaf and eq_index are both bound but their id coverage differs,
+    preferring one would silently miss ids present only in the other
+    (round-10 advisory); the dedup downstream already absorbs the
+    overlap."""
     parts = []
     e = graph.edge_preds.get(pred)
     if e is not None:
@@ -1361,10 +1539,12 @@ def _has_set(pred: str, graph: DqlGraph) -> DataFrame:
         )
     leaf = graph.leaf_attrs.get(pred)
     if leaf is not None:
-        parts.append(leaf.select("id"))
+        # a NULL stored value is an ABSENT attribute (the _eq_set
+        # reading) -- it must not satisfy has() through either table
+        parts.append(leaf.filter(F.col(pred).isNotNull()).select("id"))
     idx = graph.eq_index.get(pred)
-    if idx is not None and leaf is None:
-        parts.append(idx.select("id"))
+    if idx is not None:
+        parts.append(idx.filter(F.col("value").isNotNull()).select("id"))
     if not parts:
         raise DqlSyntaxError(
             f"has({pred}): predicate bound nowhere (edges: "
@@ -1391,6 +1571,12 @@ def _term_uids(term: tuple, env: dict, graph: DqlGraph) -> DataFrame:
     if kind == "cmp":
         _, op, attr, val = term
         return _cmp_set(op, attr, val, graph)
+    if kind == "terms":
+        _, mode, attr, terms = term
+        return _terms_set(mode, attr, terms, graph)
+    if kind == "regexp":
+        _, attr, pattern, ci = term
+        return _regexp_set(attr, pattern, ci, graph)
     if kind == "eqval":
         _, var, val = term
         frame = _value_frame_of(var, env, "eq(val(...))")

@@ -49,12 +49,16 @@ def test_eq_value_quoting_and_whitespace_are_tolerated():
     "bad, why",
     [
         ("var(func: eq(a, 1)) { x as p }", "no outer braces"),
-        ("{ var(func: anyofterms(a, b)) { x as p } }",
-         "unsupported root func"),
+        ("{ var(func: alloftext(a, b)) { x as p } }",
+         "unsupported root func (fulltext index is outside the subset)"),
         ("{ var(func: uid(s)) { p @filter(uid(t)) } }",
          "filtered edge step without a 'VAR as' binding"),
-        ("{ var(func: uid(s)) { x as p @filter(regexp(a, /b/)) } }",
-         "regexp filter term is outside the subset"),
+        ('{ var(func: anyofterms(a, "...")) { x as p } }',
+         "term search with no searchable terms"),
+        ("{ var(func: uid(s)) { x as p @filter(regexp(a, b)) } }",
+         "regexp pattern is not a /re/ literal"),
+        ("{ var(func: uid(s)) { x as p @filter(regexp(a, /b c/)) } }",
+         "whitespace inside the pattern breaks tokenization: refuse"),
         ("{ var(func: uid(s)) { x as p @filter(uid(t) and uid(u)) } }",
          "lowercase 'and' is not the DQL connective"),
         ("{ var(func: uid(s)) { x as p @filter(uid(t) AND) } }",
@@ -628,3 +632,177 @@ def test_duplicate_output_block_names_are_rejected():
             "{ a(func: eq(team_id, 7)) { x as has_member }\n"
             "  a(func: uid(x)) { person_id } }"
         )
+
+
+# ---- round-11 additions: quoted-structural-char scanning, term/regexp
+# search, has() multi-table union, output-name collisions, empty-root
+# aggregate pinning.
+
+
+def test_quoted_values_may_contain_structural_chars():
+    # parens/braces/commas inside quoted literals are content, not
+    # structure (round-10 advisory: the scanners must skip quoted
+    # regions, not count through them)
+    blocks = parse_dql(
+        '{ v(func: eq(name, "a(b")) @filter(eq(name, "x,y(z{")) '
+        "{ x as knows } }"
+    )
+    assert blocks[0].root_args == ("name", "a(b")
+    assert blocks[0].root_filter == ("eq", "name", "x,y(z{")
+    with pytest.raises(DqlSyntaxError, match="unterminated quote"):
+        parse_dql('{ v(func: eq(name, "a(b)) { x as knows } }')
+
+
+def test_term_and_regexp_parse():
+    blocks = parse_dql(
+        '{ v(func: anyofterms(bio, "Fast, RED-cars")) '
+        '@filter(allofterms(bio, "slow boat") '
+        "AND NOT regexp(bio, /ca[rt]s?/i)) { bio } }"
+    )
+    b = blocks[0]
+    # query terms go through the same tokenizer as stored values:
+    # lowercased, split on non-alphanumeric runs
+    assert b.root_kind == "terms"
+    assert b.root_args == ("any", "bio", ("fast", "red", "cars"))
+    assert b.root_filter == (
+        "and",
+        [
+            ("terms", "all", "bio", ("slow", "boat")),
+            ("not", ("regexp", "bio", "ca[rt]s?", True)),
+        ],
+    )
+
+
+@pytest.fixture()
+def text_graph(spark):
+    """Four people with a free-text 'bio' attribute (term/regexp
+    lanes), plus the age index so mixed filters compose."""
+    from dgraph_etl_spark.graph.dql import DqlGraph
+
+    bios = [
+        ("a", "Fast red cars; slow boats"),
+        ("b", "slow RED boat"),
+        ("c", "green bicycles only"),
+        ("d", None),  # NULL bio: absent attribute, matches nothing
+    ]
+    return DqlGraph(
+        edge_preds={},
+        eq_index={
+            "bio": spark.createDataFrame(bios, "id string, value string"),
+            "age": spark.createDataFrame(
+                [("a", "25"), ("b", "30"), ("c", "35")],
+                "id string, value string",
+            ),
+        },
+        leaf_attrs={},
+        attr_types={"age": "int"},
+    )
+
+
+def test_anyofterms_allofterms_semantics(spark, text_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    def ids(q):
+        (res,) = run_dql(q, text_graph)
+        return sorted(r["id"] for r in res.uids.collect())
+
+    # any: token-set intersection, case-insensitive, punctuation splits
+    assert ids('{ v(func: anyofterms(bio, "CARS bicycles")) {} }') == [
+        "a",
+        "c",
+    ]
+    # all: every query term must appear (order-free)
+    assert ids('{ v(func: allofterms(bio, "boat slow")) {} }') == ["b"]
+    # 'boats' is a different term than 'boat' (no stemming)
+    assert ids('{ v(func: allofterms(bio, "slow boats")) {} }') == ["a"]
+    # filter form composes with the boolean algebra
+    assert ids(
+        '{ v(func: has(bio)) @filter(anyofterms(bio, "red") '
+        'AND NOT allofterms(bio, "fast cars")) {} }'
+    ) == ["b"]
+
+
+def test_regexp_semantics(spark, text_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    def ids(q):
+        (res,) = run_dql(q, text_graph)
+        return sorted(r["id"] for r in res.uids.collect())
+
+    # substring match on the RAW string, case-sensitive by default
+    assert ids("{ v(func: regexp(bio, /red/)) {} }") == ["a"]
+    assert ids("{ v(func: regexp(bio, /RED/)) {} }") == ["b"]
+    assert ids("{ v(func: regexp(bio, /RED/i)) {} }") == ["a", "b"]
+    assert ids("{ v(func: regexp(bio, /boats?;/)) {} }") == []
+    assert ids("{ v(func: regexp(bio, /cars;/)) {} }") == ["a"]
+
+
+def test_string_search_on_numeric_attr_fails_loudly(spark, text_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    with pytest.raises(DqlSyntaxError, match="string attribute"):
+        run_dql('{ v(func: anyofterms(age, "25")) {} }', text_graph)
+    with pytest.raises(DqlSyntaxError, match="string attribute"):
+        run_dql("{ v(func: regexp(age, /2/)) {} }", text_graph)
+
+
+def test_has_unions_leaf_and_eq_index(spark):
+    # leaf and eq_index both bound for one predicate with DIFFERENT id
+    # coverage: has(pred) must union them (round-10 advisory), and a
+    # NULL stored value satisfies has() through neither table
+    from dgraph_etl_spark.graph.dql import DqlGraph, run_dql
+
+    g = DqlGraph(
+        edge_preds={},
+        eq_index={
+            "tag": spark.createDataFrame(
+                [("a", "x"), ("b", None)], "id string, value string"
+            )
+        },
+        leaf_attrs={
+            "tag": spark.createDataFrame(
+                [("c", "y"), ("d", None)], "id string, tag string"
+            )
+        },
+        attr_types={},
+    )
+    (res,) = run_dql("{ v(func: has(tag)) {} }", g)
+    assert sorted(r["id"] for r in res.uids.collect()) == ["a", "c"]
+
+
+def test_output_column_collisions_are_rejected_at_parse_time():
+    # value-bind alias vs leaf projection (round-10 advisory)
+    with pytest.raises(DqlSyntaxError, match="column name collision"):
+        parse_dql("{ v(func: has(age)) { score as score\n score } }")
+    # alias vs count projection
+    with pytest.raises(DqlSyntaxError, match="column name collision"):
+        parse_dql(
+            "{ v(func: has(age)) { count_knows as age\n count(knows) } }"
+        )
+    # reserved executor columns
+    with pytest.raises(DqlSyntaxError, match="column name collision"):
+        parse_dql("{ v(func: has(age)) { id } }")
+    # var blocks project nothing: no collision to refuse
+    parse_dql("{ var(func: has(age)) { score as score } }")
+
+
+def test_empty_root_aggregates_are_null(spark, toy_graph):
+    # Pin the empty-root aggregate edge (round-10 advisory): an
+    # aggregation block over an empty uid set emits ONE row with NULL
+    # in every aggregate column (Spark's empty-input min/max/sum are
+    # NULL; avg's NULL/0 division is NULL). Dgraph omits the aggregate
+    # entirely -- a tabular output has no 'omitted' shape, so NULL is
+    # this engine's pinned contract; a future change must fail here.
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    (res,) = run_dql(
+        "{ var(func: has(age)) { d as age }\n"
+        "  s(func: uid(d)) @filter(gt(val(d), 1000)) "
+        "{ min(val(d))\n max(val(d))\n sum(val(d))\n avg(val(d)) } }",
+        toy_graph,
+    )
+    (row,) = res.attrs.collect()
+    assert row["min_d"] is None
+    assert row["max_d"] is None
+    assert row["sum_d"] is None
+    assert row["avg_d"] is None

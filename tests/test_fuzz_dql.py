@@ -26,9 +26,27 @@ _SCALE = int(os.environ.get("FUZZ_SCALE", "1"))
 _CASES = 8 * _SCALE
 
 ATTR = "score"  # the one scalar attribute; typed int
+TAG = "tag"  # free-text attribute: anyofterms/allofterms/regexp lanes
+# lowercase-alphanumeric vocab so the term tokenizer is exercised by
+# SEPARATORS and CASING, not by in-word punctuation
+_VOCAB = ("red", "blue", "fast", "slow", "big")
+_SEPS = (" ", "-", ", ", "; ")
 
 
 # ----------------------------------------------------------- generator
+
+
+def _gen_tag(rng: random.Random) -> str:
+    """1-3 vocab words under random separators and casing: the term
+    lanes must match through both, regexp through neither."""
+    words = [
+        w.upper() if rng.random() < 0.3 else w
+        for w in rng.sample(_VOCAB, rng.randint(1, 3))
+    ]
+    out = words[0]
+    for w in words[1:]:
+        out += rng.choice(_SEPS) + w
+    return out
 
 
 def _gen_graph(rng: random.Random):
@@ -43,11 +61,15 @@ def _gen_graph(rng: random.Random):
     # small value domain -> duplicate order keys (exercises the id
     # tie-break); ~20% of nodes have NO score (exercises order-drop)
     score = {i: rng.randint(0, 5) for i in ids if rng.random() < 0.8}
-    return ids, preds, edges, score
+    # ~25% of nodes have NO tag (string-search misses them entirely)
+    tags = {i: _gen_tag(rng) for i in ids if rng.random() < 0.75}
+    return ids, preds, edges, score, tags
 
 
 def _gen_term(rng, preds, bound, value_vars=()):
-    kinds = ["eq", "cmp", "has"] + (["uid"] if bound else [])
+    kinds = ["eq", "cmp", "has", "terms", "regexp"] + (
+        ["uid"] if bound else []
+    )
     if value_vars:
         kinds += ["eqval", "cmpval"]
     k = rng.choice(kinds)
@@ -58,12 +80,23 @@ def _gen_term(rng, preds, bound, value_vars=()):
     if k == "cmp":
         op = rng.choice(["ge", "le", "gt", "lt"])
         return ("cmp", op, ATTR, str(rng.randint(0, 5)))
+    if k == "terms":
+        mode = rng.choice(["any", "all"])
+        words = rng.sample(_VOCAB, rng.randint(1, 2))
+        return ("terms", mode, TAG, tuple(words))
+    if k == "regexp":
+        # a vocab word, maybe one char wildcarded, maybe /i -- simple
+        # enough that Python re.search and Spark rlike agree exactly
+        w = list(rng.choice(_VOCAB))
+        if rng.random() < 0.5:
+            w[rng.randrange(len(w))] = "."
+        return ("regexp", TAG, "".join(w), rng.random() < 0.5)
     if k == "eqval":
         return ("eqval", rng.choice(value_vars), str(rng.randint(0, 6)))
     if k == "cmpval":
         op = rng.choice(["ge", "le", "gt", "lt"])
         return ("cmpval", op, rng.choice(value_vars), str(rng.randint(0, 6)))
-    return ("has", rng.choice(preds + [ATTR]))
+    return ("has", rng.choice(preds + [ATTR, TAG]))
 
 
 def _gen_filter(rng, preds, bound, depth=0, value_vars=()):
@@ -97,6 +130,11 @@ def _render_filter(expr) -> str:
         return f"eq(val({expr[1]}), {expr[2]})"
     if kind == "cmpval":
         return f"{expr[1]}(val({expr[2]}), {expr[3]})"
+    if kind == "terms":
+        fn = "anyofterms" if expr[1] == "any" else "allofterms"
+        return f'{fn}({expr[2]}, "{" ".join(expr[3])}")'
+    if kind == "regexp":
+        return f"regexp({expr[1]}, /{expr[2]}/{'i' if expr[3] else ''})"
     return f"has({expr[1]})"
 
 
@@ -332,11 +370,29 @@ def _facet_ok(fac, w) -> bool:
     }[op]
 
 
-def _ref_term(term, env, edges, score):
+def _term_toks(value: str) -> set:
+    import re as _re
+
+    return {t for t in _re.split(r"[^a-z0-9]+", value.lower()) if t}
+
+
+def _ref_term(term, env, edges, score, tags):
     kind = term[0]
     if kind == "uid":
         # a value var's uid set is the ids it is defined on
         return set(env[term[1]])
+    if kind == "terms":
+        _, mode, _, words = term
+        want = set(words)
+        if mode == "any":
+            return {i for i, v in tags.items() if _term_toks(v) & want}
+        return {i for i, v in tags.items() if want <= _term_toks(v)}
+    if kind == "regexp":
+        import re as _re
+
+        _, _, pat, ci = term
+        rx = _re.compile(("(?i)" if ci else "") + pat)
+        return {i for i, v in tags.items() if rx.search(v)}
     if kind == "eqval":
         _, var, val = term
         return {i for i, v in env[var].items() if v == float(val)}
@@ -367,34 +423,36 @@ def _ref_term(term, env, edges, score):
     name = term[1]
     if name in edges:
         return {s for s, _ in edges[name]}
+    if name == TAG:
+        return set(tags)
     return set(score)
 
 
-def _ref_filter(cand, expr, env, edges, score):
+def _ref_filter(cand, expr, env, edges, score, tags):
     kind = expr[0]
     if kind == "and":
         out = set(cand)
         for part in expr[1]:
-            out = _ref_filter(out, part, env, edges, score)
+            out = _ref_filter(out, part, env, edges, score, tags)
         return out
     if kind == "or":
         return set().union(
-            *(_ref_filter(cand, p, env, edges, score) for p in expr[1])
+            *(_ref_filter(cand, p, env, edges, score, tags) for p in expr[1])
         )
     if kind == "not":
-        return set(cand) - _ref_filter(cand, expr[1], env, edges, score)
-    return set(cand) & _ref_term(expr, env, edges, score)
+        return set(cand) - _ref_filter(cand, expr[1], env, edges, score, tags)
+    return set(cand) & _ref_term(expr, env, edges, score, tags)
 
 
-def _ref_eval(blocks, edges, score):
+def _ref_eval(blocks, edges, score, tags):
     """Walk the plan with plain sets; returns (uids, rn_map|None,
     counts_map|None) for the 'out' block."""
     env: dict[str, set] = {}
     out = None
     for b in blocks:
-        root = _ref_term(b["root"], env, edges, score)
+        root = _ref_term(b["root"], env, edges, score, tags)
         if b["root_filter"] is not None:
-            root = _ref_filter(root, b["root_filter"], env, edges, score)
+            root = _ref_filter(root, b["root_filter"], env, edges, score, tags)
         if b["recurse"] is not None:
             ee = set().union(*(edges[p] for p in b["rpreds"]))
             reach, frontier = set(root), set(root)
@@ -454,7 +512,7 @@ def _ref_eval(blocks, edges, score):
                 }
                 if st["filt"] is not None:
                     reached = _ref_filter(
-                        reached, st["filt"], env, edges, score
+                        reached, st["filt"], env, edges, score, tags
                     )
                 env[st["alias"]] = reached
         if b["name"] != "var":
@@ -505,7 +563,7 @@ def _ref_eval(blocks, edges, score):
 @pytest.mark.parametrize("seed", range(_CASES))
 def test_dql_matches_reference_set_semantics(spark, seed):
     rng = random.Random(20260816 + seed)
-    ids, preds, edges, score = _gen_graph(rng)
+    ids, preds, edges, score, tags = _gen_graph(rng)
     text, blocks = _gen_query(rng, preds, score)
 
     graph = DqlGraph(
@@ -523,7 +581,11 @@ def test_dql_matches_reference_set_semantics(spark, seed):
             ATTR: spark.createDataFrame(
                 sorted((i, str(v)) for i, v in score.items()) or [],
                 "id string, value string",
-            )
+            ),
+            TAG: spark.createDataFrame(
+                sorted(tags.items()) or [],
+                "id string, value string",
+            ),
         },
         leaf_attrs={
             ATTR: spark.createDataFrame(
@@ -542,7 +604,7 @@ def test_dql_matches_reference_set_semantics(spark, seed):
         exp_binds,
         exp_groups,
         exp_total,
-    ) = _ref_eval(blocks, edges, score)
+    ) = _ref_eval(blocks, edges, score, tags)
     if exp_groups is not None:
         got_groups = {
             r[ATTR]: r["count"] for r in res.attrs.collect()
