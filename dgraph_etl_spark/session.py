@@ -14,10 +14,15 @@ Scale notes (100 TB design intent):
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Serializes pinned_partition_cache's AQE-off registration window (see
+# its docstring for the restore race two concurrent callers would hit).
+_PIN_GUARD = threading.Lock()
 
 
 def get_spark(
@@ -115,10 +120,17 @@ def pinned_partition_cache(df, *keys: str):
     only per-round work on it is the scan itself.
 
     The AQE flip is session-global for the registration+materialize
-    window. A plan another thread compiles during it merely plans
-    non-adaptively (same results; only bench warm-up compiles
-    concurrently, untimed) -- which is why the flip lives in this ONE
-    helper instead of scattered per-suite.
+    window, and the window is serialized under a module lock: two
+    CONCURRENT registrations would otherwise race the read-modify-
+    write of the conf -- the second reader can observe the first's
+    "false" as the value to restore, leaving the session permanently
+    non-adaptive after both return (and an interleaved restore could
+    register the second cache with AQE back ON, silently losing its
+    pinned partitioning). A plan an UNRELATED thread compiles during
+    a held window still merely plans non-adaptively (same results;
+    only bench warm-up compiles concurrently, untimed) -- which is
+    why the flip lives in this ONE locked helper instead of scattered
+    per-suite.
 
     Callers own ``out.unpersist()`` after their loop (results must be
     materialized first -- the loops here checkpoint per round, so the
@@ -128,13 +140,18 @@ def pinned_partition_cache(df, *keys: str):
     """
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        out = df.repartition(n, *keys).sortWithinPartitions(*keys).persist()
-        out.count()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    with _PIN_GUARD:
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            out = (
+                df.repartition(n, *keys)
+                .sortWithinPartitions(*keys)
+                .persist()
+            )
+            out.count()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
     return out
 
 

@@ -766,3 +766,80 @@ def test_pinned_partition_cache_join_contract(spark):
         assert not re.search(r"\bSort\b(?!MergeJoin)", left_branch), plan
     finally:
         pinned.unpersist()
+
+
+def test_pinned_partition_cache_concurrent_registrations(spark):
+    """Round-10 verdict #4: two pinned-cache registrations racing each
+    other (and a third thread compiling plans mid-window) must leave
+    the session adaptive, pin BOTH caches' partitioning, and compute
+    correct results. Without the module lock, the interleaved
+    read-modify-write of spark.sql.adaptive.enabled can restore the
+    OTHER caller's 'false' -- permanently disabling AQE -- or register
+    a cache with AQE back on (losing its pinned partitioning)."""
+    import re
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from dgraph_etl_spark.session import pinned_partition_cache
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    bases = [
+        spark.range(3000 + i).select(
+            (F.col("id") % 89).alias("u"), F.col("id").alias("v")
+        )
+        for i in range(2)
+    ]
+
+    def compile_plans():
+        # an unrelated query compiling DURING the flip window: must
+        # plan and run correctly either way (adaptively or not)
+        out = []
+        for i in range(6):
+            df = (
+                spark.range(200 + i)
+                .select((F.col("id") % 7).alias("k"))
+                .groupBy("k")
+                .count()
+            )
+            out.append(df.count())
+        return out
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(pinned_partition_cache, b, "u") for b in bases]
+        side = pool.submit(compile_plans)
+        pinned = [f.result() for f in futs]
+        assert side.result() == [7] * 6
+
+    try:
+        # the session conf is restored no matter how the two windows
+        # interleaved
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        for i, p in enumerate(pinned):
+            # both caches pinned their partitioning: a keyed merge
+            # join plans with no Exchange/Sort over the cached branch
+            right = spark.range(89).select(
+                F.col("id").alias("k"), F.lit(1).alias("w")
+            )
+            j = p.join(right.hint("merge"), p["u"] == right["k"])
+            plan = formatted_plan(j)
+            tree = plan.split("(1) ", 1)[0]
+            left_branch = "\n".join(
+                line
+                for line in tree.splitlines()
+                if ":-" in line or "InMemory" in line
+            )
+            assert "InMemoryTableScan" in left_branch, (i, plan)
+            assert "Exchange" not in left_branch, (i, plan)
+            assert not re.search(r"\bSort\b(?!MergeJoin)", left_branch), (
+                i,
+                plan,
+            )
+            # and both results are right: every id lands exactly once
+            assert p.count() == 3000 + i
+            assert p.select(F.sum("v")).first()[0] == sum(
+                range(3000 + i)
+            )
+    finally:
+        for p in pinned:
+            p.unpersist()
