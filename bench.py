@@ -63,6 +63,11 @@ HEADLINE = [
     # ~100-supplier rollup
     "b87_tpch_q21_bucketed",
     "b92_cube_rollup",        # CUBE margins: one Expand, one hash agg
+    # the DQL front-end's per-round number (round-10 verdict #5): text
+    # parse + @recurse BFS through graph/dql.py -- the only family that
+    # had no headline representative. Added round 11; BASELINE.md notes
+    # the set change so r11 stays comparable on the prior 23 queries.
+    "g34_dql_recurse",
 ]
 
 # The unfiltered list: consumers that need the FULL headline set

@@ -20,6 +20,7 @@ the documented public DQL semantics for:
              | ('ge'|'le'|'gt'|'lt') '(' ATTR ',' VALUE ')'
              | ('anyofterms'|'allofterms') '(' ATTR ',' '"' TERMS '"' ')'
              | 'regexp(' ATTR ',' '/' RE '/' ['i'] ')'
+             | 'between(' ATTR ',' VALUE ',' VALUE ')'
     modifier:= 'orderasc:' ATTR | 'orderdesc:' ATTR
              | 'first:' INT | 'offset:' INT
     line    := '#' comment
@@ -40,6 +41,7 @@ the documented public DQL semantics for:
              | ('ge'|'le'|'gt'|'lt') '(' REF ',' VALUE ')'
              | ('anyofterms'|'allofterms') '(' ATTR ',' '"' TERMS '"' ')'
              | 'regexp(' ATTR ',' '/' RE '/' ['i'] ')'
+             | 'between(' ATTR ',' VALUE ',' VALUE ')'
     REF     := ATTR | 'val(' VAR ')'
 
 Semantics (Dgraph's, for this subset):
@@ -84,6 +86,9 @@ Semantics (Dgraph's, for this subset):
   ``/re/i`` is case-insensitive. The pattern must survive the filter
   tokenizer: whitespace, parens, commas, and quotes inside the pattern
   are out-of-subset and refuse loudly (use character classes);
+- ``between(attr, lo, hi)`` is the INCLUSIVE typed range (Dgraph's
+  documented semantics) -- one index consultation, where the
+  ge-AND-le spelling consults it once per bound;
 - inequality terms compare by the attribute's declared type
   (``DqlGraph.attr_types``): numeric attributes compare numerically,
   strings lexicographically -- a numeric comparison against an
@@ -294,6 +299,19 @@ def _parse_func_term(toks: list[str], i: int) -> tuple[tuple, int]:
             )
         return ("terms", "any" if name == "anyofterms" else "all",
                 attr, terms), j
+    if name == "between":
+        # between(attr, lo, hi): INCLUSIVE range by the attribute's
+        # declared type (Dgraph's documented semantics) -- one term,
+        # one index scan, unlike the ge(...) AND le(...) spelling
+        # which consults the index once per bound
+        if len(args) != 3:
+            raise DqlSyntaxError(
+                f"between() takes (attr, lo, hi), got {args!r}"
+            )
+        attr = _arg_atom(args[0], "between()")
+        lo = _arg_atom(args[1], "between() lo")
+        hi = _arg_atom(args[2], "between() hi")
+        return ("between", attr, lo, hi), j
     if name == "regexp":
         if len(args) != 2:
             raise DqlSyntaxError(f"regexp() takes (attr, /re/), got {args!r}")
@@ -524,9 +542,10 @@ def _parse_head(head: str) -> Block:
         root_kind, root_args = "has", (term[1],)
     elif term[0] == "cmp":  # ("cmp", op, attr, val)
         root_kind, root_args = term[1], (term[2], term[3])
-    elif term[0] in ("eqval", "cmpval", "terms", "regexp"):
+    elif term[0] in ("eqval", "cmpval", "terms", "regexp", "between"):
         # func: eq/ge/le/gt/lt(val(x), N) -- root over a value var --
-        # or a string-search root (anyofterms/allofterms/regexp)
+        # or a string-search/range root (anyofterms/allofterms/
+        # regexp/between)
         root_kind, root_args = term[0], term[1:]
     else:
         raise DqlSyntaxError(f"unsupported root function: {parts[0]!r}")
@@ -1253,7 +1272,7 @@ def _root_set(block: Block, env: dict, graph: DqlGraph) -> DataFrame:
     if block.root_kind == "eq":
         attr, val = block.root_args
         return _eq_set(attr, val, graph)
-    if block.root_kind in ("eqval", "cmpval", "terms", "regexp"):
+    if block.root_kind in ("eqval", "cmpval", "terms", "regexp", "between"):
         # root over a value variable or a string-search function: same
         # evaluation as the filter term, just without a candidate set
         term = (block.root_kind,) + tuple(block.root_args)
@@ -1577,6 +1596,19 @@ def _term_uids(term: tuple, env: dict, graph: DqlGraph) -> DataFrame:
     if kind == "regexp":
         _, attr, pattern, ci = term
         return _regexp_set(attr, pattern, ci, graph)
+    if kind == "between":
+        _, attr, lo, hi = term
+        idx = _eq_idx(attr, graph)
+        key = _typed_value_col(attr, graph)
+        cond = (key >= _typed_literal(attr, lo, graph)) & (
+            key <= _typed_literal(attr, hi, graph)
+        )
+        return (
+            idx.filter(F.col("value").isNotNull())
+            .filter(cond)
+            .select("id")
+            .dropDuplicates(["id"])
+        )
     if kind == "eqval":
         _, var, val = term
         frame = _value_frame_of(var, env, "eq(val(...))")

@@ -737,6 +737,45 @@ def g39_dql_term_search(spark, sf_dir):
     return res.attrs.select("doc_id")
 
 
+# between(attr, lo, hi) root (inclusive typed range, Dgraph's
+# documented semantics) under ordered pagination
+_DQL_BETWEEN = """{
+  page(func: between(person_id, 10, 25), orderdesc: person_id,
+       offset: 2, first: 8){
+    person_id
+  }
+}"""
+
+
+@register(
+    "g40_dql_between",
+    V("""
+    , ranked AS (
+        SELECT p.person_id AS person_id,
+               CAST(ROW_NUMBER() OVER (
+                    ORDER BY CAST(p.person_id AS DOUBLE) DESC,
+                             CAST(p.person_id AS VARCHAR)
+               ) AS BIGINT) AS rn
+        FROM person p
+        WHERE CAST(p.person_id AS DOUBLE) BETWEEN 10 AND 25
+    )
+    SELECT person_id, rn FROM ranked WHERE rn > 2 AND rn <= 10
+    """),
+    defer=True,
+)
+def g40_dql_between(spark, sf_dir):
+    """DQL between(attr, lo, hi): the inclusive typed range as ONE
+    index consultation (the ge-AND-le spelling consults it once per
+    bound), composed with descending ordered pagination -- still the
+    top-(offset+first) TakeOrderedAndProject shape. Oracle ids rank
+    with the same id tie-break the executor uses ('p:<id>' strings
+    order like bare id strings within equal person_id keys)."""
+    from ..graph.dql import run_dql
+
+    (res,) = run_dql(_DQL_BETWEEN, dql_fixture_graph(spark, sf_dir))
+    return res.attrs.select("person_id", "rn")
+
+
 @register(
     "g06_khop_k3",
     V(_HOPS + """

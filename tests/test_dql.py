@@ -806,3 +806,25 @@ def test_empty_root_aggregates_are_null(spark, toy_graph):
     assert row["max_d"] is None
     assert row["sum_d"] is None
     assert row["avg_d"] is None
+
+
+def test_between_is_inclusive_and_typed(spark, toy_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    def ids(q):
+        (res,) = run_dql(q, toy_graph)
+        return sorted(r["id"] for r in res.uids.collect())
+
+    # inclusive both ends, numeric compare (age is declared int)
+    assert ids("{ v(func: between(age, 30, 40)) {} }") == ["b", "c", "d"]
+    assert ids("{ v(func: between(age, 30, 30)) {} }") == ["b"]
+    # empty range: no rows, not an error
+    assert ids("{ v(func: between(age, 40, 30)) {} }") == []
+    # filter-term form composes
+    assert ids(
+        "{ v(func: has(age)) @filter(NOT between(age, 26, 39)) {} }"
+    ) == ["a", "d"]
+    with pytest.raises(DqlSyntaxError, match="non-numeric"):
+        run_dql("{ v(func: between(age, x, 30)) {} }", toy_graph)
+    with pytest.raises(DqlSyntaxError, match="takes \\(attr, lo, hi\\)"):
+        parse_dql("{ v(func: between(age, 30)) {} }")

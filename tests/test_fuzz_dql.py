@@ -67,7 +67,7 @@ def _gen_graph(rng: random.Random):
 
 
 def _gen_term(rng, preds, bound, value_vars=()):
-    kinds = ["eq", "cmp", "has", "terms", "regexp"] + (
+    kinds = ["eq", "cmp", "has", "terms", "regexp", "between"] + (
         ["uid"] if bound else []
     )
     if value_vars:
@@ -80,6 +80,9 @@ def _gen_term(rng, preds, bound, value_vars=()):
     if k == "cmp":
         op = rng.choice(["ge", "le", "gt", "lt"])
         return ("cmp", op, ATTR, str(rng.randint(0, 5)))
+    if k == "between":
+        lo = rng.randint(0, 5)
+        return ("between", ATTR, str(lo), str(rng.randint(lo - 1, 5)))
     if k == "terms":
         mode = rng.choice(["any", "all"])
         words = rng.sample(_VOCAB, rng.randint(1, 2))
@@ -130,6 +133,8 @@ def _render_filter(expr) -> str:
         return f"eq(val({expr[1]}), {expr[2]})"
     if kind == "cmpval":
         return f"{expr[1]}(val({expr[2]}), {expr[3]})"
+    if kind == "between":
+        return f"between({expr[1]}, {expr[2]}, {expr[3]})"
     if kind == "terms":
         fn = "anyofterms" if expr[1] == "any" else "allofterms"
         return f'{fn}({expr[2]}, "{" ".join(expr[3])}")'
@@ -381,6 +386,10 @@ def _ref_term(term, env, edges, score, tags):
     if kind == "uid":
         # a value var's uid set is the ids it is defined on
         return set(env[term[1]])
+    if kind == "between":
+        _, _, lo, hi = term
+        lo, hi = float(lo), float(hi)
+        return {i for i, v in score.items() if lo <= float(v) <= hi}
     if kind == "terms":
         _, mode, _, words = term
         want = set(words)

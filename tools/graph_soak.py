@@ -43,6 +43,8 @@ GRAPH_QUERIES = [
     "g07_top_connections",    # semi-join + hash agg + top-k on hubs
     "g08_degree_stats",       # degree distribution agg
     "g10_pagerank",           # 10 fixed-point iterations
+    "g25_personalized_pagerank",  # seed-teleport power iteration
+    "g26_weighted_pagerank",  # score-weighted rank flow
     "g12_weakly_connected",   # O(diameter) label propagation
     "g34_dql_recurse",        # DQL text -> visited-pruned BFS (khop shape)
 ]
