@@ -341,31 +341,50 @@ def neardup_components(
     re-shuffle was the loop's dominant cost."""
     from ..session import iterative_loop_side
 
+    n_docs = docs.count()
     edges = iterative_loop_side(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))),
         "u",
-        small_side_rows=docs.count(),
+        small_side_rows=n_docs,
     )
     try:
-        labels = _hash_to_min_rounds(edges, docs, max_iter)
+        labels = _hash_to_min_rounds(edges, docs, max_iter, n_docs=n_docs)
     finally:
         edges.unpersist()
     return labels
 
 
 def _hash_to_min_rounds(
-    edges: DataFrame, docs: DataFrame, max_iter: int
+    edges: DataFrame, docs: DataFrame, max_iter: int, n_docs: int | None = None
 ) -> DataFrame:
+    from ..session import BROADCAST_CEILING_ROWS
+
+    if n_docs is None:
+        n_docs = docs.count()
+    # Under the ceiling the label tables broadcast EXPLICITLY (the
+    # pagerank loop's lesson, traverse._pagerank_rounds: checkpointed
+    # frames carry no size stats, so the static planner never
+    # broadcasts them unaided, and AQE's runtime conversion still
+    # writes the edge side's map-side shuffle files first -- per
+    # round, on the side that never changes). Past the ceiling the
+    # pinned-cache lane keeps the edge side exchange-free and the
+    # label joins stay shuffles of the O(nodes) tables only.
+    if n_docs < BROADCAST_CEILING_ROWS:
+        def hint(df):
+            return F.broadcast(df)
+    else:
+        def hint(df):
+            return df
     labels = docs.select("doc_id", F.col("doc_id").alias("component"))
     for _ in range(max_iter):
         nbr_min = (
-            edges.join(labels, edges["u"] == labels["doc_id"])
+            edges.join(hint(labels), edges["u"] == labels["doc_id"])
             .groupBy("v")
             .agg(F.min("component").alias("nbr_component"))
         )
         stepped = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["v"], "left")
+            labels.join(hint(nbr_min), labels["doc_id"] == nbr_min["v"], "left")
             .select(
                 "doc_id",
                 F.least(

@@ -364,12 +364,15 @@ def _pagerank_rounds(
     had already drifted in defaults), the same failure mode
     _symmetric_adjacency's docstring records for the adjacency copies.
 
-    Per round: ranks join out_mass (``om``; NULL = dangling) -> the
-    dangling mass folds to a 1-row broadcast (in-plan, no per-round
-    collect) -> per-source share rank/om joins onto the edges and
-    aggregates ``in_share_val(share_col)`` by dst -> ``update_expr()``
-    (reads columns mass / in_share plus whatever ``base`` carries)
-    rebuilds ranks -- which are referenced twice next round, so each
+    The rank state folds ``om`` (NULL = dangling) and ``base``'s
+    extra columns in ONCE (out_mass is static -- re-joining it per
+    round was a node-table SMJ every iteration). Per round: the
+    dangling mass folds to a 1-row broadcast (a plain filter+agg on
+    the state; in-plan, no per-round collect) -> per-source share
+    rank/om joins onto the edges and aggregates
+    ``in_share_val(share_col)`` by dst -> ``update_expr()`` (reads
+    columns mass / in_share plus whatever ``base`` carries) rebuilds
+    the state -- which is referenced three times next round, so each
     round localCheckpoints (measured faster than every-3rd here).
 
     Partitioning contract (the 100x soak's dominant term): ``e`` and
@@ -398,30 +401,39 @@ def _pagerank_rounds(
     if n_nodes is None:
         n_nodes = base.count()
     e = iterative_loop_side(e, "src", small_side_rows=n_nodes)
-    # materialized once (recompute per round was the original sin); no
-    # repartition -- the partitioning would not survive the checkpoint
-    # under AQE, and out_mass is O(nodes) small
-    out_mass = out_mass.localCheckpoint()
-    # Broadcastable share table (ranks are 2 narrow columns/node, so
-    # anything under the ceiling fits the 64MB broadcast comfortably):
-    # hint the broadcast EXPLICITLY. The share side is built from a
-    # checkpointed ranks frame whose LogicalRDD carries no size stats,
-    # so the static planner never broadcasts it unaided, and leaving it
-    # to AQE's runtime conversion still writes the edge side's map-side
-    # shuffle files first; the hint plans BHJ from the start, so the
-    # edge side streams straight out of its materialized form. Past
-    # the ceiling the pinned-cache lane guarantees the SMJ never
-    # re-exchanges or re-sorts the edge table (the interleaved 100x
-    # A/B read ratio 1.01 for the hinted-broadcast lane vs the prior
-    # checkpoint+runtime-broadcast form).
+    # Broadcastable node tables (ranks/contribs are 2-3 narrow columns
+    # per node, so anything under the ceiling fits the 64MB broadcast
+    # comfortably): hint the broadcasts EXPLICITLY. Checkpointed frames'
+    # LogicalRDDs carry no size stats, so the static planner never
+    # broadcasts them unaided, and leaving it to AQE's runtime
+    # conversion still writes the other side's map-side shuffle files
+    # first. Past the ceiling the pinned-cache lane guarantees the SMJ
+    # never re-exchanges or re-sorts the edge table (the interleaved
+    # 100x A/B read ratio 1.01 for the hinted-broadcast lane vs the
+    # prior checkpoint+runtime-broadcast form).
     bcast_share = n_nodes < BROADCAST_CEILING_ROWS
+    # The rank STATE carries om (and base's extra columns) through
+    # every round: out_mass is static, so joining it per round
+    # (the first cut's `ranks.join(out_mass)`) paid a node-table
+    # sort-merge join -- two exchanges + two sorts -- every iteration
+    # for columns that never change. One upfront join folds them in;
+    # per round the state is only SCANNED (share + dangling are plain
+    # filters on it). base's own columns (e.g. the personalization
+    # teleport vector) ride along the same way for update_expr.
+    extra = [c for c in base.columns if c != "node"]
+    state_cols = ["node", *extra, "om"]
+    cur = (
+        base.join(out_mass, "node", "left")
+        .join(ranks, "node")
+        .select(*state_cols, "rank")
+        .localCheckpoint()
+    )
     try:
         for _ in range(n_iter):
-            contrib_src = ranks.join(out_mass, "node", "left")
-            dangling = contrib_src.filter(F.col("om").isNull()).agg(
+            dangling = cur.filter(F.col("om").isNull()).agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
             )
-            share = contrib_src.filter(F.col("om").isNotNull()).select(
+            share = cur.filter(F.col("om").isNotNull()).select(
                 F.col("node").alias("src"),
                 (F.col("rank") / F.col("om")).alias("share"),
             )
@@ -433,10 +445,19 @@ def _pagerank_rounds(
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(in_share_val(F.col("share"))).alias("in_share"))
             )
-            ranks = (
-                base.join(contribs, "node", "left")
+            # rebuild from the state frame; contribs is O(active dst
+            # nodes) <= n_nodes, so under the ceiling it broadcasts
+            # (the left side is the checkpointed state -- without the
+            # hint this is another per-round node-table SMJ)
+            cur = (
+                cur.drop("rank")
+                .join(
+                    F.broadcast(contribs) if bcast_share else contribs,
+                    "node",
+                    "left",
+                )
                 .crossJoin(F.broadcast(dangling))
-                .select("node", update_expr().alias("rank"))
+                .select(*state_cols, update_expr().alias("rank"))
                 .localCheckpoint()
             )
     finally:
@@ -444,7 +465,7 @@ def _pagerank_rounds(
         # driver certifies 270+ queries in one session, so a pinned
         # cache must not outlive its loop (no-op on the checkpoint lane)
         e.unpersist()
-    return ranks
+    return cur.select("node", "rank")
 
 
 def pagerank(
