@@ -30,6 +30,7 @@ the documented public DQL semantics for:
              | VAR 'as' 'count(' PRED ')'                 # value bind
              | 'count(' PRED ')'                          # fan-out
              | 'count(uid)'                               # cardinality
+             | 'expand(_all_)'                            # every attr
              | AGGFN '(val(' VAR '))'                     # aggregate
              | ATTR                                       # leaf proj
     AGGFN   := 'min' | 'max' | 'sum' | 'avg'
@@ -89,6 +90,13 @@ Semantics (Dgraph's, for this subset):
 - ``between(attr, lo, hi)`` is the INCLUSIVE typed range (Dgraph's
   documented semantics) -- one index consultation, where the
   ge-AND-le spelling consults it once per bound;
+- ``expand(_all_)`` projects EVERY bound leaf attribute of the root
+  uids (left-joined, so nodes keep the fields they have), appended in
+  sorted attribute order after any explicitly listed leaves. Dgraph
+  resolves _all_ through its type system; this engine's binding-dict
+  analog is the set of bound leaf_attrs -- the schema-equivalent
+  surface. Outside @recurse/@cascade/var blocks (each refusal is
+  loud);
 - inequality terms compare by the attribute's declared type
   (``DqlGraph.attr_types``): numeric attributes compare numerically,
   strings lexicographically -- a numeric comparison against an
@@ -173,6 +181,7 @@ class Block:
     aggs: list = field(default_factory=list)  # (fn, var): min(val(x)) ...
     groupby: str | None = None  # @groupby(attr)
     count_uid: bool = False  # 'count(uid)' body line
+    expand_all: bool = False  # 'expand(_all_)' body line
 
 
 class DqlSyntaxError(ValueError):
@@ -182,6 +191,7 @@ class DqlSyntaxError(ValueError):
 
 _EDGE_PREFIX = re.compile(r"^(?:(?P<alias>\w+)\s+as\s+)?(?P<pred>\w+)$")
 _COUNT_UID_LINE = re.compile(r"^count\s*\(\s*uid\s*\)\s*$")
+_EXPAND_ALL_LINE = re.compile(r"^expand\s*\(\s*_all_\s*\)\s*$")
 _COUNT_LINE = re.compile(r"^count\s*\(\s*(?P<pred>\w+)\s*\)\s*$")
 _AGG_LINE = re.compile(
     r"^(?P<fn>min|max|sum|avg)\s*\(\s*val\s*\(\s*(?P<var>\w+)\s*\)\s*\)\s*$"
@@ -683,6 +693,14 @@ def parse_dql(text: str) -> list[Block]:
                     )
                 )
                 continue
+            if _EXPAND_ALL_LINE.match(part):
+                if block.expand_all:
+                    raise DqlSyntaxError(
+                        f"duplicate expand(_all_) line in block "
+                        f"{block.name!r}"
+                    )
+                block.expand_all = True
+                continue
             if _COUNT_UID_LINE.match(part):
                 if block.count_uid:
                     # same refusal as doubled field/count/agg lines
@@ -766,6 +784,7 @@ def parse_dql(text: str) -> list[Block]:
                 or block.leaf_attrs
                 or block.counts
                 or block.aggs
+                or block.expand_all
                 or block.cascade
                 or block.recurse is not None
                 or block.order is not None
@@ -780,7 +799,13 @@ def parse_dql(text: str) -> list[Block]:
                 raise DqlSyntaxError(
                     "a count(uid) block is an output -- name it"
                 )
-            if block.steps or block.leaf_attrs or block.counts or block.aggs:
+            if (
+                block.steps
+                or block.leaf_attrs
+                or block.counts
+                or block.aggs
+                or block.expand_all
+            ):
                 raise DqlSyntaxError(
                     "count(uid) mixes a one-row total into per-uid "
                     "projections -- split it into its own block"
@@ -794,6 +819,7 @@ def parse_dql(text: str) -> list[Block]:
                 block.steps
                 or block.leaf_attrs
                 or block.counts
+                or block.expand_all
                 or block.cascade
                 or block.recurse is not None
                 or block.order is not None
@@ -804,6 +830,17 @@ def parse_dql(text: str) -> list[Block]:
                     "aggregation blocks take ONLY min/max/sum/avg"
                     "(val(x)) lines (mixing per-uid projections into a "
                     "one-row aggregate output has no flattened shape)"
+                )
+        if block.expand_all:
+            if block.name == "var":
+                raise DqlSyntaxError(
+                    "expand(_all_) projects -- a var block binds "
+                    "nothing; name the block"
+                )
+            if block.recurse is not None or block.cascade:
+                raise DqlSyntaxError(
+                    "expand(_all_) under @recurse/@cascade is outside "
+                    "the subset (list the predicates explicitly)"
                 )
         for what, seq in (
             ("field", block.leaf_attrs),
@@ -1179,6 +1216,28 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
             continue
         if block.name != "var":
             base_cols = ["id"] + (["rn"] if "rn" in root.columns else [])
+            if block.expand_all:
+                # append every bound leaf attribute not already listed,
+                # in sorted order (deterministic output schema). The
+                # expanded names resolve only HERE (the binding dict is
+                # an execution-time input), so the parse-time collision
+                # check is re-run over them against the block's other
+                # projected columns.
+                extras = sorted(
+                    a for a in graph.leaf_attrs if a not in leaf_list
+                )
+                taken = (
+                    set(base_cols)
+                    | {f"count_{p}" for p in block.counts}
+                    | set(value_binds)
+                )
+                clash = sorted(set(extras) & taken)
+                if clash:
+                    raise DqlSyntaxError(
+                        f"expand(_all_) collides with projected "
+                        f"column(s) {clash} in block {block.name!r}"
+                    )
+                leaf_list = list(leaf_list) + extras
             attrs = None
             for attr in leaf_list:
                 tbl = graph.leaf_attrs.get(attr)

@@ -689,9 +689,18 @@ def dql_documents_graph(spark, sf_dir):
             "lang": docs.select(
                 did.alias("id"), F.col("lang").alias("value")
             ),
+            # numeric index so between/ge/le roots range over doc ids
+            "doc_id": docs.select(
+                did.alias("id"), F.col("doc_id").cast("string").alias("value")
+            ),
         },
-        leaf_attrs={"doc_id": docs.select(did.alias("id"), "doc_id")},
-        attr_types={"doc_id": "int"},
+        # three leaf attributes -> expand(_all_) has real surface
+        leaf_attrs={
+            "doc_id": docs.select(did.alias("id"), "doc_id"),
+            "n_chars": docs.select(did.alias("id"), "n_chars"),
+            "source": docs.select(did.alias("id"), "source"),
+        },
+        attr_types={"doc_id": "int", "n_chars": "int"},
     )
 
 
@@ -774,6 +783,38 @@ def g40_dql_between(spark, sf_dir):
 
     (res,) = run_dql(_DQL_BETWEEN, dql_fixture_graph(spark, sf_dir))
     return res.attrs.select("person_id", "rn")
+
+
+_DQL_EXPAND_ALL = """{
+  docs(func: between(doc_id, 5, 40)) @filter(anyofterms(lang, "en de")){
+    expand(_all_)
+  }
+}"""
+
+
+@register(
+    "g41_dql_expand_all",
+    V("""
+    SELECT doc_id, n_chars, source
+    FROM documents
+    WHERE doc_id BETWEEN 5 AND 40
+      AND list_has_any(
+            string_split_regex(lower(lang), '[^a-z0-9]+'),
+            ['en', 'de'])
+    """),
+    defer=True,
+)
+def g41_dql_expand_all(spark, sf_dir):
+    """DQL expand(_all_): project EVERY bound leaf attribute of the
+    root uids (Dgraph resolves _all_ through its type system; the
+    binding-dict analog is the bound leaf_attrs set), left-joined in
+    sorted attribute order. Root ranges over the numeric doc_id index
+    (between) with a term filter on lang -- three leaf tables join
+    back onto the (broadcast-small) root frame."""
+    from ..graph.dql import run_dql
+
+    (res,) = run_dql(_DQL_EXPAND_ALL, dql_documents_graph(spark, sf_dir))
+    return res.attrs.select("doc_id", "n_chars", "source")
 
 
 @register(

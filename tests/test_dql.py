@@ -828,3 +828,49 @@ def test_between_is_inclusive_and_typed(spark, toy_graph):
         run_dql("{ v(func: between(age, x, 30)) {} }", toy_graph)
     with pytest.raises(DqlSyntaxError, match="takes \\(attr, lo, hi\\)"):
         parse_dql("{ v(func: between(age, 30)) {} }")
+
+
+def test_expand_all_parse_constraints():
+    with pytest.raises(DqlSyntaxError, match="name the block"):
+        parse_dql("{ var(func: has(age)) { expand(_all_) } }")
+    with pytest.raises(DqlSyntaxError, match="outside the subset"):
+        parse_dql(
+            "{ v(func: has(age)) @recurse(depth: 2) "
+            "{ knows\n expand(_all_) } }"
+        )
+    with pytest.raises(DqlSyntaxError, match="duplicate expand"):
+        parse_dql("{ v(func: has(age)) { expand(_all_)\n expand(_all_) } }")
+    with pytest.raises(DqlSyntaxError, match="ONLY the count"):
+        parse_dql(
+            "{ v(func: has(age)) @groupby(age) "
+            "{ count(uid)\n expand(_all_) } }"
+        )
+
+
+def test_expand_all_projects_every_bound_leaf(spark):
+    from dgraph_etl_spark.graph.dql import DqlGraph, run_dql
+
+    g = DqlGraph(
+        edge_preds={},
+        eq_index={
+            "age": spark.createDataFrame(
+                [("a", "25"), ("b", "30")], "id string, value string"
+            )
+        },
+        leaf_attrs={
+            "age": spark.createDataFrame(
+                [("a", 25), ("b", 30)], "id string, age int"
+            ),
+            # b has no city row: LEFT join keeps it with NULL
+            "city": spark.createDataFrame(
+                [("a", "rome")], "id string, city string"
+            ),
+        },
+        attr_types={"age": "int"},
+    )
+    (res,) = run_dql("{ v(func: has(age)) { expand(_all_) } }", g)
+    rows = {r["id"]: (r["age"], r["city"]) for r in res.attrs.collect()}
+    assert rows == {"a": (25, "rome"), "b": (30, None)}
+    # explicit leaf + expand: no duplicate column, explicit order kept
+    (res,) = run_dql("{ v(func: has(age)) { city\n expand(_all_) } }", g)
+    assert res.attrs.columns == ["id", "city", "age"]
