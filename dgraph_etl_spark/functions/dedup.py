@@ -358,33 +358,45 @@ def neardup_components(
 def _hash_to_min_rounds(
     edges: DataFrame, docs: DataFrame, max_iter: int, n_docs: int | None = None
 ) -> DataFrame:
-    from ..session import BROADCAST_CEILING_ROWS
+    from ..session import (
+        BROADCAST_CEILING_ROWS,
+        PER_ROUND_BCAST_CEILING_ROWS,
+    )
 
     if n_docs is None:
         n_docs = docs.count()
-    # Under the ceiling the label tables broadcast EXPLICITLY (the
-    # pagerank loop's lesson, traverse._pagerank_rounds: checkpointed
-    # frames carry no size stats, so the static planner never
-    # broadcasts them unaided, and AQE's runtime conversion still
-    # writes the edge side's map-side shuffle files first -- per
-    # round, on the side that never changes). Past the ceiling the
+    # Under the ceiling the LABEL side of the labels-onto-edges join
+    # broadcasts EXPLICITLY (the pagerank loop's lesson,
+    # traverse._pagerank_rounds: checkpointed frames carry no size
+    # stats, so the static planner never broadcasts them unaided, and
+    # AQE's runtime conversion still writes the edge side's map-side
+    # shuffle files first -- per round, on the O(edges) side that
+    # never changes). The nbr_min side of the step join gets the
+    # TIGHTER per-round gate: that broadcast only replaces a shuffle
+    # of two O(nodes) sides, and a fresh multi-million-row broadcast
+    # build every round is a measured regression (session.py's
+    # PER_ROUND_BCAST_CEILING_ROWS note). Past the ceilings the
     # pinned-cache lane keeps the edge side exchange-free and the
     # label joins stay shuffles of the O(nodes) tables only.
-    if n_docs < BROADCAST_CEILING_ROWS:
-        def hint(df):
-            return F.broadcast(df)
-    else:
-        def hint(df):
-            return df
+    def edge_side_hint(df):
+        return F.broadcast(df) if n_docs < BROADCAST_CEILING_ROWS else df
+
+    def rebuild_hint(df):
+        return (
+            F.broadcast(df) if n_docs < PER_ROUND_BCAST_CEILING_ROWS else df
+        )
+
     labels = docs.select("doc_id", F.col("doc_id").alias("component"))
     for _ in range(max_iter):
         nbr_min = (
-            edges.join(hint(labels), edges["u"] == labels["doc_id"])
+            edges.join(edge_side_hint(labels), edges["u"] == labels["doc_id"])
             .groupBy("v")
             .agg(F.min("component").alias("nbr_component"))
         )
         stepped = (
-            labels.join(hint(nbr_min), labels["doc_id"] == nbr_min["v"], "left")
+            labels.join(
+                rebuild_hint(nbr_min), labels["doc_id"] == nbr_min["v"], "left"
+            )
             .select(
                 "doc_id",
                 F.least(

@@ -394,7 +394,11 @@ def _pagerank_rounds(
     re-computed+re-shuffled out_mass from scratch (checkpointed
     ranks start a fresh plan per round, so no cross-round stage
     reuse) -- at 100 TB the edge re-exchange is the whole job."""
-    from ..session import BROADCAST_CEILING_ROWS, iterative_loop_side
+    from ..session import (
+        BROADCAST_CEILING_ROWS,
+        PER_ROUND_BCAST_CEILING_ROWS,
+        iterative_loop_side,
+    )
 
     # node-universe size decides the lane (callers that already counted
     # pass it; base is one row per node, so the fallback count is exact)
@@ -412,6 +416,7 @@ def _pagerank_rounds(
     # 100x A/B read ratio 1.01 for the hinted-broadcast lane vs the
     # prior checkpoint+runtime-broadcast form).
     bcast_share = n_nodes < BROADCAST_CEILING_ROWS
+    bcast_rebuild = n_nodes < PER_ROUND_BCAST_CEILING_ROWS
     # The rank STATE carries om (and base's extra columns) through
     # every round: out_mass is static, so joining it per round
     # (the first cut's `ranks.join(out_mass)`) paid a node-table
@@ -446,13 +451,18 @@ def _pagerank_rounds(
                 .agg(F.sum(in_share_val(F.col("share"))).alias("in_share"))
             )
             # rebuild from the state frame; contribs is O(active dst
-            # nodes) <= n_nodes, so under the ceiling it broadcasts
-            # (the left side is the checkpointed state -- without the
-            # hint this is another per-round node-table SMJ)
+            # nodes) <= n_nodes. The broadcast gate here is TIGHTER
+            # than share's: share's broadcast protects the O(edges)
+            # side from a per-round re-shuffle (worth paying for up to
+            # the 64MB ceiling), while this one only replaces a
+            # shuffle of two O(nodes) sides -- and a fresh 1.5M-row
+            # driver-side broadcast build every round measured 193 ->
+            # 291 s on the 1000x pagerank soak (session.py's
+            # PER_ROUND_BCAST_CEILING_ROWS note).
             cur = (
                 cur.drop("rank")
                 .join(
-                    F.broadcast(contribs) if bcast_share else contribs,
+                    F.broadcast(contribs) if bcast_rebuild else contribs,
                     "node",
                     "left",
                 )

@@ -160,6 +160,18 @@ def pinned_partition_cache(df, *keys: str):
 # iterative_loop_side and the pagerank share-side broadcast hint.
 BROADCAST_CEILING_ROWS = 2_000_000
 
+# Tighter gate for PER-ROUND broadcasts an iterative loop builds fresh
+# each iteration (the pagerank contribs rebuild): a broadcast is a
+# driver-side collect + serialize + ship, and paying it every round is
+# only a win while the table is small. Measured on the 100x/1000x
+# graph soaks (round 11): at 150k nodes the broadcast rebuild beats the
+# node-table SMJ (part of pagerank's -31% at 100x); at 1.5M nodes --
+# still under BROADCAST_CEILING_ROWS -- ten 1.5M-row broadcast builds
+# regressed pagerank 193 -> 291 s at 1000x. The boundary sits between
+# the two measured scales; past it the rebuild joins as a shuffle of
+# two O(nodes) sides, which grows linearly instead.
+PER_ROUND_BCAST_CEILING_ROWS = 500_000
+
 
 def iterative_loop_side(df, *keys: str, small_side_rows: int):
     """Materialize the BIG side of an iterative per-round join, picking
