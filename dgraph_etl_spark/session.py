@@ -190,7 +190,14 @@ def iterative_loop_side(df, *keys: str, small_side_rows: int):
       steady-state over 8 rounds at 20M edges).
 
     Either return value accepts ``.unpersist()`` in the caller's
-    finally (a no-op on the checkpoint lane)."""
+    finally (a no-op on the checkpoint lane -- a localCheckpoint's
+    blocks are freed by ContextCleaner only after JVM GC observes the
+    dropped reference). Sessions that run MANY iterative operators
+    back-to-back at large scale should therefore set an aggressive
+    ``spark.cleaner.periodicGC.interval`` (and may force
+    ``System.gc()`` between operators): three pagerank variants'
+    retained ~GB edge checkpoints OOM'd a 16g heap at 1000x before
+    tools/graph_soak.py did exactly that (round-11 session)."""
     if small_side_rows < BROADCAST_CEILING_ROWS:
         # no repartition: the partitioning would not survive the
         # checkpoint under AQE anyway (UnknownPartitioning), so the

@@ -88,7 +88,18 @@ def main() -> None:
     from dgraph_etl_spark.session import get_spark  # noqa: E402
 
     _load_suites()
-    spark = get_spark(app_name="graph_soak")
+    # aggressive cleaner cadence for a session that runs MANY iterative
+    # queries back-to-back at 1000x: each pagerank/WCC variant's
+    # localCheckpoint'd edge side (~GBs at 1000x) is freed only when
+    # JVM GC lets ContextCleaner see the dropped reference -- the
+    # default 30min periodicGC never fires inside one soak, and three
+    # pagerank variants' retained edge checkpoints OOM'd the 16g heap
+    # (round-11 session, AGGREGATE_OUT_OF_MEMORY then GCLocker alloc
+    # failure in g26 at 1000x)
+    spark = get_spark(
+        app_name="graph_soak",
+        extra_conf={"spark.cleaner.periodicGC.interval": "1min"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # -- hub skew, measured at both scales --------------------------------
@@ -118,6 +129,15 @@ def main() -> None:
         results[name] = (t1, t100)
         print(f"{name:24s} {t1:7.3f}s -> {t100:7.3f}s  "
               f"ratio {t100 / max(t1, 1e-9):5.2f}", flush=True)
+        # deterministic block reclamation BETWEEN queries (untimed):
+        # drop Python refs, then force both GCs so ContextCleaner
+        # frees the previous query's checkpointed RDDs/broadcasts
+        # before the next one allocates -- the periodic cleaner alone
+        # is asynchronous and lost the race at 1000x
+        import gc
+
+        gc.collect()
+        spark._jvm.System.gc()
 
     # -- salted vs plain max-agg on the densified hubs --------------------
     register_views(spark, big, force=True)
