@@ -85,8 +85,11 @@ Semantics (Dgraph's, for this subset):
 - ``regexp(attr, /re/)`` matches the raw stored string against the
   pattern (substring semantics, Dgraph's trigram-index reading);
   ``/re/i`` is case-insensitive. The pattern must survive the filter
-  tokenizer: whitespace, parens, commas, and quotes inside the pattern
-  are out-of-subset and refuse loudly (use character classes);
+  tokenizer and the block head/body/comment scanners: whitespace,
+  parens, commas, quotes, braces (quantifiers like ``/a{2}/`` -- the
+  '{' reads as a block-body opener), and '#' (reads as a comment)
+  inside the pattern are out-of-subset and refuse loudly (use
+  character classes / spell repetitions out);
 - ``between(attr, lo, hi)`` is the INCLUSIVE typed range (Dgraph's
   documented semantics) -- one index consultation, where the
   ge-AND-le spelling consults it once per bound;
@@ -334,8 +337,8 @@ def _parse_func_term(toks: list[str], i: int) -> tuple[tuple, int]:
             # both out-of-subset (the docstring's regexp note)
             raise DqlSyntaxError(
                 f"regexp() pattern must be a /re/ or /re/i literal "
-                "without whitespace/parens/commas/quotes, got "
-                f"{raw!r}"
+                "without whitespace/parens/commas/quotes/braces/'#', "
+                f"got {raw!r}"
             )
         return ("regexp", attr, m.group("re"), m.group("flag") == "i"), j
     raise DqlSyntaxError(f"unsupported filter function: {name!r}")
@@ -413,6 +416,56 @@ def parse_filter(text: str) -> tuple:
             f"trailing content in filter: {' '.join(toks[i:])!r}"
         )
     return expr
+
+
+def _strip_comment(raw: str) -> str:
+    """Strip a '#' comment from one source line, skipping '#'
+    characters inside quoted values -- ``eq(name, "a#b")`` keeps its
+    literal instead of truncating into an unrelated unterminated-quote
+    error (round-11 advisory). A quote left unterminated on the line
+    disables stripping for the rest of the line: the structural
+    scanners downstream then refuse the FULL fragment with the loud
+    unterminated-quote error. '#' inside a /re/ pattern remains
+    out-of-subset (patterns are not quote-delimited; the module
+    docstring's regexp note)."""
+    i = 0
+    while i < len(raw):
+        ch = raw[i]
+        if ch in "\"'":
+            j = raw.find(ch, i + 1)
+            if j < 0:
+                return raw
+            i = j + 1
+            continue
+        if ch == "#":
+            return raw[:i]
+        i += 1
+    return raw
+
+
+def _check_head_pattern_split(head: str) -> None:
+    """Refuse a block head that ends mid-``/re/`` pattern BY NAME. A
+    brace quantifier (``/a{2}/``) puts a '{' inside the pattern, which
+    the head/body splitter reads as the block-body opener -- without
+    this check the user gets a confusing unbalanced-parens error from
+    the truncated head (round-11 advisory). The tell-tale is an odd
+    count of '/' outside quoted values: '/' appears nowhere else in
+    the subset's head grammar."""
+    n, i = 0, 0
+    while i < len(head):
+        ch = head[i]
+        if ch in "\"'":
+            i = _skip_quote(head, i)
+            continue
+        if ch == "/":
+            n += 1
+        i += 1
+    if n % 2:
+        raise DqlSyntaxError(
+            "block head ends inside a /re/ pattern -- braces "
+            "(quantifiers like /a{2}/) are out-of-subset in regexp "
+            f"patterns; spell the repetition out: {head!r}"
+        )
 
 
 def _find_unquoted_brace(s: str, start: int) -> int:
@@ -639,7 +692,7 @@ def parse_dql(text: str) -> list[Block]:
     # delimited exactly (the reference indents with tabs and spaces)
     lines = []
     for raw in text.splitlines():
-        line = raw.split("#", 1)[0].strip()
+        line = _strip_comment(raw).strip()
         if line:
             lines.append(line)
     # newline-joined: body lines stay line-delimited for _body_lines
@@ -658,6 +711,7 @@ def parse_dql(text: str) -> list[Block]:
                 )
             break
         head = " ".join(body[pos:open_i].split())
+        _check_head_pattern_split(head)
         depth, i = 1, open_i + 1
         while i < len(body) and depth:
             # braces inside quoted values are content, not structure

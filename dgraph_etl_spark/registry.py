@@ -128,6 +128,12 @@ RECERTIFY: dict[str, int] = {
     "c11_hash_split": 9,
     "c24_release_gate": 9,
     "c63_ivfpq_topk": 9,
+    # round-12 session: the r11-certified row was VACUOUS (0 rows on
+    # both engines at sf0.01 -- the query's terms appear nowhere in
+    # the synthetic corpus's vocabulary; round-11 verdict finding).
+    # The terms were retuned to the corpus vocabulary, changing the
+    # result set; certification must be re-earned non-vacuously.
+    "g39_dql_term_search": 11,
 }
 
 

@@ -707,10 +707,16 @@ def dql_documents_graph(spark, sf_dir):
 # anyofterms root + allofterms/regexp filter terms over the document
 # corpus: Dgraph's term-index string-search functions (the most-used
 # funcs after eq/uid), executed from query TEXT via graph/dql.py.
+# Terms are drawn from the synthetic corpus's actual vocabulary so the
+# driver row is NON-vacuous (round-11 verdict: the original
+# "shuffle broadcast"/"query plan" terms appear nowhere in the sf0.01
+# corpus, so both engines returned 0 rows and the hash certified only
+# "both empty"); each clause prunes: at sf0.01 anyofterms keeps 455 of
+# 500 docs, allofterms 290, NOT regexp 40.
 _DQL_TERM_SEARCH = """{
-  matched(func: anyofterms(text, "shuffle broadcast"))
-      @filter(allofterms(text, "query plan")
-              AND NOT regexp(text, /part.tion/)) {
+  matched(func: anyofterms(text, "vector stream"))
+      @filter(allofterms(text, "query merge")
+              AND NOT regexp(text, /cust.mer/)) {
     doc_id
   }
 }"""
@@ -725,9 +731,9 @@ _DQL_TERM_SEARCH = """{
         FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id FROM toks
-    WHERE list_has_any(t, ['shuffle', 'broadcast'])
-      AND list_has_all(t, ['query', 'plan'])
-      AND NOT regexp_matches(text, 'part.tion')
+    WHERE list_has_any(t, ['vector', 'stream'])
+      AND list_has_all(t, ['query', 'merge'])
+      AND NOT regexp_matches(text, 'cust.mer')
     """),
     defer=True,
 )

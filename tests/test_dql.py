@@ -874,3 +874,36 @@ def test_expand_all_projects_every_bound_leaf(spark):
     # explicit leaf + expand: no duplicate column, explicit order kept
     (res,) = run_dql("{ v(func: has(age)) { city\n expand(_all_) } }", g)
     assert res.attrs.columns == ["id", "city", "age"]
+
+
+# ---- round-12 additions: quote-aware comment stripping, targeted
+# brace-in-pattern refusal (both round-11 advisories).
+
+
+def test_comment_stripping_is_quote_aware():
+    # '#' inside a quoted literal is content, not a comment opener --
+    # the old line-truncating strip surfaced an unrelated
+    # 'unterminated quote' error (round-11 advisory)
+    blocks = parse_dql('{ v(func: eq(name, "a#b")) { name } }')
+    assert blocks[0].root_args == ("name", "a#b")
+    # a real trailing comment after the quoted value still strips
+    blocks = parse_dql(
+        '{ v(func: eq(name, "a#b")) { # trailing\n name } }'
+    )
+    assert blocks[0].leaf_attrs == ["name"]
+    # unterminated quote: stripping backs off and the structural
+    # scanner refuses the FULL fragment loudly
+    with pytest.raises(DqlSyntaxError, match="unterminated quote"):
+        parse_dql('{ v(func: eq(name, "a#b)) { name } }')
+
+
+def test_brace_quantifier_in_pattern_refused_by_name():
+    # /a{2}/: the '{' reads as the block-body opener; the refusal must
+    # name the pattern problem, not surface unbalanced parens
+    with pytest.raises(DqlSyntaxError, match="inside a /re/ pattern"):
+        parse_dql("{ v(func: regexp(name, /a{2}/)) { name } }")
+    with pytest.raises(DqlSyntaxError, match="inside a /re/ pattern"):
+        parse_dql(
+            "{ v(func: has(name)) @filter(regexp(name, /b{3}/)) "
+            "{ name } }"
+        )
