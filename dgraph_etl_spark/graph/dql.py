@@ -13,12 +13,13 @@ the documented public DQL semantics for:
     block   := NAME '(' 'func:' root {',' modifier} ')'
                directive* '{' line* '}'
     directive := '@filter(' filter ')' | '@recurse(' rargs ')'
-               | '@cascade' | '@groupby(' ATTR ')'
+               | '@cascade' | '@groupby(' ATTR ')' | '@normalize'
     rargs   := 'depth:' INT [',' 'loop:' ('true'|'false')]
     root    := 'eq(' ATTR ',' VALUE ')' | 'uid(' VAR ')'
              | 'has(' PRED ')'
              | ('ge'|'le'|'gt'|'lt') '(' ATTR ',' VALUE ')'
              | ('anyofterms'|'allofterms') '(' ATTR ',' '"' TERMS '"' ')'
+             | ('anyoftext'|'alloftext') '(' ATTR ',' '"' TEXT '"' ')'
              | 'regexp(' ATTR ',' '/' RE '/' ['i'] ')'
              | 'between(' ATTR ',' VALUE ',' VALUE ')'
     modifier:= 'orderasc:' ATTR | 'orderdesc:' ATTR
@@ -41,6 +42,7 @@ the documented public DQL semantics for:
              | 'has(' PRED ')'
              | ('ge'|'le'|'gt'|'lt') '(' REF ',' VALUE ')'
              | ('anyofterms'|'allofterms') '(' ATTR ',' '"' TERMS '"' ')'
+             | ('anyoftext'|'alloftext') '(' ATTR ',' '"' TEXT '"' ')'
              | 'regexp(' ATTR ',' '/' RE '/' ['i'] ')'
              | 'between(' ATTR ',' VALUE ',' VALUE ')'
     REF     := ATTR | 'val(' VAR ')'
@@ -82,6 +84,21 @@ Semantics (Dgraph's, for this subset):
   non-alphanumeric characters) and the node matches when its token set
   intersects (any) or covers (all) the query's terms -- a NULL or
   termless stored value matches nothing;
+- ``alloftext``/``anyoftext`` match Dgraph's FULLTEXT index
+  semantics: both the stored string and the query run through the
+  same analyzer -- lowercase, split on non-alphanumeric runs, drop a
+  FIXED English stopword list (_FULLTEXT_STOPWORDS), then a
+  suffix-stripping stemmer -- and the node matches when its stemmed
+  token set covers (all) or intersects (any) the query's stemmed
+  terms. The stemmer is a documented English-lite SUBSET of Dgraph's
+  Snowball/Porter analyzer: plural reduction (sses->ss, ies->i,
+  trailing s) then one of ing/ed/ly stripped under minimum-length
+  guards (_stem_case_sql lists the exact rules) -- 'sorting' and
+  'sorts' match stored 'sort', but Porter-only conflations (e-restore:
+  'merged' vs 'merge', doubled consonants, latinate suffixes) are NOT
+  performed; the MATCHING semantics are exactly Dgraph's, the
+  analyzer is the documented approximation (SURVEY.md s3). A query
+  that is all stopwords holds no searchable terms and refuses loudly;
 - ``regexp(attr, /re/)`` matches the raw stored string against the
   pattern (substring semantics, Dgraph's trigram-index reading);
   ``/re/i`` is case-insensitive. The pattern must survive the filter
@@ -104,6 +121,24 @@ Semantics (Dgraph's, for this subset):
   (``DqlGraph.attr_types``): numeric attributes compare numerically,
   strings lexicographically -- a numeric comparison against an
   unparseable literal is a loud error, never a silent string compare;
+- ``@normalize`` blocks (Dgraph's flattened-output directive) are the
+  ONE place nested sub-blocks parse: the body is a tree of
+  ``alias : attr`` aliased leaves, bare ``attr`` leaves, and
+  ``pred { ... }`` edge sub-blocks. The output is FLAT -- one row per
+  root-to-leaf path combination: each edge sub-block multiplies its
+  parent's rows by that parent node's out-neighbors through ``pred``
+  (siblings therefore cross-product PER PARENT, exactly the shape
+  Dgraph's docs example produces for performance.actor x
+  performance.character), a parent with no such edge keeps one row
+  with the subtree's columns NULL (Dgraph emits the flat object
+  without those fields; NULL is the flat-table spelling of absent),
+  and ONLY aliased predicates project (Dgraph's documented rule --
+  unaliased leaves are accepted and contribute nothing). Root
+  @filter/order/first/offset apply to the root uid set as usual.
+  Out-of-subset and refused loudly: @normalize on a var block,
+  combined with @recurse/@cascade/@groupby, 'VAR as' bindings or
+  @filter/@facets/count()/expand() inside the body, duplicate
+  aliases anywhere in the tree, and a tree with no aliased leaf;
 - ``var`` blocks bind only; NAMED blocks are outputs.
 
 Execution: uid sets are DataFrames with one ``id`` column; an edge
@@ -168,6 +203,15 @@ class EdgeStep:
 
 
 @dataclass
+class NormNode:
+    """One level of a ``@normalize`` body tree: aliased/bare leaf
+    attributes at this level plus ``pred { ... }`` edge sub-blocks."""
+
+    leaves: list = field(default_factory=list)  # (alias | None, attr)
+    children: list = field(default_factory=list)  # (pred, NormNode)
+
+
+@dataclass
 class Block:
     name: str  # 'var' or an output name
     root_kind: str  # 'eq' | 'uid' | 'has' | 'ge' | 'le' | 'gt' | 'lt'
@@ -185,6 +229,8 @@ class Block:
     groupby: str | None = None  # @groupby(attr)
     count_uid: bool = False  # 'count(uid)' body line
     expand_all: bool = False  # 'expand(_all_)' body line
+    normalize: bool = False  # @normalize on the block head
+    norm_tree: NormNode | None = None  # @normalize body tree
 
 
 class DqlSyntaxError(ValueError):
@@ -312,6 +358,20 @@ def _parse_func_term(toks: list[str], i: int) -> tuple[tuple, int]:
             )
         return ("terms", "any" if name == "anyofterms" else "all",
                 attr, terms), j
+    if name in ("anyoftext", "alloftext"):
+        if len(args) != 2:
+            raise DqlSyntaxError(
+                f'{name}() takes (attr, "text"), got {args!r}'
+            )
+        attr = _arg_atom(args[0], f"{name}()")
+        stems = fulltext_terms(_arg_atom(args[1], f"{name}() text"))
+        if not stems:
+            raise DqlSyntaxError(
+                f"{name}({attr}, ...): the query text holds no "
+                "searchable terms after stopword removal"
+            )
+        return ("fulltext", "any" if name == "anyoftext" else "all",
+                attr, stems), j
     if name == "between":
         # between(attr, lo, hi): INCLUSIVE range by the attribute's
         # declared type (Dgraph's documented semantics) -- one term,
@@ -350,6 +410,81 @@ def _term_tokens(raw: str) -> tuple[str, ...]:
     executor applies to stored values (_terms_set) -- one tokenizer on
     both sides or anyofterms('A-B') silently never matches."""
     return tuple(t for t in re.split(r"[^a-z0-9]+", raw.lower()) if t)
+
+
+# ---------------------------------------------------- fulltext analyzer
+# alloftext/anyoftext's analyzer, defined ONCE as data + one SQL-text
+# builder so the Spark executor, the DuckDB oracles, and the Python
+# query-side stemmer cannot drift: the SQL fragment uses only
+# LIKE/substr/length/CASE, which parse and evaluate identically in
+# Spark SQL and DuckDB.
+
+_FULLTEXT_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "in", "on", "at", "to", "is",
+    "are", "was", "were", "be", "been", "it", "this", "that", "with",
+    "as", "for", "by", "from", "not", "but",
+)
+
+# ordered stem rules: (suffix, chars-to-drop, min-token-length). First
+# match wins WITHIN each step; step 2 runs on step 1's output. 'ies'
+# drops 2 (-> 'i', Porter's plural rule); 'ss' is a guard (dropped 0)
+# so 'cross' never loses its s.
+_STEM_STEP1 = (("sses", 2, 0), ("ies", 2, 0), ("ss", 0, 0), ("s", 1, 4))
+_STEM_STEP2 = (("ing", 3, 6), ("ed", 2, 5), ("ly", 2, 5))
+
+
+def _stem_step_sql(var: str, rules) -> str:
+    parts = []
+    for suffix, drop, min_len in rules:
+        cond = f"({var}) LIKE '%{suffix}'"
+        if min_len:
+            cond += f" AND length({var}) >= {min_len}"
+        out = (
+            f"substr({var}, 1, length({var})-{drop})" if drop else f"({var})"
+        )
+        parts.append(f"WHEN {cond} THEN {out}")
+    return f"CASE {' '.join(parts)} ELSE ({var}) END"
+
+
+def _stem_case_sql(var: str) -> str:
+    """Engine-neutral SQL stemming one token expression ``var``."""
+    return _stem_step_sql(f"{_stem_step_sql(var, _STEM_STEP1)}", _STEM_STEP2)
+
+
+def _stem_step_py(tok: str, rules) -> str:
+    for suffix, drop, min_len in rules:
+        if tok.endswith(suffix) and (not min_len or len(tok) >= min_len):
+            return tok[: len(tok) - drop] if drop else tok
+    return tok
+
+
+def fulltext_stem(tok: str) -> str:
+    """Python mirror of _stem_case_sql (property-tested equivalent)."""
+    return _stem_step_py(_stem_step_py(tok, _STEM_STEP1), _STEM_STEP2)
+
+
+def fulltext_terms(raw: str) -> tuple[str, ...]:
+    """Query-side analyzer: tokenize, drop stopwords, stem."""
+    return tuple(
+        fulltext_stem(t)
+        for t in _term_tokens(raw)
+        if t not in _FULLTEXT_STOPWORDS
+    )
+
+
+def fulltext_tokens_sql(col: str, split_fn: str, xform_fn: str,
+                        filter_fn: str) -> str:
+    """The stored-value analyzer as one SQL expression over ``col`` --
+    parameterized on the three function names that differ by engine:
+    Spark (split, transform, filter) and DuckDB (string_split_regex,
+    list_transform, list_filter); everything inside the lambdas is the
+    shared dialect."""
+    stop = ", ".join(f"'{w}'" for w in _FULLTEXT_STOPWORDS)
+    toks = (
+        f"{filter_fn}({split_fn}(lower({col}), '[^a-z0-9]+'), "
+        f"t -> t <> '' AND t NOT IN ({stop}))"
+    )
+    return f"{xform_fn}({toks}, t -> {_stem_case_sql('t')})"
 
 
 def _parse_unary(toks: list[str], i: int) -> tuple[tuple, int]:
@@ -576,6 +711,132 @@ def _parse_recurse(content: str) -> tuple[int, bool]:
     return depth, loop
 
 
+_NORM_LEAF = re.compile(r"^(?:(?P<alias>\w+)\s*:\s*)?(?P<attr>\w+)$")
+
+
+def _parse_normalize_body(inner: str, ctx: str) -> NormNode:
+    """Parse a ``@normalize`` block body -- the ONE grammar position
+    where nested ``pred { ... }`` sub-blocks are in-subset. Each level
+    holds leaf lines (``alias : attr`` aliased, or bare ``attr``) and
+    edge sub-blocks; anything else (VAR-as bindings, @filter/@facets,
+    count()/expand() lines) refuses loudly by name."""
+    node = NormNode()
+    pos = 0
+    while True:
+        open_i = _find_unquoted_brace(inner, pos)
+        seg = inner[pos:open_i] if open_i >= 0 else inner[pos:]
+        lines = [ln.strip() for ln in seg.splitlines() if ln.strip()]
+        if open_i < 0:
+            for ln in lines:
+                node.leaves.append(_parse_norm_leaf(ln, ctx))
+            break
+        if not lines:
+            raise DqlSyntaxError(
+                "@normalize sub-block is missing its edge predicate "
+                f"name before '{{' in block {ctx!r}"
+            )
+        *leaf_lines, pred = lines
+        for ln in leaf_lines:
+            node.leaves.append(_parse_norm_leaf(ln, ctx))
+        if not re.fullmatch(r"\w+", pred):
+            raise DqlSyntaxError(
+                "@normalize edge sub-blocks take a bare predicate "
+                "name ('pred { ... }'); 'VAR as'/@filter/@facets on "
+                f"them are outside the subset: {pred!r} in block "
+                f"{ctx!r}"
+            )
+        depth, j = 1, open_i + 1
+        while j < len(inner) and depth:
+            if inner[j] in "\"'":
+                j = _skip_quote(inner, j)
+                continue
+            if inner[j] == "{":
+                depth += 1
+            elif inner[j] == "}":
+                depth -= 1
+            j += 1
+        if depth:
+            raise DqlSyntaxError(
+                f"unbalanced braces in @normalize body of block {ctx!r}"
+            )
+        child = _parse_normalize_body(inner[open_i + 1 : j - 1], ctx)
+        node.children.append((pred, child))
+        pos = j
+    dup_preds = sorted(
+        {p for p, _ in node.children
+         if sum(1 for q, _ in node.children if q == p) > 1}
+    )
+    if dup_preds:
+        # the same predicate twice at one level would cross-product
+        # the SAME edge set against itself -- never what was meant
+        raise DqlSyntaxError(
+            f"duplicate @normalize sub-block predicate(s) {dup_preds} "
+            f"in block {ctx!r}"
+        )
+    bare = [a for al, a in node.leaves if al is None]
+    dup_bare = sorted({a for a in bare if bare.count(a) > 1})
+    if dup_bare:
+        raise DqlSyntaxError(
+            f"duplicate leaf line(s) in @normalize block {ctx!r}: "
+            f"{dup_bare}"
+        )
+    return node
+
+
+def _parse_norm_leaf(line: str, ctx: str) -> tuple:
+    m = _NORM_LEAF.match(line)
+    if m is None:
+        raise DqlSyntaxError(
+            "@normalize bodies take 'alias : attr' / bare 'attr' "
+            "leaves and 'pred { ... }' sub-blocks only; got "
+            f"{line!r} in block {ctx!r}"
+        )
+    return (m.group("alias"), m.group("attr"))
+
+
+def _validate_normalize(block: Block) -> None:
+    """Parse-time @normalize constraints: output block only, no
+    directive mixing, at least one aliased leaf, distinct aliases
+    tree-wide (incl. the executor's reserved id/rn columns)."""
+    if block.name == "var":
+        raise DqlSyntaxError(
+            "@normalize projects a flattened output -- a var block "
+            "binds nothing; name the block"
+        )
+    if block.recurse is not None or block.cascade or block.groupby:
+        raise DqlSyntaxError(
+            "@normalize combined with @recurse/@cascade/@groupby is "
+            "outside the subset"
+        )
+    aliases: list[str] = ["id", "rn"]
+    any_alias = False
+
+    def walk(node: NormNode) -> None:
+        nonlocal any_alias
+        for alias, _attr in node.leaves:
+            if alias is not None:
+                any_alias = True
+                aliases.append(alias)
+        for _pred, child in node.children:
+            walk(child)
+
+    walk(block.norm_tree)
+    if not any_alias:
+        raise DqlSyntaxError(
+            f"@normalize block {block.name!r} aliases no predicate -- "
+            "only aliased predicates project (Dgraph's rule), so the "
+            "output would be empty; alias at least one leaf "
+            "('alias : attr')"
+        )
+    dupes = sorted({a for a in aliases if aliases.count(a) > 1})
+    if dupes:
+        raise DqlSyntaxError(
+            f"@normalize block {block.name!r} alias collision(s): "
+            f"{dupes} (aliases and the reserved id/rn columns must "
+            "be distinct tree-wide)"
+        )
+
+
 def _parse_head(head: str) -> Block:
     m = re.match(r"^(?P<name>\w+)\s*\(", head)
     if not m:
@@ -605,7 +866,9 @@ def _parse_head(head: str) -> Block:
         root_kind, root_args = "has", (term[1],)
     elif term[0] == "cmp":  # ("cmp", op, attr, val)
         root_kind, root_args = term[1], (term[2], term[3])
-    elif term[0] in ("eqval", "cmpval", "terms", "regexp", "between"):
+    elif term[0] in (
+        "eqval", "cmpval", "terms", "fulltext", "regexp", "between"
+    ):
         # func: eq/ge/le/gt/lt(val(x), N) -- root over a value var --
         # or a string-search/range root (anyofterms/allofterms/
         # regexp/between)
@@ -667,6 +930,12 @@ def _parse_head(head: str) -> Block:
                     "(field-scoped cascade is outside it)"
                 )
             block.cascade = True
+        elif dname == "normalize":
+            if content is not None:
+                raise DqlSyntaxError("@normalize takes no arguments")
+            if block.normalize:
+                raise DqlSyntaxError("duplicate @normalize on block head")
+            block.normalize = True
         elif dname == "groupby":
             if content is None or not re.fullmatch(
                 r"\w+", content.strip().strip("\"'")
@@ -726,11 +995,19 @@ def parse_dql(text: str) -> list[Block]:
         if depth:
             raise DqlSyntaxError(f"unbalanced braces after: {head!r}")
         inner = body[open_i + 1 : i - 1].strip()
+        block = _parse_head(head)
+        if block.normalize:
+            # the one nested-brace grammar position: the body is a
+            # leaf/sub-block tree, not body lines
+            block.norm_tree = _parse_normalize_body(inner, block.name)
+            _validate_normalize(block)
+            blocks.append(block)
+            pos = i
+            continue
         if "{" in inner:
             raise DqlSyntaxError(
                 f"nested blocks are outside the reference subset: {inner[:60]!r}"
             )
-        block = _parse_head(head)
         for part in _body_lines(inner):
             am = _AGG_LINE.match(part)
             if am is not None:
@@ -1070,6 +1347,18 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
         if block.root_filter is not None:
             root = _apply_filter(root, block.root_filter, env, graph)
         root = _order_page(root, block, graph)
+        if block.norm_tree is not None:
+            n_steps += 1
+            out.append(
+                DqlResult(
+                    block.name,
+                    root.select("id"),
+                    _normalize_flatten(
+                        root, block.norm_tree, graph, n_steps
+                    ),
+                )
+            )
+            continue
         leaf_list = block.leaf_attrs
         if block.recurse is not None:
             n_steps += 1
@@ -1324,6 +1613,78 @@ def run_dql(text: str, graph: DqlGraph) -> list[DqlResult]:
     return out
 
 
+def _normalize_flatten(
+    root: DataFrame, tree: NormNode, graph: DqlGraph, tag: int
+) -> DataFrame:
+    """@normalize execution: flatten the body tree over the root uid
+    set into one row per root-to-leaf path combination (the module
+    docstring's semantics). Aliased leaves LEFT-join their attribute
+    tables (a node keeps its row with NULL for attributes it lacks --
+    the flat-table spelling of Dgraph omitting the field); each edge
+    sub-block multiplies its parent's rows by the parent's
+    out-neighbors, keeping edge-less parents with a NULL subtree.
+
+    Scale shape: per sub-block, the DISTINCT parent id set (bounded by
+    the root page's fan-out) broadcasts against the never-moved edge
+    table to form (parent, child) pairs -- the k_hop discipline -- and
+    the child subtree is flattened ONCE over the distinct child ids,
+    then joined back through the pairs; sibling sub-blocks compose by
+    repeated per-parent joins, so no operator ever widens a row beyond
+    the aliases it carries."""
+    base_cols = ["id"] + (["rn"] if "rn" in root.columns else [])
+    return _norm_level(root.select(*base_cols), tree, graph, [str(tag)])
+
+
+def _norm_level(
+    out: DataFrame, node: NormNode, graph: DqlGraph, path: list
+) -> DataFrame:
+    for alias, attr in node.leaves:
+        tbl = graph.leaf_attrs.get(attr)
+        if tbl is None:
+            raise DqlSyntaxError(
+                f"unbound leaf attribute {attr!r} under @normalize "
+                f"(bound: {sorted(graph.leaf_attrs)})"
+            )
+        if alias is None:
+            # Dgraph's rule: unaliased predicates are fetched but
+            # OMITTED from @normalize output -- binding-existence was
+            # still checked above so a typo refuses instead of
+            # silently vanishing
+            continue
+        out = out.join(
+            tbl.select("id", F.col(attr).alias(alias)), "id", "left"
+        )
+    for idx, (pred, child) in enumerate(node.children):
+        edges = graph.edge_preds.get(pred)
+        if edges is None:
+            raise DqlSyntaxError(
+                f"unbound edge predicate {pred!r} under @normalize "
+                f"(bound: {sorted(graph.edge_preds)})"
+            )
+        ea = "_dqln" + "_".join(path) + f"_{idx}"
+        dst_col = f"{ea}_dst"
+        e = edges.select("src", "dst").alias(ea)
+        pairs = (
+            F.broadcast(out.select("id").dropDuplicates(["id"]))
+            .join(e, F.col("id") == F.col(f"{ea}.src"))
+            # NULL dst must not become a phantom child row
+            # (traverse.expand's phantom-node note)
+            .filter(F.col(f"{ea}.dst").isNotNull())
+            .select("id", F.col(f"{ea}.dst").alias(dst_col))
+        )
+        child_flat = _norm_level(
+            pairs.select(F.col(dst_col).alias("id")).dropDuplicates(["id"]),
+            child,
+            graph,
+            path + [str(idx)],
+        )
+        enriched = pairs.join(
+            child_flat.withColumnRenamed("id", dst_col), dst_col, "left"
+        ).drop(dst_col)
+        out = out.join(enriched, "id", "left")
+    return out
+
+
 def _recurse_reach(
     root: DataFrame, block: Block, graph: DqlGraph, tag: int
 ) -> tuple[DataFrame, list[str]]:
@@ -1385,7 +1746,9 @@ def _root_set(block: Block, env: dict, graph: DqlGraph) -> DataFrame:
     if block.root_kind == "eq":
         attr, val = block.root_args
         return _eq_set(attr, val, graph)
-    if block.root_kind in ("eqval", "cmpval", "terms", "regexp", "between"):
+    if block.root_kind in (
+        "eqval", "cmpval", "terms", "fulltext", "regexp", "between"
+    ):
         # root over a value variable or a string-search function: same
         # evaluation as the filter term, just without a candidate set
         term = (block.root_kind,) + tuple(block.root_args)
@@ -1509,6 +1872,27 @@ def _terms_set(
         cond = F.arrays_overlap(toks, q)
     else:
         cond = F.size(F.array_except(q, toks)) == 0
+    return idx.filter(cond).select("id").dropDuplicates(["id"])
+
+
+def _fulltext_set(
+    mode: str, attr: str, stems: tuple, graph: DqlGraph
+) -> DataFrame:
+    """alloftext/anyoftext: ids whose stored string's STEMMED token
+    set (the module's fulltext analyzer: lowercase, split, stopword
+    drop, suffix-strip stem -- applied engine-side via the shared SQL
+    fragment) covers (all) or intersects (any) the query's stemmed
+    terms. Like _terms_set, a pure scan-side row filter on the
+    eq-index: no join, no shuffle beyond the final dedup."""
+    idx = _string_index(attr, f"{mode}oftext", graph)
+    stemmed = F.expr(
+        fulltext_tokens_sql("value", "split", "transform", "filter")
+    )
+    q = F.array(*[F.lit(t) for t in stems])
+    if mode == "any":
+        cond = F.arrays_overlap(stemmed, q)
+    else:
+        cond = F.size(F.array_except(q, stemmed)) == 0
     return idx.filter(cond).select("id").dropDuplicates(["id"])
 
 
@@ -1706,6 +2090,9 @@ def _term_uids(term: tuple, env: dict, graph: DqlGraph) -> DataFrame:
     if kind == "terms":
         _, mode, attr, terms = term
         return _terms_set(mode, attr, terms, graph)
+    if kind == "fulltext":
+        _, mode, attr, stems = term
+        return _fulltext_set(mode, attr, stems, graph)
     if kind == "regexp":
         _, attr, pattern, ci = term
         return _regexp_set(attr, pattern, ci, graph)

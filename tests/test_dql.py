@@ -49,8 +49,10 @@ def test_eq_value_quoting_and_whitespace_are_tolerated():
     "bad, why",
     [
         ("var(func: eq(a, 1)) { x as p }", "no outer braces"),
-        ("{ var(func: alloftext(a, b)) { x as p } }",
-         "unsupported root func (fulltext index is outside the subset)"),
+        ("{ var(func: someofterms(a, b)) { x as p } }",
+         "unsupported root func (alloftext joined the subset round 12)"),
+        ('{ var(func: alloftext(a, "the of")) { x as p } }',
+         "fulltext query that is all stopwords"),
         ("{ var(func: uid(s)) { p @filter(uid(t)) } }",
          "filtered edge step without a 'VAR as' binding"),
         ('{ var(func: anyofterms(a, "...")) { x as p } }',
@@ -907,3 +909,185 @@ def test_brace_quantifier_in_pattern_refused_by_name():
             "{ v(func: has(name)) @filter(regexp(name, /b{3}/)) "
             "{ name } }"
         )
+
+
+# ---- round-12: @normalize (flattened nested-block output)
+
+
+def test_normalize_parse_tree_and_constraints():
+    q = """{
+      flat(func: eq(team, "a")) @normalize {
+        t: team
+        has_member {
+          member: name
+          age
+          knows {
+            peer: name
+          }
+        }
+      }
+    }"""
+    (b,) = parse_dql(q)
+    assert b.normalize and b.norm_tree is not None
+    assert b.norm_tree.leaves == [("t", "team")]
+    (pred, child), = b.norm_tree.children
+    assert pred == "has_member"
+    assert child.leaves == [("member", "name"), (None, "age")]
+    (pred2, gchild), = child.children
+    assert pred2 == "knows" and gchild.leaves == [("peer", "name")]
+
+    with pytest.raises(DqlSyntaxError, match="name the block"):
+        parse_dql('{ var(func: eq(a, "1")) @normalize { x: a } }')
+    with pytest.raises(DqlSyntaxError, match="aliases no predicate"):
+        parse_dql('{ v(func: eq(a, "1")) @normalize { a\n b } }')
+    with pytest.raises(DqlSyntaxError, match="alias collision"):
+        parse_dql(
+            '{ v(func: eq(a, "1")) @normalize { x: a\n p { x: b } } }'
+        )
+    with pytest.raises(DqlSyntaxError, match="bare predicate name"):
+        parse_dql(
+            '{ v(func: eq(a, "1")) @normalize '
+            "{ x: a\n p @filter(eq(b, 1)) { y: b } } }"
+        )
+    with pytest.raises(DqlSyntaxError, match="outside the subset"):
+        parse_dql(
+            '{ v(func: eq(a, "1")) @recurse(depth: 2) @normalize '
+            "{ x: a } }"
+        )
+    with pytest.raises(DqlSyntaxError, match="duplicate @normalize sub-block"):
+        parse_dql(
+            '{ v(func: eq(a, "1")) @normalize '
+            "{ x: a\n p { y: b }\n p { z: c } } }"
+        )
+    # nested blocks WITHOUT @normalize still refuse
+    with pytest.raises(DqlSyntaxError, match="nested blocks"):
+        parse_dql('{ v(func: eq(a, "1")) { p { y: b } } }')
+
+
+def test_normalize_flatten_semantics(spark):
+    from dgraph_etl_spark.graph.dql import DqlGraph, run_dql
+
+    g = DqlGraph(
+        edge_preds={
+            "has_member": spark.createDataFrame(
+                [("T", "m1"), ("T", "m2"), ("T", "m3")],
+                "src string, dst string",
+            ),
+            "knows": spark.createDataFrame(
+                [("m1", "m2"), ("m1", "m3")], "src string, dst string"
+            ),
+        },
+        eq_index={
+            "team": spark.createDataFrame(
+                [("T", "a")], "id string, value string"
+            ),
+        },
+        leaf_attrs={
+            "team": spark.createDataFrame(
+                [("T", "a")], "id string, team string"
+            ),
+            "name": spark.createDataFrame(
+                [("m1", "alice"), ("m2", "bob")], "id string, name string"
+            ),
+            "age": spark.createDataFrame([("m1", 30)], "id string, age int"),
+        },
+    )
+    q = """{
+      flat(func: eq(team, "a")) @normalize {
+        t: team
+        has_member {
+          member: name
+          age
+          knows {
+            peer: name
+          }
+        }
+      }
+    }"""
+    (res,) = run_dql(q, g)
+    # only aliased predicates project (age is fetched-but-omitted)
+    assert res.attrs.columns == ["id", "t", "member", "peer"]
+    rows = sorted(
+        ((r["t"], r["member"], r["peer"]) for r in res.attrs.collect()),
+        key=str,
+    )
+    # m1 knows m2 (named) and m3 (nameless -> NULL peer); m2 has no
+    # knows edge (row kept, NULL subtree); m3 has no name (NULL member)
+    assert rows == sorted(
+        [
+            ("a", "alice", "bob"),
+            ("a", "alice", None),
+            ("a", "bob", None),
+            ("a", None, None),
+        ],
+        key=str,
+    )
+
+
+# ---- round-12: alloftext/anyoftext (fulltext analyzer)
+
+
+def test_fulltext_parse_and_stopword_refusal():
+    blocks = parse_dql(
+        '{ v(func: alloftext(bio, "The Sorting of streams")) '
+        '@filter(NOT anyoftext(bio, "customers")) { bio } }'
+    )
+    b = blocks[0]
+    # query text runs the full analyzer: stopwords drop, tokens stem
+    assert b.root_kind == "fulltext"
+    assert b.root_args == ("all", "bio", ("sort", "stream"))
+    assert b.root_filter == (
+        "not", ("fulltext", "any", "bio", ("customer",))
+    )
+    with pytest.raises(DqlSyntaxError, match="no searchable terms"):
+        parse_dql('{ v(func: alloftext(bio, "the of and")) { bio } }')
+
+
+def test_fulltext_stemmer_python_matches_sql(spark):
+    # the Python query-side stemmer and the engine-side SQL fragment
+    # must agree token-for-token, or a query term could stem past its
+    # own stored form
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dgraph_etl_spark.graph.dql import _stem_case_sql, fulltext_stem
+
+    random.seed(12)
+    base = [
+        "sort", "sorting", "sorted", "sortly", "cross", "crosses",
+        "ties", "ies", "s", "ss", "as", "cats", "miss", "misses",
+        "sing", "string", "strings", "red", "speed", "freed", "fly",
+        "slowly", "ly", "ed", "ing", "a", "", "queries", "classes",
+    ]
+    toks = base + [
+        "".join(random.choice("abcdefgs") for _ in range(random.randint(1, 9)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    got = [
+        r["s"]
+        for r in df.select(
+            F.expr(_stem_case_sql("t")).alias("s")
+        ).collect()
+    ]
+    assert got == [fulltext_stem(t) for t in toks]
+
+
+def test_fulltext_semantics(spark, text_graph):
+    from dgraph_etl_spark.graph.dql import run_dql
+
+    def ids(q):
+        (res,) = run_dql(q, text_graph)
+        return sorted(r["id"] for r in res.uids.collect())
+
+    # 'boats' stems to 'boat': matches a ("slow boats") and b ("boat")
+    assert ids('{ v(func: alloftext(bio, "boats")) {} }') == ["a", "b"]
+    # stopword 'the' drops; 'cars' stems to 'car'... but stored 'cars'
+    # stems to 'car' too -> a matches
+    assert ids('{ v(func: alloftext(bio, "the cars")) {} }') == ["a"]
+    # allof requires EVERY stemmed term
+    assert ids('{ v(func: alloftext(bio, "boats green")) {} }') == []
+    assert ids('{ v(func: anyoftext(bio, "boats green")) {} }') == [
+        "a", "b", "c",
+    ]
