@@ -31,18 +31,28 @@ TAG = "tag"  # free-text attribute: anyofterms/allofterms/regexp lanes
 # SEPARATORS and CASING, not by in-word punctuation
 _VOCAB = ("red", "blue", "fast", "slow", "big")
 _SEPS = (" ", "-", ", ", "; ")
+# fulltext lanes: morphological suffixes the stemmer must strip (and
+# short forms it must NOT over-strip), plus stopwords it must drop --
+# both sides of the differential apply their OWN implementations
+_SUFFIXES = ("", "", "", "s", "ing", "ed", "ly", "ss")
+_STOPS = ("the", "of", "and", "a")
 
 
 # ----------------------------------------------------------- generator
 
 
 def _gen_tag(rng: random.Random) -> str:
-    """1-3 vocab words under random separators and casing: the term
-    lanes must match through both, regexp through neither."""
+    """1-3 vocab words (possibly suffixed -- fulltext stemming lanes),
+    maybe a stopword mixed in, under random separators and casing: the
+    term lanes must match through separators/casing, the fulltext
+    lanes additionally through morphology, regexp through neither."""
     words = [
-        w.upper() if rng.random() < 0.3 else w
+        w + rng.choice(_SUFFIXES)
         for w in rng.sample(_VOCAB, rng.randint(1, 3))
     ]
+    if rng.random() < 0.3:
+        words.insert(rng.randrange(len(words) + 1), rng.choice(_STOPS))
+    words = [w.upper() if rng.random() < 0.3 else w for w in words]
     out = words[0]
     for w in words[1:]:
         out += rng.choice(_SEPS) + w
@@ -67,9 +77,8 @@ def _gen_graph(rng: random.Random):
 
 
 def _gen_term(rng, preds, bound, value_vars=()):
-    kinds = ["eq", "cmp", "has", "terms", "regexp", "between"] + (
-        ["uid"] if bound else []
-    )
+    kinds = ["eq", "cmp", "has", "terms", "fulltext", "regexp",
+             "between"] + (["uid"] if bound else [])
     if value_vars:
         kinds += ["eqval", "cmpval"]
     k = rng.choice(kinds)
@@ -87,6 +96,18 @@ def _gen_term(rng, preds, bound, value_vars=()):
         mode = rng.choice(["any", "all"])
         words = rng.sample(_VOCAB, rng.randint(1, 2))
         return ("terms", mode, TAG, tuple(words))
+    if k == "fulltext":
+        mode = rng.choice(["any", "all"])
+        # suffixed query words must stem back to the stored stems; a
+        # stopword may ride along (dropped by BOTH implementations) --
+        # at least one non-stopword word, or the parser refuses
+        words = [
+            w + rng.choice(_SUFFIXES)
+            for w in rng.sample(_VOCAB, rng.randint(1, 2))
+        ]
+        if rng.random() < 0.3:
+            words.append(rng.choice(_STOPS))
+        return ("fulltext", mode, TAG, tuple(words))
     if k == "regexp":
         # a vocab word, maybe one char wildcarded, maybe /i -- simple
         # enough that Python re.search and Spark rlike agree exactly
@@ -137,6 +158,9 @@ def _render_filter(expr) -> str:
         return f"between({expr[1]}, {expr[2]}, {expr[3]})"
     if kind == "terms":
         fn = "anyofterms" if expr[1] == "any" else "allofterms"
+        return f'{fn}({expr[2]}, "{" ".join(expr[3])}")'
+    if kind == "fulltext":
+        fn = "anyoftext" if expr[1] == "any" else "alloftext"
         return f'{fn}({expr[2]}, "{" ".join(expr[3])}")'
     if kind == "regexp":
         return f"regexp({expr[1]}, /{expr[2]}/{'i' if expr[3] else ''})"
@@ -381,6 +405,37 @@ def _term_toks(value: str) -> set:
     return {t for t in _re.split(r"[^a-z0-9]+", value.lower()) if t}
 
 
+# independent re-derivation of the documented fulltext analyzer (the
+# module docstring's rule list), NOT an import of graph/dql.py's
+# implementation -- the differential must catch a drifted rule table
+_FT_STOP = frozenset(
+    "the a an and or of in on at to is are was were be been it this "
+    "that with as for by from not but".split()
+)
+
+
+def _ft_stem(t: str) -> str:
+    if t.endswith("sses"):
+        t = t[:-2]
+    elif t.endswith("ies"):
+        t = t[:-2]
+    elif t.endswith("ss"):
+        pass
+    elif t.endswith("s") and len(t) >= 4:
+        t = t[:-1]
+    if t.endswith("ing") and len(t) >= 6:
+        t = t[:-3]
+    elif t.endswith("ed") and len(t) >= 5:
+        t = t[:-2]
+    elif t.endswith("ly") and len(t) >= 5:
+        t = t[:-2]
+    return t
+
+
+def _ft_stems(value: str) -> set:
+    return {_ft_stem(t) for t in _term_toks(value) if t not in _FT_STOP}
+
+
 def _ref_term(term, env, edges, score, tags):
     kind = term[0]
     if kind == "uid":
@@ -396,6 +451,12 @@ def _ref_term(term, env, edges, score, tags):
         if mode == "any":
             return {i for i, v in tags.items() if _term_toks(v) & want}
         return {i for i, v in tags.items() if want <= _term_toks(v)}
+    if kind == "fulltext":
+        _, mode, _, words = term
+        want = {_ft_stem(w) for w in words if w not in _FT_STOP}
+        if mode == "any":
+            return {i for i, v in tags.items() if _ft_stems(v) & want}
+        return {i for i, v in tags.items() if want <= _ft_stems(v)}
     if kind == "regexp":
         import re as _re
 

@@ -630,6 +630,34 @@ def _headline_names() -> list[str]:
 _LOCKED_KEYS = ("exch", "bhj", "smj", "shj", "bnlj", "expand", "topk", "gsort")
 
 
+def test_plan_audit_covers_every_batch_query():
+    """Round-11 verdict finding: g40/g41 were registered in the same
+    round as the last audit run but had no PLAN_AUDIT.md rows -- the
+    audit had silently drifted two queries stale. Gate: EVERY
+    registered batch query has an audit row (streaming 's*' lanes are
+    audited by their suite oracles instead), so adding a batch lane
+    without regenerating the audit (tools/plan_audit.py) fails in the
+    same commit. An ERROR row does not parse as a row and fails here
+    too -- a query whose plan cannot compile must not ship silently."""
+    import os
+
+    from dgraph_etl_spark.registry import REGISTRY, _load_suites
+    from tools.plan_audit import parse_audit_md
+
+    _load_suites()
+    audit_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLAN_AUDIT.md",
+    )
+    committed = parse_audit_md(audit_path)
+    batch = {n for n in REGISTRY if not n.startswith("s")}
+    missing = sorted(batch - set(committed))
+    assert not missing, (
+        f"batch queries with no PLAN_AUDIT.md row: {missing} -- "
+        "regenerate with tools/plan_audit.py in this commit"
+    )
+
+
 @pytest.mark.parametrize("name", _headline_names())
 def test_headline_plan_matches_audit_lockfile(spark, sf_small, name):
     import os
