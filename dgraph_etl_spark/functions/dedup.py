@@ -226,6 +226,28 @@ def band_table(
     )
 
 
+def ordered_pairs(ids: Column) -> Column:
+    """All strictly-ordered element pairs of a SORTED array, as an
+    array of (_1, _2) structs: for sorted [a, b, c] ->
+    [(a,b), (a,c), (b,c)]. The in-row form of a bucket-local
+    ``a.key < b.key`` self-join: a consumer that groups rows into
+    sorted per-bucket arrays and explodes this expression gets the
+    identical pair multiset while consuming the bucket relation ONCE
+    (no checkpoint materialization for join reuse, no join, one fewer
+    shuffle). Shared by the LSH/SimHash candidate generators and the
+    c30 source-overlap matrix."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                # 1-based slice: later elements start at position i+2
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("_1"), y.alias("_2")),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     num_hashes: int = NUM_HASHES,
@@ -233,32 +255,35 @@ def lsh_candidate_pairs(
     portable: bool = False,
 ) -> DataFrame:
     """C2: LSH banding -> candidate duplicate pairs. Documents agreeing
-    on ALL hashes of any band collide in that band's bucket; the join
-    is bucket-local (equi-join on (band, band_hash)) -- no global
-    quadratic step. The band table feeds BOTH sides of the self-join
-    and broadcast exchanges are never reused across sides, so it is
-    materialized once (localCheckpoint) -- otherwise the whole
-    signature pipeline (scan + shingle hashing + 32 mins) runs twice,
-    a 2x waste that only grows with corpus size.
+    on ALL hashes of any band collide in that band's bucket; the
+    quadratic step is bucket-local by construction -- no global
+    all-pairs step.
+
+    r12 shape: per-bucket sorted doc-id collect + in-row ordered-pair
+    explode (ordered_pairs) instead of the band-table self-join. The
+    pair set is identical (sort_array ascending ==
+    ``a.doc_id < b.doc_id``; band rows are unique per (doc, band), so
+    no self-pairs), but the band relation is consumed ONCE in a
+    linear pipeline: the old shape had to localCheckpoint the band
+    table (a full materialization pass) because it fed both self-join
+    sides, then paid the join and its exchanges on top. Now: one
+    bucket-keyed exchange + the pair dedup's -- and the skew bound is
+    unchanged (a hot bucket concentrated in one join task before, one
+    collect task now; soak-measured spread 1.02, hottest key 27 rows).
 
     Band bucket key: xxhash64 over the band's hash tuple by default (8
     bytes/row shuffled); ``portable=True`` keys on the ':'-joined
     decimal tuple instead -- a wider key, but one a SQL oracle can
     rebuild verbatim, which upgrades the query from rows-only to
     hash-exact certification."""
-    bands = band_table(docs, num_hashes, num_bands, portable).localCheckpoint()
-    a = bands.alias("a")
-    b = bands.alias("b")
+    bands = band_table(docs, num_hashes, num_bands, portable)
+    buckets = bands.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(ordered_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p._1").alias("doc_a"), F.col("p._2").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
@@ -548,10 +573,12 @@ def simhash_hamming_pairs(
     equi-join has recall 1.0.  The exact ``bit_count(a XOR b) <= r``
     filter then removes false positives, so the output is precisely the
     Hamming<=r pair set.  Same scale shape as minhash LSH: the
-    quadratic step is confined to (chunk, value) buckets; the band
-    table feeds both sides of the self-join so it is materialized once
-    (localCheckpoint) instead of recomputing the signature pipeline
-    twice."""
+    quadratic step is confined to (chunk, value) buckets, generated
+    per bucket by the sorted (doc_id, simhash) collect + in-row
+    ordered-pair explode (ordered_pairs; sort_array on the structs
+    orders by doc_id -- ids are unique -- so the pair set equals the
+    old ``a.doc_id < b.doc_id`` self-join's, with the signature
+    pipeline consumed once and no checkpoint materialization)."""
     chunks = r + 1
     n_bits = simhash_bits(portable)
     bounds = [i * n_bits // chunks for i in range(chunks + 1)]
@@ -575,21 +602,20 @@ def simhash_hamming_pairs(
         "doc_id",
         "simhash",
         F.posexplode(F.array(*chunk_cols)).alias("chunk", "chunk_val"),
-    ).localCheckpoint()
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    buckets = bands.groupBy("chunk", "chunk_val").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias(
+            "ms"
         )
+    )
+    return (
+        buckets.filter(F.size("ms") >= 2)
+        .select(F.explode(ordered_pairs(F.col("ms"))).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("p._1.doc_id").alias("doc_a"),
+            F.col("p._2.doc_id").alias("doc_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("p._1.simhash").bitwiseXOR(F.col("p._2.simhash"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= r)

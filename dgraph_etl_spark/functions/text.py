@@ -481,11 +481,27 @@ def token_budget_pack(docs: DataFrame, budget: int) -> DataFrame:
     the cumsum is a window partitioned BY the bucket (parallel across
     buckets); cross-bucket offsets come from a tiny per-bucket-totals
     aggregate (B rows) window-summed and broadcast-joined back. The
-    only global ordering pass touches B bucket totals, never the docs."""
+    only global ordering pass touches B bucket totals, never the docs.
+
+    ``base`` -- the narrow (doc_id, n_tokens, len, bkt) relation -- is
+    localCheckpoint'd because it feeds BOTH the window branch and the
+    totals branch: the previous shape planned the scan + tokenize
+    twice (per-branch column pruning projects the two subtrees
+    differently, so Catalyst cannot reuse one exchange across them),
+    re-reading and re-splitting every text byte for a branch that
+    only needs two longs per doc. The checkpoint trades one narrow
+    materialization (~4 words/doc) for the second full pass over the
+    text -- the c02/c30 multi-consumer discipline (r12 plan diff:
+    the duplicated scan+split subtree is gone; exchanges unchanged,
+    all three now carry only the narrow relation)."""
     nt = F.size(tokens()).cast("bigint")
-    base = docs.select(
-        "doc_id", nt.alias("n_tokens"), F.col("n_chars").alias("len")
-    ).withColumn("bkt", F.floor(F.col("len") / F.lit(64)))
+    base = (
+        docs.select(
+            "doc_id", nt.alias("n_tokens"), F.col("n_chars").alias("len")
+        )
+        .withColumn("bkt", F.floor(F.col("len") / F.lit(64)))
+        .localCheckpoint(eager=False)
+    )
 
     within = Window.partitionBy("bkt").orderBy(
         F.desc("len"), F.col("doc_id")
@@ -508,10 +524,15 @@ def token_budget_pack(docs: DataFrame, budget: int) -> DataFrame:
     return packed.select("doc_id", "n_tokens", "cum_tokens")
 
 
-def doc_span_hashes(docs: DataFrame, k: int = 8) -> DataFrame:
-    """(doc_id, span_id, span, h): each consecutive non-overlapping
-    ``k``-token span with its md5. Narrow op -- one materialized token
-    array per row, sliced per span index."""
+def doc_span_hashes(
+    docs: DataFrame, k: int = 8, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id[, *carry], span_id, span, h): each consecutive
+    non-overlapping ``k``-token span with its md5. Narrow op -- one
+    materialized token array per row, sliced per span index. ``carry``
+    names extra input columns replicated onto every span row (e.g.
+    ``source``) so consumers that need them avoid a join-back onto the
+    corpus by doc_id."""
     t = tokens()
     n_spans = F.greatest(
         F.ceil(F.size(t) / F.lit(float(k))).cast("int"), F.lit(1)
@@ -526,8 +547,12 @@ def doc_span_hashes(docs: DataFrame, k: int = 8) -> DataFrame:
     # set) and diverged from the oracles, whose NULL span hashes drop
     # at their joins. Same NULL-singleton discipline as token_ngrams.
     spans = F.when(t.isNotNull(), spans)
-    pos = docs.select("doc_id", F.posexplode(spans).alias("span_id", "span"))
-    return pos.select("doc_id", "span_id", "span", F.md5("span").alias("h"))
+    pos = docs.select(
+        "doc_id", *carry, F.posexplode(spans).alias("span_id", "span")
+    )
+    return pos.select(
+        "doc_id", *carry, "span_id", "span", F.md5("span").alias("h")
+    )
 
 
 def boilerplate_removal(
@@ -541,21 +566,34 @@ def boilerplate_removal(
     docs whose every span is boilerplate disappear (fully-boilerplate
     docs ARE the removal target).
 
-    Scale shape: boilerplate detection is distinct (doc, hash) -> one
-    count per hash (two plain hash aggs, no count-distinct Expand);
-    the reassembly collects each doc's kept spans and sorts WITHIN the
+    Scale shape: one h-keyed exchange of the span rows, then BOTH the
+    distinct-doc count and the per-span flag ride that partitioning as
+    windows -- no join-back, no second planning of the span subtree.
+    (The previous per_hash-aggregate + join-on-h formulation planned
+    the scan+explode+md5 subtree TWICE -- the agg branch and the join
+    branch need differently-projected exchanges, so Catalyst cannot
+    reuse one -- the exact duplicated-subtree cost span_dup_stats'
+    docstring measured at 2.8x on 100x data; r12 plan diff: 2 scans /
+    2 Generate / 3 Exchange -> 1 scan / 1 Generate / 2 Exchange.)
+    "Occurs in >= min_docs distinct docs" without count-distinct:
+    row_number over (h, doc_id) marks one span row per (hash, doc)
+    pair, and the per-h window-sum of those marks is the distinct-doc
+    count -- both windows share the h clustering and one sort. The
+    reassembly collects each doc's kept spans and sorts WITHIN the
     row (array_sort over (span_id, span) structs -- per-doc data,
     never a global sort)."""
-    spans = doc_span_hashes(docs, k)
-    per_hash = (
-        spans.select("doc_id", "h")
-        .dropDuplicates(["doc_id", "h"])
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    spans = doc_span_hashes(docs, k).repartition("h")
+    marked = spans.withColumn(
+        "_first_in_pair",
+        F.row_number().over(
+            Window.partitionBy("h", "doc_id").orderBy("span_id")
+        )
+        == 1,
     )
-    flagged = spans.join(per_hash, "h").withColumn(
-        "is_boiler", F.col("n_docs") >= min_docs
-    )
+    n_docs = F.sum(
+        F.when(F.col("_first_in_pair"), 1).otherwise(0)
+    ).over(Window.partitionBy("h"))
+    flagged = marked.withColumn("is_boiler", n_docs >= F.lit(min_docs))
     return (
         flagged.groupBy("doc_id")
         .agg(
@@ -582,32 +620,51 @@ def boilerplate_removal(
     )
 
 
-def span_doc_counts(docs: DataFrame, k: int = 8) -> DataFrame:
+def span_doc_counts(
+    docs: DataFrame, k: int = 8, h_partitioned: bool = False
+) -> DataFrame:
     """(h, doc_id, n): the span-hash x document pre-aggregation — the
     relation that flows through the span screen's h-keyed exchanges
     (span_dup_stats' window, the boilerplate screen's count). The
     single definition shared by those operators and the skew soak
     (tools/scale_soak.py --dedup-skew, which measures the h-keyed
-    exchange's partition-size spread)."""
-    return (
-        doc_span_hashes(docs, k)
-        .groupBy("h", "doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    exchange's partition-size spread).
+
+    ``h_partitioned=True`` moves the exchange BELOW the agg (one
+    repartition by h; the (h, doc_id) groupBy then needs no exchange
+    of its own — HashPartitioning(h) satisfies its clustering), so a
+    consumer whose next operator is h-keyed (span_dup_stats' window)
+    rides the same partitioning exchange-free. The default keeps the
+    map-side partial agg ahead of the shuffle for consumers that stop
+    at the pair relation (the soak's spread measurement)."""
+    spans = doc_span_hashes(docs, k).select("doc_id", "h")
+    if h_partitioned:
+        spans = spans.repartition("h")
+    return spans.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("n"))
 
 
-def source_span_sets(docs: DataFrame, k: int = 8) -> DataFrame:
+def source_span_sets(
+    docs: DataFrame, k: int = 8, h_partitioned: bool = False
+) -> DataFrame:
     """DISTINCT (source, h): each source's k-token span-hash set — the
     self-join relation of the cross-source contamination matrix (c30);
     its h key drives that join's shuffle. Shared by the suite query
     and the skew soak. Caller decides on materialization (c30
     localCheckpoints it because it feeds both self-join sides)."""
-    spans = doc_span_hashes(docs.select("doc_id", "text"), k)
-    return (
-        spans.join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "h")
-        .dropDuplicates(["source", "h"])
-    )
+    spans = doc_span_hashes(
+        docs.select("doc_id", "source", "text"), k, carry=("source",)
+    ).select("source", "h")
+    # source rides the span rows (doc_span_hashes' carry) instead of
+    # joining back onto the corpus by doc_id -- at scale that join was
+    # a full shuffle of every span row AND of the corpus (r12: the
+    # c30 plan drops its join + one scan)
+    if h_partitioned:
+        # the (source, h) dedup then needs no exchange of its own
+        # (HashPartitioning(h) satisfies its clustering) and an
+        # h-keyed consumer (c30's per-hash source-set collect) rides
+        # the same partitioning exchange-free
+        spans = spans.repartition("h")
+    return spans.dropDuplicates(["source", "h"])
 
 
 def span_dup_stats(docs: DataFrame, k: int = 8) -> DataFrame:
@@ -631,8 +688,15 @@ def span_dup_stats(docs: DataFrame, k: int = 8) -> DataFrame:
     50M spans) -- the duplicated span materialization, not the
     shuffles, was the superlinear term in the 100x soak. md5-as-hex
     keeps span identity engine-portable, so the whole operator
-    hash-checks against plain SQL."""
-    pair = span_doc_counts(docs, k)
+    hash-checks against plain SQL.
+
+    The pair relation is built h-partitioned (span_doc_counts'
+    ``h_partitioned``): one repartition-by-h ahead of the (h, doc_id)
+    agg replaces BOTH that agg's exchange and the window's -- the r12
+    plan diff is 3 Exchange -> 2, and the exchange that disappears
+    carried every (h, doc) pair a second time (spans are near-unique
+    within a doc, so the old map-side partial agg bought ~nothing)."""
+    pair = span_doc_counts(docs, k, h_partitioned=True)
     # pair is distinct per (h, doc), so a plain count over the h window
     # IS the distinct-doc count -- no count-distinct Expand, and a hot
     # boilerplate hash lands in one window partition exactly as it

@@ -1836,25 +1836,33 @@ def c30_source_overlap(spark, sf_dir):
     many distinct 8-token passages they share -- the who-copied-whom /
     mirror-detection audit run before mixing sources into a training
     corpus. Distinct (source, span-hash) first (collapses each
-    source's repeats), then one equi-join on the hash; the quadratic
-    step is per-span-hash across sources (bounded by the number of
-    sources, not documents)."""
+    source's repeats), then per-hash ordered source pairs; the
+    quadratic step is per-span-hash across sources (bounded by the
+    number of sources, not documents).
+
+    r12 shape: the self-join was replaced by a per-hash sorted
+    source-set collect + in-row ordered-pair explode
+    (dedup.ordered_pairs) -- the pair set is identical (sort_array's
+    UTF8-binary order is the same comparator as the old join's
+    ``a.source < b.source``), but the span relation is consumed ONCE
+    in a linear pipeline: no localCheckpoint materialization pass, no
+    join, and the only exchanges are the h repartition and the tiny
+    S^2-row pair rollup (plan diff: 3 Exchange + BHJ + 2 scans ->
+    2 Exchange, no join, 1 scan)."""
     docs = _docs(spark, sf_dir)
+    from ..functions.dedup import ordered_pairs
     from ..functions.text import source_span_sets
 
-    # materialized once: sh feeds both self-join sides (otherwise the
-    # span-hash explode + docs join is planned and executed twice)
-    sh = source_span_sets(docs).localCheckpoint()
-    a, b = sh.alias("a"), sh.alias("b")
+    sh = source_span_sets(docs, h_partitioned=True)
+    buckets = sh.groupBy("h").agg(
+        F.sort_array(F.collect_list("source")).alias("ss")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
+        buckets.filter(F.size("ss") >= 2)
+        .select(F.explode(ordered_pairs(F.col("ss"))).alias("p"))
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.col("p._1").alias("source_a"),
+            F.col("p._2").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
     )

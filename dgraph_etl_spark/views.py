@@ -53,15 +53,24 @@ VIEW_SQL: dict[str, str] = {
     # post-pipeline directed weighted edges: A9 bidirectional explode +
     # A12 max-score dedup (reference dgraph.go:306-335,
     # cmd/bulk/main.go:178-212); input to traversals G1-G5.
+    # r12 shape: the original UNION ALL of two projections scanned
+    # user_relationship (and therefore the events fixture) TWICE in
+    # every consumer's plan; the 2-row VALUES cross join doubles rows
+    # off ONE scan instead (Spark plans it as a BroadcastNestedLoopJoin
+    # over a 2-row local table, DuckDB as a tiny nested-loop -- both
+    # dialects execute this exact text, per this module's contract).
+    # The row multiset is identical: dir=0 emits the (from, to,
+    # raw_score_in) record, dir=1 the flipped (to, from, raw_score_out)
+    # record, exactly the two UNION ALL branches.
     "edges": """
         SELECT src, dst, MAX(score) AS score FROM (
-          SELECT from_person_id AS src, to_person_id AS dst,
-                 CAST(raw_score_in AS DOUBLE) AS score
-          FROM user_relationship
-          UNION ALL
-          SELECT to_person_id AS src, from_person_id AS dst,
-                 CAST(raw_score_out AS DOUBLE) AS score
-          FROM user_relationship
+          SELECT CASE WHEN d.dir = 0 THEN from_person_id
+                      ELSE to_person_id END   AS src,
+                 CASE WHEN d.dir = 0 THEN to_person_id
+                      ELSE from_person_id END AS dst,
+                 CAST(CASE WHEN d.dir = 0 THEN raw_score_in
+                           ELSE raw_score_out END AS DOUBLE) AS score
+          FROM user_relationship CROSS JOIN (VALUES (0), (1)) AS d(dir)
         ) both_directions
         GROUP BY src, dst
     """,
