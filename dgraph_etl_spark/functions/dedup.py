@@ -364,7 +364,10 @@ def neardup_components(
     label table, never the edge table -- at WCC scale (110M+ edges
     when this backs weakly_connected_components) the per-round edge
     re-shuffle was the loop's dominant cost."""
-    from ..session import iterative_loop_side
+    from ..session import (
+        PER_ROUND_BCAST_CEILING_ROWS,
+        iterative_loop_side,
+    )
 
     n_docs = docs.count()
     edges = iterative_loop_side(
@@ -372,6 +375,10 @@ def neardup_components(
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))),
         "u",
         small_side_rows=n_docs,
+        # round 12: the pinned-state loop stops broadcasting the label
+        # side already at the per-round ceiling, so the edge side must
+        # be pinned from the same boundary (see _hash_to_min_rounds)
+        pin_at_rows=PER_ROUND_BCAST_CEILING_ROWS,
     )
     try:
         labels = _hash_to_min_rounds(edges, docs, max_iter, n_docs=n_docs)
@@ -384,45 +391,54 @@ def _hash_to_min_rounds(
     edges: DataFrame, docs: DataFrame, max_iter: int, n_docs: int | None = None
 ) -> DataFrame:
     from ..session import (
-        BROADCAST_CEILING_ROWS,
         PER_ROUND_BCAST_CEILING_ROWS,
+        pinned_partition_cache,
+        pinned_state_cache,
     )
 
     if n_docs is None:
         n_docs = docs.count()
-    # Under the ceiling the LABEL side of the labels-onto-edges join
-    # broadcasts EXPLICITLY (the pagerank loop's lesson,
-    # traverse._pagerank_rounds: checkpointed frames carry no size
-    # stats, so the static planner never broadcasts them unaided, and
-    # AQE's runtime conversion still writes the edge side's map-side
-    # shuffle files first -- per round, on the O(edges) side that
-    # never changes). The nbr_min side of the step join gets the
-    # TIGHTER per-round gate: that broadcast only replaces a shuffle
-    # of two O(nodes) sides, and a fresh multi-million-row broadcast
-    # build every round is a measured regression (session.py's
-    # PER_ROUND_BCAST_CEILING_ROWS note). Past the ceilings the
-    # pinned-cache lane keeps the edge side exchange-free and the
-    # label joins stay shuffles of the O(nodes) tables only.
-    def edge_side_hint(df):
-        return F.broadcast(df) if n_docs < BROADCAST_CEILING_ROWS else df
+    # Lane boundary (round 12, the pagerank loop's restructure in
+    # traverse._pagerank_rounds): under the per-round broadcast
+    # ceiling, BOTH node-table sides broadcast EXPLICITLY (checkpointed
+    # frames carry no size stats, so the static planner never
+    # broadcasts them unaided, and AQE's runtime conversion still
+    # writes the other side's map-side shuffle files first) -- the
+    # label side protects the O(edges) join, the nbr_min side the step
+    # join. At or past it, per-round broadcast builds are the measured
+    # regression (session.py's PER_ROUND_BCAST_CEILING_ROWS note), so
+    # the loop rides co-partitioning instead: edges pinned by u ONCE,
+    # the label state re-pinned hash(doc_id, N) each round
+    # (session.pinned_state_cache -- the per-round localCheckpoint
+    # erased the partitioning the step join's output already had).
+    # Round plan past the ceiling: labels-onto-edges is a
+    # zero-exchange zero-sort SMJ, groupBy(v) is the ONE O(nodes)
+    # exchange, and the step left-join re-uses hash(doc_id,N) ==
+    # hash(v,N) on both sides. The old lane shuffled the labels and
+    # the nbr_min side every round on top of it.
+    pinned_state = n_docs >= PER_ROUND_BCAST_CEILING_ROWS
 
-    def rebuild_hint(df):
-        return (
-            F.broadcast(df) if n_docs < PER_ROUND_BCAST_CEILING_ROWS else df
-        )
+    def node_side_hint(df):
+        return df if pinned_state else F.broadcast(df)
 
     labels = docs.select("doc_id", F.col("doc_id").alias("component"))
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(edge_side_hint(labels), edges["u"] == labels["doc_id"])
-            .groupBy("v")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        stepped = (
-            labels.join(
-                rebuild_hint(nbr_min), labels["doc_id"] == nbr_min["v"], "left"
+    if pinned_state:
+        labels = pinned_partition_cache(labels, "doc_id")
+    state_cache = labels if pinned_state else None
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    node_side_hint(labels), edges["u"] == labels["doc_id"]
+                )
+                .groupBy("v")
+                .agg(F.min("component").alias("nbr_component"))
             )
-            .select(
+            stepped = labels.join(
+                node_side_hint(nbr_min),
+                labels["doc_id"] == nbr_min["v"],
+                "left",
+            ).select(
                 "doc_id",
                 F.least(
                     F.col("component"),
@@ -433,23 +449,37 @@ def _hash_to_min_rounds(
                     < F.col("component")
                 ).alias("changed"),
             )
-            .localCheckpoint()
-        )
-        labels = stepped.select("doc_id", "component")
-        if stepped.agg(F.max("changed")).first()[0] is not True:
-            break
-    else:
-        # Exhausting max_iter with changes still flowing means some
-        # component's diameter exceeds max_iter: the stale labels would
-        # silently under-dedup downstream (canonical-doc filters keep
-        # extra near-duplicates with no signal). Fail loudly instead.
-        raise RuntimeError(
-            f"neardup_components did not converge within {max_iter} "
-            f"iterations -- a component's diameter exceeds max_iter; "
-            f"raise max_iter (propagation moves the min label one hop "
-            f"per round)"
-        )
-    return labels
+            if pinned_state:
+                # materialize the new state BEFORE dropping the old
+                # cache it reads from, then swap
+                stepped = pinned_state_cache(stepped, "doc_id")
+                state_cache.unpersist()
+                state_cache = stepped
+            else:
+                stepped = stepped.localCheckpoint()
+            labels = stepped.select("doc_id", "component")
+            if stepped.agg(F.max("changed")).first()[0] is not True:
+                break
+        else:
+            # Exhausting max_iter with changes still flowing means some
+            # component's diameter exceeds max_iter: the stale labels
+            # would silently under-dedup downstream (canonical-doc
+            # filters keep extra near-duplicates with no signal). Fail
+            # loudly instead.
+            raise RuntimeError(
+                f"neardup_components did not converge within {max_iter} "
+                f"iterations -- a component's diameter exceeds max_iter; "
+                f"raise max_iter (propagation moves the min label one "
+                f"hop per round)"
+            )
+        if pinned_state:
+            # eager copy OFF the final round's cache: the return value
+            # must not depend on a cache the finally below drops
+            labels = labels.localCheckpoint()
+        return labels
+    finally:
+        if state_cache is not None:
+            state_cache.unpersist()
 
 
 def contamination_screen(

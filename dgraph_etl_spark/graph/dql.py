@@ -1697,9 +1697,15 @@ def _recurse_reach(
     discipline, with per-level localCheckpoints truncating lineage.
     Each level's frontier is materialized once for the empty-frontier
     early exit; visited grows by disjoint union (the anti-join
-    guarantees disjointness, so no dedup shuffle). loop: true is
-    accepted but executes the same pruned BFS -- the flattened reach
-    set is identical (see _parse_recurse)."""
+    guarantees disjointness, so no dedup shuffle) of the CHECKPOINTED
+    frontiers, never re-materialized itself (round 12): re-
+    checkpointing the union each level re-wrote the whole O(V) reach
+    set per level -- O(V * depth) copy traffic -- while the union of
+    <= depth already-checkpointed frames recomputes for free and the
+    anti-join reads the same bytes either way. Depth is bounded by
+    the grammar's explicit ``depth: N``, so the plan stays small.
+    loop: true is accepted but executes the same pruned BFS -- the
+    flattened reach set is identical (see _parse_recurse)."""
     depth, _loop = block.recurse
     trav = [w for w in block.leaf_attrs if w in graph.edge_preds]
     leaves = [w for w in block.leaf_attrs if w not in graph.edge_preds]
@@ -1729,7 +1735,7 @@ def _recurse_reach(
         frontier = reached.localCheckpoint(eager=False)
         if frontier.isEmpty():
             break
-        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+        visited = visited.unionByName(frontier)
     return visited, leaves
 
 

@@ -377,46 +377,63 @@ def _pagerank_rounds(
 
     Partitioning contract (the 100x soak's dominant term): ``e`` and
     ``out_mass`` are materialized ONCE, and the per-round join never
-    touches the edge table beyond a scan. Which lane does that
-    depends on the node-universe size (session.iterative_loop_side):
-    under the broadcast ceiling the share side is broadcast
-    EXPLICITLY (the hint matters: ranks are checkpointed, their
-    LogicalRDD carries no size stats, so the static planner never
-    broadcasts unaided, and AQE's runtime conversion still writes the
-    edge side's map-side shuffle files first) over cheap serialized
-    checkpoints; past it, the edge table becomes a partition+order
-    pinned cache (session.pinned_partition_cache -- a
-    ``repartition().localCheckpoint()`` LOSES its partitioning under
-    AQE, so the first cut of this fix still re-exchanged the edge
-    table every round) whose SMJ lane neither re-exchanges nor
-    re-sorts it. Remaining per-round exchanges are O(nodes). Before
-    any of this, every round re-shuffled the EDGE table by src and
-    re-computed+re-shuffled out_mass from scratch (checkpointed
-    ranks start a fresh plan per round, so no cross-round stage
-    reuse) -- at 100 TB the edge re-exchange is the whole job."""
+    touches the edge table beyond a scan. Under the per-round
+    broadcast ceiling the share side is broadcast EXPLICITLY (the
+    hint matters: ranks are checkpointed, their LogicalRDD carries no
+    size stats, so the static planner never broadcasts unaided, and
+    AQE's runtime conversion still writes the edge side's map-side
+    shuffle files first) over cheap serialized checkpoints. At or
+    past it (round 12, VERDICT r11 #6): the edge table becomes a
+    partition+order pinned cache keyed src, the rank STATE is pinned
+    hash(node, N) each round (session.pinned_state_cache -- per-round
+    ``localCheckpoint`` erased the partitioning the round plan
+    already had), and the whole round is co-partitioned: the share
+    projection inherits hash(src) from the state, the edges SMJ is
+    zero-exchange zero-sort, the contribs groupBy(dst) is the ONE
+    O(nodes) exchange, and the rebuild left-join re-uses both sides'
+    hash(node, N). Before any of this, every round re-shuffled the
+    EDGE table by src and re-computed+re-shuffled out_mass from
+    scratch (checkpointed ranks start a fresh plan per round, so no
+    cross-round stage reuse) -- at 100 TB the edge re-exchange is
+    the whole job."""
     from ..session import (
-        BROADCAST_CEILING_ROWS,
         PER_ROUND_BCAST_CEILING_ROWS,
         iterative_loop_side,
+        pinned_state_cache,
     )
 
     # node-universe size decides the lane (callers that already counted
     # pass it; base is one row per node, so the fallback count is exact)
     if n_nodes is None:
         n_nodes = base.count()
-    e = iterative_loop_side(e, "src", small_side_rows=n_nodes)
-    # Broadcastable node tables (ranks/contribs are 2-3 narrow columns
-    # per node, so anything under the ceiling fits the 64MB broadcast
-    # comfortably): hint the broadcasts EXPLICITLY. Checkpointed frames'
-    # LogicalRDDs carry no size stats, so the static planner never
-    # broadcasts them unaided, and leaving it to AQE's runtime
+    # Lane boundary (round 12): ONE flag. Under the per-round broadcast
+    # ceiling, the node tables broadcast explicitly (checkpointed
+    # frames' LogicalRDDs carry no size stats, so the static planner
+    # never broadcasts them unaided, and leaving it to AQE's runtime
     # conversion still writes the other side's map-side shuffle files
-    # first. Past the ceiling the pinned-cache lane guarantees the SMJ
-    # never re-exchanges or re-sorts the edge table (the interleaved
-    # 100x A/B read ratio 1.01 for the hinted-broadcast lane vs the
-    # prior checkpoint+runtime-broadcast form).
-    bcast_share = n_nodes < BROADCAST_CEILING_ROWS
-    bcast_rebuild = n_nodes < PER_ROUND_BCAST_CEILING_ROWS
+    # first) over a cheap serialized edge checkpoint. At or past it,
+    # per-round broadcast builds are a measured regression (193 ->
+    # 291 s at 1.5M nodes, session.PER_ROUND_BCAST_CEILING_ROWS note)
+    # -- so instead of broadcasting ANY side, the whole round rides
+    # co-partitioning: the edge table is partition+order pinned by src
+    # ONCE, and the rank state is re-pinned by node each round via
+    # session.pinned_state_cache (no repartition -- the round plan's
+    # output is already hash(node, N); only the checkpoint used to
+    # erase that). Round plan past the ceiling: state->share rides
+    # hash(node)=hash(src) into a zero-exchange zero-sort SMJ with the
+    # pinned edges; groupBy(dst) is the round's ONE O(nodes) exchange;
+    # the rebuild left-join is zero-exchange (state pinned + contribs
+    # agg output both hash(node, N)). The old lane shuffled share, the
+    # rebuild state AND the contribs every round -- 3 exchanges -> 1.
+    pinned_state = n_nodes >= PER_ROUND_BCAST_CEILING_ROWS
+    e = iterative_loop_side(
+        e,
+        "src",
+        small_side_rows=n_nodes,
+        pin_at_rows=PER_ROUND_BCAST_CEILING_ROWS,
+    )
+    bcast_share = not pinned_state
+    bcast_rebuild = not pinned_state
     # The rank STATE carries om (and base's extra columns) through
     # every round: out_mass is static, so joining it per round
     # (the first cut's `ranks.join(out_mass)`) paid a node-table
@@ -427,13 +444,22 @@ def _pagerank_rounds(
     # teleport vector) ride along the same way for update_expr.
     extra = [c for c in base.columns if c != "node"]
     state_cols = ["node", *extra, "om"]
-    cur = (
+    state0 = (
         base.join(out_mass, "node", "left")
         .join(ranks, "node")
         .select(*state_cols, "rank")
-        .localCheckpoint()
     )
+    cur = None
     try:
+        if pinned_state:
+            from ..session import pinned_partition_cache
+
+            # one upfront repartition establishes hash(node, N); every
+            # later round PRESERVES it by construction and re-pins with
+            # pinned_state_cache (no further repartition ever)
+            cur = pinned_partition_cache(state0, "node")
+        else:
+            cur = state0.localCheckpoint()
         for _ in range(n_iter):
             dangling = cur.filter(F.col("om").isNull()).agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
@@ -459,7 +485,7 @@ def _pagerank_rounds(
             # driver-side broadcast build every round measured 193 ->
             # 291 s on the 1000x pagerank soak (session.py's
             # PER_ROUND_BCAST_CEILING_ROWS note).
-            cur = (
+            nxt = (
                 cur.drop("rank")
                 .join(
                     F.broadcast(contribs) if bcast_rebuild else contribs,
@@ -468,14 +494,28 @@ def _pagerank_rounds(
                 )
                 .crossJoin(F.broadcast(dangling))
                 .select(*state_cols, update_expr().alias("rank"))
-                .localCheckpoint()
             )
+            if pinned_state:
+                # materialize the new state BEFORE dropping the old
+                # cache it reads from, then swap
+                nxt = pinned_state_cache(nxt, "node")
+                cur.unpersist()
+                cur = nxt
+            else:
+                cur = nxt.localCheckpoint()
+        out = cur.select("node", "rank")
+        if pinned_state:
+            # eager copy OFF the final round's cache: the return value
+            # must not depend on a cache the finally below drops
+            out = out.localCheckpoint()
+        return out
     finally:
         # the per-round checkpoints materialized every consumer; the
         # driver certifies 270+ queries in one session, so a pinned
         # cache must not outlive its loop (no-op on the checkpoint lane)
         e.unpersist()
-    return cur.select("node", "rank")
+        if pinned_state and cur is not None:
+            cur.unpersist()
 
 
 def pagerank(

@@ -173,7 +173,53 @@ BROADCAST_CEILING_ROWS = 2_000_000
 PER_ROUND_BCAST_CEILING_ROWS = 500_000
 
 
-def iterative_loop_side(df, *keys: str, small_side_rows: int):
+def pinned_state_cache(df, *keys: str):
+    """The PER-ROUND complement to :func:`pinned_partition_cache` for
+    iterative loops whose round output is ALREADY hash-partitioned by
+    ``keys`` by construction: persist ``df`` WITHOUT repartitioning,
+    pinning whatever partitioning its plan reports (plus in-partition
+    order by ``keys``) into the InMemoryRelation.
+
+    Why it exists (round-12 rebuild-lane fix, VERDICT r11 #6): past
+    ``PER_ROUND_BCAST_CEILING_ROWS`` the pagerank/hash-to-min rebuild
+    join was a per-round shuffle of two O(nodes) sides, because the
+    per-round ``localCheckpoint`` erased the state's partitioning
+    (UnknownPartitioning under AQE) even though the round plan's output
+    IS hash(key, N)-partitioned -- the rebuild join's own output
+    partitioning survives every project/broadcast-join above it. With
+    the state persisted through THIS helper each round instead, the
+    next round's joins see HashPartitioning(keys, N) + ordering on both
+    sides and plan zero-exchange: the only O(rows) exchange left per
+    round is the aggregation that is fundamental to the operator.
+
+    The ``sortWithinPartitions`` is a guarantee, not always a cost:
+    where the round plan already reports the order (SMJ output riding
+    up through projects) Spark's RemoveRedundantSorts elides it; where
+    a BroadcastNestedLoopJoin dropped the ordering REPORT the data is
+    still physically near-sorted and the sort is an in-partition pass,
+    never an exchange.
+
+    Same AQE-off registration window (and the same ``_PIN_GUARD``
+    serialization) as pinned_partition_cache -- an adaptively
+    registered cache reports UnknownPartitioning downstream, which is
+    the exact failure this helper exists to prevent. Callers own
+    ``out.unpersist()``: a loop swaps the previous round's cache out
+    AFTER the new round materialized (the count here), and must
+    materialize its final result OFF the cache (localCheckpoint)
+    before the last unpersist."""
+    spark = df.sparkSession
+    with _PIN_GUARD:
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            out = df.sortWithinPartitions(*keys).persist()
+            out.count()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return out
+
+
+def iterative_loop_side(df, *keys: str, small_side_rows: int, pin_at_rows: int | None = None):
     """Materialize the BIG side of an iterative per-round join, picking
     the lane by whether the loop's SMALL side (per-node labels/ranks)
     can broadcast:
@@ -189,6 +235,13 @@ def iterative_loop_side(df, *keys: str, small_side_rows: int):
       re-exchanges nor re-sorts the big side (mechanism A/B: -26%
       steady-state over 8 rounds at 20M edges).
 
+    ``pin_at_rows`` overrides the lane boundary (default
+    ``BROADCAST_CEILING_ROWS``): the pinned-STATE loops (round 12)
+    stop broadcasting the label/rank side already at
+    ``PER_ROUND_BCAST_CEILING_ROWS``, so their edge side must be
+    pinned from that same boundary for the co-partitioned round plan
+    to hold.
+
     Either return value accepts ``.unpersist()`` in the caller's
     finally (a no-op on the checkpoint lane -- a localCheckpoint's
     blocks are freed by ContextCleaner only after JVM GC observes the
@@ -198,7 +251,10 @@ def iterative_loop_side(df, *keys: str, small_side_rows: int):
     ``System.gc()`` between operators): three pagerank variants'
     retained ~GB edge checkpoints OOM'd a 16g heap at 1000x before
     tools/graph_soak.py did exactly that (round-11 session)."""
-    if small_side_rows < BROADCAST_CEILING_ROWS:
+    boundary = (
+        BROADCAST_CEILING_ROWS if pin_at_rows is None else pin_at_rows
+    )
+    if small_side_rows < boundary:
         # no repartition: the partitioning would not survive the
         # checkpoint under AQE anyway (UnknownPartitioning), so the
         # shuffle would be pure build-time waste on this lane

@@ -871,3 +871,151 @@ def test_pinned_partition_cache_concurrent_registrations(spark):
     finally:
         for p in pinned:
             p.unpersist()
+
+
+def test_pinned_state_round_plan_single_exchange(spark):
+    """Round-12 pinned-STATE lane (r11 verdict #6): with the edge side
+    pinned by src and the rank state pinned by node, a full
+    pagerank-shaped round -- state->share projection riding
+    hash(node)=hash(src) into the edges join, groupBy(dst) agg,
+    rebuild left-join, dangling cross-join -- plans with exactly ONE
+    hash-partitioned Exchange: the aggregation's, which is fundamental
+    to the operator. The state branch of the rebuild join must carry
+    neither Exchange nor Sort. Broadcasts are disabled for the probe
+    so the planner must prove co-partitioning (at real lane scale,
+    >= PER_ROUND_BCAST_CEILING_ROWS rows, it cannot broadcast either).
+    Then session.pinned_state_cache must re-pin the round output's
+    partitioning WITHOUT a repartition, so the NEXT round plans the
+    same way -- the mechanism the per-round localCheckpoint erased."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dgraph_etl_spark.session import (
+        pinned_partition_cache,
+        pinned_state_cache,
+    )
+
+    edges = spark.range(4000).select(
+        (F.col("id") % 211).cast("string").alias("src"),
+        ((F.col("id") * 7 + 3) % 211).cast("string").alias("dst"),
+    )
+    nodes = spark.range(211).select(
+        F.col("id").cast("string").alias("node"),
+        F.when(F.col("id") % 5 != 0, (F.col("id") % 13 + 1).cast("double")).alias("om"),
+        F.lit(1.0 / 211).alias("rank"),
+    )
+    e = pinned_partition_cache(edges, "src")
+    cur = pinned_partition_cache(nodes, "node")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    nxt = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        dangling = cur.filter(F.col("om").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
+        )
+        share = cur.filter(F.col("om").isNotNull()).select(
+            F.col("node").alias("src"),
+            (F.col("rank") / F.col("om")).alias("share"),
+        )
+        contribs = (
+            e.join(share, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("in_share"))
+        )
+        nxt_plan = (
+            cur.drop("rank")
+            .join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "om",
+                (
+                    F.lit(0.15 / 211)
+                    + F.lit(0.85) * F.col("mass") / F.lit(211.0)
+                    + F.lit(0.85)
+                    * F.coalesce(F.col("in_share"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        plan = formatted_plan(nxt_plan)
+        # Per-round shuffles are the ENSURE_REQUIREMENTS exchanges
+        # (the pinned caches' own one-time REPARTITION_BY_NUM builds
+        # also print, inside their InMemoryRelation details -- those
+        # ran once at registration, not per round). Exactly two may
+        # exist: the contribs aggregation's hashpartitioning
+        # (fundamental to the operator) and the 1-row dangling-mass
+        # global agg's SinglePartition. NO O(nodes) exchange of the
+        # state/share/rebuild sides is allowed.
+        per_round = re.findall(
+            r"Arguments: (hashpartitioning|SinglePartition)"
+            r"[^\n]*ENSURE_REQUIREMENTS",
+            plan,
+        )
+        assert sorted(per_round) == [
+            "SinglePartition",
+            "hashpartitioning",
+        ], (per_round, plan)
+
+        # re-pin WITHOUT repartition: next-round-shaped consumers see
+        # the partitioning and ordering (no Exchange, no Sort over the
+        # cached branch of a keyed merge join)
+        nxt = pinned_state_cache(nxt_plan, "node")
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        probe = spark.range(211).select(
+            F.col("id").cast("string").alias("node"), F.lit(1).alias("w")
+        )
+        j = nxt.join(probe.hint("merge"), "node")
+        jplan = formatted_plan(j)
+        tree = jplan.split("(1) ", 1)[0]
+        left_branch = "\n".join(
+            line
+            for line in tree.splitlines()
+            if ":-" in line or "InMemory" in line
+        )
+        assert "InMemoryTableScan" in left_branch, jplan
+        assert "Exchange" not in left_branch, jplan
+        assert not re.search(r"\bSort\b(?!MergeJoin)", left_branch), jplan
+        # the round's arithmetic survived the pinning: same ranks as
+        # the identical round built from the RAW frames (no caches)
+        ref_share = nodes.filter(F.col("om").isNotNull()).select(
+            F.col("node").alias("src"),
+            (F.col("rank") / F.col("om")).alias("share"),
+        )
+        ref_mass = (
+            nodes.filter(F.col("om").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
+            .first()[0]
+        )
+        ref = {
+            r["node"]: r["rank"]
+            for r in nodes.drop("rank")
+            .join(
+                edges.join(ref_share, "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("share").alias("in_share")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.lit(0.15 / 211)
+                    + F.lit(0.85) * F.lit(ref_mass) / F.lit(211.0)
+                    + F.lit(0.85)
+                    * F.coalesce(F.col("in_share"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .collect()
+        }
+        got = {r["node"]: r["rank"] for r in nxt.collect()}
+        assert set(got) == set(ref)
+        assert all(abs(got[k] - ref[k]) < 1e-12 for k in ref), (
+            sorted((k, got[k], ref[k]) for k in ref if abs(got[k] - ref[k]) >= 1e-12)[:5]
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        if nxt is not None:
+            nxt.unpersist()
+        e.unpersist()
+        cur.unpersist()

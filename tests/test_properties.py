@@ -1464,3 +1464,63 @@ def test_null_text_contract_fingerprint_winnow_chunk_split(spark):
     import hashlib
 
     assert null_row.bucket == hashlib.md5(b"\x00").hexdigest()[:2]
+
+
+def test_pinned_state_lane_matches_small_lane(spark, monkeypatch):
+    """Round-12 pinned-state loops (pagerank family + hash-to-min):
+    forcing the >= PER_ROUND_BCAST_CEILING_ROWS lane at toy scale must
+    reproduce the small lane's results exactly, leave the session
+    adaptive, and leak no DataFrame cache (the loops swap per-round
+    caches and must unpersist every one)."""
+    import dgraph_etl_spark.session as S
+    from pyspark.sql import functions as F
+    from dgraph_etl_spark.graph.traverse import (
+        pagerank,
+        weakly_connected_components,
+    )
+
+    # cache-leak probe: only assert emptiness afterwards if OTHER
+    # tests' session-scoped caches aren't already present (suite
+    # order independence)
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = cache_mgr.isEmpty()
+
+    # two cycles + a dangling tail + an isolated pair: exercises
+    # dangling mass, multiple components, and convergence
+    edge_rows = (
+        [(str(i), str((i + 1) % 6), 1.0) for i in range(6)]
+        + [(str(10 + i), str(10 + (i + 1) % 4), 1.0) for i in range(4)]
+        + [("5", "20", 1.0), ("21", "22", 1.0)]
+    )
+    edges = spark.createDataFrame(edge_rows, ["src", "dst", "score"])
+
+    small_pr = {r.node: r.rank for r in pagerank(edges, n_iter=6).collect()}
+    small_cc = {
+        r.node: r.component
+        for r in weakly_connected_components(edges).collect()
+    }
+
+    monkeypatch.setattr(S, "PER_ROUND_BCAST_CEILING_ROWS", 1)
+    big_pr = {r.node: r.rank for r in pagerank(edges, n_iter=6).collect()}
+    big_cc = {
+        r.node: r.component
+        for r in weakly_connected_components(edges).collect()
+    }
+
+    assert set(big_pr) == set(small_pr)
+    # ranks are rounded to 6 dp inside pagerank; the lanes regroup the
+    # same per-dst sums, so values agree to an ulp before rounding
+    assert all(
+        abs(big_pr[k] - small_pr[k]) < 1e-9 for k in small_pr
+    ), sorted(
+        (k, big_pr[k], small_pr[k])
+        for k in small_pr
+        if abs(big_pr[k] - small_pr[k]) >= 1e-9
+    )[:5]
+    assert big_cc == small_cc
+
+    # session left adaptive, and the per-round cache swaps dropped
+    # every DataFrame cache (localCheckpoint blocks are not caches)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    if was_empty:
+        assert cache_mgr.isEmpty()
