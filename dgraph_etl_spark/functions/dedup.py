@@ -295,14 +295,32 @@ def ngram_jaccard_pairs(
     reproduces it in SQL). Jaccard = |A∩B| / (|A|+|B|-|A∩B|) computed
     from exploded shingle sets via a grouped equi-join -- set sizes and
     intersection counts are exact integers, the final division is one
-    IEEE op."""
-    # sh feeds BOTH self-join sides and the sizes agg; materialize it
-    # once (same rationale as lsh_candidate_pairs) -- otherwise the
-    # per-doc shingle explode is planned three times
-    sh = docs.select(
-        "doc_id", F.col(block_col).alias("blk"), F.explode(token_ngrams(n=n)).alias("g")
+    IEEE op.
+
+    Round-12 shape: each doc's set size is ``size(token_ngrams(...))``
+    computed IN-ROW before the explode (token_ngrams is already
+    distinct, so the array length IS the old post-explode
+    count-per-doc), carried on every shingle row, and grouped through
+    the intersection agg -- (doc_a, doc_b) determines (sz_a, sz_b), so
+    the extended grouping key changes nothing. That removes the sizes
+    aggregate (a full shingle-stream shuffle) and both size joins, and
+    leaves ``sh`` with one consumer per self-join side -- the
+    checkpoint shrinks to join-reuse only. The self-join itself stays
+    a streamed equi-join (NOT the in-row ordered_pairs form the LSH
+    lanes use): raw gram buckets are unbounded -- a stopword bigram
+    shared by k docs would flatten k^2 pair structs into ONE row --
+    while LSH band buckets are soak-bounded (hottest key 27 rows)."""
+    base = docs.select(
+        "doc_id",
+        F.col(block_col).alias("blk"),
+        token_ngrams(n=n).alias("gs"),
+    )
+    sh = base.select(
+        "doc_id",
+        "blk",
+        F.size("gs").alias("sz"),
+        F.explode("gs").alias("g"),
     ).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -313,23 +331,20 @@ def ngram_jaccard_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
-                4,
-            ),
-        )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+            4,
+        ),
     )
     return jac.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "n_common", "jaccard"

@@ -219,10 +219,23 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     division -- bit-identical across engines, unlike log-idf whose libm
     last-ulp differs). Ranking window is per-document (partitioned --
     no global sort); ties broken by token so results are total-ordered
-    and oracle-checkable."""
-    tok = tokenized(docs)
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    and oracle-checkable.
+
+    One tokenize pass (round 12): df is COUNT(DISTINCT doc_id) over
+    the token stream, which is exactly COUNT(*) over tf (one row per
+    (doc, token)) -- so dfreq derives from tf instead of re-scanning
+    and re-exploding the corpus, and tf is materialized once (lazy
+    localCheckpoint) because it feeds both dfreq and the weight join.
+    Only n_docs still reads the base table (a doc with zero tokens is
+    absent from tf but must count), and that scan is pruned to the
+    doc_id column."""
+    tf = (
+        tokenized(docs)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
     weighted = (
         tf.join(dfreq, "token")
@@ -732,9 +745,17 @@ def token_commonness(docs: DataFrame) -> DataFrame:
     corpus count is then a map-side-combinable sum over tf, and the
     tf-to-count join is the only token-keyed stage; stopword-grade hot
     tokens skew it, which AQE's skew-join splitting absorbs (the rows
-    per key are already collapsed to one per doc)."""
-    tf = tokenized(docs).groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("tf")
+    per key are already collapsed to one per doc).
+
+    tf feeds BOTH the corpus-count agg and the score join, so it is
+    materialized once (lazy localCheckpoint, round 12) -- without it
+    Catalyst plans the scan+explode+agg subtree per consumer and the
+    corpus is tokenized twice."""
+    tf = (
+        tokenized(docs)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     counts = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
     return (
@@ -793,9 +814,19 @@ def vocab_coverage(docs: DataFrame, num: int = 19, den: int = 20) -> DataFrame:
     over the vocabulary runs as per-band windows -- bands are the
     count's digit length, so band order IS count order -- plus a
     broadcast offset table of per-band totals; the only unpartitioned
-    window touches B <= 20 band totals, never the vocabulary."""
-    counts = tokenized(docs).groupBy("token").agg(
-        F.count(F.lit(1)).alias("cnt")
+    window touches B <= 20 band totals, never the vocabulary.
+
+    counts feeds THREE consumers (the banded cumsum, the band totals,
+    and the grand total), so it is materialized once (lazy
+    localCheckpoint, round 12): the vocabulary is tiny next to the
+    token stream, and without the checkpoint Catalyst plans the
+    scan+explode+agg subtree per consumer -- three full corpus
+    tokenize passes for one vocabulary."""
+    counts = (
+        tokenized(docs)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     banded = counts.withColumn("band", F.length(F.col("cnt").cast("string")))
     within = Window.partitionBy("band").orderBy(

@@ -109,7 +109,14 @@ def k_hop(
     if not edges.is_cached:
         edges = edges.cache()
         generation.append(edges)
-    visited = seeds.select("id")
+    # the seed set feeds every hop's plan THREE ways (hop-1 broadcast
+    # build, the visited anti-join, and later hops' visited unions);
+    # uncached, Catalyst re-plans the seed subtree (scan + filter +
+    # distinct exchange) per consumer -- g03's before-plan carried it
+    # three times. The set is tiny (a team's members), so cache it
+    # once per call (round 12), evicted generationally like frontiers.
+    visited = seeds.select("id").cache()
+    generation.append(visited)
     frontier = visited
     hops: list[DataFrame] = []
     for i in range(k):

@@ -1504,7 +1504,18 @@ def c15_incremental_dedup(spark, sf_dir):
     an exact copy (content-hash anti-join) nor a near-dup (2-gram
     Jaccard >= 0.5, language-blocked) of any corpus doc. Both screens
     are anti-joins against CORPUS-size state, linear in batch size --
-    never batch x batch or corpus x corpus."""
+    never batch x batch or corpus x corpus.
+
+    Round-12 shape (the ngram_jaccard_pairs treatment): each side's
+    per-doc set size is ``size(token_ngrams(...))`` computed IN-ROW
+    before the explode (token_ngrams is distinct, so the array length
+    IS the old post-explode count), carried on the gram rows, and
+    grouped through the intersection agg -- (i_id, c_id) determines
+    (si, sc), so the extended key changes nothing. That removes both
+    per-side size aggregates (each a full gram-stream shuffle of its
+    side) and both join-backs, and leaves each gram subtree with ONE
+    consumer, so the corpus is tokenized once per side instead of
+    twice."""
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") < 400)
     incoming = docs.filter(F.col("doc_id") >= 400)
@@ -1514,13 +1525,14 @@ def c15_incremental_dedup(spark, sf_dir):
     exact_ok = ih.join(ch, "h", "left_anti").select("doc_id")
 
     def grams(df):
-        return df.select(
-            "doc_id", "lang", F.explode(D.token_ngrams(n=2)).alias("g")
+        base = df.select(
+            "doc_id", "lang", D.token_ngrams(n=2).alias("gs")
+        )
+        return base.select(
+            "doc_id", "lang", F.size("gs").alias("sz"), F.explode("gs").alias("g")
         )
 
     ig, cg = grams(incoming), grams(corpus)
-    isz = ig.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    csz = cg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         ig.alias("i")
         .join(
@@ -1528,14 +1540,15 @@ def c15_incremental_dedup(spark, sf_dir):
             (F.col("i.lang") == F.col("c.lang")) & (F.col("i.g") == F.col("c.g")),
         )
         .groupBy(
-            F.col("i.doc_id").alias("i_id"), F.col("c.doc_id").alias("c_id")
+            F.col("i.doc_id").alias("i_id"),
+            F.col("c.doc_id").alias("c_id"),
+            F.col("i.sz").alias("si"),
+            F.col("c.sz").alias("sc"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     near = (
-        inter.join(isz.select(F.col("doc_id").alias("i_id"), F.col("sz").alias("si")), "i_id")
-        .join(csz.select(F.col("doc_id").alias("c_id"), F.col("sz").alias("sc")), "c_id")
-        .filter(
+        inter.filter(
             F.round(
                 F.col("n_common") / (F.col("si") + F.col("sc") - F.col("n_common")), 4
             )
@@ -3785,13 +3798,16 @@ def c64_containment_pairs(spark, sf_dir):
             )
         ).alias("gs"),
     )
-    # materialized once: exploded feeds BOTH self-join sides and the
-    # sizes agg (ngram_jaccard_pairs' rationale -- otherwise the
-    # per-doc shingle explode is planned three times)
+    # materialized once: exploded feeds BOTH self-join sides
+    # (ngram_jaccard_pairs' rationale). |A| is size(gs) computed
+    # IN-ROW before the explode (gs is distinct, so the array length
+    # IS the old post-explode count-per-doc) and grouped through the
+    # intersection agg -- doc_a determines sz, so the extended key
+    # changes nothing and the sizes aggregate (a full shingle-stream
+    # shuffle) plus its join-back disappear (round 12).
     exploded = grams.select(
-        "doc_id", F.explode("gs").alias("g")
+        "doc_id", F.size("gs").alias("sz"), F.explode("gs").alias("g")
     ).localCheckpoint()
-    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(
@@ -3802,15 +3818,12 @@ def c64_containment_pairs(spark, sf_dir):
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        inter.join(
-            sizes.withColumnRenamed("doc_id", "doc_a"),
-            "doc_a",
-        )
-        .withColumn(
+        inter.withColumn(
             "containment",
             F.round(F.col("n_common").cast("double") / F.col("sz"), 4),
         )
@@ -3861,7 +3874,13 @@ _SPARSE_SQL_CTES = f"""
 def _sparse_scores(docs):
     """tf x linear-idf fixed-point scores per doc (see
     c65_lexical_retrieval's docstring for the linear-not-log idf and
-    fixed-point rationale)."""
+    fixed-point rationale).
+
+    tf (tiny: docs x the 3 query terms) feeds BOTH the df agg and the
+    score join; the lazy localCheckpoint (round 12) materializes it
+    once, so the corpus scan+explode+filter runs once instead of per
+    consumer. df simplifies to COUNT(*) over tf (one row per
+    (doc, term))."""
     n_corpus = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
     tf = (
         docs.select(
@@ -3870,8 +3889,9 @@ def _sparse_scores(docs):
         .filter(F.col("term").isin(_SPARSE_QTERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_corpus))

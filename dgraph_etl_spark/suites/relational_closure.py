@@ -4740,9 +4740,18 @@ def b102_time_rollup_cascade(spark, sf_dir):
             "v_fp"
         ),
     )
-    hourly = minutely.groupBy(
-        "event_type", F.date_trunc("hour", F.col("bkt")).alias("bkt")
-    ).agg(F.sum("n").alias("n"), F.sum("v_fp").alias("v_fp"))
+    # hourly feeds BOTH the daily rollup and the output union; the
+    # lazy localCheckpoint (round 12) materializes the (event_type x
+    # hour)-sized level once -- without it Catalyst plans the whole
+    # minutely+hourly cascade per consumer and the FACT table is
+    # scanned and minutely-aggregated twice
+    hourly = (
+        minutely.groupBy(
+            "event_type", F.date_trunc("hour", F.col("bkt")).alias("bkt")
+        )
+        .agg(F.sum("n").alias("n"), F.sum("v_fp").alias("v_fp"))
+        .localCheckpoint(eager=False)
+    )
     daily = hourly.groupBy(
         "event_type", F.date_trunc("day", F.col("bkt")).alias("bkt")
     ).agg(F.sum("n").alias("n"), F.sum("v_fp").alias("v_fp"))
