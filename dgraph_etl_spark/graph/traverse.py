@@ -259,8 +259,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     counted twice. At 100 TB: orient by degree (low-degree endpoint
     first) instead of lexicographically to bound the wedge fan-out on
     hub vertices, and salt the residual hot keys -- the lexicographic
-    orientation here keeps the oracle SQL identical."""
-    und = undirected_edges(edges)
+    orientation here keeps the oracle SQL identical.
+
+    ``und`` feeds all three self-join sides; the lazy localCheckpoint
+    (round 12) materializes the canonical pair set once -- without it
+    Catalyst plans the scan+dedup subtree per side (3 edge-table
+    passes + 3 dedup exchanges for one triangle pass)."""
+    und = undirected_edges(edges).localCheckpoint(eager=False)
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a"))
     closed = wedges.join(
@@ -713,8 +718,13 @@ def jaccard_link_prediction(
     100 TB the hub mitigation is the degree-oriented variant /
     salting, as in triangle_count_degree_oriented). Existing edges
     are removed by one anti-join on the canonical pair; degrees
-    broadcast-join back onto the surviving candidates."""
-    und = undirected_edges(edges)
+    broadcast-join back onto the surviving candidates.
+
+    ``und`` feeds four consumers (both wedge sides and the degree agg
+    through the symmetric adjacency, plus the anti-join); the lazy
+    localCheckpoint (round 12) materializes the canonical pair set
+    once instead of re-planning scan+dedup per consumer."""
+    und = undirected_edges(edges).localCheckpoint(eager=False)
     sym = _symmetric_adjacency(und)
     deg = _degrees(sym)
     # wedge: x - n - y with x < y  =>  candidate pair (x, y), counted
@@ -757,8 +767,12 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
     hubs-to-leaves). Degree table joins back onto the symmetric
     adjacency keyed by the neighbor, then one sum/count per vertex:
     two hash aggs + one equi-join, exact integer sums with a single
-    IEEE division at the end."""
-    und = undirected_edges(edges)
+    IEEE division at the end.
+
+    ``und`` reaches the plan twice (the adjacency join side and the
+    degree agg, both through the symmetric adjacency); the lazy
+    localCheckpoint (round 12) materializes it once."""
+    und = undirected_edges(edges).localCheckpoint(eager=False)
     sym = _symmetric_adjacency(und)
     deg = _degrees(sym)
     ndeg = sym.join(

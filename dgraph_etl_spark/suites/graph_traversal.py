@@ -1352,9 +1352,13 @@ def g18_graph_profile(spark, sf_dir):
     the sanity numbers read before running any traversal at scale
     (degree skew decides salting; density decides whether wedge joins
     are feasible). Each statistic is a hash agg; the scalars combine
-    via cross-join of one-row frames (no data movement)."""
+    via cross-join of one-row frames (no data movement). ``und``
+    feeds the degree agg (twice, through the direction union) and the
+    undirected-edge count; the lazy localCheckpoint (round 12)
+    materializes the canonical pair set once instead of re-planning
+    scan+dedup per consumer."""
     edges, _, _ = _graph_inputs(spark, sf_dir)
-    und = G.undirected_edges(edges)
+    und = G.undirected_edges(edges).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -1429,9 +1433,13 @@ def g19_clustering_coefficient(spark, sf_dir):
     the oriented wedge-close join (each triangle once, all three
     members emitted); degree >= 2 filter excludes undefined
     coefficients. Same scale posture as triangle counting: equi-joins
-    only, hub mitigation = degree orientation + salting."""
+    only, hub mitigation = degree orientation + salting. ``und``
+    feeds FIVE consumers (three triangle self-join sides + the degree
+    agg's two direction branches); the lazy localCheckpoint (round 12)
+    materializes the canonical pair set once instead of re-planning
+    scan+dedup per consumer."""
     edges, _, _ = _graph_inputs(spark, sf_dir)
-    und = G.undirected_edges(edges)
+    und = G.undirected_edges(edges).localCheckpoint(eager=False)
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
@@ -1576,9 +1584,10 @@ def g22_degree_histogram(spark, sf_dir):
     join strategies: a heavy top bucket means salting / degree
     orientation, a flat profile means plain hash joins suffice. Two
     hash aggs; the bucket key is integer digit length (engine-portable,
-    no log)."""
+    no log). ``und`` feeds the degree agg twice (direction union);
+    the lazy localCheckpoint (round 12) materializes it once."""
     edges, _, _ = _graph_inputs(spark, sf_dir)
-    und = G.undirected_edges(edges)
+    und = G.undirected_edges(edges).localCheckpoint(eager=False)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
@@ -1929,11 +1938,16 @@ def g28_temporal_reachability(spark, sf_dir):
         F.unix_micros("last_update").alias("ts"),
     )
     seeds = G.team_seed(spark.table("team_member"), TEAM)
+    # t1 feeds the hop-2 extension join AND the earliest-arrival
+    # union; the lazy localCheckpoint (round 12) materializes the
+    # frontier-sized hop-1 arrival table once instead of re-planning
+    # the seed-join+agg subtree per consumer
     t1 = (
         F.broadcast(seeds)
         .join(tedges, F.col("id") == tedges["src"])
         .groupBy(F.col("dst").alias("tid"))
         .agg(F.min("ts").alias("arrival"))
+        .localCheckpoint(eager=False)
     )
     ext = t1.join(
         tedges,
