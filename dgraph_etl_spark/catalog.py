@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .session import SessionKeyedMap
-from .views import VIEW_SQL
+from .views import SPARK_VIEW_SQL, VIEW_SQL
 
 BASE_TABLES = [
     "region",
@@ -431,7 +431,12 @@ def register_views(
             load_table(spark, sf_dir, t).createOrReplaceTempView(t)
         for name, sql in VIEW_SQL.items():
             if name in want_views:
-                spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+                # Spark-dialect override where one exists (identical
+                # contents, parity-tested -- see views.SPARK_VIEW_SQL)
+                spark_sql = SPARK_VIEW_SQL.get(name, sql)
+                spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {spark_sql}"
+                )
         # same source: names registered earlier are still live temp
         # views, so coverage is the union; different source: only the
         # names just written are trustworthy (the rest of the catalog

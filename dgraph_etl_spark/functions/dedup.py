@@ -163,32 +163,57 @@ def minhash_mix_constants(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]
     ]
 
 
-def _seeded_mixes(base: Column, num_hashes: int) -> list[Column]:
-    """num_hashes affine mixes of one base hash: (a_i*h + b_i) mod P.
-    Deterministic seeds; each mix is 2 integer ops in codegen (vs. one
-    full string hash per seed -- ~num_hashes x cheaper per shingle)."""
-    return [
-        F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE31))
-        for a, b in minhash_mix_constants(num_hashes)
-    ]
-
-
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = NUM_HASHES, portable: bool = False
 ) -> DataFrame:
-    """C2: MinHash signature per document. One explode of the shingle
-    set, ONE hash per shingle (xxhash64 by default; md5-derived when
-    ``portable`` so SQL oracles replay it), then num_hashes affine
-    re-mixes (universal hashing mod 2^31-1) min-aggregated in a single
-    groupBy pass (map-side partial mins -> tiny shuffle). At 100 TB the
-    shuffle carries one 32-long row per document, nothing per-shingle."""
+    """C2: MinHash signature per document. ONE hash per shingle
+    (xxhash64 by default; md5-derived when ``portable`` so SQL oracles
+    replay it), then num_hashes affine re-mixes (universal hashing mod
+    2^31-1) min-folded ENTIRELY IN-ROW: each h_i is
+    ``array_min(transform(shingle_hashes, x -> (a_i*x+b_i) mod P))``
+    over the per-doc shingle-hash array -- a narrow projection inside
+    the scan's codegen span.
+
+    r12 shape: the previous form exploded the shingle array and
+    min-aggregated under groupBy(doc_id) -- the same arithmetic, plus
+    an explode, a per-task partial-agg hash table, an Exchange, and
+    the final agg, ALL removable because the shingle set is already
+    in-row. Per-doc signatures are a row-local function of the text,
+    so no shuffle is fundamental to this operator; the in-row fold
+    makes the whole signature stage exchange-free at any scale.
+    Equivalence: min over the exploded multiset == array_min over the
+    array (same elements); docs whose shingle array is NULL (NULL
+    text) were dropped by explode and are dropped by the filter here;
+    non-NULL texts always yield >= 1 shingle (greatest(cnt, 1)), so
+    no empty-array case exists. Duplicate doc_ids would no longer be
+    merged -- doc_id is the fixture's primary key (asserted unique at
+    every sf; the oracle's GROUP BY doc_id defines the same contract).
+    """
     sh = docs.select(
         "doc_id", token_hashes(portable=portable).alias("th")
-    ).select("doc_id", F.explode(rolled_ngram_hashes(F.col("th"))).alias("hb"))
-    mixes = _seeded_mixes(F.col("hb"), num_hashes)
-    return sh.groupBy("doc_id").agg(
-        *[F.min(m).alias(f"h{i}") for i, m in enumerate(mixes)]
+    ).select(
+        # rolled_ngram_hashes needs the materialized array column (see
+        # its docstring); hbs in turn materializes the shingle array so
+        # each of the 32 folds below is one pass over it, not a
+        # re-evaluation of the shingle pipeline
+        "doc_id",
+        rolled_ngram_hashes(F.col("th")).alias("hbs"),
     )
+    def _fold(a: int, b: int) -> Column:
+        # one-arg lambda via closure (PySpark reads the lambda's arity
+        # to decide the higher-order function's parameter list)
+        return F.array_min(
+            F.transform(
+                F.col("hbs"),
+                lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE31)),
+            )
+        )
+
+    mixes = [
+        _fold(a, b).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_mix_constants(num_hashes))
+    ]
+    return sh.filter(F.col("hbs").isNotNull()).select("doc_id", *mixes)
 
 
 def band_table(

@@ -1654,6 +1654,20 @@ def _norm_level(
         out = out.join(
             tbl.select("id", F.col(attr).alias(alias)), "id", "left"
         )
+    if node.children:
+        # ``out`` feeds TWO consumers per sub-block (the distinct-
+        # parent broadcast and the enrichment join below) and each
+        # level's output becomes the next iteration's input, so
+        # without materialization Catalyst re-plans the whole
+        # ancestor subtree per consumer -- geometrically: the audited
+        # g42 plan scanned the person-table fixture 11 times for a
+        # two-level body. The relations are frontier-sized (bounded
+        # by the root page's fan-out), so the lazy localCheckpoints
+        # here and on ``pairs`` (also two consumers: the child root
+        # and the enrichment join) cost one tiny write each and cap
+        # the plan at one scan per relation per level (r12; same
+        # discipline as _recurse_reach / the env steps).
+        out = out.localCheckpoint(eager=False)
     for idx, (pred, child) in enumerate(node.children):
         edges = graph.edge_preds.get(pred)
         if edges is None:
@@ -1671,6 +1685,7 @@ def _norm_level(
             # (traverse.expand's phantom-node note)
             .filter(F.col(f"{ea}.dst").isNotNull())
             .select("id", F.col(f"{ea}.dst").alias(dst_col))
+            .localCheckpoint(eager=False)
         )
         child_flat = _norm_level(
             pairs.select(F.col(dst_col).alias("id")).dropDuplicates(["id"]),
@@ -1697,15 +1712,17 @@ def _recurse_reach(
     discipline, with per-level localCheckpoints truncating lineage.
     Each level's frontier is materialized once for the empty-frontier
     early exit; visited grows by disjoint union (the anti-join
-    guarantees disjointness, so no dedup shuffle) of the CHECKPOINTED
-    frontiers, never re-materialized itself (round 12): re-
-    checkpointing the union each level re-wrote the whole O(V) reach
-    set per level -- O(V * depth) copy traffic -- while the union of
-    <= depth already-checkpointed frames recomputes for free and the
-    anti-join reads the same bytes either way. Depth is bounded by
-    the grammar's explicit ``depth: N``, so the plan stays small.
-    loop: true is accepted but executes the same pruned BFS -- the
-    flattened reach set is identical (see _parse_recurse)."""
+    guarantees disjointness, so no dedup shuffle) and is re-
+    checkpointed each level: a round-12 variant kept visited as the
+    lazy union of the <= depth checkpointed frontiers instead (saving
+    the O(V) copy per level), but the interleaved A/B measured it +24%
+    on g34 at sf0.1 -- each level's anti-join and broadcast then fan
+    out over k separate cached RDD scans (k x partitions tasks + a
+    k-way union per level), which costs more than the single
+    sequential rewrite it saves, and the checkpointed shape is the one
+    the 100x soak certified (ratio 5.3). loop: true is accepted but
+    executes the same pruned BFS -- the flattened reach set is
+    identical (see _parse_recurse)."""
     depth, _loop = block.recurse
     trav = [w for w in block.leaf_attrs if w in graph.edge_preds]
     leaves = [w for w in block.leaf_attrs if w not in graph.edge_preds]
@@ -1735,7 +1752,7 @@ def _recurse_reach(
         frontier = reached.localCheckpoint(eager=False)
         if frontier.isEmpty():
             break
-        visited = visited.unionByName(frontier)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
     return visited, leaves
 
 
@@ -2136,7 +2153,16 @@ def _apply_filter(
     """Filter the candidate uid set by the boolean term algebra:
     AND folds left-semi joins, OR union-dedups branch survivors, NOT
     is a left-anti join against the branch's survivors -- pure set
-    algebra on ``id``, no row ever widens."""
+    algebra on ``id``, no row ever widens.
+
+    OR and NOT fan ``cand`` out to several consumers (every OR branch
+    starts from it; NOT joins it against a branch derived from it),
+    and Catalyst plans the candidate subtree once PER consumer -- the
+    audited g31 plan re-ran the frontier build (seed join + hop +
+    dedup, with its fixture scans) five times for one two-branch
+    filter. The frontier is page-sized, so a lazy localCheckpoint at
+    each fan-out point caps the plan at one frontier build (r12; the
+    _norm_level / _recurse_reach discipline)."""
     kind = expr[0]
     if kind == "and":
         out = cand
@@ -2144,12 +2170,14 @@ def _apply_filter(
             out = _apply_filter(out, part, env, graph)
         return out
     if kind == "or":
+        cand = cand.localCheckpoint(eager=False)
         branches = [_apply_filter(cand, part, env, graph) for part in expr[1]]
         out = branches[0]
         for b in branches[1:]:
             out = out.unionByName(b)
         return out.dropDuplicates(["id"])
     if kind == "not":
+        cand = cand.localCheckpoint(eager=False)
         return cand.join(
             _apply_filter(cand, expr[1], env, graph), "id", "left_anti"
         )

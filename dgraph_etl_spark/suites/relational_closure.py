@@ -3799,11 +3799,18 @@ def b88_tpch_q2(spark, sf_dir):
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    eligible = ps.join(
-        F.broadcast(dim), ps["ps_suppkey"] == dim["s_suppkey"]
-    ).select(
-        "ps_partkey", "ps_supplycost", "s_suppkey", "s_acctbal", "s_name",
-        "n_name",
+    eligible = (
+        ps.join(F.broadcast(dim), ps["ps_suppkey"] == dim["s_suppkey"])
+        .select(
+            "ps_partkey", "ps_supplycost", "s_suppkey", "s_acctbal",
+            "s_name", "n_name",
+        )
+        # feeds BOTH the min-per-part agg and the final join: without
+        # materialization each consumer re-plans the partsupp
+        # derivation -- a second full lineitem scan plus a second
+        # (partkey, suppkey) agg exchange (r12; the relation itself is
+        # partsupp-sized, ~4 rows/part, dimension-class storage)
+        .localCheckpoint(eager=False)
     )
     min_cost = eligible.groupBy("ps_partkey").agg(
         F.min("ps_supplycost").alias("min_cost")
@@ -3869,7 +3876,9 @@ def b89_tpch_q11(spark, sf_dir):
     ).select("s_suppkey")
     eligible = ps.join(
         F.broadcast(dim), ps["ps_suppkey"] == dim["s_suppkey"]
-    )
+    ).localCheckpoint(eager=False)  # two consumers (per-part agg +
+    # grand total): uncheckpointed, each re-plans the partsupp
+    # derivation = a second lineitem scan + agg exchange (r12)
     per_part = eligible.groupBy("ps_partkey").agg(
         fpsum("ps_supplycost * ps_availqty", "part_value")
     )

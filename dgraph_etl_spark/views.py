@@ -57,11 +57,13 @@ VIEW_SQL: dict[str, str] = {
     # user_relationship (and therefore the events fixture) TWICE in
     # every consumer's plan; the 2-row VALUES cross join doubles rows
     # off ONE scan instead (Spark plans it as a BroadcastNestedLoopJoin
-    # over a 2-row local table, DuckDB as a tiny nested-loop -- both
-    # dialects execute this exact text, per this module's contract).
-    # The row multiset is identical: dir=0 emits the (from, to,
-    # raw_score_in) record, dir=1 the flipped (to, from, raw_score_out)
-    # record, exactly the two UNION ALL branches.
+    # over a 2-row local table, DuckDB as a tiny nested-loop). The row
+    # multiset is identical: dir=0 emits the (from, to, raw_score_in)
+    # record, dir=1 the flipped (to, from, raw_score_out) record,
+    # exactly the two UNION ALL branches. Spark does NOT execute this
+    # text -- see SPARK_VIEW_SQL["edges"] below (the BNLJ breaks the
+    # scan's whole-stage-codegen span; the interleaved A/B measured
+    # a18 +23% on this text vs the Generate-based override).
     "edges": """
         SELECT src, dst, MAX(score) AS score FROM (
           SELECT CASE WHEN d.dir = 0 THEN from_person_id
@@ -71,6 +73,37 @@ VIEW_SQL: dict[str, str] = {
                  CAST(CASE WHEN d.dir = 0 THEN raw_score_in
                            ELSE raw_score_out END AS DOUBLE) AS score
           FROM user_relationship CROSS JOIN (VALUES (0), (1)) AS d(dir)
+        ) both_directions
+        GROUP BY src, dst
+    """,
+}
+
+# Spark-dialect overrides, used by catalog.register_views in place of
+# the dialect-neutral text above (DuckDB oracles always execute
+# VIEW_SQL). An override must produce the IDENTICAL row multiset --
+# tests/test_fixture_contract.py executes BOTH texts on Spark and
+# asserts exceptAll-empty in both directions, so a drift between the
+# two fails the suite, preserving the bit-identical-views guarantee
+# the module docstring makes.
+#
+# edges (round 12): LATERAL VIEW inline() doubles rows off one scan
+# INSIDE the scan's whole-stage-codegen span -- the dialect-neutral
+# 2-row VALUES cross join plans as a BroadcastNestedLoopJoin, which
+# breaks codegen and measured +0.04s on the bare view and +23% on
+# a18_rdf_triples (interleaved A/B vs r11's two-scan UNION ALL); the
+# Generate form is faster than BOTH (0.363s vs 0.380 union / 0.423
+# BNLJ on the bare view at sf0.1) while keeping the single scan every
+# graph/RDF consumer inherits.
+SPARK_VIEW_SQL: dict[str, str] = {
+    "edges": """
+        SELECT src, dst, MAX(score) AS score FROM (
+          SELECT rec.src, rec.dst, CAST(rec.raw AS DOUBLE) AS score
+          FROM user_relationship
+          LATERAL VIEW inline(array(
+            named_struct('src', from_person_id, 'dst', to_person_id,
+                         'raw', raw_score_in),
+            named_struct('src', to_person_id, 'dst', from_person_id,
+                         'raw', raw_score_out))) rec
         ) both_directions
         GROUP BY src, dst
     """,

@@ -297,3 +297,27 @@ def test_load_suites_rolls_back_on_partial_import_failure(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert "ROLLBACK_OK" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_spark_view_overrides_match_dialect_neutral_text(spark):
+    """views.SPARK_VIEW_SQL parity guard: for every Spark-dialect view
+    override, the override and the dialect-neutral VIEW_SQL text (the
+    one every DuckDB oracle executes) must produce the identical row
+    multiset on Spark. This is the load-bearing link in the module's
+    bit-identical-views guarantee once the two dialects stop sharing
+    one text: VIEW_SQL == oracle side by construction, override ==
+    VIEW_SQL by THIS test, therefore override == oracle side."""
+    from dgraph_etl_spark.catalog import register_views
+    from dgraph_etl_spark.views import SPARK_VIEW_SQL, VIEW_SQL
+
+    assert set(SPARK_VIEW_SQL) <= set(VIEW_SQL)
+    # register the real (override-backed) views first so the neutral
+    # text's view references (e.g. user_relationship) resolve
+    register_views(spark, "/root/testdata/sf0.001", force=True)
+    for name, override_sql in SPARK_VIEW_SQL.items():
+        neutral = spark.sql(VIEW_SQL[name])
+        override = spark.sql(override_sql)
+        assert neutral.schema == override.schema, name
+        missing = neutral.exceptAll(override).count()
+        extra = override.exceptAll(neutral).count()
+        assert missing == 0 and extra == 0, (name, missing, extra)
