@@ -32,6 +32,7 @@ def asof_join(
     ts: str,
     right_cols: list[str],
     matched_ts: str = "matched_ts",
+    right_order: list[str] | None = None,
 ) -> DataFrame:
     """Backward as-of left join. ``left`` keeps all its columns;
     ``right`` contributes ``right_cols`` plus ``matched_ts`` (the ts of
@@ -39,7 +40,17 @@ def asof_join(
 
     ``on`` is the equality key, ``ts`` the ordering column (any
     comparable type; epoch-micros longs keep oracles exact). Rows of
-    ``right`` must be unique per (on, ts) — pre-aggregate if not.
+    ``right`` must be unique per (on, ts) — pre-aggregate, OR pass
+    ``right_order``: extra right columns appended to the carry
+    window's sort; among equal-(on, ts) right rows the LAST in
+    ascending ``right_order`` is the one carried (ascending NULLS
+    FIRST, so e.g. ``right_order=["v"]`` carries MAX(v), NULLs losing
+    to values — exactly a ``GROUP BY on, ts AGG MAX(v)`` pre-pass, but
+    WITHOUT that pass's full exchange of the right stream: the dedup
+    rides the one exchange + sort the carry-forward already pays
+    (round 12). The caller must pick columns that order duplicates
+    deterministically (any column set whose struct payload is equal
+    for still-tied rows qualifies).
 
     NULL semantics follow SQL/DuckDB ASOF: a right row with NULL ts or
     NULL key never matches anything (``r.ts <= l.ts`` and ``r.k = l.k``
@@ -69,6 +80,13 @@ def asof_join(
             f"right_cols {sorted(bad)} collide with the join's on/ts "
             "columns (both are emitted from the left side); alias the "
             "right column before the as-of join"
+        )
+    stray = set(right_order or []) - set(right_cols)
+    if stray:
+        raise ValueError(
+            f"right_order columns {sorted(stray)} are not in right_cols; "
+            "the window orders by the carried struct's fields, so every "
+            "dedup key must be carried"
         )
     reserved = {_TAG, "_r"} & set(left.columns)
     if reserved:
@@ -119,10 +137,16 @@ def asof_join(
     )
     combined = l_tagged.unionByName(r_tagged)
     # right rows (tag 0) sort before left rows (tag 1) at equal ts, so
-    # an equal-timestamp right row is visible to the left row (ts >= ts)
+    # an equal-timestamp right row is visible to the left row (ts >= ts).
+    # right_order keys come AFTER the tag: they order right rows among
+    # themselves only, and left rows' all-NULL _r fields never compare
+    # against a right row's (the tag differs first).
+    order = [F.col(ts), F.col(_TAG)] + [
+        F.col(f"_r.{c}") for c in (right_order or [])
+    ]
     w = (
         Window.partitionBy(on)
-        .orderBy(ts, _TAG)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = combined.select(

@@ -895,8 +895,19 @@ def bigram_plausibility(docs: DataFrame) -> DataFrame:
     transitions = base.select(
         "doc_id", F.explode(grams).alias("g")
     ).select("doc_id", "g.prev_tok", "g.next_tok")
-    cond = transitions.groupBy("prev_tok", "next_tok").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # cond feeds BOTH totals and the probs join: uncheckpointed,
+    # Catalyst re-plans the whole corpus explode + (prev,next) exchange
+    # per consumer (audited: 3 corpus scans, the model exchange paid
+    # twice). The conditional table is distinct-bigram-sized --
+    # vocabulary-scale, not corpus-scale -- so materializing it once is
+    # the cheap side of that trade (round 12). The transitions relation
+    # itself is one row per corpus token and is deliberately NOT
+    # checkpointed: its second consumer (the score join) pays only a
+    # re-scan + map-side explode, cheaper at any scale than storing it.
+    cond = (
+        transitions.groupBy("prev_tok", "next_tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     totals = cond.groupBy("prev_tok").agg(F.sum("cnt").alias("total"))
     probs = cond.join(totals, "prev_tok").select(

@@ -1926,23 +1926,40 @@ def c31_snapshot_diff(spark, sf_dir):
 def _snapshot_v2(docs):
     """c31's deterministic v2 snapshot derivation (every 7th revised,
     every 13th dropped, every 11th cloned as new), shared by the
-    shuffle lane and its bucketed twin."""
-    return (
-        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0))
-        .select(
-            "doc_id", F.md5(F.concat(F.col("text"), F.lit(" [rev]"))).alias("h")
-        )
-        .unionByName(
-            docs.filter(
-                (F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 13 != 0)
-            ).select("doc_id", F.md5("text").alias("h"))
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 11 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
-                F.md5(F.concat(F.lit("new "), F.col("text"))).alias("h"),
+    shuffle lane and its bucketed twin.
+
+    Single-scan form (round 12): the textual three-branch union scanned
+    the corpus THREE times, and the modulo predicates never push down
+    to parquet (no row-group skipping), so each branch paid a full
+    text-column read. Each doc's 0-2 output rows are built IN-ROW
+    instead (survivor/revision row + clone row, NULL-compacted) and
+    exploded off ONE scan -- same rows, same md5 count, one corpus read
+    instead of three at any scale."""
+    did = F.col("doc_id")
+    survivor = F.when(
+        did % 13 != 0,
+        F.struct(
+            did.alias("doc_id"),
+            F.when(
+                did % 7 == 0,
+                F.md5(F.concat(F.col("text"), F.lit(" [rev]"))),
             )
-        )
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        ),
+    )
+    clone = F.when(
+        did % 11 == 0,
+        F.struct(
+            (did + 1000000).alias("doc_id"),
+            F.md5(F.concat(F.lit("new "), F.col("text"))).alias("h"),
+        ),
+    )
+    rows = F.filter(
+        F.array(survivor, clone), lambda x: x.isNotNull()
+    )
+    return docs.select(F.explode(rows).alias("r")).select(
+        F.col("r.doc_id").alias("doc_id"), F.col("r.h").alias("h")
     )
 
 
@@ -3536,7 +3553,13 @@ def c59_source_centroid_drift(spark, sf_dir):
             F.array_sort(F.collect_list(F.struct("pos", "m"))),
             lambda s_: s_["m"],
         ).alias("cv")
-    )
+    ).localCheckpoint(eager=False)
+    # ^ cents feeds BOTH sides of the pairwise self-join below:
+    # uncheckpointed, Catalyst re-plans the docs-join + posexplode +
+    # centroid agg subtree per side (audited: docs and embeddings each
+    # scanned twice). The centroid table is one row per SOURCE -- a
+    # handful of rows at any corpus size -- so materializing it is free
+    # and the whole upstream pipeline runs once (round 12).
     a = cents.select(
         F.col("source").alias("source_a"), F.col("cv").alias("cva")
     )

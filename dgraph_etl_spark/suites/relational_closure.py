@@ -1462,10 +1462,16 @@ def b44_asof_join(spark, sf_dir):
     trades = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts_us", "event_id", F.col("value").alias("trade_value")
     )
-    quotes = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts_us")
-        .agg(F.max("value").alias("quote_value"))
+    # the oracle pre-aggregates quotes to MAX(value) per (user, ts);
+    # Spark folds that dedup into the carry-forward window instead
+    # (right_order=["quote_value"]: the max-value view row sorts last
+    # among equal-ts duplicates, so it is the one carried -- provably
+    # the same row the GROUP BY produced, both its fields being
+    # (ts, MAX(value))). Drops the pre-agg's full exchange of the view
+    # stream: the as-of join is back to its designed ONE exchange +
+    # one per-key sort for the whole query (round 12).
+    quotes = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_us", F.col("value").alias("quote_value")
     )
     return asof_join(
         trades,
@@ -1474,6 +1480,7 @@ def b44_asof_join(spark, sf_dir):
         ts="ts_us",
         right_cols=["quote_value"],
         matched_ts="quote_ts_us",
+        right_order=["quote_value"],
     )
 
 
@@ -2945,19 +2952,35 @@ def b72_table_fingerprint(spark, sf_dir):
 def b73_retention_cohorts(spark, sf_dir):
     """B73: retention cohort matrix -- users grouped by first-seen
     week, counted per weeks-since-cohort of later activity (the
-    product-analytics staple). Three hash aggs, all keyed by user or
-    (cohort, offset); the distinct-activity step collapses events to
-    user-weeks BEFORE the join so the cohort join moves user-week
-    rows, never raw events."""
-    ev = _t(spark, sf_dir, "events")
+    product-analytics staple). Spark shape (round 12): ONE per-user
+    pass -- groupBy(user).agg(min week, collect_set week) computes the
+    cohort AND the distinct active weeks together, the explode of the
+    per-user week set replaces the firsts-to-activity join, and the
+    distinct-user count per (cohort, offset) collapses to a plain
+    count because each (user, week) occurs exactly once after the
+    in-row set dedup. The oracle text's two-scan join + COUNT DISTINCT
+    plan becomes 1 scan and 2 exchanges (raw user-weeks once, then the
+    tiny cohort-matrix agg) with no join and no count-distinct Expand;
+    the per-user set is bounded by the timeline's week count, never by
+    event volume."""
+    # NULL users never survive the oracle's inner join -- the fixture
+    # carries none, but the filter keeps the single-pass form
+    # join-equivalent by construction. (A NULL ts would be the one
+    # residual divergence -- collect_set drops it where the join kept
+    # the NULL week; the events fixture is NOT NULL there at every sf,
+    # same fixture contract the dedup lanes document.)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     week = F.unix_micros(F.date_trunc("week", "ts"))
-    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
-    activity = ev.select(
-        "user_id", week.alias("active_week")
-    ).dropDuplicates(["user_id", "active_week"])
     wk_us = 7 * 24 * 3600 * 1_000_000
+    per_user = ev.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week"),
+        F.collect_set(week).alias("weeks"),
+    )
     return (
-        firsts.join(activity, "user_id")
+        per_user.select(
+            "cohort_week",
+            F.explode("weeks").alias("active_week"),
+        )
         .groupBy(
             "cohort_week",
             (
@@ -2966,7 +2989,7 @@ def b73_retention_cohorts(spark, sf_dir):
             .cast("bigint")
             .alias("weeks_since"),
         )
-        .agg(F.count_distinct("user_id").alias("n_active"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
 
 
@@ -3559,9 +3582,16 @@ def b85_tpch_q15(spark, sf_dir):
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-04-01")
     )
-    revenue = li.groupBy(
-        F.col("l_suppkey").alias("supplier_no")
-    ).agg(fpsum("l_extendedprice * (1 - l_discount)", "total_revenue"))
+    # two consumers (the max scalar and the equality filter): Catalyst
+    # re-plans the scan + suppkey agg per consumer -- checkpoint the
+    # supplier-count-sized view once instead (b88/b89's fix; the
+    # "MATERIALIZED" the oracle text already declares). Plan: 2 lineitem
+    # scans + 2 revenue-agg exchanges -> 1 + 1 (round 12).
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(fpsum("l_extendedprice * (1 - l_discount)", "total_revenue"))
+        .localCheckpoint(eager=False)
+    )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     s = _t(spark, sf_dir, "supplier")
     return (
@@ -3658,11 +3688,27 @@ def b87_tpch_q21(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderstatus"
     )
-    return _q21_fold(spark, sf_dir, li, o)
+    return _q21_fold(spark, sf_dir, li, o, single_exchange=True)
 
 
-def _q21_fold(spark, sf_dir, li, o):
-    """Q21's EXISTS-fold, shared by the shuffle and bucketed lanes."""
+def _q21_fold(spark, sf_dir, li, o, single_exchange=False):
+    """Q21's EXISTS-fold, shared by the shuffle and bucketed lanes.
+
+    ``single_exchange`` (the shuffle lane): both grouping levels key on
+    l_orderkey (the pair level's key is a superset), so ONE explicit
+    hash partitioning by l_orderkey below the first groupBy satisfies
+    both aggregations' distribution requirements -- the plan drops from
+    two fact-grain exchanges (pair-level partials, then order-level
+    partials) to one (guide: two operations keyed the same way share
+    one exchange). The exchanged rows are projected down to
+    (l_orderkey, l_suppkey, is_late boolean) FIRST, so the single
+    exchange also moves strictly fewer bytes than either of the two it
+    replaces did (they carried partial-agg state; map-side partial agg
+    bought ~nothing here -- lineitem averages ~1.2 rows per
+    (orderkey, suppkey)). The bucketed lane passes False: its SMJ
+    output is already hash(orderkey)-clustered and both agg levels are
+    bucket-local with zero exchanges -- an explicit repartition would
+    ADD one."""
     o = o.filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
@@ -3673,10 +3719,14 @@ def _q21_fold(spark, sf_dir, li, o):
     late = F.col("l_shipdate") > (
         F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     )
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    if single_exchange:
+        joined = joined.repartition(F.col("l_orderkey"))
     per_pair = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.count(F.when(late, 1)).alias("late_rows"))
+        joined.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.when(F.col("is_late"), 1)).alias("late_rows"))
     )
     is_late = F.col("late_rows") > 0
     per_order = (

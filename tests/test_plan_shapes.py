@@ -118,6 +118,15 @@ CONTRACTS += [
         "the orientation predicate fell out of the join keys",
     ),
     (
+        "b73_retention_cohorts",
+        ["collect_set"],
+        ["Join", "Expand"],
+        "retention matrix is ONE per-user pass (round 12): a Join means "
+        "the firsts-to-activity join came back, an Expand means the "
+        "per-cell count regressed to a COUNT DISTINCT over non-unique "
+        "user-weeks",
+    ),
+    (
         "b51_tpch_q3",
         ["TakeOrderedAndProject", "EqualTo(c_mktsegment,BUILDING)"],
         ["rangepartitioning", "CartesianProduct"],
@@ -287,11 +296,13 @@ def test_span_dedup_single_explode(spark, sf_small):
 
 
 def test_asof_join_exchange_budget(spark, sf_small):
-    """B44 scale contract: at most two exchanges -- one keying the
-    quote pre-dedup agg, one keying the carry-forward window. Any more
-    means the union stopped aligning partitioning across stages."""
+    """B44 scale contract (tightened round 12): exactly ONE exchange
+    -- the carry-forward window's user keying. The quote pre-dedup agg
+    no longer exists (equal-ts duplicates resolve inside the window's
+    sort via right_order), so a second exchange reappearing means the
+    pre-agg snuck back in."""
     plan = plan_of(spark, sf_small, "b44_asof_join")
-    assert plan.count(") Exchange") <= 2, plan
+    assert plan.count(") Exchange") == 1, plan
 
 
 def test_sessionize_single_exchange(spark, sf_small):
@@ -544,7 +555,10 @@ def test_q21_two_level_agg_no_expand(spark, sf_small):
     plan = plan_of(spark, sf_small, "b87_tpch_q21")
     assert "Expand" not in plan, plan
     assert plan.count("lineitem") == 1, plan
-    assert plan.count(") Exchange") <= 3, plan
+    # round 12: ONE fact-grain exchange (REPARTITION_BY_COL on
+    # l_orderkey feeds both agg levels) + the ~100-supplier rollup
+    assert plan.count(") Exchange") <= 2, plan
+    assert "REPARTITION_BY_COL" in plan, plan
 
 
 def test_q20_fused_single_lineitem_pass(spark, sf_small):

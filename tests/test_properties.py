@@ -1170,6 +1170,63 @@ def test_asof_join_rejects_on_ts_in_right_cols(spark):
         asof_join(left, right, on="k", ts="ts", right_cols=["v", "ts"])
 
 
+def test_asof_join_right_order_dedup_equals_max_preagg(spark):
+    """right_order (round 12): equal-(key, ts) right duplicates are
+    resolved inside the carry-forward window's sort instead of a
+    pre-aggregation exchange -- the carried row must be EXACTLY the one
+    a GROUP BY k, ts AGG MAX(v) pre-pass would have produced, including
+    NULL v losing to any value (MAX ignores NULLs) and an all-NULL
+    group carrying NULL."""
+    from dgraph_etl_spark.functions.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 10, "c")],
+        "k int, ts int, lv string",
+    )
+    right = spark.createDataFrame(
+        [
+            # k=1, ts=10: duplicates 3.0 / 9.0 / NULL -> max 9.0
+            (1, 10, 3.0),
+            (1, 10, 9.0),
+            (1, 10, None),
+            # k=1, ts=15: single row, later match for the ts=20 left row
+            (1, 15, 5.0),
+            # k=2, ts=10: ALL-NULL duplicate group -> carried NULL
+            (2, 10, None),
+            (2, 10, None),
+        ],
+        "k int, ts int, v double",
+    )
+    out = {
+        (r.k, r.ts): (r.v, r.matched_ts)
+        for r in asof_join(
+            left, right, on="k", ts="ts", right_cols=["v"],
+            right_order=["v"],
+        ).collect()
+    }
+    assert out[(1, 10)] == (9.0, 10)  # max of the equal-ts duplicates
+    assert out[(1, 20)] == (5.0, 15)  # later row still wins over dups
+    assert out[(2, 10)] == (None, 10)  # all-NULL group: row kept, v NULL
+
+
+def test_asof_join_right_order_must_be_carried(spark):
+    """right_order columns order the carried struct's fields, so a
+    column not in right_cols cannot be sorted on -- reject loudly."""
+    import pytest
+
+    from dgraph_etl_spark.functions.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, "L")], "k int, ts int, lv string")
+    right = spark.createDataFrame(
+        [(1, 50, 7.0, 1.0)], "k int, ts int, v double, w double"
+    )
+    with pytest.raises(ValueError, match="right_order"):
+        asof_join(
+            left, right, on="k", ts="ts", right_cols=["v"],
+            right_order=["w"],
+        )
+
+
 def test_c06_quality_score_empty_text_is_null_not_error(spark):
     """text='' has n_chars=0; under ANSI mode a plain division would
     abort the whole job -- the empty doc must score NULL
