@@ -429,9 +429,13 @@ def _pagerank_rounds(
     # -- so instead of broadcasting ANY side, the whole round rides
     # co-partitioning: the edge table is partition+order pinned by src
     # ONCE, and the rank state is re-pinned by node each round via
-    # session.pinned_state_cache (no repartition -- the round plan's
-    # output is already hash(node, N); only the checkpoint used to
-    # erase that). Round plan past the ceiling: state->share rides
+    # session.pinned_state_cache (an AQE-off localCheckpoint: no
+    # repartition -- the round plan's output is already hash(node, N),
+    # only an ADAPTIVE checkpoint erases that -- and the lineage cut
+    # is load-bearing: the round reads the state three ways, so an
+    # un-truncated plan grows ~3^k and OOM'd the driver during cache
+    # canonicalization on the 1000x soak). Round plan past the
+    # ceiling: state->share rides
     # hash(node)=hash(src) into a zero-exchange zero-sort SMJ with the
     # pinned edges; groupBy(dst) is the round's ONE O(nodes) exchange;
     # the rebuild left-join is zero-exchange (state pinned + contribs

@@ -176,44 +176,55 @@ PER_ROUND_BCAST_CEILING_ROWS = 500_000
 def pinned_state_cache(df, *keys: str):
     """The PER-ROUND complement to :func:`pinned_partition_cache` for
     iterative loops whose round output is ALREADY hash-partitioned by
-    ``keys`` by construction: persist ``df`` WITHOUT repartitioning,
-    pinning whatever partitioning its plan reports (plus in-partition
-    order by ``keys``) into the InMemoryRelation.
+    ``keys`` by construction: an EAGER ``localCheckpoint`` taken with
+    AQE off, which (unlike an adaptive checkpoint) captures the
+    physical plan's concrete HashPartitioning + in-partition order
+    into the LogicalRDD -- the next round's joins see hash(keys, N) +
+    ordering and plan zero-exchange zero-sort, AND the round's lineage
+    is truncated.
 
     Why it exists (round-12 rebuild-lane fix, VERDICT r11 #6): past
     ``PER_ROUND_BCAST_CEILING_ROWS`` the pagerank/hash-to-min rebuild
     join was a per-round shuffle of two O(nodes) sides, because the
-    per-round ``localCheckpoint`` erased the state's partitioning
-    (UnknownPartitioning under AQE) even though the round plan's output
-    IS hash(key, N)-partitioned -- the rebuild join's own output
-    partitioning survives every project/broadcast-join above it. With
-    the state persisted through THIS helper each round instead, the
-    next round's joins see HashPartitioning(keys, N) + ordering on both
-    sides and plan zero-exchange: the only O(rows) exchange left per
-    round is the aggregation that is fundamental to the operator.
+    per-round ADAPTIVE ``localCheckpoint`` erased the state's
+    partitioning (UnknownPartitioning) even though the round plan's
+    output IS hash(key, N)-partitioned.
+
+    Why localCheckpoint and NOT ``persist()`` (the 1000x re-soak
+    find, this round): a persist pins partitioning but does NOT
+    truncate the logical plan, and an iterative round references its
+    state THREE ways (share, dangling mass, rebuild), so the
+    un-truncated plan tree grows ~3^k with round count -- cache
+    registration canonicalizes that tree and the 1000x pagerank soak
+    OOM'd the 16g DRIVER heap inside plan canonicalization around
+    round 7 (java heap space in QueryPlan.doCanonicalize under
+    ``persist``). The AQE-off checkpoint keeps the partitioning
+    contract (verified: two such frames SMJ with 0 exchanges 0 sorts;
+    a groupBy over one plans 0 exchanges; an AQE-ON checkpoint of the
+    same plan needs 1) while cutting the plan back to O(1) per round.
 
     The ``sortWithinPartitions`` is a guarantee, not always a cost:
-    where the round plan already reports the order (SMJ output riding
-    up through projects) Spark's RemoveRedundantSorts elides it; where
-    a BroadcastNestedLoopJoin dropped the ordering REPORT the data is
-    still physically near-sorted and the sort is an in-partition pass,
-    never an exchange.
+    where the round plan already reports the order Spark's
+    RemoveRedundantSorts elides it; where a BroadcastNestedLoopJoin
+    dropped the ordering REPORT the data is still physically
+    near-sorted and the sort is an in-partition pass, never an
+    exchange.
 
-    Same AQE-off registration window (and the same ``_PIN_GUARD``
-    serialization) as pinned_partition_cache -- an adaptively
-    registered cache reports UnknownPartitioning downstream, which is
-    the exact failure this helper exists to prevent. Callers own
-    ``out.unpersist()``: a loop swaps the previous round's cache out
-    AFTER the new round materialized (the count here), and must
-    materialize its final result OFF the cache (localCheckpoint)
-    before the last unpersist."""
+    Same AQE-off window (and ``_PIN_GUARD`` serialization) as
+    pinned_partition_cache -- the flip must cover the checkpoint's
+    plan compilation, which is where the partitioning is captured.
+    Lifecycle: callers' ``unpersist()`` on the returned frame is a
+    no-op (nothing is registered with the cache manager); checkpoint
+    blocks are freed by the ContextCleaner once the round's reference
+    is dropped and the JVM GCs -- long multi-operator sessions at
+    scale set ``spark.cleaner.periodicGC.interval`` (see
+    iterative_loop_side's docstring; tools/graph_soak.py does)."""
     spark = df.sparkSession
     with _PIN_GUARD:
         prev = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
-            out = df.sortWithinPartitions(*keys).persist()
-            out.count()
+            out = df.sortWithinPartitions(*keys).localCheckpoint()
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev)
     return out

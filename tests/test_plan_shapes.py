@@ -973,7 +973,10 @@ def test_pinned_state_round_plan_single_exchange(spark):
 
         # re-pin WITHOUT repartition: next-round-shaped consumers see
         # the partitioning and ordering (no Exchange, no Sort over the
-        # cached branch of a keyed merge join)
+        # checkpointed branch of a keyed merge join). Since the 1000x
+        # re-soak OOM find the pin is an AQE-off localCheckpoint, so
+        # the branch must ALSO be lineage-truncated: a bare RDD scan,
+        # not a re-planned round subtree.
         nxt = pinned_state_cache(nxt_plan, "node")
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
         probe = spark.range(211).select(
@@ -985,11 +988,15 @@ def test_pinned_state_round_plan_single_exchange(spark):
         left_branch = "\n".join(
             line
             for line in tree.splitlines()
-            if ":-" in line or "InMemory" in line
+            if ":-" in line or "ExistingRDD" in line
         )
-        assert "InMemoryTableScan" in left_branch, jplan
+        assert "Scan ExistingRDD" in left_branch, jplan
         assert "Exchange" not in left_branch, jplan
         assert not re.search(r"\bSort\b(?!MergeJoin)", left_branch), jplan
+        # lineage truncated: no trace of the round's joins/aggs in the
+        # pinned frame's own plan (the 3^k plan-growth driver OOM)
+        own = formatted_plan(nxt)
+        assert "Join" not in own and "HashAggregate" not in own, own
         # the round's arithmetic survived the pinning: same ranks as
         # the identical round built from the RAW frames (no caches)
         ref_share = nodes.filter(F.col("om").isNotNull()).select(
