@@ -76,6 +76,35 @@ HEADLINE = [
 # by a soak run would silently narrow their coverage.
 HEADLINE_ALL = list(HEADLINE)
 
+# Heavy lane (round-13, VERDICT r12 #1): the most expensive operator
+# paths, meant to be run at sf1 (tools/bench_heavy.py builds the 10x
+# key-remapped fixture) where plan-level wins resolve above the host's
+# documented +-20% sub-second floor noise. Opt-in ONLY -- the default
+# `python bench.py` contract (headline set, JSON line) is unchanged;
+# select with SPARK_GRAFT_BENCH_PROFILE=heavy (or an explicit
+# SPARK_GRAFT_BENCH_QUERIES, which takes precedence).
+HEAVY_PROFILE = [
+    "c02_minhash_lsh_pairs",   # most expensive headline (MinHash+LSH)
+    "g34_dql_recurse",         # 2nd: per-level BFS checkpoints
+    "b87_tpch_q21",            # r12 single fact exchange claim
+    "b51_tpch_q3",             # fact join + agg floor
+    "c27_span_dedup",          # r12 shared-h-exchange open question
+    "c07_term_stats",          # analyzed-and-left two-level agg
+    "g42_dql_normalize",       # residual 6-exchange/3-SMJ shape
+    "a18_rdf_triples",         # widest union/format pipeline
+    "c13_token_budget_pack",   # r12 checkpoint-tax crossover question
+    "b44_asof_join",           # r12 2->1 exchange claim
+]
+
+_PROFILE = os.environ.get("SPARK_GRAFT_BENCH_PROFILE")
+if _PROFILE and not os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
+    if _PROFILE != "heavy":
+        raise SystemExit(
+            f"unknown SPARK_GRAFT_BENCH_PROFILE {_PROFILE!r} "
+            "(supported: 'heavy')"
+        )
+    HEADLINE = list(HEAVY_PROFILE)
+
 # Optional subset filter (comma-separated names): lets the scale soak
 # run only the heavy queries at large replication factors without
 # changing what a bare `python bench.py` measures.

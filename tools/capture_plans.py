@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Capture .explain('formatted') output for named queries into
-plans/r12/<query>_<suffix>.txt -- the optimization round's evidence
-files (the judge reads these instead of running Spark).
+plans/<round>/<query>_<suffix>.txt (round via SPARK_GRAFT_PLANS_ROUND,
+default r13) -- the optimization round's evidence files (the judge
+reads these instead of running Spark).
 
 Usage: python tools/capture_plans.py <suffix> [name1,name2,...]
        (default: the full bench headline set)
@@ -26,7 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "plans",
-    "r12",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
 )
 
 
