@@ -133,6 +133,15 @@ CONTRACTS += [
         "Q3 top-10 is per-partition heaps; segment filter reaches the scan",
     ),
     (
+        "g42_dql_normalize",
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin"],
+        "@normalize attach joins broadcast their frontier-sized sides "
+        "(round 13): a SortMergeJoin means a checkpointed value-variable "
+        "block lost its broadcast hint and re-introduced an exchange + "
+        "sort per nesting level",
+    ),
+    (
         "b52_tpch_q5",
         ["BroadcastHashJoin", "EqualTo(r_name,ASIA)"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
