@@ -42,6 +42,12 @@ HEADLINE = [
     "a12_max_score_per_edge", # pipeline: explode + groupBy.max
     "a18_rdf_triples",        # ETL sink formatting + union
     "g03_hop2",               # 2-hop traversal w/ anti-joins
+    # g03's uncached control twin (round 13, graph-bench honesty): the
+    # same traversal over the edges VIEW, so the view build runs inside
+    # the timed region -- the g03/g07/g34 lanes time post-ingest steady
+    # state against a session-persisted bucketed edge table (like
+    # b07_bucketed); this lane records what ingest-included costs
+    "g03_hop2_coldedges",
     "g07_top_connections",    # flagship multi-join + top-k
     "c01_exact_dedup",        # sha256 + hash agg
     "c02_minhash_lsh_pairs",  # MinHash + LSH bucket join

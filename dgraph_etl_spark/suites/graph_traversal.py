@@ -167,6 +167,22 @@ def g03_hop2(spark, sf_dir):
     return G.k_hop(edges, seeds, k=2)[1]
 
 
+@register("g03_hop2_coldedges", V(_HOPS + "SELECT id FROM hop2"))
+def g03_hop2_coldedges(spark, sf_dir):
+    """Uncached control twin of g03_hop2 (round 13, bench honesty):
+    the traversal over the edges VIEW itself, so the explode +
+    groupBy(src,dst) view pipeline executes INSIDE the timed region --
+    no session-persisted bucketed edge table, no .cache(). Benchmarked
+    next to g03_hop2, the pair records ingest-included vs post-ingest
+    steady state the same way b07/b07_bucketed does for the join
+    lanes; the cached lane's number remains the recurring-query cost a
+    cluster that owns the persisted table would see."""
+    _register_graph_views(spark, sf_dir)
+    edges = spark.table("edges")
+    seeds = G.team_seed(spark.table("team_member"), TEAM)
+    return G.k_hop(edges, seeds, k=2)[1]
+
+
 @register(
     "g04_hop_counts",
     V(_HOPS + """
