@@ -44,13 +44,17 @@ def asof_join(
     ``right_order``: extra right columns appended to the carry
     window's sort; among equal-(on, ts) right rows the LAST in
     ascending ``right_order`` is the one carried (ascending NULLS
-    FIRST, so e.g. ``right_order=["v"]`` carries MAX(v), NULLs losing
-    to values — exactly a ``GROUP BY on, ts AGG MAX(v)`` pre-pass, but
-    WITHOUT that pass's full exchange of the right stream: the dedup
-    rides the one exchange + sort the carry-forward already pays
-    (round 12). The caller must pick columns that order duplicates
-    deterministically (any column set whose struct payload is equal
-    for still-tied rows qualifies).
+    FIRST, so NULLs lose to values). These are ARGMAX semantics over
+    the whole row: ALL ``right_cols`` are taken from that single
+    winning row — equal to a ``GROUP BY on, ts`` MAX only for the
+    ordered column itself, NOT a per-column MAX of the others (e.g.
+    ``right_order=["v"]`` with right_cols ``[v, w]`` carries the
+    winning row's ``w``, which need not be MAX(w)). The win over the
+    explicit pre-aggregate: no full exchange of the right stream —
+    the dedup rides the one exchange + sort the carry-forward already
+    pays (round 12). The caller must pick columns that order
+    duplicates deterministically (any column set whose struct payload
+    is equal for still-tied rows qualifies).
 
     NULL semantics follow SQL/DuckDB ASOF: a right row with NULL ts or
     NULL key never matches anything (``r.ts <= l.ts`` and ``r.k = l.k``

@@ -66,6 +66,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # localCheckpoint blocks (pinned_state_cache, the multi-
+        # consumer lazy checkpoints) are freed by the ContextCleaner
+        # only after a JVM GC observes the dropped reference; the
+        # driver certifies 270+ queries in one session, and without a
+        # periodic GC the dereferenced blocks accumulate until the
+        # next incidental full GC (r12 advice: callers' unpersist()
+        # became a no-op when pinned_state_cache switched from persist
+        # to checkpoint). 5min bounds the float at any scale; soaks
+        # that need tighter reclamation override via
+        # SPARK_GRAFT_EXTRA_CONF (tools/graph_soak.py sets 1min).
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     # harness-level conf overrides without code edits: the soak tools
     # run bench.py as a subprocess at synthetic scales where e.g.
@@ -216,9 +227,19 @@ def pinned_state_cache(df, *keys: str):
     Lifecycle: callers' ``unpersist()`` on the returned frame is a
     no-op (nothing is registered with the cache manager); checkpoint
     blocks are freed by the ContextCleaner once the round's reference
-    is dropped and the JVM GCs -- long multi-operator sessions at
-    scale set ``spark.cleaner.periodicGC.interval`` (see
-    iterative_loop_side's docstring; tools/graph_soak.py does)."""
+    is dropped and the JVM GCs -- the session default sets
+    ``spark.cleaner.periodicGC.interval=5min`` (r13) so long
+    multi-operator sessions reclaim them without per-caller config;
+    tools/graph_soak.py tightens it further for the 1000x soaks.
+
+    Fault tolerance: localCheckpoint stores NON-replicated
+    executor-local blocks, so losing an executor mid-iteration makes
+    the loop unrecoverable (the pre-r12 persist() could recompute from
+    lineage). That is the documented trade for the O(1)-per-round plan
+    (the 3^k lineage OOM'd the driver first); a deployment that needs
+    executor-loss recovery for multi-hour loops should opt into
+    reliable ``checkpoint()`` (HDFS-backed) at the call sites instead
+    -- same partitioning contract, one extra write."""
     spark = df.sparkSession
     with _PIN_GUARD:
         prev = spark.conf.get("spark.sql.adaptive.enabled")

@@ -142,6 +142,25 @@ def test_normalized_instants_in_plausible_window(spark, sf_dir):
             )
 
 
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_ts_not_null(spark, sf_dir):
+    """b73's single-pass retention form (collect_set of week) matches
+    the oracle's join ONLY under the fixture's events.ts NOT NULL
+    contract: collect_set drops a NULL week the join would keep. The
+    dependency was acknowledged in a comment (r12 advice) -- this makes
+    a fixture regenerated WITH NULL timestamps fail loudly here instead
+    of silently dropping retention cells."""
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, "events")
+    n_null = df.filter(F.col("ts").isNull()).count()
+    assert n_null == 0, (
+        f"{sf_dir}/events: {n_null} NULL ts rows -- b73's collect_set "
+        "form (and the dedup lanes' fixture contract) require NOT NULL; "
+        "restore the generator or revert b73 to the join form"
+    )
+
+
 def test_encoding_consistent_across_sfs():
     """All three scale factors should ship the same physical encodings;
     a mixed round would make sf0.001-green/sf0.01-red bugs look like
