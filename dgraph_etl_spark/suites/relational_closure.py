@@ -1933,12 +1933,24 @@ def b51_tpch_q3(spark, sf_dir):
 def b52_tpch_q5(spark, sf_dir):
     """B52: TPC-H Q5 shape (local-supplier volume) -- the 6-table join
     with the region/nation dimension chain. Scale plan: nation/region
-    (and supplier at this cardinality) broadcast; the fact-side
-    customer-orders-lineitem chain shuffles on its keys; the
+    (and supplier at this cardinality) broadcast; the
     c_nationkey = s_nationkey condition rides the supplier join as a
     non-equi residual. Catalyst reorders the dimension filters ahead
     of the fact joins (r_name prunes nations before any fact row
-    moves)."""
+    moves).
+
+    Join order (round 13): lineitem leads as the STREAMED probe side.
+    The previous c-o-l order made (customer JOIN orders) the streamed
+    side of the lineitem join, and because the 4-column lineitem
+    projection estimates under the 64MB broadcast pin, the planner
+    BUILT the whole fact table as a hash relation (single-threaded
+    ~6M-row broadcast build at sf1: 3.80s) and streamed the small
+    side. With lineitem leading, every build side is genuinely small
+    (filtered orders, customer, supplier, nation, region) and the fact
+    streams through the BHJ chain once: 0.54s at sf1, 0.25s at sf0.1,
+    rows identical (inner joins commute). Above the broadcast
+    threshold the same order degrades to SMJ on the join keys, which
+    is the correct fallback at scale."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1949,8 +1961,8 @@ def b52_tpch_q5(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c, c["c_custkey"] == F.col("o_custkey"))
         .join(
             s,
             (F.col("l_suppkey") == s["s_suppkey"])
@@ -3030,22 +3042,34 @@ def b73_retention_cohorts(spark, sf_dir):
 )
 def b74_tpch_q4(spark, sf_dir):
     """TPC-H Q4 (order priority checking), lateness adapted to
-    l_shipdate > o_orderdate. Spark shape: pushed date-range scan on
-    orders, LEFT SEMI join to lineitem with the correlated inequality
-    as a join condition (no subquery re-scan per row), one hash agg.
-    At 100 TB both sides are facts: the semi-join shuffles on
-    orderkey once, and the date filter prunes orders partitions before
-    the exchange."""
+    l_shipdate > o_orderdate.
+
+    Shape (round 13): EXISTS is computed as INNER join + DISTINCT on
+    the orders PK instead of a LEFT SEMI join. A broadcast left-semi
+    must BUILD its right side, so the previous form hashed the whole
+    6M-row lineitem table to probe ~100k date-filtered orders (3.0s
+    at sf1). Flipped, lineitem STREAMS through a broadcast of the
+    filtered orders and the map-side-combinable distinct on
+    (o_orderkey, o_orderpriority) collapses the matches to one row
+    per order before the exchange -- 0.58s at sf1, identical rows
+    (o_orderkey is the orders PK, so DISTINCT-on-PK = EXISTS; +0.07s
+    at sf0.1 where the extra distinct exchange exceeds the small
+    build it saves, accepted for the scale win). At 100 TB, where
+    neither side broadcasts, the same plan degrades to one SMJ on
+    orderkey plus the collapsing distinct -- still one fact shuffle."""
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01")
         & (F.col("o_orderdate") < "1996-07-01")
     )
     li = _t(spark, sf_dir, "lineitem")
-    hit = o.join(
-        li,
-        (o["o_orderkey"] == li["l_orderkey"])
-        & (li["l_shipdate"] > o["o_orderdate"]),
-        "left_semi",
+    hit = (
+        li.join(
+            o,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"]),
+        )
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
     )
     return hit.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count")

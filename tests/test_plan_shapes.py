@@ -1049,3 +1049,25 @@ def test_pinned_state_round_plan_single_exchange(spark):
             nxt.unpersist()
         e.unpersist()
         cur.unpersist()
+
+
+def test_fact_table_never_builds_hash_relation(spark, sf_small):
+    """B52/B74 scale contract (round 13): lineitem -- the biggest
+    fact -- STREAMS through the join chain; it must never be the
+    build side of a broadcast join. The pre-rewrite plans hashed the
+    whole fact table (a single-threaded ~6M-row build at sf1) to
+    probe a dimension-sized stream: Q5's c-o-l join order made the
+    planner build lineitem's under-threshold 4-column projection, and
+    Q4's LEFT SEMI forced BuildRight on lineitem by construction."""
+    import re
+
+    for name in ("b52_tpch_q5", "b74_tpch_q4"):
+        plan = plan_of(spark, sf_small, name)
+        for m in re.finditer(
+            r"\(\d+\) BroadcastExchange\s*\nInput \[\d+\]: \[([^\]]*)\]",
+            plan,
+        ):
+            assert not re.search(r"\bl_", m.group(1)), (
+                f"{name}: lineitem columns on a BroadcastExchange build "
+                f"side: {m.group(1)}"
+            )
