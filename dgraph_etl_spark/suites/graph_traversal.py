@@ -1518,17 +1518,35 @@ def g20_reciprocity(spark, sf_dir):
     """Graph reciprocity: the fraction of directed edges whose reverse
     edge also exists -- the directionality audit (near 1.0 means the
     graph is effectively undirected and every traversal can use the
-    cheaper symmetric form). One self-semi-join on the reversed key +
+    cheaper symmetric form).
+
+    Canonical-pair aggregation (round 13): the previous
+    self-semi-join on the reversed key BUILT the whole reversed edge
+    set as a hash relation (the graph is a fact; 0.99s at sf1).
+    Grouping by the unordered pair instead needs no join at all: the
+    edges view dedups (src,dst), so a non-loop pair is reciprocated
+    iff its canonical group holds BOTH directions (cnt=2 counts two
+    directed edges) and a self-loop (src=dst, cnt=1) is its own
+    reverse. One narrow exchange on the pair key (0.34s at sf1), same
     two counts."""
     edges, _, _ = _graph_inputs(spark, sf_dir)
-    rev = edges.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
+    und = edges.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+        (F.col("src") == F.col("dst")).cast("int").alias("loop"),
     )
-    recip = edges.join(rev, ["src", "dst"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_reciprocated")
+    per_pair = und.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("loop").alias("loop")
     )
-    total = edges.agg(F.count(F.lit(1)).alias("n_directed"))
-    return total.crossJoin(recip).select(
+    tot = per_pair.agg(
+        F.sum("cnt").alias("n_directed"),
+        F.sum(
+            F.when(F.col("loop") == 1, F.lit(1))
+            .when(F.col("cnt") == 2, F.lit(2))
+            .otherwise(F.lit(0))
+        ).alias("n_reciprocated"),
+    )
+    return tot.select(
         "n_directed",
         "n_reciprocated",
         F.round(F.col("n_reciprocated") / F.col("n_directed"), 6).alias(
@@ -1555,14 +1573,23 @@ def g21_path_multiplicity(spark, sf_dir):
     many teammates outranks one reached once). Same join shape as the
     traversal (broadcast seeds, one edge self-join) with COUNT instead
     of DISTINCT; the edges view's per-pair dedup makes each row one
-    path."""
+    path.
+
+    Build side (round 13): the seed-adjacent edge set (bounded by
+    |team| x max degree -- the module's frontier-broadcast contract)
+    is explicitly the broadcast side of the hop-2 extension join.
+    Unhinted, the planner built the WHOLE edge relation (its
+    known-size scan estimates under the threshold while the
+    frontier-join's output estimate doesn't): a 1.1M-pair build to
+    probe a frontier at sf1, 1.31s -> 0.78s flipped."""
     edges, team_member, _ = _graph_inputs(spark, sf_dir)
     seeds = G.team_seed(team_member, TEAM)
     hop2 = G.k_hop(edges, seeds, k=2)[1]
     e1, e2 = edges.alias("e1"), edges.alias("e2")
     paths = (
-        F.broadcast(seeds)
-        .join(e1, F.col("id") == F.col("e1.src"))
+        F.broadcast(
+            F.broadcast(seeds).join(e1, F.col("id") == F.col("e1.src"))
+        )
         .join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(
             hop2.select(F.col("id").alias("h2")),
@@ -1965,7 +1992,12 @@ def g28_temporal_reachability(spark, sf_dir):
         .agg(F.min("ts").alias("arrival"))
         .localCheckpoint(eager=False)
     )
-    ext = t1.join(
+    # round 13: t1 (frontier-sized arrivals) is explicitly the build
+    # side -- unhinted, the planner broadcast the 1M-row timestamped
+    # edge STREAM (its scan estimate sits under the threshold; the
+    # checkpointed t1 has no stats) and streamed the frontier:
+    # 0.76s -> 0.33s at sf1 flipped
+    ext = F.broadcast(t1).join(
         tedges,
         (t1["tid"] == tedges["src"]) & (tedges["ts"] >= t1["arrival"]),
     ).select(F.col("dst").alias("tid"), F.col("ts").alias("arrival"))

@@ -54,21 +54,27 @@ def fpsum(expr: str, alias: str):
     return _fp_scaled_sum(expr).alias(alias)
 
 
+def _fp_long_sum(expr: str):
+    """The raw fixed-point LONG accumulator behind fpsum -- exposed so
+    a HAVING-style threshold can compare on the exact scaled integer
+    (q > T  <=>  long > T*1e6; both recover the same m, see fpsum)
+    and the final column can still be emitted bit-identically to
+    fpsum via the same cast-divide."""
+    return F.sum(
+        F.expr(
+            f"CAST(({expr}) * 1000000 + "
+            f"IF(({expr}) >= 0, 0.5D, -0.5D) AS BIGINT)"
+        )
+    )
+
+
 def _fp_scaled_sum(expr: str):
     """The ONE definition of the fixed-point accumulator Column (see
     fpsum's docstring for the exactness argument): every consumer
-    (fpsum, b14's exact averages) must accumulate identically or the
-    averages stop matching the sums they divide."""
-    return (
-        F.sum(
-            F.expr(
-                f"CAST(({expr}) * 1000000 + "
-                f"IF(({expr}) >= 0, 0.5D, -0.5D) AS BIGINT)"
-            )
-        )
-        .cast("double")
-        / F.lit(1000000.0)
-    )
+    (fpsum, b14's exact averages, b81's reused per-order sum) must
+    accumulate identically or the averages stop matching the sums
+    they divide."""
+    return _fp_long_sum(expr).cast("double") / F.lit(1000000.0)
 
 
 def fpsum_sql(expr: str, alias: str) -> str:
@@ -484,18 +490,35 @@ def b12_join_range(spark, sf_dir):
     """,
 )
 def b13_self_join(spark, sf_dir):
-    """B13: self-join (same-order line pairs) -- the graph-hop shape."""
+    """B13: self-join (same-order line pairs) -- the graph-hop shape.
+
+    In-row pair explode (round 13, the c02 LSH pattern): the literal
+    self-join either BUILT a 6M-row lineitem hash relation (the
+    2-column projection estimates under the broadcast pin; 3.4s at
+    sf1) or, past the threshold, shuffles the fact TWICE for an SMJ.
+    Grouping the line numbers per order and exploding the ordered
+    pairs in-row moves the fact through ONE narrow exchange and no
+    join at all: 0.72s at sf1 (+0.08s at sf0.1 where the small build
+    was nearly free, accepted). The strict value compare (not index
+    compare) keeps pair multiplicity identical even under duplicate
+    line numbers; group sizes are bounded by lines-per-order (<= 7),
+    so collect_list cannot skew."""
     li = _t(spark, sf_dir, "lineitem")
-    a = li.alias("a")
-    b = li.alias("b")
-    return a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
-    ).select(
-        F.col("a.l_orderkey").alias("l_orderkey"),
-        F.col("a.l_linenumber").alias("line_a"),
-        F.col("b.l_linenumber").alias("line_b"),
+    grouped = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("lns")
+    )
+    return (
+        grouped.select(
+            "l_orderkey", "lns", F.posexplode("lns").alias("i", "line_a")
+        )
+        .select(
+            "l_orderkey",
+            "line_a",
+            F.explode(F.expr("slice(lns, i + 2, size(lns))")).alias(
+                "line_b"
+            ),
+        )
+        .filter(F.col("line_a") < F.col("line_b"))
     )
 
 
@@ -3412,40 +3435,42 @@ def b80_tpch_q17(spark, sf_dir):
 )
 def b81_tpch_q18(spark, sf_dir):
     """TPC-H Q18 (large volume customers): orders whose total quantity
-    clears a threshold, with customer detail. Spark shape: the HAVING
-    subquery is one hash agg over lineitem; its surviving keys (rare
-    by construction) broadcast back as a semi-join, so the detail join
-    only moves qualifying orders. Exact decimal compare on the
-    threshold."""
+    clears a threshold, with customer detail.
+
+    One lineitem pass (round 13): every outer GROUP BY key is
+    order-level (o_orderkey is the orders PK) and lineitem joins on
+    orderkey alone, so the outer SUM(l_quantity) per group IS the
+    HAVING subquery's per-order total -- the previous form scanned
+    lineitem twice (agg + detail semi-join) and built the whole
+    4-column orders table as a broadcast hash relation to probe the
+    qualifying lineitems. Now the per-order agg runs once, keeps the
+    fixed-point LONG (threshold compared on the exact scaled integer,
+    emitted bit-identically to fpsum by the same cast-divide), and
+    joins orders/customer directly: 1.42 -> 1.13 s at sf1,
+    1.07 -> 0.60 s at sf0.1, rows identical. The qualifying-order set
+    stays un-hinted (an O(corpus) fraction of orders -- forcing it
+    onto every executor OOMs at scale; AQE picks the build side)."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
-        .filter(F.col("q") > 150)
-        .select("l_orderkey")
+        .agg(_fp_long_sum("l_quantity").alias("fp_qty"))
+        .filter(F.col("fp_qty") > 150 * 1000000)
     )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return (
-        li.join(
-            # NOT F.broadcast: the qualifying-order set is an O(corpus)
-            # id set (a constant fraction of orders) -- forcing it onto
-            # every executor OOMs at scale; AQE picks broadcast itself
-            # when the set is genuinely small
-            big.withColumnRenamed("l_orderkey", "big_orderkey"),
-            F.col("l_orderkey") == F.col("big_orderkey"),
-            "left_semi",
-        )
-        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        big.join(o, F.col("l_orderkey") == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .groupBy(
+        .select(
             "c_custkey",
             "c_name",
             "o_orderkey",
             F.unix_micros("o_orderdate").alias("o_orderdate_us"),
             "o_totalprice",
+            (F.col("fp_qty").cast("double") / F.lit(1000000.0)).alias(
+                "sum_qty"
+            ),
         )
-        .agg(fpsum("l_quantity", "sum_qty"))
     )
 
 
