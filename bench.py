@@ -100,6 +100,11 @@ HEAVY_PROFILE = [
     "a18_rdf_triples",         # widest union/format pipeline
     "c13_token_budget_pack",   # r12 checkpoint-tax crossover question
     "b44_asof_join",           # r12 2->1 exchange claim
+    # round-13 additions (the sf1 sweep's biggest finds, so their
+    # fixes stay measurable): SRP near-dup pair generation and the
+    # blocked cosine self-join family
+    "c20_srp_neardup",
+    "c02_embedding_neardup",
 ]
 
 _PROFILE = os.environ.get("SPARK_GRAFT_BENCH_PROFILE")

@@ -220,19 +220,39 @@ def blocked_similarity_join(
     """C5: all pairs with cosine >= threshold, blocked on ``block_col``
     so the cross product is per-block, not global (LSH buckets play the
     same role when no natural block key exists). Threshold compares the
-    ROUNDED similarity so the cut is reproducible across engines."""
-    a = emb.select(
+    ROUNDED similarity so the cut is reproducible across engines.
+
+    Per-ROW prep (round 13, guide §2.3 do-less-work-per-task): the
+    double-cast and the L2 norm are computed once per row BEFORE the
+    pair join instead of once per PAIR inside cosine() -- for a block
+    of n vectors that is 2n evaluations instead of n^2, and the
+    surviving per-pair work is the dot product alone. Bit-identical:
+    same expressions (same left-to-right folds), same
+    try_divide(dot, na*nb) contract, just evaluated earlier; measured
+    c05 27.4 -> 5.8 s and c02_embedding_neardup 112 -> 34 s at sf1,
+    rows identical (exceptAll both directions)."""
+    prep = emb.select(
+        "vec_id",
+        F.col(block_col).alias("blk"),
+        as_double_array("embedding").alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a = prep.select(
         F.col("vec_id").alias("vec_a"),
-        F.col(block_col).alias("blk"),
-        F.col("embedding").alias("emb_a"),
+        "blk",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    b = emb.select(
+    b = prep.select(
         F.col("vec_id").alias("vec_b"),
-        F.col(block_col).alias("blk"),
-        F.col("embedding").alias("emb_b"),
+        "blk",
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(b, "blk").filter(F.col("vec_a") < F.col("vec_b"))
-    sim = F.round(cosine(as_double_array("emb_a"), as_double_array("emb_b")), 4)
+    sim = F.round(
+        F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
+        4,
+    )
     return (
         pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
@@ -372,10 +392,21 @@ def srp_neardup_pairs(
             )
         ).alias("band", "band_val"),
     ).localCheckpoint()
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # round 13: double-cast + L2 norm once per band ROW (on top of the
+    # checkpoint), not once per candidate PAIR -- the surviving pair
+    # work is the dot alone (bit-identical, same folds; see
+    # blocked_similarity_join)
+    prep = bands.select(
+        "vec_id", "band", "band_val", as_double_array(vec_col).alias("vd")
+    ).withColumn("nrm", l2_norm(F.col("vd")))
+    a = prep.alias("a")
+    b = prep.alias("b")
     sim = F.round(
-        cosine(as_double_array("a." + vec_col), as_double_array("b." + vec_col)), 4
+        F.try_divide(
+            dot(F.col("a.vd"), F.col("b.vd")),
+            F.col("a.nrm") * F.col("b.nrm"),
+        ),
+        4,
     )
     return (
         a.join(
@@ -508,8 +539,14 @@ def hard_negatives_srp(
         dim=dim,
         keep=("vec_id", "label"),
     ).localCheckpoint()
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # round 13: double-cast + L2 norm once per band ROW, not per pair
+    # (bit-identical; see blocked_similarity_join)
+    prep = bands.select(
+        "vec_id", "label", "band", "band_val",
+        as_double_array(vec_col).alias("vd"),
+    ).withColumn("nrm", l2_norm(F.col("vd")))
+    a = prep.alias("a")
+    b = prep.alias("b")
     # cosine is computed BEFORE the pair dedup: a pair found by k
     # bands costs k redundant 64-mult dot products (k <= n_bands,
     # usually 1), but the dedup then shuffles 3 scalar columns keyed
@@ -527,9 +564,9 @@ def hard_negatives_srp(
             F.col("a.vec_id").alias("anchor_id"),
             F.col("b.vec_id").alias("negative_id"),
             F.round(
-                cosine(
-                    as_double_array("a." + vec_col),
-                    as_double_array("b." + vec_col),
+                F.try_divide(
+                    dot(F.col("a.vd"), F.col("b.vd")),
+                    F.col("a.nrm") * F.col("b.nrm"),
                 ),
                 4,
             ).alias("sim"),
@@ -573,9 +610,25 @@ def srp_neardup_pairs_portable(
         dim=dim,
         keep=("vec_id",),
     ).localCheckpoint()
+    # round 13: c20 at sf1 is the engine's biggest single lane (2-bit
+    # bands keep ~all pairs as candidates: 405M collisions / 179M
+    # distinct pairs, redundancy 2.27x). Two reshapes, both
+    # result-identical:
+    # 1. the candidate pairs are DEDUPED as bare (vec_a, vec_b) longs
+    #    BEFORE any cosine (sim is band-independent, so the old
+    #    groupBy.max(sim) == sim on the distinct pair -- and the
+    #    distinct exchange carries 16-byte rows instead of 24-byte
+    #    scored rows);
+    # 2. the double-cast + L2 norm attach once per VECTOR via two
+    #    corpus joins onto the deduped pairs, and the dot runs once
+    #    per distinct pair (same folds as cosine(); bit-identical,
+    #    see blocked_similarity_join).
+    # Measured at sf1: 411s (round-12 form) -> 181s (per-row prep)
+    # -> 75s (this form); +0.5s at sf0.1 where the distinct exchange
+    # exceeds the saved dots (accepted -- the lane exists for scale).
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -585,16 +638,32 @@ def srp_neardup_pairs_portable(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(
-                cosine(
-                    as_double_array("a." + vec_col),
-                    as_double_array("b." + vec_col),
-                ),
-                4,
-            ).alias("sim"),
         )
-        .groupBy("vec_a", "vec_b")
-        .agg(F.max("sim").alias("sim"))
+        .distinct()
+    )
+    prep = emb.select(
+        "vec_id", as_double_array(vec_col).alias("vd")
+    ).withColumn("nrm", l2_norm(F.col("vd")))
+    pa = prep.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("vd").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    pb = prep.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("vd").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = F.round(
+        F.try_divide(
+            dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+        ),
+        4,
+    )
+    return (
+        cand.join(pa, "vec_a")
+        .join(pb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
