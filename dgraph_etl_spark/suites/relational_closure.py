@@ -607,17 +607,26 @@ def b15_count_distinct(spark, sf_dir):
     )
 
 
-def _hll_within_bound(col: str, alias: str):
+def _hll_verdict(hll_col: str, exact_col: str, alias: str):
     """The sketch family's shared tolerance verdict: 1 iff the HLL
     estimate (rsd 1%) is within ``max(1, 5% of exact)`` of the exact
-    distinct count, computed IN the aggregation plan. One definition
-    for b15_approx_error_bound and b69_sketch_error_bound -- the two
-    certified sketch rows must age the same way if the tolerance or
-    rsd ever changes."""
+    distinct count. One definition for b15_approx_error_bound and
+    b69_sketch_error_bound -- the two certified sketch rows must age
+    the same way if the tolerance or rsd ever changes.
+
+    Round 13: the verdict is a PROJECTION over separately-aggregated
+    columns, no longer an in-agg expression mixing
+    approx_count_distinct with countDistinct. Mixing them planned the
+    16KB-per-group HLL buffers THROUGH the multi-distinct Expand
+    pipeline (every countDistinct adds a replicated row-set and an
+    agg stage, and the sketch buffers ride all of them): b69 measured
+    57s at sf1 combined vs 4.0s with the exact arm (one Expand agg)
+    and the sketch arm (one linear agg) computed separately and
+    joined -- identical values, same tolerance arithmetic."""
     return (
         F.when(
-            F.abs(F.approx_count_distinct(col, 0.01) - F.countDistinct(col))
-            <= F.greatest(F.lit(1.0), F.countDistinct(col) * 0.05),
+            F.abs(F.col(hll_col) - F.col(exact_col))
+            <= F.greatest(F.lit(1.0), F.col(exact_col) * 0.05),
             1,
         )
         .otherwise(0)
@@ -646,11 +655,21 @@ def b15_approx_error_bound(spark, sf_dir):
     exactly when the driver hash should fail). The oracle replays the
     exact side and asserts the bound as the literal 1. At 100 TB the
     sketch arm replaces exact distinct wherever a ±2% answer is
-    acceptable: one pass, fixed memory, mergeable."""
+    acceptable: one pass, fixed memory, mergeable. The two arms are
+    aggregated separately and joined on the group key (see
+    _hll_verdict: mixing them rode the HLL buffers through the
+    distinct Expand pipeline; 19.2 -> 1.5 s at sf1)."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        _hll_within_bound("o_custkey", "within_bound"),
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    )
+    hll = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("h_custkey")
+    )
+    return exact.join(hll, "o_orderstatus").select(
+        "o_orderstatus",
+        "n_customers",
+        _hll_verdict("h_custkey", "n_customers", "within_bound"),
     )
 
 
@@ -2782,19 +2801,35 @@ def b69_sketch_error_bound(spark, sf_dir):
     exact side and asserts each bound as the literal 1. The exact arm
     here exists to certify the sketch; the production profile at
     100 TB runs the sketch arm alone (one scan, fixed memory,
-    mergeable) instead of re-shuffling the table per column."""
+    mergeable) instead of re-shuffling the table per column. The two
+    arms aggregate separately (exact: one multi-distinct Expand agg;
+    sketch: one linear agg) and meet in a 1-row cross join -- mixing
+    them dragged the 16KB HLL buffers through every Expand stage
+    (57 -> 4.0 s at sf1, see _hll_verdict)."""
     o = _t(spark, sf_dir, "orders")
-    ok = _hll_within_bound
-    return o.agg(
+    exact = o.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_orderkey").alias("d_orderkey"),
         F.countDistinct("o_custkey").alias("d_custkey"),
         F.countDistinct("o_orderstatus").alias("d_status"),
         F.countDistinct("o_orderpriority").alias("d_priority"),
-        ok("o_orderkey", "ok_orderkey"),
-        ok("o_custkey", "ok_custkey"),
-        ok("o_orderstatus", "ok_status"),
-        ok("o_orderpriority", "ok_priority"),
+    )
+    hll = o.agg(
+        F.approx_count_distinct("o_orderkey", 0.01).alias("h_orderkey"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("h_custkey"),
+        F.approx_count_distinct("o_orderstatus", 0.01).alias("h_status"),
+        F.approx_count_distinct("o_orderpriority", 0.01).alias("h_priority"),
+    )
+    return exact.crossJoin(hll).select(
+        "n_rows",
+        "d_orderkey",
+        "d_custkey",
+        "d_status",
+        "d_priority",
+        _hll_verdict("h_orderkey", "d_orderkey", "ok_orderkey"),
+        _hll_verdict("h_custkey", "d_custkey", "ok_custkey"),
+        _hll_verdict("h_status", "d_status", "ok_status"),
+        _hll_verdict("h_priority", "d_priority", "ok_priority"),
     )
 
 
