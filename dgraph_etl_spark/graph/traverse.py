@@ -276,13 +276,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
-def triangle_count_degree_oriented(edges: DataFrame) -> DataFrame:
-    """Triangle count with DEGREE-based edge orientation -- the
-    100 TB-safe form of :func:`triangle_count`. Every undirected edge
+def oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Every triangle of the undirected graph exactly once, as
+    (x, y, z) node columns, enumerated with DEGREE-based edge
+    orientation -- the 100 TB-safe wedge close. Every undirected edge
     is oriented from its lower-(degree, id) endpoint to its higher one,
     which bounds each vertex's oriented out-degree by O(sqrt(m)) on any
     graph: wedge fan-out on power-law hubs collapses from deg(hub)^2 to
-    ~m, while the triangle set (and count) is provably identical to the
+    ~m, while the triangle SET is provably identical to the
     lexicographic orientation (asserted in tests/test_properties.py).
     Orientation keys are (degree, id) structs compared natively by
     Catalyst; ties are impossible because ids are distinct. The
@@ -315,7 +316,20 @@ def triangle_count_degree_oriented(edges: DataFrame) -> DataFrame:
         (F.col("e3.lo") == F.col("e1.hi")) & (F.col("e3.hi") == F.col("e2.hi")),
         "left_semi",
     )
-    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return closed.select(
+        F.col("e1.lo").alias("x"),
+        F.col("e1.hi").alias("y"),
+        F.col("e2.hi").alias("z"),
+    )
+
+
+def triangle_count_degree_oriented(edges: DataFrame) -> DataFrame:
+    """Triangle count with degree-based orientation -- COUNT(*) over
+    :func:`oriented_triangles` (see there for the O(sqrt(m)) fan-out
+    bound and the equal-count-to-lexicographic property)."""
+    return oriented_triangles(edges).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
 
 
 def weakly_connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:

@@ -1002,11 +1002,18 @@ def g08_degree_stats(spark, sf_dir):
     """),
 )
 def g09_triangle_count(spark, sf_dir):
-    """Triangle count via low->high edge orientation: each triangle
-    found exactly once as a closed wedge (two equi-joins, no window,
-    no global sort)."""
+    """Triangle count: each triangle found exactly once as a closed
+    wedge (two equi-joins, no window, no global sort).
+
+    Round 13: executes the DEGREE-oriented enumeration (the count is
+    provably orientation-independent -- property-pinned against the
+    lexicographic baseline, which stays in traverse.triangle_count).
+    The lexicographic wedge join measured 105 s at sf1 vs 6.2 s
+    oriented: this fixture's 50 event-hub nodes give the lex form
+    deg(hub)^2 wedge fan-out that the (degree, id) orientation caps
+    at O(sqrt(m)). The oracle text is unchanged (same count)."""
     edges, _, _ = _graph_inputs(spark, sf_dir)
-    return G.triangle_count(edges)
+    return G.triangle_count_degree_oriented(edges)
 
 
 @register(
@@ -1448,29 +1455,19 @@ def g19_clustering_coefficient(spark, sf_dir):
     canonical graph-ML density feature. Triangle enumeration reuses
     the oriented wedge-close join (each triangle once, all three
     members emitted); degree >= 2 filter excludes undefined
-    coefficients. Same scale posture as triangle counting: equi-joins
-    only, hub mitigation = degree orientation + salting. ``und``
-    feeds FIVE consumers (three triangle self-join sides + the degree
-    agg's two direction branches); the lazy localCheckpoint (round 12)
-    materializes the canonical pair set once instead of re-planning
-    scan+dedup per consumer."""
+    coefficients.
+
+    Round 13: the enumeration is traverse.oriented_triangles -- the
+    DEGREE-oriented wedge close (per-node triangle membership is
+    orientation-independent, so the result is identical). The
+    previous lexicographic wedge join measured 434 s at sf1 against
+    this fixture's 50 event-hub nodes (deg(hub)^2 fan-out); oriented
+    it is ~7 s. The degree agg keeps its own canonical pair set
+    (lazy localCheckpoint, round 12) for its two direction
+    branches."""
     edges, _, _ = _graph_inputs(spark, sf_dir)
     und = G.undirected_edges(edges).localCheckpoint(eager=False)
-    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a"))
-            & (F.col("e3.b") == F.col("e2.b")),
-            "left_semi",
-        )
-        .select(
-            F.col("e1.a").alias("x"),
-            F.col("e1.b").alias("y"),
-            F.col("e2.b").alias("z"),
-        )
-    )
+    tri = G.oriented_triangles(edges)
     members = (
         tri.select(F.col("x").alias("node"))
         .unionByName(tri.select(F.col("y").alias("node")))
